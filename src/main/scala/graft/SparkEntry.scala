@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cqc.{Cmp, Rel, Yannakakis}
+import graft.sources.Tables
+import graft.topk.RankJoin
+import graft.wcoj.Wcoj
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference examples/query/q1: 3-hop path + degree
+    * comparison, CQC-evaluated) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qCqcPath3Deg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- CQC core
+
+  /** Pure Yannakakis: 3-hop path enumeration (no comparisons). */
+  def qCqcLine3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    val out = Yannakakis.solve(Seq(
+      Rel("g1", e.toDF("src", "via1")),
+      Rel("g2", e.toDF("via1", "via2")),
+      Rel("g3", e.toDF("via2", "dst"))))
+    out.select("src", "via1", "via2", "dst")
+  }
+
+  /** Flagship (reference q1): path-3 + per-endpoint degree counts with a
+    * cnt1 < cnt2 comparison — exercises semijoin reduction + the CQC
+    * annotation chain across 4 tree edges. */
+  def qCqcPath3Deg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+    val out = Yannakakis.solve(
+      Seq(
+        Rel("g1", e.toDF("src", "via1")),
+        Rel("g2", e.toDF("via1", "via2")),
+        Rel("g3", e.toDF("via2", "dst")),
+        Rel("c1", deg.toDF("src", "cnt1")),
+        Rel("c2", deg.toDF("dst", "cnt2"))),
+      Seq(Cmp("cnt1", "<", "cnt2")))
+    out.select("src", "via1", "via2", "dst", "cnt1", "cnt2")
+  }
+
+  /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
+  def qCqcRst(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    val t = Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 200 === 1)
+      .select((col("l_partkey") % 100).as("c"), col("l_quantity").as("e"), col("l_suppkey").as("f"))
+    val out = Yannakakis.solve(
+      Seq(
+        Rel("r", e.toDF("a", "b")),
+        Rel("s", e.toDF("b", "c")),
+        Rel("t", t)),
+      Seq(Cmp("a", "<", "e")))
+    out.select("a", "b", "c", "f")
+  }
+
+  /** Reference q9 (trade self-join) shape on events: band join on time plus
+    * a scaled value comparison — two relations, three comparisons (the
+    * TreeLikeArray case), LIKE filters. */
+  def qCqcTrade(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.where(col("event_type").like("%iew"))
+      .select(col("event_id").as("eid1"), col("user_id"),
+        col("ts").as("ts1"), col("value").as("val1"))
+      .withColumn("ts1_hi", col("ts1") + expr("INTERVAL 2 DAYS"))
+      .withColumn("val1_s", col("val1") * lit(1.2))
+    val p = ev.where(col("event_type").like("purch%"))
+      .select(col("event_id").as("eid2"), col("user_id"),
+        col("ts").as("ts2"), col("value").as("val2"))
+    val out = Yannakakis.solve(
+      Seq(Rel("v", v), Rel("p", p)),
+      Seq(Cmp("ts1", "<=", "ts2"), Cmp("ts2", "<=", "ts1_hi"), Cmp("val1_s", "<", "val2")))
+    out.select(col("eid1"), col("eid2"), col("user_id"),
+      unix_millis(col("ts1")).as("ts1_ms"), unix_millis(col("ts2")).as("ts2_ms"),
+      col("val1"), col("val2"))
+  }
+
+  /** Ranked top-k join (reference convert/TopK.scala L2 shape):
+    * 2-hop paths ordered by total rating, k=10, no full materialization. */
+  def qTopkJoin(s: SparkSession, d: String): DataFrame = {
+    val re = Tables.ratedEdges(s, d)
+    val left = re.toDF("node1", "node2", "rating1")
+    val right = re.toDF("node2", "node3", "rating2")
+    RankJoin.topK(left, right, "rating1", "rating2", 10, Seq("node1", "node2", "node3"))
+      .select("node1", "node2", "node3", "total_rank")
+  }
+
+  /** Cyclic query: directed triangle count (reference GHD+WCOJ path). */
+  def qWcojTriangle(s: SparkSession, d: String): DataFrame =
+    Wcoj.triangleCount(Tables.edges(s, d))
+
+  // ------------------------------------------------------------- TPC-H style
+
+  /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
+    * (sums computed in decimal, surfaced as double). */
+  def qQ1Agg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+      .withColumn("qty_d", col("l_quantity").cast("decimal(14,2)"))
+      .withColumn("price_d", col("l_extendedprice").cast("decimal(14,2)"))
+      .withColumn("disc_f", (lit(1.0) - col("l_discount")).cast("decimal(8,4)"))
+      .withColumn("tax_f", (lit(1.0) + col("l_tax")).cast("decimal(8,4)"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_d")).cast("double").as("sum_qty"),
+        sum(col("price_d")).cast("double").as("sum_base_price"),
+        sum(col("price_d") * col("disc_f")).cast("double").as("sum_disc_price"),
+        sum(col("price_d") * col("disc_f") * col("tax_f")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6 shape: selective scan + exact decimal revenue sum. */
+  def qQ6Filter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 15)
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+        col("l_discount").cast("decimal(8,4)")).cast("double").as("revenue"))
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cqc_line3" -> (qCqcLine3 _),
+    "cqc_path3_deg" -> (qCqcPath3Deg _),
+    "cqc_rst" -> (qCqcRst _),
+    "cqc_trade" -> (qCqcTrade _),
+    "topk_join" -> (qTopkJoin _),
+    "wcoj_triangle" -> (qWcojTriangle _),
+    "q1_agg" -> (qQ1Agg _),
+    "q6_filter" -> (qQ6Filter _)
+  )
+
+  private val E = s"(${Tables.edgesSql})"
+  private val RE = s"(${Tables.ratedEdgesSql})"
+
+  def oracleSql: Map[String, String] = Map(
+    "cqc_line3" ->
+      s"""SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src""".stripMargin,
+    "cqc_path3_deg" ->
+      s"""WITH c AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM $E e GROUP BY src)
+         |SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst,
+         |       c1.cnt AS cnt1, c2.cnt AS cnt2
+         |FROM $E g1, $E g2, $E g3, c c1, c c2
+         |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+         |  AND c1.cnt < c2.cnt""".stripMargin,
+    "cqc_rst" ->
+      s"""WITH t0 AS (SELECT l_partkey % 100 AS c, l_quantity AS e, l_suppkey AS f
+         |            FROM lineitem WHERE l_orderkey % 200 = 1)
+         |SELECT r.src AS a, r.dst AS b, s.dst AS c, t0.f AS f
+         |FROM $E r, $E s, t0
+         |WHERE r.dst = s.src AND s.dst = t0.c AND r.src < t0.e""".stripMargin,
+    "cqc_trade" ->
+      """SELECT e1.event_id AS eid1, e2.event_id AS eid2, e1.user_id AS user_id,
+        |       epoch_ns(e1.ts) // 1000000 AS ts1_ms, epoch_ns(e2.ts) // 1000000 AS ts2_ms,
+        |       e1.value AS val1, e2.value AS val2
+        |FROM events e1, events e2
+        |WHERE e1.user_id = e2.user_id
+        |  AND e1.event_type LIKE '%iew' AND e2.event_type LIKE 'purch%'
+        |  AND epoch_ns(e1.ts) // 1000000 <= epoch_ns(e2.ts) // 1000000
+        |  AND epoch_ns(e2.ts) // 1000000 <= epoch_ns(e1.ts) // 1000000 + 172800000
+        |  AND e1.value * 1.2 < e2.value""".stripMargin,
+    "topk_join" ->
+      s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3,
+         |       r.rating + s.rating AS total_rank
+         |FROM $RE r, $RE s
+         |WHERE r.dst = s.src
+         |ORDER BY total_rank DESC, node1 ASC, node2 ASC, node3 ASC LIMIT 10""".stripMargin,
+    "wcoj_triangle" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS triangles
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin
+  )
 }

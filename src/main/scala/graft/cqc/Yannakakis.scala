@@ -1,0 +1,143 @@
+package graft.cqc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Yannakakis-style evaluation of acyclic conjunctive queries with
+ * comparisons (CQC), expressed entirely in DataFrame operations so that
+ * Catalyst/Tungsten/AQE pick the physical strategy (hash vs broadcast
+ * semijoin, skew handling, codegen).
+ *
+ * Mapping from the reference's RDD runtime (sqlplus-lib
+ * helper/ImplicitConversions.scala) to Spark-first constructs:
+ *
+ *  - `semiJoin` (:178)                  -> `join(..., "left_semi")`
+ *  - `appendExtraColumn`+`extractFieldInHeadElement` (:125,:73) —
+ *    per-join-key min/max annotation    -> `groupBy(keys).agg(min/max)`
+ *    + inner join + filter (partial aggregation is map-side; the
+ *    annotation payload is key+1 value, broadcastable when small)
+ *  - `sortValuesWith`+`takeWhile` enumeration (:61,:229) -> equi-join on
+ *    fully-reduced inputs + comparison filter applied at the first join
+ *    where both sides are bound (Catalyst evaluates it inside the join)
+ *  - TreeLikeArray two-comparison pruning (cqc/TreeLikeArray.scala) ->
+ *    both bounds annotated per key (min of one column, max of the other),
+ *    exact residual filter at enumeration.
+ *
+ * The full reducer guarantees dangling-free inputs, so intermediate join
+ * results of a full CQ are bounded by the output size; comparison
+ * annotations additionally prune rows that cannot satisfy any comparison
+ * partner, which is what makes CQC output-sensitive.
+ */
+object Yannakakis {
+
+  /**
+   * Remove all dangling tuples: bottom-up then top-down semijoin passes
+   * (the classic full reducer). Returns the reduced DataFrame per relation.
+   */
+  def fullReduce(tree: JoinTree): Map[String, DataFrame] = {
+    val reduced = scala.collection.mutable.Map[String, DataFrame]()
+    tree.rels.foreach { case (n, r) => reduced(n) = r.df }
+
+    // bottom-up: parent := parent ⋉ child
+    for (n <- tree.bottomUp; p <- tree.parentOf.get(n)) {
+      val shared = tree.sharedVars(n, p)
+      if (shared.nonEmpty)
+        reduced(p) = reduced(p).join(reduced(n).select(shared.map(col): _*), shared, "left_semi")
+    }
+    // top-down: child := child ⋉ parent
+    for (n <- tree.topDown.drop(1)) {
+      val p = tree.parentOf(n)
+      val shared = tree.sharedVars(n, p)
+      if (shared.nonEmpty)
+        reduced(n) = reduced(n).join(reduced(p).select(shared.map(col): _*), shared, "left_semi")
+    }
+    reduced.toMap
+  }
+
+  /**
+   * Evaluate the natural join of `rels` (+ comparison predicates) with
+   * semijoin reduction, comparison-bound annotation pruning, and
+   * output-sensitive enumeration. The result columns are all distinct
+   * variables, in sorted order.
+   */
+  def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame = {
+    val tree = Hypergraph.joinTree(rels)
+    val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
+
+    // Comparison-bound annotation: for `x op y` with x in rel A, y in rel
+    // B (A != B), propagate the best bound of y along the tree path from B
+    // to A, per join key, then filter A. Prunes A-rows having no possible
+    // comparison partner — the CQC reduction.
+    for (cmp <- cmps) {
+      val locL = tree.rels.values.find(_.vars.contains(cmp.left)).map(_.name)
+      val locR = tree.rels.values.find(_.vars.contains(cmp.right)).map(_.name)
+      (locL, locR) match {
+        case (Some(a), Some(b)) if a != b =>
+          annotateAndFilter(tree, reduced, a, b, cmp)
+        case _ => () // same-relation or computed: residual filter covers it
+      }
+    }
+
+    // Enumeration: fold natural joins root-first; apply each comparison as
+    // soon as both variables are bound (earliest possible filtering, like
+    // enumerateWithOneComparison's takeWhile).
+    var acc = reduced(tree.root)
+    var pending = cmps
+    def applyReady(): Unit = {
+      val (ready, rest) = pending.partition(c =>
+        acc.columns.contains(c.left) && acc.columns.contains(c.right))
+      ready.foreach(c => acc = acc.where(expr(c.sqlExpr)))
+      pending = rest
+    }
+    applyReady()
+    for (n <- tree.topDown.drop(1)) {
+      val shared = acc.columns.toSet intersect tree.rels(n).vars
+      acc =
+        if (shared.nonEmpty) acc.join(reduced(n), shared.toSeq.sorted, "inner")
+        else acc.crossJoin(reduced(n))
+      applyReady()
+    }
+    require(pending.isEmpty, s"unresolved comparisons: $pending")
+    acc.select(acc.columns.sorted.map(col): _*)
+  }
+
+  /**
+   * Propagate min/max of `cmp.right` from node `b` along the tree path to
+   * node `a`, then filter `a` on `cmp`. Each hop is a per-key aggregate
+   * (map-side combinable) plus an inner join (which doubles as a semijoin
+   * against the subtree already processed).
+   */
+  private def annotateAndFilter(
+      tree: JoinTree,
+      reduced: scala.collection.mutable.Map[String, DataFrame],
+      a: String,
+      b: String,
+      cmp: Cmp): Unit = {
+    val hops = tree.path(b, a) // b ... a
+    val agg: (String => org.apache.spark.sql.Column) =
+      if (cmp.rightBoundIsMax) (c: String) => max(col(c)) else (c: String) => min(col(c))
+    val boundCol = s"__bound_${cmp.right}_${a}_$b"
+
+    // Walk from b toward a, carrying a per-join-key bound.
+    var carrier: DataFrame = null
+    for (i <- 0 until hops.length - 1) {
+      val cur = hops(i)
+      val next = hops(i + 1)
+      val keys = tree.sharedVars(cur, next)
+      if (keys.isEmpty) return // disconnected hop: bail out, residual filter still applies
+      val base =
+        if (i == 0) reduced(cur).select((keys :+ cmp.right).distinct.map(col): _*)
+        else reduced(cur).join(carrier, tree.sharedVars(hops(i - 1), cur), "inner")
+      val valueCol = if (i == 0) cmp.right else boundCol
+      carrier = base.groupBy(keys.map(col): _*).agg(agg(valueCol).as(boundCol))
+    }
+    if (carrier == null) return
+    val aKeys = tree.sharedVars(hops(hops.length - 2), a)
+    val filtered = reduced(a)
+      .join(carrier, aKeys, "inner")
+      .where(expr(s"${cmp.left} ${cmp.op} $boundCol"))
+      .drop(boundCol)
+    reduced(a) = filtered
+  }
+}

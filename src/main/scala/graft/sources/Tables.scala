@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Table loaders for the graft engine.
+ *
+ * All loaders are plain parquet/csv scans — column pruning and predicate
+ * pushdown are left to Catalyst (verify with `.explain`: `ReadSchema` /
+ * `PushedFilters`). Nothing here collects to the driver.
+ */
+object Tables {
+
+  /** Session tuning we rely on everywhere (all dynamic SQLConf). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as long and convert (see events()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /**
+   * Events with `ts` normalized to a millisecond-precision timestamp.
+   * The raw column is TIMESTAMP(NANOS); we read it as nanos-since-epoch
+   * (LongType) and truncate to ms so comparisons agree across engines.
+   */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_millis(floor(col("ts") / 1000000L).cast(LongType)))
+    else
+      df.withColumn("ts", timestamp_millis((floor(unix_micros(col("ts")) / 1000L)).cast(LongType)))
+  }
+
+  /**
+   * Derived directed graph for the CQC graph queries (reference
+   * examples/query/q1-q8 run on a `Graph(src,dst)` relation; our testdata
+   * has no graph table, so we derive one deterministically from lineitem —
+   * the oracle SQL uses the identical derivation).
+   *
+   * Kept degree-bounded across scale factors: one edge per sampled order.
+   */
+  def edges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0)
+      .select((col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+      .distinct()
+
+  /** The same derivation as ANSI SQL, reusable inside oracle queries. */
+  val edgesSql: String =
+    "SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0"
+
+  /** Weighted graph for ranked (top-k) joins: edge rating = max quantity. */
+  def ratedEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0)
+      .groupBy((col("l_orderkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+      .agg(max(col("l_quantity")).as("rating"))
+
+  val ratedEdgesSql: String =
+    "SELECT l_orderkey % 100 AS src, l_partkey % 100 AS dst, CAST(max(l_quantity) AS DOUBLE) AS rating FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0 GROUP BY 1, 2"
+
+  /** CSV loader (the reference reads comma-separated `.dat` files). */
+  def csv(spark: SparkSession, path: String, schemaDdl: String, delimiter: String = ","): DataFrame =
+    tune(spark).read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .schema(schemaDdl)
+      .csv(path)
+}

@@ -1,0 +1,52 @@
+package graft.topk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ranked (top-k) joins: `ORDER BY f(left) + g(right) LIMIT k` over an
+ * equi-join, WITHOUT materializing the full join (reference:
+ * sqlplus-core convert/TopK.scala ranked enumeration).
+ *
+ * Spark-first realization: because the rank function is monotone in each
+ * side's contribution, any result among the global top-k must combine a
+ * per-join-key top-k row of the left with a per-join-key top-k row of the
+ * right. So we semijoin-reduce both sides, keep only k rows per join key
+ * per side (window row_number — shuffles once on the join key, the same
+ * partitioning the join then reuses), join, and take the global top-k.
+ * Intermediates are bounded by k * |distinct keys| instead of the full
+ * join size — the property that matters at 100 TB.
+ */
+object RankJoin {
+
+  /** Keep the top `k` rows per `keys` group ordered by `order`. */
+  def prunePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
+   * Top-k of `left` natural-join `right`, ranked by `leftRank + rightRank`
+   * descending, ties broken by `tieCols` ascending (total ordering =>
+   * deterministic result set).
+   */
+  def topK(
+      left: DataFrame,
+      right: DataFrame,
+      leftRank: String,
+      rightRank: String,
+      k: Int,
+      tieCols: Seq[String]): DataFrame = {
+    val keys = (left.columns.toSet intersect right.columns.toSet).toSeq.sorted
+    require(keys.nonEmpty, "rank join requires shared join columns")
+    // dangling rows must go before pruning, else a pruned-in row may not join
+    val lr = left.join(right.select(keys.map(col): _*), keys, "left_semi")
+    val rr = right.join(left.select(keys.map(col): _*), keys, "left_semi")
+    val lp = prunePerKey(lr, keys, col(leftRank).desc +: tieCols.filter(left.columns.contains).map(col(_).asc), k)
+    val rp = prunePerKey(rr, keys, col(rightRank).desc +: tieCols.filter(right.columns.contains).map(col(_).asc), k)
+    val joined = lp.join(rp, keys, "inner")
+      .withColumn("total_rank", col(leftRank) + col(rightRank))
+    joined.orderBy(col("total_rank").desc +: tieCols.map(col(_).asc): _*).limit(k)
+  }
+}
