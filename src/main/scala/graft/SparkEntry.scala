@@ -106,12 +106,14 @@ object SparkEntry {
       .withColumn("price_d", col("l_extendedprice").cast("decimal(14,2)"))
       .withColumn("disc_f", (lit(1.0) - col("l_discount")).cast("decimal(8,4)"))
       .withColumn("tax_f", (lit(1.0) + col("l_tax")).cast("decimal(8,4)"))
+    // round each decimal sum to 2dp before the double cast so the final
+    // decimal->double conversion is exact and engine-independent
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("qty_d")).cast("double").as("sum_qty"),
-        sum(col("price_d")).cast("double").as("sum_base_price"),
-        sum(col("price_d") * col("disc_f")).cast("double").as("sum_disc_price"),
-        sum(col("price_d") * col("disc_f") * col("tax_f")).cast("double").as("sum_charge"),
+        round(sum(col("qty_d")), 2).cast("double").as("sum_qty"),
+        round(sum(col("price_d")), 2).cast("double").as("sum_base_price"),
+        round(sum(col("price_d") * col("disc_f")), 2).cast("double").as("sum_disc_price"),
+        round(sum(col("price_d") * col("disc_f") * col("tax_f")), 2).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
@@ -122,8 +124,8 @@ object SparkEntry {
         col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 15)
-      .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
-        col("l_discount").cast("decimal(8,4)")).cast("double").as("revenue"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+        col("l_discount").cast("decimal(8,4)")), 2).cast("double").as("revenue"))
 
   // ---------------------------------------------------------------- registry
 
@@ -181,16 +183,16 @@ object SparkEntry {
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+        |       CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q6_filter" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin
