@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cqc.{Cmp, Rel, Yannakakis}
+import graft.datapipe.{Ann, Dedup, Multimodal, TextOps}
 import graft.sources.Tables
 import graft.topk.RankJoin
 import graft.wcoj.Wcoj
@@ -127,7 +128,7 @@ object SparkEntry {
       .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
         col("l_discount").cast("decimal(8,4)")), 2).cast("double").as("revenue"))
 
-  // ---------------------------------------------------------------- registry
+  // ----------------------------------------------------------- LLM datapipe
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cqc_line3" -> (qCqcLine3 _),
@@ -137,7 +138,19 @@ object SparkEntry {
     "topk_join" -> (qTopkJoin _),
     "wcoj_triangle" -> (qWcojTriangle _),
     "q1_agg" -> (qQ1Agg _),
-    "q6_filter" -> (qQ6Filter _)
+    "q6_filter" -> (qQ6Filter _),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
+    "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d)))
   )
 
   private val E = s"(${Tables.edgesSql})"
@@ -195,6 +208,18 @@ object SparkEntry {
       """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram" -> Dedup.ngramJaccardSql,
+    "dedup_minhash" -> Dedup.minhashLshSql,
+    "dedup_simhash" -> Dedup.simhashNearDupSql,
+    "dedup_embed" -> Ann.embedNearDupSql,
+    "ann_topk" -> Ann.bruteForceTopKSql,
+    "ann_lsh" -> Ann.lshTopKSql,
+    "text_langid" -> TextOps.langIdSql,
+    "text_quality" -> TextOps.qualitySql,
+    "text_tokens" -> TextOps.tokenCountsSql,
+    "text_fingerprint" -> TextOps.fingerprintsSql,
+    "mm_decode" -> Multimodal.decodeDocumentsSql
   )
 }

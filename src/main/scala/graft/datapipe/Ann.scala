@@ -1,0 +1,224 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.h60Sql
+
+/**
+ * Approximate-nearest-neighbor and embedding near-dup operators over an
+ * `embedding: array<float>` column.
+ *
+ * Scale design:
+ *  - brute-force top-k is the correctness baseline: the (small) query set
+ *    is broadcast against the full collection — one pass, no shuffle of
+ *    the big side, intermediates bounded by |Q| x |collection| rows that
+ *    immediately collapse through a per-query top-k window.
+ *  - the scale path buckets vectors by random-hyperplane LSH signatures
+ *    (banded, like MinHash LSH): candidates join on (band, bucket) keys,
+ *    never all-pairs; skewed buckets are bounded by the band bit width.
+ *
+ * All arithmetic is double-precision left-fold (`aggregate` over
+ * `zip_with`) which DuckDB's `list_sum(list_transform(...))` reproduces
+ * bit-for-bit, so oracles are exact. Hyperplane weights are md5-derived —
+ * deterministic and identical across engines.
+ */
+object Ann {
+
+  /** Query-set predicate shared by the ANN ops (every 50th vector). */
+  val queryMod = 50
+  val topK = 5
+
+  // ------------------------------------------------------- cosine (exact)
+
+  /** Double-precision left-fold dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+
+  def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  // -------------------------------------------------- brute-force top-k
+
+  /**
+   * Exact cosine top-k: broadcast the query subset against the full
+   * collection, rank per query (ties by neighbor id), keep k.
+   */
+  def bruteForceTopK(emb: DataFrame): DataFrame = {
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  val bruteForceTopKSql: String = {
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $queryMod = 0)
+       |SELECT q.vec_id AS q_id, e.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.vec_id
+       |                               ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS sim
+       |FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  // ------------------------------------------- hyperplane LSH signatures
+
+  /** Number of hyperplanes for the single-table ANN bucket index. */
+  val lshPlanes = 8
+  val dim = 64
+
+  /** Deterministic md5-derived hyperplane weight in [-1, 1]. */
+  private def weight(p: Column, d: Column): Column =
+    ((conv(substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 2001) - 1000) / 1000.0
+
+  private def weightSql(p: String, d: String): String =
+    s"((${h60Sql(s"concat($p, ':', $d)")} % 2001) - 1000) / 1000.0"
+
+  /** (plane_id, wvec: array<double>) — tiny, broadcast everywhere. */
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int): DataFrame =
+    spark.range(nPlanes).select(col("id").as("plane"),
+      transform(sequence(lit(0), lit(dim - 1)), d => weight(col("id"), d)).as("wvec"))
+
+  private def hyperplanesSql(nPlanes: Int): String =
+    s"""SELECT p.range AS plane,
+       |       list_transform(range(0, $dim), d -> ${weightSql("p.range", "d")}) AS wvec
+       |FROM range(0, $nPlanes) p""".stripMargin
+
+  /**
+   * Bucket id per vector: sign bit of the projection onto each of
+   * `nPlanes` hyperplanes (planes offset by `planeBase` select a distinct
+   * plane family per band), packed into a long.
+   */
+  def buckets(emb: DataFrame, nPlanes: Int, planeBase: Int = 0): DataFrame = {
+    val planes = hyperplanes(emb.sparkSession, planeBase + nPlanes)
+      .where(col("plane") >= planeBase)
+    emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        when(dot(col("wvec"), col("embedding")) > 0,
+          expr(s"shiftleft(1L, CAST(plane - $planeBase AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+  }
+
+  private def bucketsSql(nPlanes: Int, planeBase: Int): String = {
+    val proj = dotSql("pl.wvec", "e.embedding")
+    s"""SELECT e.vec_id,
+       |       CAST(sum(CASE WHEN $proj > 0
+       |                THEN 1 << CAST(pl.plane - $planeBase AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |FROM embeddings e, (${hyperplanesSql(planeBase + nPlanes)}) pl
+       |WHERE pl.plane >= $planeBase
+       |GROUP BY e.vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ LSH-bucketed ANN
+
+  /**
+   * LSH-bucketed ANN: queries probe only their own hyperplane bucket, then
+   * exact cosine ranks the candidates. The bucket join replaces the
+   * all-pairs crossJoin — the 100 TB path.
+   */
+  def lshTopK(emb: DataFrame): DataFrame = {
+    val bk = buckets(emb, lshPlanes)
+    val side = emb.join(bk, "vec_id")
+    val q = side.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = side.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  val lshTopKSql: String = {
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH bk AS (${bucketsSql(lshPlanes, 0)}),
+       |side AS (SELECT e.vec_id, e.embedding, bk.bucket
+       |         FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+       |q AS (SELECT * FROM side WHERE vec_id % $queryMod = 0)
+       |SELECT q.vec_id AS q_id, e.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.vec_id
+       |                               ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS sim
+       |FROM q JOIN side e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Bands x planes-per-band for the near-dup candidate index. */
+  val ndBands = 3
+  val ndPlanesPerBand = 5
+  val ndTau = 0.35
+
+  /**
+   * Embedding-cosine near-dup: banded hyperplane LSH (any-band bucket
+   * agreement) generates candidates; exact cosine >= [[ndTau]] verifies.
+   * Cost is bounded by bucket collisions (|v|^2 / 2^planes per band), not
+   * all-pairs — the same banding trade-off as MinHash LSH.
+   */
+  def embedNearDup(emb: DataFrame): DataFrame = {
+    val bandBuckets = (0 until ndBands).map { b =>
+      buckets(emb, ndPlanesPerBand, planeBase = 100 + b * ndPlanesPerBand)
+        .select(col("vec_id"), lit(b).as("band"), col("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = bandBuckets.toDF("d1", "band", "bucket")
+      .join(bandBuckets.toDF("d2", "band2", "bucket2")
+        .withColumnRenamed("band2", "band").withColumnRenamed("bucket2", "bucket"),
+        Seq("band", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
+    val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
+    cand.join(e1, "d1").join(e2, "d2")
+      .withColumn("cos", cosine(col("emb1"), col("emb2")))
+      .where(col("cos") >= ndTau)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("sim"))
+  }
+
+  val embedNearDupSql: String = {
+    val bandCtes = (0 until ndBands).map { b =>
+      s"bk$b AS (SELECT vec_id, $b AS band, bucket FROM (${bucketsSql(ndPlanesPerBand, 100 + b * ndPlanesPerBand)}))"
+    }.mkString(",\n")
+    val unions = (0 until ndBands).map(b => s"SELECT * FROM bk$b").mkString("\n  UNION ALL\n  ")
+    val cos = cosineSql("e1.embedding", "e2.embedding")
+    s"""WITH $bandCtes,
+       |bands AS (
+       |  $unions
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT c.d1, c.d2, round($cos, 6) AS sim
+       |FROM cand c JOIN embeddings e1 ON e1.vec_id = c.d1
+       |            JOIN embeddings e2 ON e2.vec_id = c.d2
+       |WHERE $cos >= $ndTau""".stripMargin
+  }
+}

@@ -1,0 +1,312 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.{h60, h60Sql, words}
+
+/**
+ * Deduplication operators for LLM training-data pipelines: exact,
+ * n-gram-Jaccard, MinHash+LSH, and SimHash near-dup.
+ *
+ * Scale design (the point of each variant):
+ *  - exact: one hash-groupBy — map-side combinable, one shuffle of (hash).
+ *  - ngram: inverted-index self-join on shingles with a document-frequency
+ *    cap (stop-shingle skew kill); candidate pairs only, never all-pairs.
+ *  - minhash: banded LSH — signature is 12 per-doc aggregates (one
+ *    shuffle), candidates join on (band, key) buckets, exact Jaccard
+ *    verified on candidates only.
+ *  - simhash: 60-bit signature built from per-bit partial sums (one
+ *    aggregate), candidate pairs via 15-bit chunk buckets (pigeonhole:
+ *    hamming <= 3 is guaranteed recall with 4 chunks), verified by
+ *    bit_count(xor).
+ *
+ * All hashes are md5-derived (see [[TextOps.h60]]) so the DuckDB oracle is
+ * exact, not rows-only.
+ */
+object Dedup {
+
+  // ----------------------------------------------------------------- exact
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  def normText: Column = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  val normTextSql: String = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Exact dedup: group by md5(normalized text), keep the min doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    s"""SELECT md5($normTextSql) AS h, min(doc_id) AS keep_id,
+       |       CAST(count(*) AS BIGINT) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- shingling
+
+  /** Word n-gram size shared by ngram-Jaccard and MinHash. */
+  val shingleK = 3
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextOps.shingleArray(col("text"), shingleK)).as("sh"))
+      .distinct()
+
+  /** Shared CTE prefix rendering [[shingles]] in DuckDB. */
+  val shinglesCte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shpos AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, greatest(len(w) - ${shingleK - 1}, 0))) AS i
+       |  FROM t
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(w[(i + 1):(i + $shingleK)], ' ') AS sh
+       |  FROM shpos
+       |)""".stripMargin
+
+  /**
+   * Exact Jaccard for a candidate pair set (cols d1 < d2): joins each side
+   * back to its shingle set, counts the intersection, and divides by the
+   * union. Cost is bounded by the candidate count, not |docs|^2.
+   */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(sh.toDF("d1", "sh"), "d1")
+      .join(sh.toDF("d2", "sh2").withColumnRenamed("sh2", "sh"), Seq("d2", "sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("d1", "sz1"), "d1")
+      .join(sizes.toDF("d2", "sz2"), "d2")
+      .withColumn("jac", col("shared") / (col("sz1") + col("sz2") - col("shared")))
+  }
+
+  // -------------------------------------------------------- n-gram Jaccard
+
+  /** Document-frequency cap: shingles in more docs than this are dropped. */
+  val ngramDfCap = 50
+
+  /** Jaccard threshold for the exact n-gram near-dup op. */
+  val ngramTau = 0.10
+
+  /**
+   * Exact n-gram Jaccard near-dup via inverted index: self-join the
+   * (doc, shingle) list on shingle (capped at [[ngramDfCap]] docs per
+   * shingle to bound fanout at cap^2 per shingle), count shared shingles
+   * per pair, emit pairs with Jaccard >= [[ngramTau]]. Jaccard is computed
+   * over the capped shingle sets on both engines (consistent semantics).
+   */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= ngramDfCap).select(col("sh"))
+    val capped = sh.join(keep, Seq("sh"), "left_semi").select("doc_id", "sh")
+    val cand = capped.toDF("d1", "sh").join(capped.toDF("d2", "sh2")
+        .withColumnRenamed("sh2", "sh"), "sh")
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cand, capped)
+      .where(col("jac") >= ngramTau)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ngramDfCap),
+       |capped AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.d1, p.d2,
+       |       round(shared / CAST(s1.sz + s2.sz - shared AS DOUBLE), 6) AS jac
+       |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+       |             JOIN sizes s2 ON p.d2 = s2.doc_id
+       |WHERE shared / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= $ngramTau""".stripMargin
+
+  // --------------------------------------------------------- MinHash + LSH
+
+  /** Mersenne prime modulus for the affine permutations. */
+  val mhP = 2147483647L
+
+  /** Fixed affine-permutation constants (a*x + b mod p), 12 signatures. */
+  val mhA: Seq[Long] = Seq(1103515245L, 1226874159L, 784588716L, 1541148377L,
+    948373933L, 1887436481L, 662124064L, 1289741197L, 1724937521L, 433024253L,
+    1579031354L, 2097152111L)
+  val mhB: Seq[Long] = Seq(1013904223L, 373708743L, 144099523L, 1779033703L,
+    555555555L, 913471051L, 1734575199L, 87855851L, 1460987219L, 666173207L,
+    299792458L, 1618033988L)
+
+  val mhBands = 4
+  val mhRows = 3 // 12 signatures = 4 bands x 3 rows
+
+  /** Jaccard threshold applied after LSH candidate generation. */
+  val mhTau = 0.08
+
+  /**
+   * MinHash signature matrix: per doc, 12 mins of affine-permuted 31-bit
+   * shingle hashes — a single groupBy with 12 partial-aggregable mins.
+   */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val s31 = shingles(docs).select(col("doc_id"), (h60(col("sh")) % mhP).as("s"))
+    val aggs = (0 until mhBands * mhRows).map { j =>
+      min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
+    }
+    s31.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Banded-LSH near-dup: docs agreeing on any full band of 3 signatures
+   * become candidates (join on (band, key) — never all-pairs); candidates
+   * are verified with exact Jaccard over the uncapped shingle sets.
+   */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandStructs = (0 until mhBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.toDF("d1", "band", "key")
+      .join(bands.toDF("d2", "band2", "key2")
+        .withColumnRenamed("band2", "band").withColumnRenamed("key2", "key"),
+        Seq("band", "key"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cand, shingles(docs))
+      .where(col("jac") >= mhTau)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+  }
+
+  val minhashLshSql: String = {
+    val mins = (0 until mhBands * mhRows).map { j =>
+      s"min((${mhA(j)} * s + ${mhB(j)}) % $mhP) AS mh$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until mhBands).map { b =>
+      val key = (0 until mhRows).map(r => s"mh${b * mhRows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $b AS band, concat(${key}) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |s31 AS (SELECT doc_id, ${h60Sql("sh")} % $mhP AS s FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM s31 GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT c.d1, c.d2, count(*) AS shared
+       |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT x.d1, x.d2,
+       |       round(shared / CAST(s1.sz + s2.sz - shared AS DOUBLE), 6) AS jac
+       |FROM shared x JOIN sizes s1 ON x.d1 = s1.doc_id
+       |              JOIN sizes s2 ON x.d2 = s2.doc_id
+       |WHERE shared / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= $mhTau""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  val shBits = 60      // md5-derived hashes carry 60 usable bits
+  val shChunks = 4     // 4 x 15-bit bucket keys
+  val shChunkBits = 15
+  val shMaxHamming = 6 // report pairs within this distance (guaranteed
+                       // recall by pigeonhole only up to shChunks - 1 = 3)
+
+  /**
+   * 60-bit SimHash per doc over distinct tokens: per-bit +-1 partial sums
+   * (one aggregate with 60 sum columns — map-side combinable), sign-packed
+   * into a BIGINT.
+   */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("t"))
+      .select(col("doc_id"), h60(col("t")).as("h"))
+    val sums = (0 until shBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b")
+    }
+    val packed = (0 until shBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("sig"))
+  }
+
+  /**
+   * SimHash near-dup: candidates share at least one 15-bit signature chunk
+   * (bucketed join — never all-pairs), verified by hamming distance.
+   */
+  def simhashNearDup(docs: DataFrame): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val chunkStructs = (0 until shChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), c * shChunkBits).bitwiseAND(lit((1L << shChunkBits) - 1))
+          .as("key"))
+    }
+    val chunks = sig.select(col("doc_id"), explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val cand = chunks.toDF("d1", "chunk", "key")
+      .join(chunks.toDF("d2", "chunk2", "key2")
+        .withColumnRenamed("chunk2", "chunk").withColumnRenamed("key2", "key"),
+        Seq("chunk", "key"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sig.toDF("d1", "sig1"), "d1")
+      .join(sig.toDF("d2", "sig2"), "d2")
+      .withColumn("hamming", expr("bit_count(sig1 ^ sig2)").cast("long"))
+      .where(col("hamming") <= shMaxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  val simhashNearDupSql: String = {
+    val sums = (0 until shBits).map { b =>
+      s"sum(((h >> $b) & 1) * 2 - 1) AS s$b"
+    }.mkString(",\n         ")
+    val packed = (0 until shBits).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    val chunkSelects = (0 until shChunks).map { c =>
+      s"SELECT doc_id, $c AS chunk, (sig >> ${c * shChunkBits}) & ${(1L << shChunkBits) - 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |),
+       |th AS (SELECT doc_id, ${h60Sql("t")} AS h FROM tok),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM th GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, $packed AS sig FROM bitsums),
+       |chunks AS (
+       |  $chunkSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT c.d1, c.d2, CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+       |FROM cand c JOIN sig s1 ON c.d1 = s1.doc_id JOIN sig s2 ON c.d2 = s2.doc_id
+       |WHERE bit_count(xor(s1.sig, s2.sig)) <= $shMaxHamming""".stripMargin
+  }
+}

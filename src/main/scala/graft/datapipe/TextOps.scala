@@ -1,0 +1,212 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Text-analysis operators for LLM training-data pipelines: token counting,
+ * quality scoring, language ID, and winnowing fingerprints.
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions._`
+ * compositions — no UDFs — so whole-stage codegen spans the full operator
+ * and Catalyst prunes the scan down to (doc_id, text).
+ *
+ * Cross-engine determinism: every hash is derived from md5 hex (a standard
+ * both Spark and DuckDB implement identically), so the driver's DuckDB
+ * oracle reproduces results bit-for-bit. Each op ships its oracle SQL from
+ * the same constants (see the *Sql members).
+ */
+object TextOps {
+
+  /** 60-bit non-negative hash from the first 15 md5 hex chars. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB rendering of [[h60]] — identical value for identical input. */
+  def h60Sql(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
+  /** Documents are single-space tokenized; split is the shared tokenizer. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Per-language stopword lists for the langid vote. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de5", "le5", "zai4")) // pinyin placeholders (ASCII-only corpus)
+
+  /** English-ish stopword list used by the quality score. */
+  val qualityStop: Seq[String] = Seq("the", "a", "of", "and")
+
+  // ------------------------------------------------------------- token counts
+
+  /**
+   * Token counting: whitespace tokens, alphabetic runs (a BPE-ish regex
+   * proxy), and a ceil(len/4) subword estimate — one scan, fully
+   * partition-parallel, no shuffle.
+   */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("n_alpha"),
+      aggregate(w, lit(0L), (acc, t) =>
+        acc + floor((length(t) + lit(3)) / lit(4)).cast(LongType)).as("n_bpe"))
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+      |       CAST(list_sum(list_transform(string_split(text, ' '),
+      |                     t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ quality score
+
+  /**
+   * Quality scoring: type-token ratio, mean token length, stopword ratio,
+   * and a bounded length prior, combined into one [0,1] score. Single
+   * narrow projection — the shape you want scanning 100 TB of text.
+   */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("double")
+    val ttr = size(array_distinct(w)) / nTok
+    val avgLen = aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    val stopHits = size(filter(w, t => t.isin(qualityStop: _*))).cast("double")
+    val stopRatio = stopHits / nTok
+    val lenPrior = least(lit(1.0), nTok / lit(100.0))
+    docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_tokens"),
+      round(ttr, 6).as("ttr"),
+      round(avgLen, 6).as("avg_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(0.3) * lenPrior + lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 6)
+        .as("score"))
+  }
+
+  val qualitySql: String = {
+    val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |         CAST(len(w) AS BIGINT) AS n_tokens,
+       |         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+       |         CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+       |           / CAST(len(w) AS DOUBLE) AS avg_len,
+       |         len(list_filter(w, t -> t IN ($stopList)))
+       |           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |         least(1.0, CAST(len(w) AS DOUBLE) / 100.0) AS len_prior
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, round(ttr, 6) AS ttr, round(avg_len, 6) AS avg_len,
+       |       round(stop_ratio, 6) AS stop_ratio,
+       |       round(0.3 * len_prior + 0.4 * ttr + 0.3 * (1.0 - stop_ratio), 6) AS score
+       |FROM m""".stripMargin
+  }
+
+  // -------------------------------------------------------------- language ID
+
+  /**
+   * Language ID by stopword vote: count hits per language list, argmax with
+   * alphabetical tie-break, 'und' when nothing hits. One narrow scan, no
+   * shuffle; the stopword lists are query literals (broadcast-free).
+   */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val hitCols = stopwords.map { case (lang, ws) =>
+      lang -> size(filter(w, t => t.isin(ws: _*))).cast(LongType)
+    }
+    val best = greatest(hitCols.map(_._2): _*)
+    // first language (alphabetical) whose hit count equals the max wins
+    val predOrdered = hitCols.reverse.foldLeft(lit("und")) {
+      case (els, (lang, h)) => when(best > 0 && h === best, lit(lang)).otherwise(els)
+    }
+    docs.select(
+      (col("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }) :+
+        predOrdered.as("pred_lang"): _*)
+  }
+
+  val langIdSql: String = {
+    val hits = stopwords.map { case (lang, ws) =>
+      val l = ws.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(w, t -> t IN ($l))) AS BIGINT) AS hits_$lang"
+    }.mkString(",\n         ")
+    val hitNames = stopwords.map { case (l, _) => s"hits_$l" }
+    val best = s"greatest(${hitNames.mkString(", ")})"
+    val caseExpr = stopwords.map { case (lang, _) =>
+      s"WHEN hits_$lang = $best THEN '$lang'"
+    }.mkString("\n           ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         $hits
+       |  FROM t
+       |)
+       |SELECT doc_id, ${hitNames.mkString(", ")},
+       |       CASE WHEN $best = 0 THEN 'und'
+       |           $caseExpr
+       |           ELSE 'und' END AS pred_lang
+       |FROM h""".stripMargin
+  }
+
+  // -------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing parameters: word k-grams, window of consecutive hashes. */
+  val fpK = 4
+  val fpWindow = 4
+
+  /** Word k-gram shingle array of a text column (positions 0-based). */
+  def shingleArray(text: Column, k: Int): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k), i => array_join(slice(w, i + 1, lit(k)), " ")))
+      .otherwise(array())
+  }
+
+  /**
+   * Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
+   * hash every word 4-gram, slide a window of 4 consecutive hashes, keep
+   * each window's min, emit the distinct mins per doc. The window min runs
+   * inside a per-doc window function — the shuffle is one hash-partition
+   * by doc_id, and output is bounded by #shingles.
+   */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), posexplode(shingleArray(col("text"), fpK)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), h60(col("sh")).as("h"))
+    val perDoc = Window.partitionBy("doc_id")
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, fpWindow - 1)
+    sh.withColumn("n_sh", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(frame))
+      .where(col("pos") <= col("n_sh") - fpWindow)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  val fingerprintsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |posx AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(0, greatest(len(w) - $fpK + 1, 0))) AS pos
+       |  FROM t
+       |),
+       |sh AS (
+       |  SELECT doc_id, pos,
+       |         ${h60Sql(s"array_to_string(w[(pos + 1):(pos + $fpK)], ' ')")} AS h,
+       |         len(w) - $fpK + 1 AS n_sh
+       |  FROM posx
+       |)
+       |SELECT DISTINCT doc_id,
+       |       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                    ROWS BETWEEN CURRENT ROW AND ${fpWindow - 1} FOLLOWING) AS fp
+       |FROM sh
+       |QUALIFY pos <= n_sh - $fpWindow""".stripMargin
+}
