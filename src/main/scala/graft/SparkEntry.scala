@@ -128,6 +128,96 @@ object SparkEntry {
       .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
         col("l_discount").cast("decimal(8,4)")), 2).cast("double").as("revenue"))
 
+  /** Exact decimal revenue term shared by the join+agg queries. */
+  private def revD = col("l_extendedprice").cast("decimal(14,2)") *
+    (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+
+  /** TPC-H Q3 shape: 3-way join (broadcast customer dim), group-by over the
+    * join, ranked top-10 with a deterministic orderkey tie-break. */
+  def qQ3Top(s: SparkSession, d: String): DataFrame = {
+    val cut = expr("TIMESTAMP '1998-06-01 00:00:00'")
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), revD.as("rev_d"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q4 shape: EXISTS via left-semi join with a non-equi condition
+    * (late-shipped lines), priority histogram. */
+  def qQ4Exists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 20 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q5 shape: 6-way join (region/nation/supplier broadcast dims,
+    * customer-supplier same-nation condition), revenue per nation. */
+  def qQ5Join(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), revD.as("rev_d"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q12 shape: join + IN filter + CASE WHEN priority split. */
+  def qQ12Case(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape: join + EXTRACT(month/year) filter + CASE WHEN promo
+    * revenue ratio (decimal sums rounded before the double division). */
+  def qQ14Case(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(year(col("l_shipdate")) === 1996 && month(col("l_shipdate")) === 9)
+      .select(col("l_partkey"), revD.as("rev_d"))
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").like("PROMO%"), col("rev_d"))
+          .otherwise(lit(0).cast("decimal(14,2)"))), 2).cast("double").as("promo_d"),
+        round(sum(col("rev_d")), 2).cast("double").as("total_d"))
+      .select(round(lit(100.0) * col("promo_d") / col("total_d"), 6).as("promo_revenue"))
+  }
+
   // ----------------------------------------------------------- LLM datapipe
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,7 +228,12 @@ object SparkEntry {
     "topk_join" -> (qTopkJoin _),
     "wcoj_triangle" -> (qWcojTriangle _),
     "q1_agg" -> (qQ1Agg _),
+    "q3_top" -> (qQ3Top _),
+    "q4_exists" -> (qQ4Exists _),
+    "q5_join" -> (qQ5Join _),
     "q6_filter" -> (qQ6Filter _),
+    "q12_case" -> (qQ12Case _),
+    "q14_case" -> (qQ14Case _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -209,6 +304,50 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin,
+    "q3_top" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 20 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q12_case" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q14_case" ->
+      """WITH s AS (
+        |  SELECT CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                        THEN CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))
+        |                        ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE) AS promo_d,
+        |         CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS total_d
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(MONTH FROM l_shipdate) = 9
+        |)
+        |SELECT ROUND(100.0 * promo_d / total_d, 6) AS promo_revenue FROM s""".stripMargin,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
