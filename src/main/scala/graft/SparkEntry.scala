@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cqc.{Cmp, Rel, Yannakakis}
 import graft.datapipe.{Ann, Dedup, Multimodal, TextOps}
 import graft.sources.Tables
+import graft.streaming.EventStreams
 import graft.topk.RankJoin
 import graft.wcoj.Wcoj
 
@@ -245,7 +246,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
-    "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d)))
+    "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
+    "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
+    "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d)))
   )
 
   private val E = s"(${Tables.edgesSql})"
@@ -359,6 +362,8 @@ object SparkEntry {
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
-    "mm_decode" -> Multimodal.decodeDocumentsSql
+    "mm_decode" -> Multimodal.decodeDocumentsSql,
+    "stream_window" -> EventStreams.windowedAggSql,
+    "stream_session" -> EventStreams.sessionizeSql
   )
 }

@@ -49,15 +49,17 @@ object Dedup {
   /** Word n-gram size shared by ngram-Jaccard and MinHash. */
   val shingleK = 3
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc_id, shingle) pairs over NORMALIZED text (near-dup
+    * detection must not split on case/whitespace) — the inverted-index
+    * input. */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(TextOps.shingleArray(col("text"), shingleK)).as("sh"))
+        explode(TextOps.shingleArray(normText, shingleK)).as("sh"))
       .distinct()
 
   /** Shared CTE prefix rendering [[shingles]] in DuckDB. */
   val shinglesCte: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split($normTextSql, ' ') AS w FROM documents),
        |shpos AS (
        |  SELECT doc_id, w,
        |         unnest(range(0, greatest(len(w) - ${shingleK - 1}, 0))) AS i
@@ -231,13 +233,13 @@ object Dedup {
                        // recall by pigeonhole only up to shChunks - 1 = 3)
 
   /**
-   * 60-bit SimHash per doc over distinct tokens: per-bit +-1 partial sums
-   * (one aggregate with 60 sum columns — map-side combinable), sign-packed
-   * into a BIGINT.
+   * 60-bit SimHash per doc over distinct NORMALIZED tokens: per-bit +-1
+   * partial sums (one aggregate with 60 sum columns — map-side
+   * combinable), sign-packed into a BIGINT.
    */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
-        explode(array_distinct(words(col("text")))).as("t"))
+        explode(array_distinct(words(normText))).as("t"))
       .select(col("doc_id"), h60(col("t")).as("h"))
     val sums = (0 until shBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b")
@@ -288,7 +290,7 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, t
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  FROM (SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS t FROM documents)
        |),
        |th AS (SELECT doc_id, ${h60Sql("t")} AS h FROM tok),
        |bitsums AS (

@@ -46,10 +46,12 @@ object Tables {
    */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
+    // integer `div`, NOT floor(x / N): ns-since-epoch exceeds 2^53, so a
+    // double division can round the quotient up a full millisecond
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_millis(floor(col("ts") / 1000000L).cast(LongType)))
+      df.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
     else
-      df.withColumn("ts", timestamp_millis((floor(unix_micros(col("ts")) / 1000L)).cast(LongType)))
+      df.withColumn("ts", timestamp_millis(expr("unix_micros(ts) div 1000")))
   }
 
   /**

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One user event in the typed streaming path. */
+case class UserEvent(user_id: Long, ts_ms: Long)
+
+/** A closed session emitted by the stateful sessionizer. */
+case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+/** Per-user open-session state carried between micro-batches. */
+case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
+
+/**
+ * Event-stream operators, written so the SAME transformation runs in batch
+ * (the driver's correctness gate) and in Structured Streaming (readStream →
+ * transform → writeStream; see EventStreamsSpec's MemoryStream run with
+ * watermark). `window`/`session_window` are streaming-native aggregations:
+ * with a watermark they age state out instead of holding it forever — the
+ * 100 TB/day shape. Value sums are computed in DECIMAL so they are
+ * independent of partition order (bit-identical across engines and runs).
+ */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts + value sums per event type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("val_sum"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n_events"), col("val_sum"))
+
+  val windowedAggSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS ws_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Session gap shared by the batch and streaming forms. */
+  val sessionGap = "30 minutes"
+  val sessionGapMs = 30L * 60 * 1000
+
+  /**
+   * Sessionization via `session_window`: events of a user belong to one
+   * session while each starts within `gap` (inclusive — Spark merges
+   * overlapping [ts, ts+gap] windows, so a spacing of exactly 30 min
+   * still merges; only diff > gap splits). The oracle reproduces this
+   * with a gaps-and-islands cumulative sum on millisecond timestamps
+   * (events.ts is ms-truncated on load, see Tables.events).
+   */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), sessionGap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+        col("n_events"))
+
+  val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events
+       |), flagged AS (
+       |  SELECT user_id, ms,
+       |         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+       |                   > $sessionGapMs
+       |              OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |), numbered AS (
+       |  SELECT user_id, ms,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+       |                                ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(ms) AS start_ms, CAST(count(*) AS BIGINT) AS n_events
+       |FROM numbered
+       |GROUP BY user_id, sid""".stripMargin
+
+  /**
+   * Streaming sessionization with explicit state
+   * (`flatMapGroupsWithState`): per user, extend the open session while
+   * events arrive within the gap, emit a closed [[UserSession]] when an
+   * event starts a new one. State is one small record per active user —
+   * bounded by active users, not event volume. Works on both batch and
+   * streaming Datasets; in streaming, pair with a watermark so stale
+   * state can be dropped (see EventStreamsSpec).
+   */
+  def sessionizeStateful(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer[UserSession]()
+          var st = state.getOption
+          evs.toSeq.sortBy(_.ts_ms).foreach { ev =>
+            st match {
+              case Some(s) if ev.ts_ms - s.last_ms <= sessionGapMs =>
+                st = Some(SessionState(s.start_ms, ev.ts_ms, s.n_events + 1))
+              case Some(s) =>
+                closed += UserSession(uid, s.start_ms, s.last_ms, s.n_events)
+                st = Some(SessionState(ev.ts_ms, ev.ts_ms, 1))
+              case None =>
+                st = Some(SessionState(ev.ts_ms, ev.ts_ms, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

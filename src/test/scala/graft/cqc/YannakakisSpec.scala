@@ -1,0 +1,59 @@
+package graft.cqc
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class YannakakisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def edges = Seq((1, 2), (2, 3), (3, 4), (2, 4), (4, 1), (5, 6))
+
+  test("solve(path-2) equals the naive join") {
+    val e = edges.toDF("a", "b")
+    val got = Yannakakis.solve(Seq(
+      Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c"))))
+      .select("a", "b", "c").collect().map(_.toSeq).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .select("a", "b", "c").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("solve with a cross-relation comparison equals join + filter") {
+    val e = edges.toDF("a", "b")
+    val w = Seq((1, 10), (2, 20), (3, 5), (4, 40), (5, 1), (6, 2)).toDF("n", "wt")
+    val got = Yannakakis.solve(
+      Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+        Rel("w1", w.toDF("a", "w1")), Rel("w2", w.toDF("c", "w2"))),
+      Seq(Cmp("w1", "<", "w2")))
+      .select("a", "b", "c").collect().map(_.toSeq).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .join(w.toDF("a", "w1"), "a").join(w.toDF("c", "w2"), "c")
+      .where(col("w1") < col("w2"))
+      .select("a", "b", "c").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("fullReduce removes dangling tuples only") {
+    val r = Seq((1, 10), (2, 20), (9, 90)).toDF("k", "x") // k=9 dangles
+    val s = Seq((1, 100), (2, 200), (8, 800)).toDF("k", "y") // k=8 dangles
+    val tree = Hypergraph.joinTree(Seq(Rel("r", r), Rel("s", s)))
+    val red = Yannakakis.fullReduce(tree)
+    assert(red("r").select("k").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(red("s").select("k").collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("comparisons fused on one tree edge produce one aggregate per side") {
+    // two comparisons between the same pair of relations must not double
+    // the semijoin work — covered behaviorally: results still exact
+    val l = Seq((1, 1, 10), (1, 5, 2), (2, 2, 20)).toDF("k", "lo", "hi")
+    val rr = Seq((1, 3), (1, 0), (2, 25)).toDF("k", "v")
+    val got = Yannakakis.solve(
+      Seq(Rel("l", l), Rel("r", rr)),
+      Seq(Cmp("lo", "<=", "v"), Cmp("v", "<=", "hi")))
+      .select("k", "lo", "hi", "v").collect().map(_.toSeq).toSet
+    val want = l.join(rr, "k")
+      .where(col("lo") <= col("v") && col("v") <= col("hi"))
+      .select("k", "lo", "hi", "v").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+}

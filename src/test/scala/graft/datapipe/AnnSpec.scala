@@ -1,0 +1,45 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (50L, Array(1.0f, 0.05f, 0.0f, 0.0f))) // query (50 % queryMod == 0)
+    .toDF("vec_id", "embedding")
+
+  test("cosine column: identical vectors give 1, orthogonal 0, opposite -1") {
+    val a = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(math.abs(a.select(Ann.cosine(col("a"), col("b"))).head().getDouble(0) - 1.0) < 1e-12)
+    val o = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    assert(o.select(Ann.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    val n = Seq((Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("a", "b")
+    assert(n.select(Ann.cosine(col("a"), col("b"))).head().getDouble(0) == -1.0)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
+    val out = Ann.bruteForceTopK(vecs).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"), r.getAs[Long]("rnk")))
+    assert(out.map(_._1).toSet == Set(0L, 50L)) // both ids divisible by queryMod
+    assert(out.forall { case (q, n, _) => q != n }) // self excluded
+    val for50 = out.filter(_._1 == 50L).sortBy(_._3)
+    assert(for50.head._2 == 0L) // closest to the query is the x-axis vector
+    assert(for50.map(_._3).toSeq == (1L to for50.length).toSeq)
+  }
+
+  test("identical vectors land in the same LSH bucket") {
+    val dup = Seq(
+      (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val bk = Ann.buckets(dup, Ann.lshPlanes).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(bk(0L) == bk(1L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "le chat et le chien et le cheval"),
+    (3L, "x"))
+    .toDF("doc_id", "text")
+
+  test("token counts: whitespace, alpha runs, subword estimate") {
+    val m = TextOps.tokenCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ws"), r.getAs[Long]("n_alpha"), r.getAs[Long]("n_bpe"))).toMap
+    assert(m(1L)._1 == 9L && m(1L)._2 == 9L)
+    // ceil(len/4) per token: the=1 quick=2 brown=2 fox=1 jumps=2 over=1 the=1 lazy=1 dog=1
+    assert(m(1L)._3 == 12L)
+    assert(m(3L) == ((1L, 1L, 1L)))
+  }
+
+  test("quality score is in [0,1] and penalizes stopword-heavy text") {
+    val out = TextOps.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("langid votes by stopword lists with alphabetical tie-break") {
+    val m = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(m(1L) == "en") // 'the' x2 + 'a'? no 'a' — still en wins
+    assert(m(2L) == "fr") // 'le' x3 + 'et' x2
+    assert(m(3L) == "und")
+  }
+
+  test("fingerprints: identical docs get identical fingerprint sets") {
+    val two = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "z y x w v u t s r q p o"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.fingerprints(two).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L).nonEmpty)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** One raw event for the MemoryStream run. */
+case class RawEvent(ts: Timestamp, event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+  private val hour = 3600L * 1000
+
+  test("streaming windowed agg with watermark equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      RawEvent(ts(10 * hour + 100), "view", 1.5),
+      RawEvent(ts(10 * hour + 200), "view", 2.5),
+      RawEvent(ts(10 * hour + 300), "purchase", 10.0),
+      RawEvent(ts(11 * hour + 100), "view", 4.0),
+      RawEvent(ts(12 * hour + 100), "purchase", 7.0))
+
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.windowedAgg(input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      input.addData(events.take(3))
+      q.processAllAvailable()
+      input.addData(events.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("win_out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.windowedAgg(events.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes a session when the gap is exceeded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("update").start()
+    try {
+      input.addData(UserEvent(7L, 1000L), UserEvent(7L, 61000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // session still open
+      input.addData(UserEvent(7L, 61000L + EventStreams.sessionGapMs + 1))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[UserSession].collect().toSeq
+      assert(closed == Seq(UserSession(7L, 1000L, 61000L, 2L)))
+    } finally q.stop()
+  }
+
+  test("batch session_window merges at exactly the gap, splits beyond it") {
+    val df = Seq(
+      (1L, ts(0L)), (1L, ts(EventStreams.sessionGapMs)),     // exact gap: merges
+      (2L, ts(0L)), (2L, ts(EventStreams.sessionGapMs + 1))) // beyond gap: splits
+      .toDF("user_id", "ts")
+    val out = EventStreams.sessionize(df).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(out == Set((1L, 0L, 2L), (2L, 0L, 1L), (2L, EventStreams.sessionGapMs + 1, 1L)))
+  }
+}
