@@ -68,15 +68,21 @@ object Yannakakis {
     // Comparison-bound annotation: for `x op y` with x in rel A, y in rel
     // B (A != B), propagate the best bound of y along the tree path from B
     // to A, per join key, then filter A. Prunes A-rows having no possible
-    // comparison partner — the CQC reduction.
-    for (cmp <- cmps) {
+    // comparison partner — the CQC reduction. All comparisons sharing the
+    // same (A, B) pair are FUSED into one aggregate + one join (the
+    // TreeLikeArray double-bound case costs the same shuffle count as a
+    // single bound), preserving first-occurrence order for determinism.
+    val located = cmps.flatMap { cmp =>
       val locL = tree.rels.values.find(_.vars.contains(cmp.left)).map(_.name)
       val locR = tree.rels.values.find(_.vars.contains(cmp.right)).map(_.name)
       (locL, locR) match {
-        case (Some(a), Some(b)) if a != b =>
-          annotateAndFilter(tree, reduced, a, b, cmp)
-        case _ => () // same-relation or computed: residual filter covers it
+        case (Some(a), Some(b)) if a != b => Some(((a, b), cmp))
+        case _ => None // same-relation or computed: residual filter covers it
       }
+    }
+    for (pair <- located.map(_._1).distinct) {
+      val group = located.collect { case (`pair`, c) => c }
+      annotateAndFilter(tree, reduced, pair._1, pair._2, group)
     }
 
     // Enumeration: fold natural joins root-first; apply each comparison as
@@ -103,23 +109,25 @@ object Yannakakis {
   }
 
   /**
-   * Propagate min/max of `cmp.right` from node `b` along the tree path to
-   * node `a`, then filter `a` on `cmp`. Each hop is a per-key aggregate
-   * (map-side combinable) plus an inner join (which doubles as a semijoin
-   * against the subtree already processed).
+   * Propagate the min/max bounds of every `cmp.right` in `cmps` (all
+   * living in node `b`) along the tree path to node `a` in ONE fused
+   * carrier, then filter `a` on all of them at once. Each hop is a single
+   * per-key aggregate (map-side combinable, all bounds as extra agg
+   * columns — the shuffle payload grows by one value per comparison, not
+   * one pass per comparison) plus an inner join.
    */
   private def annotateAndFilter(
       tree: JoinTree,
       reduced: scala.collection.mutable.Map[String, DataFrame],
       a: String,
       b: String,
-      cmp: Cmp): Unit = {
+      cmps: Seq[Cmp]): Unit = {
     val hops = tree.path(b, a) // b ... a
-    val agg: (String => org.apache.spark.sql.Column) =
-      if (cmp.rightBoundIsMax) (c: String) => max(col(c)) else (c: String) => min(col(c))
-    val boundCol = s"__bound_${cmp.right}_${a}_$b"
+    val bound = cmps.zipWithIndex.map { case (c, i) =>
+      c -> s"__bound${i}_${c.right}_${a}_$b"
+    }
 
-    // Walk from b toward a, carrying a per-join-key bound.
+    // Walk from b toward a, carrying all per-join-key bounds together.
     var carrier: DataFrame = null
     for (i <- 0 until hops.length - 1) {
       val cur = hops(i)
@@ -127,17 +135,21 @@ object Yannakakis {
       val keys = tree.sharedVars(cur, next)
       if (keys.isEmpty) return // disconnected hop: bail out, residual filter still applies
       val base =
-        if (i == 0) reduced(cur).select((keys :+ cmp.right).distinct.map(col): _*)
+        if (i == 0) reduced(cur).select((keys ++ cmps.map(_.right)).distinct.map(col): _*)
         else reduced(cur).join(carrier, tree.sharedVars(hops(i - 1), cur), "inner")
-      val valueCol = if (i == 0) cmp.right else boundCol
-      carrier = base.groupBy(keys.map(col): _*).agg(agg(valueCol).as(boundCol))
+      val aggs = bound.map { case (c, bc) =>
+        val valueCol = if (i == 0) c.right else bc
+        (if (c.rightBoundIsMax) max(col(valueCol)) else min(col(valueCol))).as(bc)
+      }
+      carrier = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     if (carrier == null) return
     val aKeys = tree.sharedVars(hops(hops.length - 2), a)
+    val cond = bound.map { case (c, bc) => s"(${c.left} ${c.op} $bc)" }.mkString(" AND ")
     val filtered = reduced(a)
       .join(carrier, aKeys, "inner")
-      .where(expr(s"${cmp.left} ${cmp.op} $boundCol"))
-      .drop(boundCol)
+      .where(expr(cond))
+      .drop(bound.map(_._2): _*)
     reduced(a) = filtered
   }
 }
