@@ -8,7 +8,7 @@ import graft.datapipe.{Ann, Dedup, Multimodal, TextOps}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import graft.topk.RankJoin
-import graft.wcoj.Wcoj
+import graft.wcoj.{Ghd, Lftj, Wcoj}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -96,6 +96,25 @@ object SparkEntry {
   /** Cyclic query: directed triangle count (reference GHD+WCOJ path). */
   def qWcojTriangle(s: SparkSession, d: String): DataFrame =
     Wcoj.triangleCount(Tables.edges(s, d))
+
+  /** The same triangle count through the hypercube-partitioned Leapfrog
+    * Trie Join `mapPartitions` operator — the worst-case-optimal path. */
+  def qLftjTriangle(s: SparkSession, d: String): DataFrame =
+    Lftj.count(Tables.edges(s, d),
+      Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
+
+  /** Generic cyclic query via GHD (reference q2/q10 shape): two directed
+    * triangles bridged at a shared vertex c, with a cross-triangle
+    * comparison a < d, aggregated per bridge vertex. */
+  def qGhdBridge(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    val out = Ghd.solve(
+      Seq(
+        Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")), Rel("g3", e.toDF("c", "a")),
+        Rel("g4", e.toDF("c", "d")), Rel("g5", e.toDF("d", "e")), Rel("g6", e.toDF("e", "c"))),
+      Seq(Cmp("a", "<", "d")))
+    out.groupBy(col("c")).agg(count(lit(1)).as("n_pairs"))
+  }
 
   // ------------------------------------------------------------- TPC-H style
 
@@ -228,6 +247,8 @@ object SparkEntry {
     "cqc_trade" -> (qCqcTrade _),
     "topk_join" -> (qTopkJoin _),
     "wcoj_triangle" -> (qWcojTriangle _),
+    "wcoj_lftj_triangle" -> (qLftjTriangle _),
+    "ghd_bridge" -> (qGhdBridge _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -292,6 +313,18 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "wcoj_lftj_triangle" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS triangles
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "ghd_bridge" ->
+      s"""SELECT g2.dst AS c, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM $E g1, $E g2, $E g3, $E g4, $E g5, $E g6
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+         |  AND g4.src = g2.dst AND g4.dst = g5.src
+         |  AND g5.dst = g6.src AND g6.dst = g2.dst
+         |  AND g1.src < g4.dst
+         |GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,59 @@
+package graft.wcoj
+
+import graft.SparkSpecBase
+import graft.cqc.{Cmp, Hypergraph, Rel}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class WcojSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), // triangle 1-2-3
+    (3L, 4L), (4L, 5L), (5L, 3L), // triangle 3-4-5
+    (1L, 4L), (2L, 2L), (6L, 1L)) // extra edge, self-loop, dangling
+    .toDF("src", "dst")
+
+  test("LFTJ triangle enumeration equals the binary-join enumeration") {
+    val got = Lftj.enumerate(edges,
+        Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"), cubeSide = 2)
+      .collect().map(_.toSeq).toSet
+    val want = Wcoj.triangles(edges)
+      .select("a", "b", "c").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("LFTJ count on real derived edges equals the degree-oriented count") {
+    val e = Tables.edges(spark, sfDir)
+    val lftj = Lftj.count(e, Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
+      .head().getLong(0)
+    val oriented = Wcoj.triangleCount(e).head().getLong(0)
+    assert(lftj == oriented)
+  }
+
+  test("GHD decomposes the bridged-triangles query into an acyclic bag tree") {
+    val rels = Seq(
+      Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
+      Rel("g3", edges.toDF("c", "a")), Rel("g4", edges.toDF("c", "d")),
+      Rel("g5", edges.toDF("d", "e")), Rel("g6", edges.toDF("e", "c")))
+    assert(!Hypergraph.isAcyclic(rels))
+    val bags = Ghd.decompose(rels)
+    assert(Hypergraph.isAcyclic(bags))
+    assert(bags.size < rels.size)
+  }
+
+  test("Ghd.solve equals the naive 6-way join with the comparison") {
+    val rels = Seq(
+      Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
+      Rel("g3", edges.toDF("c", "a")), Rel("g4", edges.toDF("c", "d")),
+      Rel("g5", edges.toDF("d", "e")), Rel("g6", edges.toDF("e", "c")))
+    val got = Ghd.solve(rels, Seq(Cmp("a", "<", "d")))
+      .select("a", "b", "c", "d", "e").collect().map(_.toSeq).toSet
+    val want = edges.toDF("a", "b").join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("c", "a"), Seq("c", "a")).join(edges.toDF("c", "d"), "c")
+      .join(edges.toDF("d", "e"), "d").join(edges.toDF("e", "c"), Seq("e", "c"))
+      .where(col("a") < col("d"))
+      .select("a", "b", "c", "d", "e").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
