@@ -32,7 +32,8 @@ object Ann {
 
   // ------------------------------------------------------- cosine (exact)
 
-  /** Double-precision left-fold dot product of two float arrays. */
+  /** Double-precision left-fold dot product of two arrays (declarative
+    * form — used where one side is array<double>, e.g. hyperplanes). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -41,7 +42,11 @@ object Ann {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over two array<float> columns — the native fused Catalyst
+    * expression ([[graft.functions.CosineSimilarity]]); bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` but one codegen'd loop per row. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"

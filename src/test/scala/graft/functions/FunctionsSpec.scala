@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_cosine is registered for SQL and matches the declarative form") {
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(1.0F, 2.0F, 3.0F), array(3.0F, 2.0F, 1.0F)) AS c")
+      .head().getDouble(0)
+    val viaCols = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+      .select(graft.datapipe.Ann.dot(col("a"), col("b")) /
+        (graft.datapipe.Ann.norm(col("a")) * graft.datapipe.Ann.norm(col("b"))))
+      .head().getDouble(0)
+    assert(viaSql == viaCols) // bit-identical, not approximately equal
+  }
+
+  test("native expression matches the declarative composition on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .where(col("i") < col("j"))
+    val diff = pairs.select(
+        (CosineSimilarity.cosine(col("a"), col("b")) -
+          graft.datapipe.Ann.dot(col("a"), col("b")) /
+          (graft.datapipe.Ann.norm(col("a")) * graft.datapipe.Ann.norm(col("b"))))
+          .as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("graft_h60 is registered and equals TextOps.h60") {
+    val viaSql = spark.sql("SELECT graft_h60('hello') AS h").head().getLong(0)
+    val viaCol = Seq("hello").toDF("s")
+      .select(graft.datapipe.TextOps.h60(col("s"))).head().getLong(0)
+    assert(viaSql == viaCol)
+    assert(viaSql == 419982666956583591L) // DuckDB-verified constant
+  }
+}
