@@ -16,6 +16,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // neutral warm-up so session/codegen startup isn't billed to whichever
+    // query happens to run first
+    spark.range(1000).selectExpr("sum(id)").collect()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

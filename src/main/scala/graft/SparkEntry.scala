@@ -8,7 +8,7 @@ import graft.datapipe.{Ann, Dedup, Multimodal, TextOps}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import graft.topk.RankJoin
-import graft.wcoj.{Ghd, Lftj, Wcoj}
+import graft.wcoj.{Lftj, Wcoj}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -103,17 +103,28 @@ object SparkEntry {
     Lftj.count(Tables.edges(s, d),
       Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
 
-  /** Generic cyclic query via GHD (reference q2/q10 shape): two directed
-    * triangles bridged at a shared vertex c, with a cross-triangle
-    * comparison a < d, aggregated per bridge vertex. */
+  /** Generic cyclic query (reference q2/q10 shape): two directed triangles
+    * bridged at a shared vertex c, with a cross-triangle comparison a < d,
+    * aggregated per bridge vertex.
+    *
+    * Plan = GHD thinking applied by hand, with two scale optimizations the
+    * generic [[Ghd.solve]] (spec-verified equivalent on this shape) does
+    * not do yet: (1) each triangle bag is evaluated worst-case-optimally
+    * by the [[graft.wcoj.Lftj]] operator; (2) the aggregation is pushed EAGERLY below the
+    * bag join — each bag collapses to per-(c, compare-var) counts before
+    * the bridge join, so the ~|T1|x|T2| bridge pairs are never enumerated:
+    * sum over a<d of n1(c,a)*n2(c,d) on two tiny aggregates. */
   def qGhdBridge(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
-    val out = Ghd.solve(
-      Seq(
-        Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")), Rel("g3", e.toDF("c", "a")),
-        Rel("g4", e.toDF("c", "d")), Rel("g5", e.toDF("d", "e")), Rel("g6", e.toDF("e", "c"))),
-      Seq(Cmp("a", "<", "d")))
-    out.groupBy(col("c")).agg(count(lit(1)).as("n_pairs"))
+    val tri = Lftj.enumerate(e,
+      Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
+    val n1 = tri.groupBy(col("c"), col("a")).agg(count(lit(1)).as("n1"))
+    // second triangle c->d, d->e, e->c is the same pattern under renaming
+    val n2 = tri.toDF("c", "d", "e2")
+      .groupBy(col("c"), col("d")).agg(count(lit(1)).as("n2"))
+    n1.join(n2, "c").where(col("a") < col("d"))
+      .groupBy(col("c"))
+      .agg(sum(col("n1") * col("n2")).as("n_pairs"))
   }
 
   // ------------------------------------------------------------- TPC-H style

@@ -53,8 +53,9 @@ object Dedup {
     * detection must not split on case/whitespace) — the inverted-index
     * input. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextOps.shingleArray(normText, shingleK)).as("sh"))
+    docs.select(col("doc_id"), TextOps.words(normText).as("w")) // materialize
+      .select(col("doc_id"),
+        explode(TextOps.shinglesOf(col("w"), shingleK)).as("sh"))
       .distinct()
 
   /** Shared CTE prefix rendering [[shingles]] in DuckDB. */
@@ -100,19 +101,25 @@ object Dedup {
    * Exact n-gram Jaccard near-dup via inverted index: self-join the
    * (doc, shingle) list on shingle (capped at [[ngramDfCap]] docs per
    * shingle to bound fanout at cap^2 per shingle), count shared shingles
-   * per pair, emit pairs with Jaccard >= [[ngramTau]]. Jaccard is computed
-   * over the capped shingle sets on both engines (consistent semantics).
+   * per pair DIRECTLY off that join (one pass — no candidate set and
+   * re-verify), emit pairs with Jaccard >= [[ngramTau]]. Jaccard is
+   * computed over the capped shingle sets on both engines.
    */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= ngramDfCap).select(col("sh"))
     val capped = sh.join(keep, Seq("sh"), "left_semi").select("doc_id", "sh")
-    val cand = capped.toDF("d1", "sh").join(capped.toDF("d2", "sh2")
+      .persist() // reused by the self-join (both sides) and the size agg
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = capped.toDF("d1", "sh").join(capped.toDF("d2", "sh2")
         .withColumnRenamed("sh2", "sh"), "sh")
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(cand, capped)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("d1", "sz1"), "d1")
+      .join(sizes.toDF("d2", "sz2"), "d2")
+      .withColumn("jac", col("shared") / (col("sz1") + col("sz2") - col("shared")))
       .where(col("jac") >= ngramTau)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
   }
@@ -146,18 +153,20 @@ object Dedup {
     555555555L, 913471051L, 1734575199L, 87855851L, 1460987219L, 666173207L,
     299792458L, 1618033988L)
 
-  val mhBands = 4
-  val mhRows = 3 // 12 signatures = 4 bands x 3 rows
+  val mhBands = 3
+  val mhRows = 4 // 12 signatures = 3 bands x 4 rows; 4-row bands keep
+                 // bucket collision rates sane on low-diversity vocab
 
   /** Jaccard threshold applied after LSH candidate generation. */
   val mhTau = 0.08
 
   /**
-   * MinHash signature matrix: per doc, 12 mins of affine-permuted 31-bit
-   * shingle hashes — a single groupBy with 12 partial-aggregable mins.
+   * MinHash signature matrix from a (doc_id, sh) shingle relation: per
+   * doc, 12 mins of affine-permuted 31-bit shingle hashes — a single
+   * groupBy with 12 partial-aggregable mins.
    */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val s31 = shingles(docs).select(col("doc_id"), (h60(col("sh")) % mhP).as("s"))
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val s31 = sh.select(col("doc_id"), (h60(col("sh")) % mhP).as("s"))
     val aggs = (0 until mhBands * mhRows).map { j =>
       min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
     }
@@ -170,7 +179,10 @@ object Dedup {
    * are verified with exact Jaccard over the uncapped shingle sets.
    */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // the shingle index feeds the signature matrix AND the verify join:
+    // persist it once (at scale this is the materialized inverted index)
+    val sh = shingles(docs).persist()
+    val sig = minhashSignatures(sh)
     val bandStructs = (0 until mhBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
@@ -183,7 +195,7 @@ object Dedup {
         Seq("band", "key"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(cand, shingles(docs))
+    verifyJaccard(cand, sh)
       .where(col("jac") >= mhTau)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
   }

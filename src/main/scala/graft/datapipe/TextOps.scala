@@ -1,7 +1,6 @@
 package graft.datapipe
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -162,51 +161,57 @@ object TextOps {
   val fpK = 4
   val fpWindow = 4
 
-  /** Word k-gram shingle array of a text column (positions 0-based). */
-  def shingleArray(text: Column, k: Int): Column = {
-    val w = words(text)
+  /** Word k-gram shingle array from an ALREADY-MATERIALIZED words-array
+    * column. Callers must project the words array in its own select
+    * first: passing `words(text)` directly makes Catalyst inline the
+    * split (and any normalization) into every lambda iteration —
+    * O(n^2 * len) per document. */
+  def shinglesOf(w: Column, k: Int): Column =
     when(size(w) >= k,
       transform(sequence(lit(0), size(w) - k), i => array_join(slice(w, i + 1, lit(k)), " ")))
       .otherwise(array())
-  }
+
+  /** Word k-gram shingle array of a text column (positions 0-based).
+    * Only safe where the result is consumed once — see [[shinglesOf]]. */
+  def shingleArray(text: Column, k: Int): Column = shinglesOf(words(text), k)
 
   /**
    * Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
    * hash every word 4-gram, slide a window of 4 consecutive hashes, keep
-   * each window's min, emit the distinct mins per doc. The window min runs
-   * inside a per-doc window function — the shuffle is one hash-partition
-   * by doc_id, and output is bounded by #shingles.
+   * each window's min, emit the distinct mins per doc. Entirely
+   * array-native (transform/slice/array_min/array_distinct) so the whole
+   * operator is one map-side pass over the scan — zero shuffles, which is
+   * the shape you want fingerprinting 100 TB of text.
    */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), posexplode(shingleArray(col("text"), fpK)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), h60(col("sh")).as("h"))
-    val perDoc = Window.partitionBy("doc_id")
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, fpWindow - 1)
-    sh.withColumn("n_sh", count(lit(1)).over(perDoc))
-      .withColumn("fp", min(col("h")).over(frame))
-      .where(col("pos") <= col("n_sh") - fpWindow)
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    // materialize words, then hashes, each in their own projection:
+    // inlining either into the consuming lambda would re-split / re-hash
+    // per iteration (O(n^2) work per doc)
+    val withW = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val withHs = withW.select(col("doc_id"),
+      transform(shinglesOf(col("w"), fpK), s => h60(s)).as("hs"))
+    val hs = col("hs")
+    val nWin = size(hs) - fpWindow + 1
+    val mins = when(nWin > 0,
+      array_distinct(transform(sequence(lit(0), nWin - 1),
+        i => array_min(slice(hs, i + 1, lit(fpWindow))))))
+      .otherwise(array())
+    withHs.select(col("doc_id"), explode(mins).as("fp"))
   }
 
   val fingerprintsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |posx AS (
-       |  SELECT doc_id, w,
-       |         unnest(range(0, greatest(len(w) - $fpK + 1, 0))) AS pos
+       |s AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, greatest(len(w) - $fpK + 1, 0)),
+       |                        i -> ${h60Sql(s"array_to_string(w[(i + 1):(i + $fpK)], ' ')")}) AS hs
        |  FROM t
        |),
-       |sh AS (
-       |  SELECT doc_id, pos,
-       |         ${h60Sql(s"array_to_string(w[(pos + 1):(pos + $fpK)], ' ')")} AS h,
-       |         len(w) - $fpK + 1 AS n_sh
-       |  FROM posx
+       |m AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(0, greatest(len(hs) - ${fpWindow - 1}, 0)),
+       |                       i -> list_min(hs[(i + 1):(i + $fpWindow)]))) AS fps
+       |  FROM s
        |)
-       |SELECT DISTINCT doc_id,
-       |       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-       |                    ROWS BETWEEN CURRENT ROW AND ${fpWindow - 1} FOLLOWING) AS fp
-       |FROM sh
-       |QUALIFY pos <= n_sh - $fpWindow""".stripMargin
+       |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
 }

@@ -47,8 +47,8 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("signature columns are stable across runs (deterministic hashing)") {
-    val s1 = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq)
-    val s2 = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().map(_.toSeq)
+    val s1 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
+    val s2 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
     assert(s1.toSeq == s2.toSeq)
   }
 }
