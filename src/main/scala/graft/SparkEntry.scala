@@ -127,6 +127,22 @@ object SparkEntry {
       .agg(sum(col("n1") * col("n2")).as("n_pairs"))
   }
 
+  /** SQL-text front door: a multiway join written as plain SQL, evaluated
+    * with the [[graft.plans.SemijoinReduction]] optimizer rule on — any
+    * SQL user gets Yannakakis reduction without touching the Rel/Cmp API.
+    * (Falls back to Spark's stock plan, same results, when the
+    * GraftExtensions rule is not installed in the session.) */
+  def qSqlFrontend(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("graft_edges")
+    s.conf.set(graft.plans.SemijoinReduction.confKey, "true")
+    try s.sql(
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS e
+        |FROM graft_edges g1, graft_edges g2, graft_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst < 5
+        |""".stripMargin)
+    finally s.conf.set(graft.plans.SemijoinReduction.confKey, "false")
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -260,6 +276,7 @@ object SparkEntry {
     "wcoj_triangle" -> (qWcojTriangle _),
     "wcoj_lftj_triangle" -> (qLftjTriangle _),
     "ghd_bridge" -> (qGhdBridge _),
+    "sql_frontend" -> (qSqlFrontend _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -328,6 +345,10 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "sql_frontend" ->
+      s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS e
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst < 5""".stripMargin,
     "ghd_bridge" ->
       s"""SELECT g2.dst AS c, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM $E g1, $E g2, $E g3, $E g4, $E g5, $E g6

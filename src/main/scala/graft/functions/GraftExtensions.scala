@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.{LongType, StringType}
  *  - `graft_cosine(a, b)`  — native fused cosine over array<float>
  *  - `graft_h60(x)`        — the engine-wide 60-bit md5 hash (identical
  *                            across Spark and DuckDB; see TextOps.h60)
+ *  - [[graft.plans.SemijoinReduction]] optimizer rule (opt-in via
+ *    `spark.graft.semijoinReduction=true`): Yannakakis reduction for
+ *    multiway inner-join SQL
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -34,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5].getName, null, "graft_h60",
         "graft_h60(x) - deterministic 60-bit md5-derived hash", ""),
       (args: Seq[Expression]) => h60(args(0))))
+    ext.injectOptimizerRule(_ => graft.plans.SemijoinReduction)
   }
 }
