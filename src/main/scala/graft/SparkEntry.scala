@@ -162,8 +162,27 @@ object SparkEntry {
         round(sum(col("price_d")), 2).cast("double").as("sum_base_price"),
         round(sum(col("price_d") * col("disc_f")), 2).cast("double").as("sum_disc_price"),
         round(sum(col("price_d") * col("disc_f") * col("tax_f")), 2).cast("double").as("sum_charge"),
+        // avg as exact decimal-sum / count (engine-independent, unlike
+        // native AVG whose internal scale differs per engine)
+        round(sum(col("qty_d")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        min(col("qty_d")).cast("double").as("min_qty"),
+        max(col("price_d")).cast("double").as("max_price"),
         count(lit(1)).as("count_order"))
   }
+
+  /** Filter-operator coverage on one scan: <>, NOT LIKE, IN, IS NULL
+    * (via NULLIF), literal arithmetic — every predicate type the
+    * reference's Operator.scala supports on a single pushdown-friendly
+    * pass. */
+  def qFilterOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("event_type") =!= "view" &&
+        !col("event_type").like("%ck%") &&
+        col("user_id").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L) &&
+        nullif(col("value"), lit(0.0)).isNotNull &&
+        col("value") * 2.0 > 1.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
 
   /** TPC-H Q6 shape: selective scan + exact decimal revenue sum. */
   def qQ6Filter(s: SparkSession, d: String): DataFrame =
@@ -282,6 +301,7 @@ object SparkEntry {
     "q4_exists" -> (qQ4Exists _),
     "q5_join" -> (qQ5Join _),
     "q6_filter" -> (qQ6Filter _),
+    "q_filter_ops" -> (qFilterOps _),
     "q12_case" -> (qQ12Case _),
     "q14_case" -> (qQ14Case _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -363,6 +383,9 @@ object SparkEntry {
         |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
         |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
         |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
+        |       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       CAST(min(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS min_qty,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -372,6 +395,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 15""".stripMargin,
+    "q_filter_ops" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE event_type <> 'view' AND event_type NOT LIKE '%ck%'
+        |  AND user_id IN (1, 2, 3, 5, 8, 13, 21)
+        |  AND NULLIF(value, 0.0) IS NOT NULL
+        |  AND value * 2.0 > 1.0
+        |GROUP BY event_type""".stripMargin,
     "q3_top" ->
       """SELECT l_orderkey, o_orderdate,
         |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue

@@ -82,6 +82,21 @@ object Tables {
   val ratedEdgesSql: String =
     "SELECT l_orderkey % 100 AS src, l_partkey % 100 AS dst, CAST(max(l_quantity) AS DOUBLE) AS rating FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0 GROUP BY 1, 2"
 
+  /**
+   * Bucketed write: pre-shuffle a relation into `nBuckets` sorted hash
+   * buckets on the join keys. Two tables bucketed the same way join with
+   * ZERO shuffle exchanges (see BucketingSpec) — the co-located-join
+   * pattern for fact-fact joins repeated across a 100 TB pipeline, where
+   * paying one bucketing write amortizes every later join/groupBy on the
+   * same keys.
+   */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV loader (the reference reads comma-separated `.dat` files). */
   def csv(spark: SparkSession, path: String, schemaDdl: String, delimiter: String = ","): DataFrame =
     tune(spark).read

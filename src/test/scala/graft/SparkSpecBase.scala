@@ -8,6 +8,7 @@ trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_spec_warehouse")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
