@@ -16,9 +16,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // neutral warm-up so session/codegen startup isn't billed to whichever
-    // query happens to run first
+    // warm-up so session/codegen/IO startup isn't billed to whichever
+    // query happens to run first: one pass over each base table
     spark.range(1000).selectExpr("sum(id)").collect()
+    for (t <- Seq("lineitem", "orders", "customer", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case scala.util.control.NonFatal(_) => () }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -27,7 +30,9 @@ object Bench {
         case c => c.toString
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order for cross-round comparability
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // per-query hygiene: no cross-query caches
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
@@ -35,7 +40,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }

@@ -62,6 +62,16 @@ object Yannakakis {
    * variables, in sorted order.
    */
   def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame = {
+    // Materialization discipline: every relation is referenced by several
+    // passes (bottom-up semijoins, top-down semijoins, bound carriers,
+    // enumeration). Left lazy, each reference re-embeds the whole
+    // upstream plan — O(tree-depth) repeated scans of the base tables
+    // (a measured 95 FileScans for the 5-relation flagship query).
+    // Persisting the leaves (and the reduced relations below) bounds
+    // base-table reads at one per relation; at cluster scale these
+    // persists become checkpoints of the reduced relations — the
+    // standard Yannakakis materialization points.
+    rels.foreach(_.df.persist())
     val tree = Hypergraph.joinTree(rels)
     val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
 
@@ -84,6 +94,11 @@ object Yannakakis {
       val group = located.collect { case (`pair`, c) => c }
       annotateAndFilter(tree, reduced, pair._1, pair._2, group)
     }
+
+    // Dangling-free, comparison-pruned relations are the enumeration
+    // inputs; persist them — each is referenced by the enumeration join
+    // AND was built from multi-referenced intermediates.
+    tree.topDown.foreach(n => reduced(n) = reduced(n).persist())
 
     // Enumeration: fold natural joins root-first; apply each comparison as
     // soon as both variables are bound (earliest possible filtering, like

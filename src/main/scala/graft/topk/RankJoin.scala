@@ -40,9 +40,13 @@ object RankJoin {
       tieCols: Seq[String]): DataFrame = {
     val keys = (left.columns.toSet intersect right.columns.toSet).toSeq.sorted
     require(keys.nonEmpty, "rank join requires shared join columns")
-    // dangling rows must go before pruning, else a pruned-in row may not join
-    val lr = left.join(right.select(keys.map(col): _*), keys, "left_semi")
-    val rr = right.join(left.select(keys.map(col): _*), keys, "left_semi")
+    // dangling rows must go before pruning, else a pruned-in row may not
+    // join; persist both sides — each feeds the opposite semijoin and its
+    // own prune
+    val lp0 = left.persist()
+    val rp0 = right.persist()
+    val lr = lp0.join(rp0.select(keys.map(col): _*), keys, "left_semi")
+    val rr = rp0.join(lp0.select(keys.map(col): _*), keys, "left_semi")
     val lp = prunePerKey(lr, keys, col(leftRank).desc +: tieCols.filter(left.columns.contains).map(col(_).asc), k)
     val rp = prunePerKey(rr, keys, col(rightRank).desc +: tieCols.filter(right.columns.contains).map(col(_).asc), k)
     val joined = lp.join(rp, keys, "inner")

@@ -38,7 +38,9 @@ object Wcoj {
    *  - L = self-loops (walk a->a->a).
    */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // referenced by the degree agg, both oriented halves, and the closing
+    // semijoin — persist to read the base table once
+    val e = edges.select(col("src"), col("dst")).persist()
     val loops = e.where(col("src") === col("dst")).select(col("src").as("v"))
     val plain = e.where(col("src") =!= col("dst"))
 
