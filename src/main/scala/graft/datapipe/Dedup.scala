@@ -49,13 +49,16 @@ object Dedup {
   /** Word n-gram size shared by ngram-Jaccard and MinHash. */
   val shingleK = 3
 
-  /** Distinct (doc_id, shingle) pairs over NORMALIZED text (near-dup
+  /** Distinct (doc_id, shingle-hash) pairs over NORMALIZED text (near-dup
     * detection must not split on case/whitespace) — the inverted-index
-    * input. */
+    * input. Shingle identity is the 60-bit md5 hash, not the string:
+    * 8-byte join/shuffle keys instead of ~25-byte strings, identical in
+    * both engines (collisions are 2^-60 AND, when they do happen, happen
+    * identically on both sides — parity is unaffected). */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.words(normText).as("w")) // materialize
       .select(col("doc_id"),
-        explode(TextOps.shinglesOf(col("w"), shingleK)).as("sh"))
+        explode(transform(TextOps.shinglesOf(col("w"), shingleK), s => h60(s))).as("sh"))
       .distinct()
 
   /** Shared CTE prefix rendering [[shingles]] in DuckDB. */
@@ -68,7 +71,7 @@ object Dedup {
        |),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |         array_to_string(w[(i + 1):(i + $shingleK)], ' ') AS sh
+       |         ${h60Sql(s"array_to_string(w[(i + 1):(i + $shingleK)], ' ')")} AS sh
        |  FROM shpos
        |)""".stripMargin
 
@@ -166,7 +169,7 @@ object Dedup {
    * groupBy with 12 partial-aggregable mins.
    */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val s31 = sh.select(col("doc_id"), (h60(col("sh")) % mhP).as("s"))
+    val s31 = sh.select(col("doc_id"), (col("sh") % mhP).as("s"))
     val aggs = (0 until mhBands * mhRows).map { j =>
       min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
     }
@@ -209,7 +212,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band, concat(${key}) AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $shinglesCte,
-       |s31 AS (SELECT doc_id, ${h60Sql("sh")} % $mhP AS s FROM sh),
+       |s31 AS (SELECT doc_id, sh % $mhP AS s FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |         $mins
