@@ -93,6 +93,19 @@ object SparkEntry {
       .select("node1", "node2", "node3", "total_rank")
   }
 
+  /** Ranked top-k over a 3-hop path (reference TopK L3 shape): iterative
+    * rank join, intermediates bounded at k rows per join key per step. */
+  def qTopkPath3(s: SparkSession, d: String): DataFrame = {
+    val re = Tables.ratedEdges(s, d)
+    RankJoin.topKChain(
+      Seq(re.toDF("node1", "node2", "rating1"),
+        re.toDF("node2", "node3", "rating2"),
+        re.toDF("node3", "node4", "rating3")),
+      Seq("rating1", "rating2", "rating3"), 10,
+      Seq("node1", "node2", "node3", "node4"))
+      .select("node1", "node2", "node3", "node4", "total_rank")
+  }
+
   /** Cyclic query: directed triangle count (reference GHD+WCOJ path). */
   def qWcojTriangle(s: SparkSession, d: String): DataFrame =
     Wcoj.triangleCount(Tables.edges(s, d))
@@ -292,6 +305,7 @@ object SparkEntry {
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
     "topk_join" -> (qTopkJoin _),
+    "topk_path3" -> (qTopkPath3 _),
     "wcoj_triangle" -> (qWcojTriangle _),
     "wcoj_lftj_triangle" -> (qLftjTriangle _),
     "ghd_bridge" -> (qGhdBridge _),
@@ -357,6 +371,12 @@ object SparkEntry {
          |FROM $RE r, $RE s
          |WHERE r.dst = s.src
          |ORDER BY total_rank DESC, node1 ASC, node2 ASC, node3 ASC LIMIT 10""".stripMargin,
+    "topk_path3" ->
+      s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+         |       r.rating + s.rating + t.rating AS total_rank
+         |FROM $RE r, $RE s, $RE t
+         |WHERE r.dst = s.src AND s.dst = t.src
+         |ORDER BY total_rank DESC, node1, node2, node3, node4 LIMIT 10""".stripMargin,
     "wcoj_triangle" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $E g1, $E g2, $E g3

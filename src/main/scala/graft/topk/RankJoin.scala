@@ -53,4 +53,46 @@ object RankJoin {
       .withColumn("total_rank", col(leftRank) + col(rightRank))
     joined.orderBy(col("total_rank").desc +: tieCols.map(col(_).asc): _*).limit(k)
   }
+
+  /**
+   * Top-k over a CHAIN of natural joins ranked by the sum of one rank
+   * column per relation (reference convert/TopK.scala L3 shape) — the
+   * iterative rank join: after semijoin-reducing the whole chain, fold
+   * left-to-right keeping only the top k rows of cumulative rank per
+   * NEXT join key at every step. Any global top-k row must be assembled
+   * from a per-key top-k prefix (rank is monotone in each summand), so
+   * intermediates stay bounded at k * |distinct keys| for every step of
+   * the chain — never the full join.
+   */
+  def topKChain(
+      rels: Seq[DataFrame],
+      rankCols: Seq[String],
+      k: Int,
+      tieCols: Seq[String]): DataFrame = {
+    require(rels.size >= 2 && rels.size == rankCols.size)
+    // full semijoin reduction along the chain (dangling rows would steal
+    // prune slots); persist: each side feeds two passes
+    val reduced = rels.map(_.persist()).toBuffer
+    for (i <- 0 until reduced.size - 1) {
+      val keys = (reduced(i).columns.toSet intersect reduced(i + 1).columns.toSet).toSeq.sorted
+      reduced(i + 1) = reduced(i + 1).join(reduced(i).select(keys.map(col): _*), keys, "left_semi")
+    }
+    for (i <- (reduced.size - 2) to 0 by -1) {
+      val keys = (reduced(i).columns.toSet intersect reduced(i + 1).columns.toSet).toSeq.sorted
+      reduced(i) = reduced(i).join(reduced(i + 1).select(keys.map(col): _*), keys, "left_semi")
+    }
+
+    var acc = reduced.head.withColumn("__cum", col(rankCols.head))
+    for (i <- 1 until reduced.size) {
+      val next = reduced(i)
+      val keys = (acc.columns.toSet intersect next.columns.toSet).toSeq.sorted
+      require(keys.nonEmpty, "chain relations must share join columns")
+      val ties = tieCols.filter(acc.columns.contains).map(col(_).asc)
+      acc = prunePerKey(acc, keys, col("__cum").desc +: ties, k)
+        .join(next, keys, "inner")
+        .withColumn("__cum", col("__cum") + col(rankCols(i)))
+    }
+    acc.withColumnRenamed("__cum", "total_rank")
+      .orderBy(col("total_rank").desc +: tieCols.map(col(_).asc): _*).limit(k)
+  }
 }
