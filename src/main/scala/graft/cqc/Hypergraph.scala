@@ -13,15 +13,34 @@ case class Rel(name: String, df: DataFrame) {
 }
 
 /**
- * A comparison predicate `left op right` between two variables, possibly
- * living in different relations (the CQC case — reference
- * graph/Comparison.scala). Ops: < <= > >=.
+ * A comparison predicate `left op right` between two sides, each either a
+ * plain variable or a computed expression over variables (the CQC case —
+ * reference graph/Comparison.scala; computed sides are the reference q2
+ * `g1.src + g2.src + g3.src < ...` shape). Ops: < <= > >=.
+ *
+ * Plain-variable comparisons get bound-annotation pruning along the join
+ * tree; computed sides are applied as filters at the first enumeration
+ * point where every referenced variable is bound.
  */
 case class Cmp(left: String, op: String, right: String) {
   require(Set("<", "<=", ">", ">=")(op), s"unsupported comparison op: $op")
   /** true if the bound to propagate for `right` is a max (left must be below it) */
   def rightBoundIsMax: Boolean = op == "<" || op == "<="
-  def sqlExpr: String = s"$left $op $right"
+  def sqlExpr: String = s"($left) $op ($right)"
+
+  /** Variable names each side references (parsed, so computed exprs work;
+    * the tree is unresolved here so collect attribute NAMES — an
+    * unresolved tree's `references` set is empty). */
+  private def refsOf(s: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.name }
+      .toSet
+
+  lazy val leftRefs: Set[String] = refsOf(left)
+  lazy val rightRefs: Set[String] = refsOf(right)
+
+  /** Both sides are bare variables (bound annotation is applicable). */
+  def isSimple: Boolean = leftRefs == Set(left) && rightRefs == Set(right)
 }
 
 class CyclicQueryException(msg: String) extends RuntimeException(msg)

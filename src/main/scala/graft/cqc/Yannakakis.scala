@@ -82,12 +82,12 @@ object Yannakakis {
     // same (A, B) pair are FUSED into one aggregate + one join (the
     // TreeLikeArray double-bound case costs the same shuffle count as a
     // single bound), preserving first-occurrence order for determinism.
-    val located = cmps.flatMap { cmp =>
+    val located = cmps.filter(_.isSimple).flatMap { cmp =>
       val locL = tree.rels.values.find(_.vars.contains(cmp.left)).map(_.name)
       val locR = tree.rels.values.find(_.vars.contains(cmp.right)).map(_.name)
       (locL, locR) match {
         case (Some(a), Some(b)) if a != b => Some(((a, b), cmp))
-        case _ => None // same-relation or computed: residual filter covers it
+        case _ => None // same-relation: residual filter covers it
       }
     }
     for (pair <- located.map(_._1).distinct) {
@@ -106,8 +106,9 @@ object Yannakakis {
     var acc = reduced(tree.root)
     var pending = cmps
     def applyReady(): Unit = {
+      val bound = acc.columns.toSet
       val (ready, rest) = pending.partition(c =>
-        acc.columns.contains(c.left) && acc.columns.contains(c.right))
+        (c.leftRefs ++ c.rightRefs).subsetOf(bound))
       ready.foreach(c => acc = acc.where(expr(c.sqlExpr)))
       pending = rest
     }

@@ -33,6 +33,19 @@ class YannakakisSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("computed-expression comparison (reference q2 sum shape)") {
+    val e = edges.toDF("a", "b")
+    val got = Yannakakis.solve(
+      Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+        Rel("g3", e.toDF("c", "d"))),
+      Seq(Cmp("a + b", "<", "c + d")))
+      .select("a", "b", "c", "d").collect().map(_.toSeq).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .where(col("a") + col("b") < col("c") + col("d"))
+      .select("a", "b", "c", "d").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("fullReduce removes dangling tuples only") {
     val r = Seq((1, 10), (2, 20), (9, 90)).toDF("k", "x") // k=9 dangles
     val s = Seq((1, 100), (2, 200), (8, 800)).toDF("k", "y") // k=8 dangles
