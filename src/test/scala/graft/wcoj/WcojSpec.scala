@@ -42,6 +42,41 @@ class WcojSpec extends SparkSpecBase {
     assert(bags.size < rels.size)
   }
 
+  test("Ghd.solve handles the reference q2 shape: bridge edge + sum comparison") {
+    // two triangles (a,b,c)/(d,e,f) joined by a bridge edge b->d, with
+    // g1.src+g2.src+g3.src < g4.src+g5.src+g6.src (sum over sources =
+    // a+b+c < d+e+f) — reference examples/query/q2/query.sql
+    val rels = Seq(
+      Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
+      Rel("g3", edges.toDF("c", "a")),
+      Rel("g4", edges.toDF("d", "e")), Rel("g5", edges.toDF("e", "f")),
+      Rel("g6", edges.toDF("f", "d")),
+      Rel("g7", edges.toDF("b", "d")))
+    val got = Ghd.solve(rels, Seq(Cmp("a + b + c", "<", "d + e + f")))
+      .select("a", "b", "c", "d", "e", "f").collect().map(_.toSeq).toSet
+    val want = edges.toDF("a", "b").join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("c", "a"), Seq("c", "a"))
+      .join(edges.toDF("b", "d"), "b")
+      .join(edges.toDF("d", "e"), "d").join(edges.toDF("e", "f"), "e")
+      .join(edges.toDF("f", "d"), Seq("f", "d"))
+      .where(col("a") + col("b") + col("c") < col("d") + col("e") + col("f"))
+      .select("a", "b", "c", "d", "e", "f").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("same-relation comparisons (reference q8 shape) apply as residual filters") {
+    val got = graft.cqc.Yannakakis.solve(
+      Seq(Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
+        Rel("g3", edges.toDF("c", "d"))),
+      Seq(Cmp("b", "<", "c"), Cmp("c", "<", "d")))
+      .select("a", "b", "c", "d").collect().map(_.toSeq).toSet
+    val want = edges.toDF("a", "b").join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("c", "d"), "c")
+      .where(col("b") < col("c") && col("c") < col("d"))
+      .select("a", "b", "c", "d").collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("Ghd.solve equals the naive 6-way join with the comparison") {
     val rels = Seq(
       Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
