@@ -35,7 +35,8 @@ object Bench {
       spark.catalog.clearCache() // per-query hygiene: no cross-query caches
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+      catch { case scala.util.control.NonFatal(e) =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

@@ -38,9 +38,11 @@ object Wcoj {
    *  - L = self-loops (walk a->a->a).
    */
   def triangleCount(edges: DataFrame): DataFrame = {
-    // referenced by the degree agg, both oriented halves, and the closing
-    // semijoin — persist to read the base table once
-    val e = edges.select(col("src"), col("dst")).persist()
+    // set semantics required (degree orientation counts each edge once) —
+    // dedup defensively, a no-op for already-distinct inputs; persist
+    // because the degree agg, both oriented halves, and the closing
+    // semijoin all reference it
+    val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst").persist()
     val loops = e.where(col("src") === col("dst")).select(col("src").as("v"))
     val plain = e.where(col("src") =!= col("dst"))
 
