@@ -116,6 +116,12 @@ object SparkEntry {
     Lftj.count(Tables.edges(s, d),
       Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
 
+  /** Triangle count on the wide-domain SPARSE graph — the low-collision
+    * regime (the dense 100-key graph makes every key hot; judging scale
+    * behavior needs both). */
+  def qWcojTriangleWide(s: SparkSession, d: String): DataFrame =
+    Wcoj.triangleCount(Tables.edgesWide(s, d))
+
   /** Generic cyclic query (reference q2/q10 shape): two directed triangles
     * bridged at a shared vertex c, with a cross-triangle comparison a < d,
     * aggregated per bridge vertex.
@@ -308,6 +314,7 @@ object SparkEntry {
     "topk_path3" -> (qTopkPath3 _),
     "wcoj_triangle" -> (qWcojTriangle _),
     "wcoj_lftj_triangle" -> (qLftjTriangle _),
+    "wcoj_triangle_wide" -> (qWcojTriangleWide _),
     "ghd_bridge" -> (qGhdBridge _),
     "sql_frontend" -> (qSqlFrontend _),
     "q1_agg" -> (qQ1Agg _),
@@ -335,6 +342,7 @@ object SparkEntry {
   )
 
   private val E = s"(${Tables.edgesSql})"
+  private val EW = s"(${Tables.edgesWideSql})"
   private val RE = s"(${Tables.ratedEdgesSql})"
 
   def oracleSql: Map[String, String] = Map(
@@ -384,6 +392,10 @@ object SparkEntry {
     "wcoj_lftj_triangle" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "wcoj_triangle_wide" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS triangles
+         |FROM $EW g1, $EW g2, $EW g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
     "sql_frontend" ->
       s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS e

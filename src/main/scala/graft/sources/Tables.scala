@@ -72,6 +72,21 @@ object Tables {
   val edgesSql: String =
     "SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0"
 
+  /**
+   * Wide-domain sparse graph (2000x2000 keys): the dense 100-key graph
+   * above makes every join key hot by construction, which says nothing
+   * about sparse-graph behavior — this derivation exercises the
+   * low-collision regime the same operators must also handle.
+   */
+  def edgesWide(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 2000).as("src"), (col("l_partkey") % 2000).as("dst"))
+      .distinct()
+
+  val edgesWideSql: String =
+    "SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst FROM lineitem WHERE l_linenumber = 1"
+
   /** Weighted graph for ranked (top-k) joins: edge rating = max quantity. */
   def ratedEdges(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
