@@ -93,48 +93,46 @@ object Ann {
   val lshPlanes = 8
   val dim = 64
 
-  /** Deterministic md5-derived hyperplane weight in [-1, 1]. */
-  private def weight(p: Column, d: Column): Column =
-    ((conv(substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 2001) - 1000) / 1000.0
+  /** Deterministic md5-derived hyperplane weight in [-1, 1], computed
+    * driver-side (same md5 → identical to the SQL rendering below). */
+  private def weight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
+  }
 
   private def weightSql(p: String, d: String): String =
     s"((${h60Sql(s"concat($p, ':', $d)")} % 2001) - 1000) / 1000.0"
 
-  /** (plane_id, wvec: array<double>) — tiny, broadcast everywhere. */
-  def hyperplanes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int): DataFrame =
-    spark.range(nPlanes).select(col("id").as("plane"),
-      transform(sequence(lit(0), lit(dim - 1)), d => weight(col("id"), d)).as("wvec"))
-
-  private def hyperplanesSql(nPlanes: Int): String =
-    s"""SELECT p.range AS plane,
-       |       list_transform(range(0, $dim), d -> ${weightSql("p.range", "d")}) AS wvec
-       |FROM range(0, $nPlanes) p""".stripMargin
+  /** Hyperplane weight vectors as driver-side constants. */
+  def hyperplaneWeights(nPlanes: Int, planeBase: Int): Seq[Array[Double]] =
+    (planeBase until planeBase + nPlanes).map(p => Array.tabulate(dim)(d => weight(p, d)))
 
   /**
    * Bucket id per vector: sign bit of the projection onto each of
    * `nPlanes` hyperplanes (planes offset by `planeBase` select a distinct
-   * plane family per band), packed into a long.
+   * plane family per band), packed into a long. The planes are
+   * CONSTANTS, folded into one literal projection per plane — the whole
+   * bucketing is a single map-side pass, no join and no shuffle.
    */
   def buckets(emb: DataFrame, nPlanes: Int, planeBase: Int = 0): DataFrame = {
-    val planes = hyperplanes(emb.sparkSession, planeBase + nPlanes)
-      .where(col("plane") >= planeBase)
-    emb.crossJoin(broadcast(planes))
-      .select(col("vec_id"),
-        when(dot(col("wvec"), col("embedding")) > 0,
-          expr(s"shiftleft(1L, CAST(plane - $planeBase AS INT))"))
-          .otherwise(lit(0L)).as("bit"))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("bucket"))
+    val planes = hyperplaneWeights(nPlanes, planeBase)
+    val bucket = planes.zipWithIndex.map { case (w, p) =>
+      when(dot(typedLit(w.toSeq), col("embedding")) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
   }
 
   private def bucketsSql(nPlanes: Int, planeBase: Int): String = {
-    val proj = dotSql("pl.wvec", "e.embedding")
+    // mirror of [[buckets]]: per-plane literal weight lists via the same
+    // md5 derivation, summed CASE bits, one scan
+    val terms = (0 until nPlanes).map { p =>
+      val wvec = s"list_transform(range(0, $dim), d -> ${weightSql((planeBase + p).toString, "d")})"
+      s"CASE WHEN ${dotSql(wvec, "e.embedding")} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n         + ")
     s"""SELECT e.vec_id,
-       |       CAST(sum(CASE WHEN $proj > 0
-       |                THEN 1 << CAST(pl.plane - $planeBase AS INT) ELSE 0 END) AS BIGINT) AS bucket
-       |FROM embeddings e, (${hyperplanesSql(planeBase + nPlanes)}) pl
-       |WHERE pl.plane >= $planeBase
-       |GROUP BY e.vec_id""".stripMargin
+       |       CAST($terms AS BIGINT) AS bucket
+       |FROM embeddings e""".stripMargin
   }
 
   // ------------------------------------------------------ LSH-bucketed ANN
