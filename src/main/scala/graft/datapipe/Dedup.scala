@@ -44,6 +44,19 @@ object Dedup {
        |       CAST(count(*) AS BIGINT) AS n_copies
        |FROM documents GROUP BY 1""".stripMargin
 
+  /**
+   * Streaming exact dedup: keep the FIRST occurrence of each normalized
+   * text hash as documents arrive (`readStream` input with an event-time
+   * `ts` column). The watermark bounds the dedup state — hashes older
+   * than the horizon are dropped, so state is proportional to the
+   * watermark window, not the corpus. This is the ingest-pipeline form
+   * of [[exact]]; see DedupStreamingSpec.
+   */
+  def exactStreaming(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("h", md5(normText))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("h")
+
   // ------------------------------------------------------------- shingling
 
   /** Word n-gram size shared by ngram-Jaccard and MinHash. */

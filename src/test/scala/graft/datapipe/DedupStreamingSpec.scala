@@ -1,0 +1,34 @@
+package graft.datapipe
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** A timestamped document arriving on a stream. */
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
+class DedupStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streaming exact dedup keeps the first occurrence across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = Dedup.exactStreaming(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, "the quick brown fox", new Timestamp(1000)),
+        StreamDoc(2L, "  THE QUICK  BROWN FOX ", new Timestamp(2000)), // dup of 1
+        StreamDoc(3L, "something else entirely", new Timestamp(3000)))
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc(4L, "the quick brown fox", new Timestamp(4000)), // dup again
+        StreamDoc(5L, "a genuinely new document", new Timestamp(5000)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L)) // first occurrences only, across batches
+    } finally q.stop()
+  }
+}
