@@ -64,14 +64,14 @@ object Yannakakis {
   def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame = {
     // Materialization discipline: every relation is referenced by several
     // passes (bottom-up semijoins, top-down semijoins, bound carriers,
-    // enumeration). Left lazy, each reference re-embeds the whole
-    // upstream plan — O(tree-depth) repeated scans of the base tables
-    // (a measured 95 FileScans for the 5-relation flagship query).
-    // Persisting the leaves (and the reduced relations below) bounds
-    // base-table reads at one per relation; at cluster scale these
-    // persists become checkpoints of the reduced relations — the
-    // standard Yannakakis materialization points.
-    rels.foreach(_.df.persist())
+    // enumeration). Left fully lazy, each reference re-embeds the whole
+    // upstream plan — a measured 95 base-table FileScans for the
+    // 5-relation flagship query. We persist ONLY the reduced relations
+    // (below): they are the small, dangling-free outputs — the standard
+    // Yannakakis materialization points (checkpoints at cluster scale).
+    // Raw leaf inputs are deliberately NOT cached: at 100 TB the inputs
+    // do not fit anywhere, and the 2-3 leaf reads the reducer makes are
+    // pushdown-pruned columnar scans — the cheap path.
     val tree = Hypergraph.joinTree(rels)
     val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
 
