@@ -337,6 +337,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
+    "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d)))
   )
@@ -491,6 +493,8 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
+    "mm_resize" -> Multimodal.resizeDocumentsSql,
+    "mm_frames" -> Multimodal.frameSampleDocumentsSql,
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql
   )

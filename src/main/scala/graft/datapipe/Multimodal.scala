@@ -14,6 +14,20 @@ case class MmMeta(
     channels: Long,
     mean_byte: Long)
 
+/** Resized (stub) asset: target geometry plus a content checksum. */
+case class MmResized(
+    doc_id: Long,
+    out_w: Long,
+    out_h: Long,
+    out_bytes: Long,
+    checksum: String)
+
+/** One sampled frame (stub): index and a frame-content hash. */
+case class MmFrame(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+/** Extracted (stub) feature vector for one asset. */
+case class MmFeature(doc_id: Long, feature: Array[Double])
+
 /**
  * Multimodal binary-column plumbing: treat media as opaque `binary`
  * columns, decode in a partition-mapped batch operator.
@@ -62,11 +76,101 @@ object Multimodal {
       }
   }
 
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    md.digest(bytes).map(b => f"$b%02x").mkString
+  }
+
+  private def h60OfHex(hex: String): Long =
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+
+  /**
+   * STUB resize to `w` x `h`: fake output size w*h*3 and a checksum
+   * derived from (content md5, geometry) — replace the checksum line
+   * with a real scaler in production. Same partition-mapped batch shape
+   * as [[decode]].
+   */
+  def resize(bin: DataFrame, w: Int, h: Int): Dataset[MmResized] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val src = md5Hex(md, bytes)
+          val checksum = md5Hex(md, s"$src:${w}x$h".getBytes("UTF-8"))
+          MmResized(id, w.toLong, h.toLong, w.toLong * h * 3, checksum)
+        }
+      }
+  }
+
+  /**
+   * STUB frame sampling: `n` evenly-spaced "frames", each hashed from
+   * (content md5, frame index) — a real codec would seek and decode.
+   * One input row fans out to n typed rows, the Spark-side shape a video
+   * pipeline needs (row explosion inside the partition, no shuffle).
+   */
+  def frameSample(bin: DataFrame, n: Int): Dataset[MmFrame] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val src = md5Hex(md, bytes)
+          (0 until n).iterator.map { i =>
+            MmFrame(id, i.toLong, h60OfHex(md5Hex(md, s"$src#$i".getBytes("UTF-8"))))
+          }
+        }
+      }
+  }
+
+  /** Fake feature dimensionality of the [[features]] stub. */
+  val featureDim = 8
+
+  /**
+   * STUB feature extraction: an 8-dim deterministic pseudo-embedding from
+   * the content hash — production swaps in a vision encoder. Output is
+   * ready for [[Ann]] (array column + id).
+   */
+  def features(bin: DataFrame): Dataset[MmFeature] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val src = md5Hex(md, bytes)
+          val f = Array.tabulate(featureDim) { d =>
+            val h = h60OfHex(md5Hex(md, s"$src/$d".getBytes("UTF-8")))
+            ((h % 2001L) - 1000L) / 1000.0
+          }
+          MmFeature(id, f)
+        }
+      }
+  }
+
   /** The documents table viewed as a binary asset table (utf-8 bytes). */
   def documentsAsBinary(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("img"))
 
   def decodeDocuments(docs: DataFrame): DataFrame = decode(documentsAsBinary(docs)).toDF()
+
+  def resizeDocuments(docs: DataFrame): DataFrame =
+    resize(documentsAsBinary(docs), 64, 64).toDF()
+
+  def frameSampleDocuments(docs: DataFrame): DataFrame =
+    frameSample(documentsAsBinary(docs), 4).toDF()
+
+  val resizeDocumentsSql: String =
+    """SELECT doc_id, 64 AS out_w, 64 AS out_h, CAST(64*64*3 AS BIGINT) AS out_bytes,
+      |       md5(concat(md5(text), ':', '64x64')) AS checksum
+      |FROM documents""".stripMargin
+
+  val frameSampleDocumentsSql: String =
+    s"""SELECT doc_id, f.range AS frame_idx,
+       |       ('0x' || substr(md5(concat(md5(text), '#', f.range)), 1, 15))::BIGINT AS frame_hash
+       |FROM documents, range(0, 4) f""".stripMargin
 
   val decodeDocumentsSql: String = {
     val h = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
