@@ -162,6 +162,22 @@ object SparkEntry {
     finally s.conf.set(graft.plans.SemijoinReduction.confKey, "false")
   }
 
+  /** The reference's q1 as PURE SQL TEXT through [[graft.sql.CqcSql]] —
+    * Spark's parser/analyzer feed the CQC pipeline (semijoin reduction +
+    * comparison annotations), the reference's main entry re-expressed
+    * Spark-first. */
+  def qSqlCqc(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqc_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst,
+        |       c1.cnt AS cnt1, c2.cnt AS cnt2
+        |FROM cqc_edges g1, cqc_edges g2, cqc_edges g3,
+        |     (SELECT src, COUNT(*) AS cnt FROM cqc_edges GROUP BY src) c1,
+        |     (SELECT src, COUNT(*) AS cnt FROM cqc_edges GROUP BY src) c2
+        |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src
+        |  AND g3.dst = c2.src AND c1.cnt < c2.cnt""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -317,6 +333,7 @@ object SparkEntry {
     "wcoj_triangle_wide" -> (qWcojTriangleWide _),
     "ghd_bridge" -> (qGhdBridge _),
     "sql_frontend" -> (qSqlFrontend _),
+    "sql_cqc" -> (qSqlCqc _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -403,6 +420,13 @@ object SparkEntry {
       s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS e
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst < 5""".stripMargin,
+    "sql_cqc" ->
+      s"""WITH c AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM $E e GROUP BY src)
+         |SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst,
+         |       c1.cnt AS cnt1, c2.cnt AS cnt2
+         |FROM $E g1, $E g2, $E g3, c c1, c c2
+         |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+         |  AND c1.cnt < c2.cnt""".stripMargin,
     "ghd_bridge" ->
       s"""SELECT g2.dst AS c, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM $E g1, $E g2, $E g3, $E g4, $E g5, $E g6

@@ -1,0 +1,145 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+
+import graft.cqc.{Cmp, Rel}
+import graft.wcoj.Ghd
+
+/**
+ * SQL-text front door to the CQC engine (the reference's main entry:
+ * Calcite parse → LogicalPlanConverter → CQC compile, sqlplus-core
+ * parser/ + convert/). graft reuses Spark's own parser/analyzer instead
+ * of shipping one: the ANALYZED plan of `spark.sql(text)` is walked to
+ * extract base relations, the attribute-equivalence classes of its
+ * equality predicates, and its cross-relation comparisons — then the
+ * whole query runs through [[graft.wcoj.Ghd]]/Yannakakis (semijoin
+ * reduction + fused bound annotations + output-sensitive enumeration;
+ * GHD bags when cyclic). Unlike the SemijoinReduction optimizer rule,
+ * this path also applies CQC comparison pruning.
+ *
+ * Supported shape: SELECT <attrs/aliases> FROM <inner-joined relations>
+ * WHERE <conjunction of equalities, comparisons, single-relation
+ * predicates>. Single-relation predicates are pushed into their leaf;
+ * var-to-var comparisons become [[Cmp]] annotations; anything else is
+ * applied as a residual filter on the enumeration output.
+ */
+object CqcSql {
+
+  def solve(spark: SparkSession, sql: String): DataFrame = {
+    val analyzed = spark.sql(sql).queryExecution.analyzed
+
+    // ---- peel Project / Filter off the top
+    val (projectList, afterProject) = analyzed match {
+      case Project(pl, child) => (pl, child)
+      case other => (other.output.map(a => a: NamedExpression), other)
+    }
+    val (topConjuncts, joinRoot) = afterProject match {
+      case Filter(cond, child) => (splitConjuncts(cond), child)
+      case other => (Nil, other)
+    }
+
+    // ---- flatten the inner-join cluster into leaves + join conditions
+    val leaves = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
+    val joinConds = scala.collection.mutable.ArrayBuffer[Expression]()
+    def flatten(p: LogicalPlan): Unit = p match {
+      case Join(l, r, Inner, cond, _) =>
+        flatten(l); flatten(r); cond.foreach(c => joinConds ++= splitConjuncts(c))
+      case SubqueryAlias(_, child) => flatten(child)
+      case leaf => leaves += leaf
+    }
+    flatten(joinRoot)
+    require(leaves.nonEmpty, "no relations found")
+    val conjuncts = topConjuncts ++ joinConds
+
+    // ---- equality classes over ExprIds
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(id: Long): Long = {
+      val p = parent.getOrElse(id, id)
+      if (p == id) id else { val r = find(p); parent(id) = r; r }
+    }
+    val (equalities, others) = conjuncts.partition {
+      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case _ => false
+    }
+    equalities.foreach { case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      parent(find(a.exprId.id)) = find(b.exprId.id)
+    }
+
+    // ---- variable naming: join classes share a name, the rest stay unique
+    val leafAttrIds: Seq[Set[Long]] = leaves.map(_.output.map(_.exprId.id).toSet).toSeq
+    def leafOf(id: Long): Int = leafAttrIds.indexWhere(_.contains(id))
+    val classMembers = (leafAttrIds.flatten.map(id => find(id) -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def isJoinVar(rep: Long): Boolean =
+      classMembers(rep).map(leafOf).size > 1
+    def varName(id: Long): String = {
+      val rep = find(id)
+      if (isJoinVar(rep)) s"v$rep" else s"c$id"
+    }
+
+    // ---- classify the remaining predicates
+    val leafFilters = scala.collection.mutable.Map[Int, List[Expression]]().withDefaultValue(Nil)
+    val cmps = scala.collection.mutable.ArrayBuffer[Cmp]()
+    val residual = scala.collection.mutable.ArrayBuffer[Expression]()
+    def opOf(e: Expression): Option[String] = e match {
+      case _: LessThan => Some("<")
+      case _: LessThanOrEqual => Some("<=")
+      case _: GreaterThan => Some(">")
+      case _: GreaterThanOrEqual => Some(">=")
+      case _ => None
+    }
+    others.foreach { e =>
+      val refLeaves = e.references.map(a => leafOf(a.exprId.id)).toSet
+      e match {
+        case _ if refLeaves.size == 1 =>
+          leafFilters(refLeaves.head) = e :: leafFilters(refLeaves.head)
+        case bc: BinaryComparison if opOf(bc).isDefined =>
+          (bc.left, bc.right) match {
+            case (a: AttributeReference, b: AttributeReference) =>
+              cmps += Cmp(varName(a.exprId.id), opOf(bc).get, varName(b.exprId.id))
+            case _ => residual += e
+          }
+        case _ => residual += e
+      }
+    }
+
+    // ---- build Rels: filter each leaf, rename attrs to variable names
+    def toVarNames(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
+    }
+    val rels = leaves.zipWithIndex.map { case (leaf, i) =>
+      var df = GraftSqlBridge.dataFrame(spark, leaf)
+      leafFilters(i).foreach(f => df = df.where(GraftSqlBridge.column(f)))
+      val renamed = leaf.output.foldLeft(df) { (d, a) =>
+        d.withColumnRenamed(a.name, varName(a.exprId.id))
+      }
+      require(leaf.output.map(a => varName(a.exprId.id)).distinct.size == leaf.output.size,
+        s"intra-relation equalities collapse columns in leaf $i — unsupported")
+      Rel(s"r$i", renamed)
+    }.toSeq
+
+    // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic)
+    var out = Ghd.solve(rels, cmps.toSeq)
+    residual.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
+
+    // ---- final projection with the SELECT's names
+    val cols = projectList.map {
+      case a @ Alias(child: AttributeReference, name) =>
+        org.apache.spark.sql.functions.col(varName(child.exprId.id)).as(name)
+      case a: AttributeReference =>
+        org.apache.spark.sql.functions.col(varName(a.exprId.id)).as(a.name)
+      case other =>
+        GraftSqlBridge.column(toVarNames(other)) // computed select item
+    }
+    out.select(cols: _*)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}

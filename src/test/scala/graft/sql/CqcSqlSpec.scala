@@ -1,0 +1,46 @@
+package graft.sql
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+class CqcSqlSpec extends SparkSpecBase {
+
+  private def prep(): Unit =
+    Tables.edges(spark, sfDir).createOrReplaceTempView("cqcsql_edges")
+
+  test("SQL with a cross-relation comparison matches stock Spark execution") {
+    prep()
+    val sql =
+      """SELECT g1.src AS src, g1.dst AS via, g2.dst AS dst, c1.cnt AS cnt1, c2.cnt AS cnt2
+        |FROM cqcsql_edges g1, cqcsql_edges g2,
+        |     (SELECT src, COUNT(*) AS cnt FROM cqcsql_edges GROUP BY src) c1,
+        |     (SELECT src, COUNT(*) AS cnt FROM cqcsql_edges GROUP BY src) c2
+        |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = c2.src
+        |  AND c1.cnt < c2.cnt""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("single-relation predicates are pushed into their leaf") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS b
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src < 50 AND g2.dst >= 10""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("cyclic SQL routes through GHD") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g2.src AS b, g3.src AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2, cqcsql_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
