@@ -33,6 +33,17 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("computed comparisons fall through to the residual filter") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src + g1.dst < g2.dst * 2""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("cyclic SQL routes through GHD") {
     prep()
     val sql =
