@@ -115,9 +115,11 @@ object Lftj {
   /**
    * Classic in-memory LFTJ: for each variable level in order, leapfrog-
    * intersect the sorted candidate ranges of every pattern involving that
-   * variable, narrowing ranges as bindings accumulate.
+   * variable, narrowing ranges as bindings accumulate. Shared by the
+   * mapPartitions path above and the [[graft.plans.LftjExec]] physical
+   * operator.
    */
-  private def lftj(
+  private[graft] def lftj(
       tries: Array[Array[(Long, Long)]],
       pats: Array[(Int, Int)], // (earlier var, later var) per pattern
       n: Int): Iterator[Array[Long]] = {
