@@ -111,10 +111,20 @@ object SparkEntry {
     Wcoj.triangleCount(Tables.edges(s, d))
 
   /** The same triangle count through the hypercube-partitioned Leapfrog
-    * Trie Join `mapPartitions` operator — the worst-case-optimal path. */
-  def qLftjTriangle(s: SparkSession, d: String): DataFrame =
-    Lftj.count(Tables.edges(s, d),
-      Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
+    * Trie Join — via the custom physical operator
+    * ([[graft.plans.LftjExec]]) when GraftExtensions is installed,
+    * falling back to the `mapPartitions` form otherwise. */
+  def qLftjTriangle(s: SparkSession, d: String): DataFrame = {
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val order = Seq("a", "b", "c")
+    val e = Tables.edges(s, d)
+    val hasStrategy = s.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.functions.GraftExtensions"))
+    if (hasStrategy)
+      graft.plans.LftjExec.enumerate(e, tri, order)
+        .agg(count(lit(1)).as("triangles"))
+    else Lftj.count(e, tri, order)
+  }
 
   /** Triangle count on the wide-domain SPARSE graph — the low-collision
     * regime (the dense 100-key graph makes every key hot; judging scale
