@@ -156,6 +156,22 @@ object SparkEntry {
       .agg(sum(col("n1") * col("n2")).as("n_pairs"))
   }
 
+  /** End-to-end corpus cleaning — the composed pipeline a training-data
+    * job actually runs: quality-score filter, then exact dedup (keep the
+    * min doc_id per normalized hash), then token statistics over the
+    * survivors. Each stage is the registered operator; the point is that
+    * they compose into one lazy plan (one documents scan feeds the
+    * quality filter AND the dedup hash — no materialization between
+    * stages). */
+  def qPipeClean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val good = docs.join(
+      TextOps.quality(docs).where(col("score") >= 0.63).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val keepers = Dedup.exact(good).select(col("keep_id").as("doc_id"))
+    TextOps.tokenCounts(good.join(keepers, Seq("doc_id"), "left_semi"))
+  }
+
   /** SQL-text front door: a multiway join written as plain SQL, evaluated
     * with the [[graft.plans.SemijoinReduction]] optimizer rule on — any
     * SQL user gets Yannakakis reduction without touching the Rel/Cmp API.
@@ -366,6 +382,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
+    "pipe_clean" -> (qPipeClean _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d)))
   )
@@ -529,6 +546,33 @@ object SparkEntry {
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
     "mm_frames" -> Multimodal.frameSampleDocumentsSql,
+    "pipe_clean" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+        |         len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and')))
+        |           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        |         least(1.0, CAST(len(w) AS DOUBLE) / 100.0) AS len_prior
+        |  FROM t
+        |),
+        |good AS (
+        |  SELECT doc_id, text FROM m
+        |  WHERE round(0.3 * len_prior + 0.4 * ttr + 0.3 * (1.0 - stop_ratio), 6) >= 0.63
+        |),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |        FROM good)
+        |  GROUP BY h
+        |),
+        |surv AS (SELECT g.doc_id, g.text FROM good g JOIN keep k ON g.doc_id = k.doc_id)
+        |SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |                     x -> (len(x) + 3) // 4)) AS BIGINT) AS n_bpe
+        |FROM surv""".stripMargin,
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql
   )
