@@ -30,14 +30,20 @@ object Bench {
         case c => c.toString
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // deterministic order for cross-round comparability
+    // deterministic order for cross-round comparability; each query is
+    // timed twice and the min reported — the host shows ~2.4x run-to-run
+    // noise (BASELINE.md), and min-of-2 is the standard way to read
+    // steady-state operator cost through it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // per-query hygiene: no cross-query caches
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case scala.util.control.NonFatal(e) =>
-        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache() // per-query hygiene: no cross-query caches
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
