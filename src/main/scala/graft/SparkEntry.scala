@@ -375,6 +375,7 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -539,6 +540,7 @@ object SparkEntry {
     "dedup_embed" -> Ann.embedNearDupSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
     "ann_lsh" -> Ann.lshTopKSql,
+    "ann_ivf" -> Ann.ivfTopKSql,
     "text_langid" -> TextOps.langIdSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,

@@ -172,6 +172,81 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ------------------------------------------------------------ IVF ANN
+
+  /** Number of IVF centroids and probed lists per query. */
+  val ivfCentroids = 16
+  val ivfProbes = 2
+
+  /**
+   * IVF (inverted-file) ANN skeleton: a coarse quantizer assigns every
+   * vector to its nearest centroid (one inverted list per centroid);
+   * queries probe only the [[ivfProbes]] nearest lists and rank their
+   * members exactly. Centroid "training" is a deterministic STUB — the
+   * first [[ivfCentroids]] vectors serve as centroids (swap in k-means
+   * at production scale); the partition/probe/rank plumbing is the real
+   * IVF shape: search cost is |probed lists|, not |collection|.
+   */
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val cent = emb.where(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // assignment: nearest centroid by cosine (ties -> lower centroid id)
+    def assign(of: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
+      of.crossJoin(broadcast(cent))
+        .withColumn("__sim", cosine(col("c_emb"), col("embedding")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= (if (idCol == "q_id") ivfProbes else 1))
+        .drop("__sim", "__rn", "c_emb")
+    }
+    val lists = assign(emb, "vec_id") // (vec_id, embedding, cid)
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = assign(q.withColumnRenamed("q_emb", "embedding"), "q_id")
+      .withColumnRenamed("embedding", "q_emb") // (q_id, q_emb, cid) x probes
+    val scored = probed.join(lists, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .distinct() // a neighbor can appear via both probed lists
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  val ivfTopKSql: String = {
+    val simToC = cosineSql("c.embedding", "e.embedding")
+    val simQ = cosineSql("p.q_emb", "e.embedding")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $ivfCentroids),
+       |lists AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $simToC DESC, c.cid) AS rn
+       |  FROM embeddings e, cent c
+       |  QUALIFY rn <= 1
+       |),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % $queryMod = 0),
+       |probed AS (
+       |  SELECT q.q_id, q.q_emb, c.cid,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |                            ORDER BY ${cosineSql("c.embedding", "q.q_emb")} DESC, c.cid) AS rn
+       |  FROM q0 q, cent c
+       |  QUALIFY rn <= $ivfProbes
+       |),
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, e.vec_id AS nbr_id, $simQ AS cos
+       |  FROM probed p JOIN lists e ON e.cid = p.cid AND e.vec_id <> p.q_id
+       |)
+       |SELECT q_id, nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk,
+       |       round(cos, 6) AS sim
+       |FROM scored
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Bands x planes-per-band for the near-dup candidate index. */
