@@ -36,7 +36,8 @@ object Bench {
     // steady-state operator cost through it
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
-        spark.catalog.clearCache() // per-query hygiene: no cross-query caches
+        CacheRegistry.unpersistAll() // release operator-internal persists
+        spark.catalog.clearCache()   // per-query hygiene: no cross-query caches
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(e) =>

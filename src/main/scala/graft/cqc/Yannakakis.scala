@@ -97,8 +97,10 @@ object Yannakakis {
 
     // Dangling-free, comparison-pruned relations are the enumeration
     // inputs; persist them — each is referenced by the enumeration join
-    // AND was built from multi-referenced intermediates.
-    tree.topDown.foreach(n => reduced(n) = reduced(n).persist())
+    // AND was built from multi-referenced intermediates. Tracked in
+    // CacheRegistry: callers release with CacheRegistry.unpersistAll()
+    // after materializing the result.
+    tree.topDown.foreach(n => reduced(n) = graft.CacheRegistry.persistTracked(reduced(n)))
 
     // Enumeration: fold natural joins root-first; apply each comparison as
     // soon as both variables are bound (earliest possible filtering, like

@@ -47,15 +47,18 @@ object Dedup {
   /**
    * Streaming exact dedup: keep the FIRST occurrence of each normalized
    * text hash as documents arrive (`readStream` input with an event-time
-   * `ts` column). The watermark bounds the dedup state — hashes older
-   * than the horizon are dropped, so state is proportional to the
-   * watermark window, not the corpus. This is the ingest-pipeline form
-   * of [[exact]]; see DedupStreamingSpec.
+   * `ts` column). `dropDuplicatesWithinWatermark` (NOT plain
+   * `dropDuplicates`, whose state never evicts regardless of watermark)
+   * drops each hash from the state store once the watermark passes its
+   * horizon — state is proportional to the watermark window, not the
+   * corpus. A text seen again AFTER the horizon is re-emitted; that is
+   * the contract of windowed ingest dedup. This is the ingest-pipeline
+   * form of [[exact]]; see DedupStreamingSpec (incl. the eviction test).
    */
   def exactStreaming(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs.withColumn("h", md5(normText))
       .withWatermark("ts", watermark)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
 
   // ------------------------------------------------------------- shingling
 
@@ -125,8 +128,9 @@ object Dedup {
     val sh = shingles(docs)
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= ngramDfCap).select(col("sh"))
-    val capped = sh.join(keep, Seq("sh"), "left_semi").select("doc_id", "sh")
-      .persist() // reused by the self-join (both sides) and the size agg
+    val capped = graft.CacheRegistry.persistTracked(
+      sh.join(keep, Seq("sh"), "left_semi").select("doc_id", "sh")
+    ) // reused by the self-join (both sides) and the size agg; tracked
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val shared = capped.toDF("d1", "sh").join(capped.toDF("d2", "sh2")
         .withColumnRenamed("sh2", "sh"), "sh")
@@ -197,7 +201,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame): DataFrame = {
     // the shingle index feeds the signature matrix AND the verify join:
     // persist it once (at scale this is the materialized inverted index)
-    val sh = shingles(docs).persist()
+    val sh = graft.CacheRegistry.persistTracked(shingles(docs))
     val sig = minhashSignatures(sh)
     val bandStructs = (0 until mhBands).map { b =>
       struct(lit(b).as("band"),

@@ -145,6 +145,7 @@ object LftjExec {
       patterns: Seq[(String, String)],
       varOrder: Seq[String],
       cubeSide: Int = 4): DataFrame = {
+    Lftj.validate(patterns, varOrder)
     val spark = edges.sparkSession
     val Array(c1, c2) = edges.columns
     val child = edges.select(

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -55,14 +55,21 @@ object CqcSql {
     require(leaves.nonEmpty, "no relations found")
     val conjuncts = topConjuncts ++ joinConds
 
-    // ---- equality classes over ExprIds
+    // ---- equality classes over ExprIds. Only CROSS-leaf equalities are
+    // join variables: a same-leaf equality like `g1.src = g1.dst` must be
+    // applied as a leaf filter (it falls through to the refLeaves.size==1
+    // branch below) — feeding it to the union-find would silently drop it,
+    // since a class confined to one leaf never gets a shared join name.
+    val leafAttrIds: Seq[Set[Long]] = leaves.map(_.output.map(_.exprId.id).toSet).toSeq
+    def leafOf(id: Long): Int = leafAttrIds.indexWhere(_.contains(id))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(id: Long): Long = {
       val p = parent.getOrElse(id, id)
       if (p == id) id else { val r = find(p); parent(id) = r; r }
     }
     val (equalities, others) = conjuncts.partition {
-      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        leafOf(a.exprId.id) != leafOf(b.exprId.id)
       case _ => false
     }
     equalities.foreach { case EqualTo(a: AttributeReference, b: AttributeReference) =>
@@ -70,8 +77,6 @@ object CqcSql {
     }
 
     // ---- variable naming: join classes share a name, the rest stay unique
-    val leafAttrIds: Seq[Set[Long]] = leaves.map(_.output.map(_.exprId.id).toSet).toSeq
-    def leafOf(id: Long): Int = leafAttrIds.indexWhere(_.contains(id))
     val classMembers = (leafAttrIds.flatten.map(id => find(id) -> id))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def isJoinVar(rep: Long): Boolean =
@@ -114,12 +119,22 @@ object CqcSql {
     val rels = leaves.zipWithIndex.map { case (leaf, i) =>
       var df = GraftSqlBridge.dataFrame(spark, leaf)
       leafFilters(i).foreach(f => df = df.where(GraftSqlBridge.column(f)))
-      val renamed = leaf.output.foldLeft(df) { (d, a) =>
-        d.withColumnRenamed(a.name, varName(a.exprId.id))
+      // Rename attrs to variable names. TRANSITIVE equalities can place
+      // two attrs of the same leaf in one class (r.a = s.x AND s.x = r.b
+      // implies r.a = r.b): keep the first column under the class name,
+      // filter the leaf on the implied equality, drop the duplicate.
+      val seen = scala.collection.mutable.Map[String, String]()
+      leaf.output.foreach { a =>
+        val vn = varName(a.exprId.id)
+        seen.get(vn) match {
+          case Some(_) =>
+            df = df.where(functions.col(a.name) === functions.col(vn)).drop(a.name)
+          case None =>
+            seen(vn) = a.name
+            df = df.withColumnRenamed(a.name, vn)
+        }
       }
-      require(leaf.output.map(a => varName(a.exprId.id)).distinct.size == leaf.output.size,
-        s"intra-relation equalities collapse columns in leaf $i — unsupported")
-      Rel(s"r$i", renamed)
+      Rel(s"r$i", df)
     }.toSeq
 
     // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic)

@@ -42,9 +42,9 @@ object RankJoin {
     require(keys.nonEmpty, "rank join requires shared join columns")
     // dangling rows must go before pruning, else a pruned-in row may not
     // join; persist both sides — each feeds the opposite semijoin and its
-    // own prune
-    val lp0 = left.persist()
-    val rp0 = right.persist()
+    // own prune (tracked: release via CacheRegistry.unpersistAll())
+    val lp0 = graft.CacheRegistry.persistTracked(left)
+    val rp0 = graft.CacheRegistry.persistTracked(right)
     val lr = lp0.join(rp0.select(keys.map(col): _*), keys, "left_semi")
     val rr = rp0.join(lp0.select(keys.map(col): _*), keys, "left_semi")
     val lp = prunePerKey(lr, keys, col(leftRank).desc +: tieCols.filter(left.columns.contains).map(col(_).asc), k)
@@ -71,8 +71,8 @@ object RankJoin {
       tieCols: Seq[String]): DataFrame = {
     require(rels.size >= 2 && rels.size == rankCols.size)
     // full semijoin reduction along the chain (dangling rows would steal
-    // prune slots); persist: each side feeds two passes
-    val reduced = rels.map(_.persist()).toBuffer
+    // prune slots); persist: each side feeds two passes (tracked)
+    val reduced = rels.map(graft.CacheRegistry.persistTracked).toBuffer
     for (i <- 0 until reduced.size - 1) {
       val keys = (reduced(i).columns.toSet intersect reduced(i + 1).columns.toSet).toSeq.sorted
       reduced(i + 1) = reduced(i + 1).join(reduced(i).select(keys.map(col): _*), keys, "left_semi")

@@ -33,6 +33,34 @@ object Lftj {
     Math.floorMod((k * 0x9E3779B97F4A7C15L) >>> 17, side.toLong).toInt
 
   /**
+   * Shared input validation for both WCOJ doors ([[enumerate]] and
+   * [[graft.plans.LftjExec.enumerate]]). Rejects up front the two shapes
+   * that would otherwise SILENTLY lose bindings:
+   *  - a self-loop pattern (u, u): only one hypercube coordinate is bound
+   *    while replication still enumerates side^(n-2) free cells, so one
+   *    dimension is never varied and tuples miss cells (the L self-loop
+   *    shape is handled separately in [[Wcoj]]);
+   *  - a varOrder variable covered by no pattern: recurse() would hit an
+   *    empty participant set and return 0 rows, masking a caller mistake.
+   */
+  private[graft] def validate(
+      patterns: Seq[(String, String)], varOrder: Seq[String]): Unit = {
+    val vars = varOrder.toSet
+    require(varOrder.length >= 2, "need at least two variables")
+    patterns.foreach { case (u, v) =>
+      require(vars.contains(u) && vars.contains(v),
+        s"pattern ($u,$v) uses a variable outside varOrder $varOrder")
+      require(u != v,
+        s"self-loop pattern ($u,$u) unsupported here: pre-filter edges on " +
+          "src = dst instead (see Wcoj's L-shape handling)")
+    }
+    varOrder.foreach { v =>
+      require(patterns.exists(p => p._1 == v || p._2 == v),
+        s"variable $v is bound by no pattern — the join would be empty/cartesian")
+    }
+  }
+
+  /**
    * Enumerate all bindings of `varOrder` such that every `patterns(r)`
    * (u, v) — meaning an edge u->v — exists in `edges(src, dst)`.
    * Returns one column per variable, in `varOrder`.
@@ -44,9 +72,9 @@ object Lftj {
       cubeSide: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    validate(patterns, varOrder)
     val n = varOrder.length
     val varIdx = varOrder.zipWithIndex.toMap
-    require(patterns.forall { case (u, v) => varIdx.contains(u) && varIdx.contains(v) })
     val side = cubeSide
 
     // (pattern index, earlier-var position, later-var position, swapped?,

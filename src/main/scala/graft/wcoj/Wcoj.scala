@@ -42,7 +42,8 @@ object Wcoj {
     // dedup defensively, a no-op for already-distinct inputs; persist
     // because the degree agg, both oriented halves, and the closing
     // semijoin all reference it
-    val e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst").persist()
+    val e = graft.CacheRegistry.persistTracked(
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
     val loops = e.where(col("src") === col("dst")).select(col("src").as("v"))
     val plain = e.where(col("src") =!= col("dst"))
 

@@ -44,6 +44,33 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("same-relation equality is applied as a leaf filter, not dropped") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS b
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.src = g1.dst AND g1.dst = g2.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the predicate must actually bite: without it the result is larger
+    val without = spark.sql(sql.replace("g1.src = g1.dst AND ", ""))
+      .collect().map(_.toSeq).toSet
+    assert(want.size < without.size)
+  }
+
+  test("transitive equalities collapsing two attrs of one leaf are filtered") {
+    prep()
+    // g1.src = g2.src AND g2.src = g1.dst implies g1.src = g1.dst
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS b
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.src = g2.src AND g2.src = g1.dst""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("cyclic SQL routes through GHD") {
     prep()
     val sql =

@@ -31,6 +31,24 @@ class WcojSpec extends SparkSpecBase {
     assert(lftj == oriented)
   }
 
+  test("LFTJ rejects self-loop patterns and unbound variables up front") {
+    // (a, a) binds one hypercube coordinate only — silently loses tuples
+    intercept[IllegalArgumentException] {
+      Lftj.enumerate(edges, Seq(("a", "a"), ("a", "b")), Seq("a", "b"))
+    }
+    // "c" covered by no pattern — would silently enumerate zero rows
+    intercept[IllegalArgumentException] {
+      Lftj.enumerate(edges, Seq(("a", "b")), Seq("a", "b", "c"))
+    }
+    // same guards on the physical-operator door
+    intercept[IllegalArgumentException] {
+      graft.plans.LftjExec.enumerate(edges, Seq(("a", "a"), ("a", "b")), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.LftjExec.enumerate(edges, Seq(("a", "b")), Seq("a", "b", "c"))
+    }
+  }
+
   test("GHD decomposes the bridged-triangles query into an acyclic bag tree") {
     val rels = Seq(
       Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
