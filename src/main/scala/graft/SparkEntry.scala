@@ -345,6 +345,150 @@ object SparkEntry {
       .select(round(lit(100.0) * col("promo_d") / col("total_d"), 6).as("promo_revenue"))
   }
 
+  /** TPC-H Q7 shape: two-nation volume shipping — 6-way join with a
+    * DISJUNCTIVE cross-nation condition (the OR of ordered nation pairs)
+    * and EXTRACT(YEAR) grouping. Dims broadcast; facts shuffle once. */
+  def qQ7Nations(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revD.as("rev_d"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20 with a
+    * deterministic custkey tie-break (join + group + ranked limit). */
+  def qQ10Returns(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-10-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revD.as("rev_d"))
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter, per-
+    * customer order counts (zeros included), then the count histogram —
+    * the outer-join capability demonstrated end-to-end. */
+  def qQ13Outer(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).where(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // nulls not counted -> 0
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — HAVING on an aggregate
+    * subquery used as a semijoin filter, then join + re-aggregate.
+    * l_quantity is integral, so its double sums are exact (no decimal
+    * dance needed on the HAVING side). */
+  def qQ18Having(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 220)
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC, so the
+        // cast to instant is lossless and matches the oracle's epoch math
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"), col("o_totalprice"),
+        col("sum_qty"))
+  }
+
+  /** TPC-H Q19 shape: disjunction of conjunctive predicate blocks across
+    * the lineitem-part join (OR of brand/size/quantity bands), with the
+    * implied brand IN pushed below the broadcast join. */
+  def qQ19Disj(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"), revD.as("rev_d"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
+  }
+
+  /** Window functions over a partitioned total order: row_number, lag,
+    * and a running decimal sum (exact + associative, so the windowed
+    * cumulative is engine-independent — a double running sum would not
+    * be, since DuckDB's segment-tree evaluation reassociates). */
+  def qWindowFns(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        round(sum(col("o_totalprice").cast("decimal(14,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .cast("double").as("cum_spend"))
+  }
+
+  /** ROLLUP grouping-set aggregation: per (nation, priority) spend with
+    * subtotal and grand-total rows (NULL slots surfaced as 'ALL'). All
+    * levels come out of ONE pass — partial-aggregable, no re-scan per
+    * level. */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(14,2)")), 2).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_spend"), col("n_orders"))
+  }
+
+  /** Any-k ranked enumeration, page 2 (ranks 11-20) of the 3-hop ranked
+    * path — the reference's any-k iterator surfaced as deterministic
+    * pagination (see [[RankJoin.anyKPage]]). */
+  def qAnykPage(s: SparkSession, d: String): DataFrame = {
+    val re = Tables.ratedEdges(s, d)
+    RankJoin.anyKPage(
+      Seq(re.toDF("node1", "node2", "rating1"),
+        re.toDF("node2", "node3", "rating2"),
+        re.toDF("node3", "node4", "rating3")),
+      Seq("rating1", "rating2", "rating3"), offset = 10, batch = 10,
+      tieCols = Seq("node1", "node2", "node3", "node4"))
+      .select("node1", "node2", "node3", "node4", "total_rank")
+  }
+
   // ----------------------------------------------------------- LLM datapipe
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,8 +510,16 @@ object SparkEntry {
     "q5_join" -> (qQ5Join _),
     "q6_filter" -> (qQ6Filter _),
     "q_filter_ops" -> (qFilterOps _),
+    "q7_nations" -> (qQ7Nations _),
+    "q10_returns" -> (qQ10Returns _),
     "q12_case" -> (qQ12Case _),
+    "q13_outer" -> (qQ13Outer _),
     "q14_case" -> (qQ14Case _),
+    "q18_having" -> (qQ18Having _),
+    "q19_disj" -> (qQ19Disj _),
+    "q_window" -> (qWindowFns _),
+    "q_rollup" -> (qRollup _),
+    "anyk_page" -> (qAnykPage _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -514,6 +666,74 @@ object SparkEntry {
         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q7_nations" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q13_outer" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q18_having" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       epoch_ns(o_orderdate) // 1000000 AS o_date_ms, o_totalprice,
+        |       big.sum_qty AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_disj" ->
+      """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend
+        |FROM orders
+        |WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_spend,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders, customer, nation
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)""".stripMargin,
+    "anyk_page" ->
+      s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+         |       r.rating + s.rating + t.rating AS total_rank
+         |FROM $RE r, $RE s, $RE t
+         |WHERE r.dst = s.src AND s.dst = t.src
+         |ORDER BY total_rank DESC, node1, node2, node3, node4
+         |LIMIT 10 OFFSET 10""".stripMargin,
     "q12_case" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

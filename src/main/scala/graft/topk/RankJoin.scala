@@ -95,4 +95,32 @@ object RankJoin {
     acc.withColumnRenamed("__cum", "total_rank")
       .orderBy(col("total_rank").desc +: tieCols.map(col(_).asc): _*).limit(k)
   }
+
+  /**
+   * Any-k ranked enumeration, page form (reference convert/TopK.scala's
+   * ranked enumeration, re-expressed for a batch engine): return results
+   * ranked `offset+1 .. offset+batch` of the chain join, WITHOUT
+   * materializing the full join. The iterator-style any-k of the
+   * reference becomes pagination here because Spark consumers pull
+   * DataFrames, not tuples: each page re-runs the chain with the per-key
+   * prune bound at `offset+batch` — intermediates stay bounded at
+   * (offset+batch)·|keys| rows, so "give me the next 10" never pays for
+   * more than the 10 it returns plus the prefix it must rank under.
+   * Total ordering (rank desc, then `tieCols` asc — which must form a
+   * key) makes every page deterministic and pages non-overlapping.
+   */
+  def anyKPage(
+      rels: Seq[DataFrame],
+      rankCols: Seq[String],
+      offset: Int,
+      batch: Int,
+      tieCols: Seq[String]): DataFrame = {
+    require(offset >= 0 && batch > 0)
+    val top = topKChain(rels, rankCols, offset + batch, tieCols)
+    // the window input is at most offset+batch rows (post-limit), so the
+    // single-partition global sort is bounded, not a scale hazard
+    val w = Window.orderBy(col("total_rank").desc +: tieCols.map(col(_).asc): _*)
+    top.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > offset).drop("__rn")
+  }
 }

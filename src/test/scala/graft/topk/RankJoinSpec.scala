@@ -26,6 +26,28 @@ class RankJoinSpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq && want.nonEmpty)
   }
 
+  test("anyKPage pages are disjoint, ordered, and tile the full ranking") {
+    val e = Seq(
+      ("a", "b", 5.0), ("a", "c", 3.0), ("b", "c", 4.0), ("b", "d", 9.0),
+      ("c", "d", 1.0), ("c", "a", 7.0), ("d", "a", 2.0), ("d", "b", 6.0))
+    val r1 = e.toDF("n1", "n2", "w1")
+    val r2 = e.toDF("n2", "n3", "w2")
+    val rels = Seq(r1, r2)
+    val ties = Seq("n1", "n2", "n3")
+    val full = r1.join(r2, "n2")
+      .withColumn("total_rank", col("w1") + col("w2"))
+      .orderBy(col("total_rank").desc, col("n1"), col("n2"), col("n3"))
+      .select("n1", "n2", "n3", "total_rank")
+      .collect().map(_.toSeq).toSeq
+    val pages = Seq(0, 3, 6).map { off =>
+      RankJoin.anyKPage(rels, Seq("w1", "w2"), off, 3, ties)
+        .orderBy(col("total_rank").desc, col("n1"), col("n2"), col("n3"))
+        .select("n1", "n2", "n3", "total_rank")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(pages.flatten == full.take(9)) // consecutive pages == ranked prefix
+  }
+
   test("topKChain over 3 relations equals the full-join oracle") {
     val e = Seq(
       ("a", "b", 5.0), ("a", "c", 3.0), ("b", "c", 4.0), ("b", "d", 9.0),
