@@ -204,6 +204,18 @@ object SparkEntry {
         |  AND g3.dst = c2.src AND c1.cnt < c2.cnt""".stripMargin)
   }
 
+  /** The SQL door WITH aggregation: GROUP BY + HAVING over the CQC-
+    * evaluated join, straight from SQL text (see [[graft.sql.CqcSql]]). */
+  def qSqlCqcAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqca_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS src, COUNT(*) AS n_paths, SUM(g3.dst) AS sum_dst
+        |FROM cqca_edges g1, cqca_edges g2, cqca_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src
+        |HAVING COUNT(*) > 100""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -504,6 +516,7 @@ object SparkEntry {
     "ghd_bridge" -> (qGhdBridge _),
     "sql_frontend" -> (qSqlFrontend _),
     "sql_cqc" -> (qSqlCqc _),
+    "sql_cqc_agg" -> (qSqlCqcAgg _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -537,7 +550,8 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
     "pipe_clean" -> (qPipeClean _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
-    "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d)))
+    "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
+    "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d)))
   )
 
   private val E = s"(${Tables.edgesSql})"
@@ -796,6 +810,14 @@ object SparkEntry {
         |                     x -> (len(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM surv""".stripMargin,
     "stream_window" -> EventStreams.windowedAggSql,
-    "stream_session" -> EventStreams.sessionizeSql
+    "stream_session" -> EventStreams.sessionizeSql,
+    "stream_join" -> EventStreams.viewPurchaseJoinSql,
+    "sql_cqc_agg" ->
+      s"""SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS n_paths,
+         |       CAST(SUM(g3.dst) AS BIGINT) AS sum_dst
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
+         |GROUP BY g1.src
+         |HAVING COUNT(*) > 100""".stripMargin
   )
 }

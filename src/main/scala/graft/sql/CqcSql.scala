@@ -3,8 +3,9 @@ package graft.sql
 import org.apache.spark.sql.{functions, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
 import graft.cqc.{Cmp, Rel}
 import graft.wcoj.Ghd
@@ -21,19 +22,40 @@ import graft.wcoj.Ghd
  * GHD bags when cyclic). Unlike the SemijoinReduction optimizer rule,
  * this path also applies CQC comparison pruning.
  *
- * Supported shape: SELECT <attrs/aliases> FROM <inner-joined relations>
- * WHERE <conjunction of equalities, comparisons, single-relation
- * predicates>. Single-relation predicates are pushed into their leaf;
- * var-to-var comparisons become [[Cmp]] annotations; anything else is
- * applied as a residual filter on the enumeration output.
+ * Supported shape: SELECT <attrs/aliases | aggregates> FROM
+ * <inner-joined relations> WHERE <conjunction of equalities,
+ * comparisons, single-relation predicates> [GROUP BY <attrs>
+ * [HAVING <conds>]]. Single-relation predicates are pushed into their
+ * leaf; var-to-var comparisons become [[Cmp]] annotations; anything
+ * else is applied as a residual filter on the enumeration output.
+ * GROUP BY/HAVING run as an ordinary Catalyst hash aggregate on top of
+ * the CQC result (reference TpchQueriesTest's aggregate-over-join
+ * shapes).
  */
 object CqcSql {
 
   def solve(spark: SparkSession, sql: String): DataFrame = {
     val analyzed = spark.sql(sql).queryExecution.analyzed
 
+    // ---- peel HAVING / Aggregate off the top (GROUP BY over the CQC
+    // join result — reference TpchQueriesTest shapes; the analyzer turns
+    // HAVING into Filter(cond, Aggregate(...)))
+    val (outerProj, havingConds, aggInfo, afterAgg) = analyzed match {
+      // HAVING on a non-selected aggregate: the analyzer widens the
+      // Aggregate with a helper column and strips it with a Project
+      case Project(pl, Filter(cond, Aggregate(ge, ae, child, _))) =>
+        (Some(pl), splitConjuncts(cond), Some((ge, ae)), child)
+      case Filter(cond, Aggregate(ge, ae, child, _)) =>
+        (None, splitConjuncts(cond), Some((ge, ae)), child)
+      case Aggregate(ge, ae, child, _) =>
+        (None, Seq.empty[Expression], Some((ge, ae)), child)
+      case other =>
+        (None, Seq.empty[Expression], None, other)
+    }
+
     // ---- peel Project / Filter off the top
-    val (projectList, afterProject) = analyzed match {
+    val (projectList, afterProject) = afterAgg match {
+      case _ if aggInfo.isDefined => (Nil, afterAgg)
       case Project(pl, child) => (pl, child)
       case other => (other.output.map(a => a: NamedExpression), other)
     }
@@ -141,16 +163,60 @@ object CqcSql {
     var out = Ghd.solve(rels, cmps.toSeq)
     residual.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
 
-    // ---- final projection with the SELECT's names
-    val cols = projectList.map {
-      case a @ Alias(child: AttributeReference, name) =>
-        org.apache.spark.sql.functions.col(varName(child.exprId.id)).as(name)
-      case a: AttributeReference =>
-        org.apache.spark.sql.functions.col(varName(a.exprId.id)).as(a.name)
-      case other =>
-        GraftSqlBridge.column(toVarNames(other)) // computed select item
+    aggInfo match {
+      case Some((groupExprs, aggExprs)) =>
+        // ---- GROUP BY / HAVING over the CQC join result. The aggregate
+        // itself is a plain Catalyst hash aggregate (partial + final) on
+        // top of the reduced, comparison-pruned enumeration.
+        val gcols = groupExprs.map(e => GraftSqlBridge.column(toVarNames(e)))
+        // internal sanitized names: the analyzer's helper aliases can be
+        // named `count(1)`, which col()/UnresolvedAttribute cannot parse
+        val aggAliases = aggExprs.zipWithIndex.collect {
+          case (al: Alias, i) if al.exists(_.isInstanceOf[AggregateExpression]) =>
+            (al, s"__agg$i")
+        }
+        require(aggAliases.nonEmpty,
+          "GROUP BY without aggregate functions — use SELECT DISTINCT instead")
+        val acols = aggAliases.map { case (al, n) =>
+          GraftSqlBridge.column(toVarNames(al.child)).as(n)
+        }
+        var agg = out.groupBy(gcols: _*).agg(acols.head, acols.tail: _*)
+        // agg outputs are addressable by internal name; group keys by var
+        // name; grouping-column ALIASES (SELECT g1.src AS a ... GROUP BY
+        // g1.src) resolve through to the underlying variable
+        val aliasNames = aggAliases.map { case (al, n) => al.exprId.id -> n }.toMap ++
+          aggExprs.collect {
+            case al @ Alias(c: AttributeReference, _) => al.exprId.id -> varName(c.exprId.id)
+          }.toMap
+        def toOutNames(e: Expression): Expression = e.transform {
+          case a: AttributeReference =>
+            UnresolvedAttribute(aliasNames.getOrElse(a.exprId.id, varName(a.exprId.id)))
+        }
+        havingConds.foreach(c => agg = agg.where(GraftSqlBridge.column(toOutNames(c))))
+        val finalList = outerProj.getOrElse(aggExprs)
+        val cols = finalList.map {
+          case a: AttributeReference =>
+            functions.col(aliasNames.getOrElse(a.exprId.id, varName(a.exprId.id))).as(a.name)
+          case Alias(c: AttributeReference, name) =>
+            functions.col(aliasNames.getOrElse(c.exprId.id, varName(c.exprId.id))).as(name)
+          case al: Alias if aliasNames.contains(al.exprId.id) =>
+            functions.col(aliasNames(al.exprId.id)).as(al.name)
+          case other => GraftSqlBridge.column(toOutNames(other))
+        }
+        agg.select(cols: _*)
+
+      case None =>
+        // ---- final projection with the SELECT's names
+        val cols = projectList.map {
+          case Alias(child: AttributeReference, name) =>
+            functions.col(varName(child.exprId.id)).as(name)
+          case a: AttributeReference =>
+            functions.col(varName(a.exprId.id)).as(a.name)
+          case other =>
+            GraftSqlBridge.column(toVarNames(other)) // computed select item
+        }
+        out.select(cols: _*)
     }
-    out.select(cols: _*)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

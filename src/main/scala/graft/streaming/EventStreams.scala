@@ -79,6 +79,45 @@ object EventStreams {
        |FROM numbered
        |GROUP BY user_id, sid""".stripMargin
 
+  /** Interval bound for the view->purchase attribution join. */
+  val attributionWindow = "30 minutes"
+  val attributionWindowMs = 30L * 60 * 1000
+
+  /**
+   * Stream-stream interval join: attribute each purchase to the views of
+   * the same user in the preceding [[attributionWindow]]. BOTH sides are
+   * watermarked and the join condition bounds event-time distance, so in
+   * streaming mode Spark can evict join state once the watermark passes
+   * (unbounded stream-stream joins would otherwise keep every row
+   * forever). The same code runs in batch (`withWatermark` is a no-op
+   * there) — the driver's hash gate verifies the batch form, and
+   * EventStreamsSpec asserts the MemoryStream run produces the identical
+   * result set.
+   */
+  def viewPurchaseJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_millis(col("vts")).as("vts_ms"), unix_millis(col("pts")).as("pts_ms"))
+  }
+
+  val viewPurchaseJoinSql: String =
+    s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       |       epoch_ns(v.ts) // 1000000 AS vts_ms, epoch_ns(p.ts) // 1000000 AS pts_ms
+       |FROM events v JOIN events p
+       |  ON v.user_id = p.user_id
+       | AND v.event_type = 'view' AND p.event_type = 'purchase'
+       | AND epoch_ns(p.ts) // 1000000 >= epoch_ns(v.ts) // 1000000
+       | AND epoch_ns(p.ts) // 1000000 <= epoch_ns(v.ts) // 1000000 + $attributionWindowMs""".stripMargin
+
   /**
    * Streaming sessionization with explicit state
    * (`flatMapGroupsWithState`): per user, extend the open session while

@@ -71,6 +71,44 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("GROUP BY aggregation over the CQC join matches stock Spark") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, COUNT(*) AS n, SUM(g2.dst) AS s
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src < 40
+        |GROUP BY g1.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("HAVING over a selected aggregate") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, COUNT(*) AS n
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src
+        |HAVING COUNT(*) > 30""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("HAVING over a NON-selected aggregate (analyzer's helper Project)") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, SUM(g2.dst) AS s
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src
+        |HAVING COUNT(*) > 30""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("cyclic SQL routes through GHD") {
     prep()
     val sql =

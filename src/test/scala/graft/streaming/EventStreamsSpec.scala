@@ -8,6 +8,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 /** One raw event for the MemoryStream run. */
 case class RawEvent(ts: Timestamp, event_type: String, value: Double)
 
+/** An identified event for the stream-stream join run. */
+case class IdEvent(event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
+
 class EventStreamsSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -34,6 +37,32 @@ class EventStreamsSpec extends SparkSpecBase {
       val streamed = spark.table("win_out").collect().map(_.toSeq).toSet
       val batch = EventStreams.windowedAgg(events.toDF()).collect().map(_.toSeq).toSet
       assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val min = 60L * 1000
+    val events = Seq(
+      IdEvent(1L, 7L, "view", ts(10 * hour)),
+      IdEvent(2L, 7L, "purchase", ts(10 * hour + 10 * min)), // within 30 min of view 1
+      IdEvent(3L, 7L, "purchase", ts(11 * hour)),            // outside the window
+      IdEvent(4L, 8L, "view", ts(10 * hour)),                // other user: no pair
+      IdEvent(5L, 7L, "view", ts(10 * hour + 50 * min)),     // pairs with purchase 3
+      IdEvent(6L, 9L, "click", ts(10 * hour)))               // irrelevant type
+    val input = MemoryStream[IdEvent]
+    val q = EventStreams.viewPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("join_out").outputMode("append").start()
+    try {
+      input.addData(events.take(3))
+      q.processAllAvailable()
+      input.addData(events.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("join_out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.viewPurchaseJoin(events.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch ==
+        Set(Seq(7L, 1L, 2L, 10 * hour, 10 * hour + 10 * min),
+            Seq(7L, 5L, 3L, 10 * hour + 50 * min, 11 * hour)))
     } finally q.stop()
   }
 
