@@ -204,6 +204,23 @@ object SparkEntry {
         |  AND g3.dst = c2.src AND c1.cnt < c2.cnt""".stripMargin)
   }
 
+  /** Salted join on a power-law hub graph: ~half the probe rows share
+    * ONE key (dst=1, see [[Tables.edgesSkewed]]), the case where a plain
+    * shuffle join leaves one straggler task holding half the data.
+    * [[graft.plans.Skew.saltedJoin]] spreads each hot key over 8 salt
+    * buckets deterministically (no AQE runtime re-plan needed — the
+    * stable-task-size path for repeated pipelines); the aggregate on top
+    * is map-side combinable so the salt never reaches the output. */
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edgesSkewed(s, d)
+    // per-node weights join the hub side of the edge list
+    val w = Tables.edgesSkewed(s, d).groupBy(col("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.plans.Skew.saltedJoin(e, w, Seq("dst"), salt = 8)
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_sum"))
+  }
+
   /** The SQL door WITH aggregation: GROUP BY + HAVING over the CQC-
     * evaluated join, straight from SQL text (see [[graft.sql.CqcSql]]). */
   def qSqlCqcAgg(s: SparkSession, d: String): DataFrame = {
@@ -517,6 +534,7 @@ object SparkEntry {
     "sql_frontend" -> (qSqlFrontend _),
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
+    "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -812,6 +830,13 @@ object SparkEntry {
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
+    "skew_join" ->
+      s"""WITH e AS (${Tables.edgesSkewedSql}),
+         |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)
+         |SELECT e.dst, CAST(count(*) AS BIGINT) AS n_edges,
+         |       CAST(sum(w.w) AS BIGINT) AS w_sum
+         |FROM e JOIN w ON e.dst = w.dst
+         |GROUP BY e.dst""".stripMargin,
     "sql_cqc_agg" ->
       s"""SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS n_paths,
          |       CAST(SUM(g3.dst) AS BIGINT) AS sum_dst

@@ -87,6 +87,22 @@ object Tables {
   val edgesWideSql: String =
     "SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst FROM lineitem WHERE l_linenumber = 1"
 
+  /**
+   * Power-law-skewed edge list: `dst = 1000 div (1 + l_orderkey % 1000)`
+   * concentrates ~half of all rows on dst=1 (and a long tail of ever-
+   * hotter low keys) — a deterministic zipf-ish hub distribution. This is
+   * the input where a plain hash join puts half the build/probe work in
+   * ONE task; the salted join (see [[graft.plans.Skew]]) or AQE skew
+   * split must spread it.
+   */
+  def edgesSkewed(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select((col("l_orderkey") % 5000).as("src"),
+        expr("1000 div (1 + l_orderkey % 1000)").as("dst"))
+
+  val edgesSkewedSql: String =
+    "SELECT l_orderkey % 5000 AS src, 1000 // (1 + l_orderkey % 1000) AS dst FROM lineitem"
+
   /** Weighted graph for ranked (top-k) joins: edge rating = max quantity. */
   def ratedEdges(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -48,4 +48,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan("ann_topk").contains("BroadcastNestedLoopJoin") ||
       plan("ann_topk").contains("BroadcastHashJoin"))
   }
+
+  test("q7_nations broadcasts both nation sides, no cartesian") {
+    val p = plan("q7_nations")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q19_disj pushes the implied brand IN below the broadcast join") {
+    val p = plan("q19_disj")
+    assert(p.contains("BroadcastHashJoin"))
+    // the part scan must be filtered at the source, not post-join
+    assert(p.contains("In(p_brand") || p.contains("p_brand#"))
+    assert(p.contains("PushedFilters: ["))
+  }
+
+  test("q13_outer plans a real outer join (no inner rewrite)") {
+    val p = plan("q13_outer")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"))
+  }
+
+  test("skew_join spreads the hot key over salt buckets in the join key") {
+    val p = plan("skew_join")
+    assert(p.contains("__salt")) // the salt column participates in the join
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_window computes all three window functions in one shuffle") {
+    val p = plan("q_window")
+    // one Window node (same partitioning/ordering fuses the functions);
+    // a second would mean an extra sort+shuffle per function
+    assert(p.linesIterator.count(_.contains(" Window [")) == 1)
+  }
 }
