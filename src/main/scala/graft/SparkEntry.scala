@@ -204,6 +204,18 @@ object SparkEntry {
         |  AND g3.dst = c2.src AND c1.cnt < c2.cnt""".stripMargin)
   }
 
+  /** The SQL door with ORDER BY + LIMIT: ranked top-k straight from SQL
+    * text, planned as TakeOrderedAndProject over the CQC result (no full
+    * sort materialization). */
+  def qSqlCqcTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqct_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+        |FROM cqct_edges g1, cqct_edges g2
+        |WHERE g1.dst = g2.src
+        |ORDER BY c DESC, a ASC, b ASC LIMIT 10""".stripMargin)
+  }
+
   /** Salted join on a power-law hub graph: ~half the probe rows share
     * ONE key (dst=1, see [[Tables.edgesSkewed]]), the case where a plain
     * shuffle join leaves one straggler task holding half the data.
@@ -534,6 +546,7 @@ object SparkEntry {
     "sql_frontend" -> (qSqlFrontend _),
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
+    "sql_cqc_topk" -> (qSqlCqcTopk _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
@@ -830,6 +843,11 @@ object SparkEntry {
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
+    "sql_cqc_topk" ->
+      s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+         |FROM $E g1, $E g2
+         |WHERE g1.dst = g2.src
+         |ORDER BY c DESC, a ASC, b ASC LIMIT 10""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)

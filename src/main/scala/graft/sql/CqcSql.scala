@@ -4,8 +4,9 @@ import org.apache.spark.sql.{functions, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.{Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 
 import graft.cqc.{Cmp, Rel}
 import graft.wcoj.Ghd
@@ -25,22 +26,40 @@ import graft.wcoj.Ghd
  * Supported shape: SELECT <attrs/aliases | aggregates> FROM
  * <inner-joined relations> WHERE <conjunction of equalities,
  * comparisons, single-relation predicates> [GROUP BY <attrs>
- * [HAVING <conds>]]. Single-relation predicates are pushed into their
- * leaf; var-to-var comparisons become [[Cmp]] annotations; anything
- * else is applied as a residual filter on the enumeration output.
- * GROUP BY/HAVING run as an ordinary Catalyst hash aggregate on top of
- * the CQC result (reference TpchQueriesTest's aggregate-over-join
- * shapes).
+ * [HAVING <conds>]] [ORDER BY <selected cols> [LIMIT n]]. Single-
+ * relation predicates are pushed into their leaf; var-to-var
+ * comparisons become [[Cmp]] annotations; anything else is applied as
+ * a residual filter on the enumeration output. GROUP BY/HAVING run as
+ * an ordinary Catalyst hash aggregate on top of the CQC result
+ * (reference TpchQueriesTest's aggregate-over-join shapes); ORDER
+ * BY+LIMIT plan as TakeOrderedAndProject (no full-sort
+ * materialization). Unsupported top shapes fall back to stock Spark
+ * evaluation of the whole subtree — always correct, just not
+ * CQC-accelerated.
  */
 object CqcSql {
 
   def solve(spark: SparkSession, sql: String): DataFrame = {
     val analyzed = spark.sql(sql).queryExecution.analyzed
 
+    // ---- peel ORDER BY / LIMIT off the top (the reference's ranked
+    // SQL form). Sort refs must point at SELECTed output columns; they
+    // are re-applied by output name on the final frame, so the CQC
+    // pipeline under them is unchanged. TakeOrderedAndProject picks up
+    // the sort+limit pair physically — the full sort never materializes.
+    val (sortLimit, afterSort): ((Seq[SortOrder], Option[Int]), LogicalPlan) = analyzed match {
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, Sort(order, true, child, _))) =>
+        ((order, Some(n)), child)
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
+        ((Nil, Some(n)), child)
+      case Sort(order, true, child, _) => ((order, None), child)
+      case other => ((Nil, None), other)
+    }
+
     // ---- peel HAVING / Aggregate off the top (GROUP BY over the CQC
     // join result — reference TpchQueriesTest shapes; the analyzer turns
     // HAVING into Filter(cond, Aggregate(...)))
-    val (outerProj, havingConds, aggInfo, afterAgg) = analyzed match {
+    val (outerProj, havingConds, aggInfo, afterAgg) = afterSort match {
       // HAVING on a non-selected aggregate: the analyzer widens the
       // Aggregate with a helper column and strips it with a Project
       case Project(pl, Filter(cond, Aggregate(ge, ae, child, _))) =>
@@ -163,7 +182,7 @@ object CqcSql {
     var out = Ghd.solve(rels, cmps.toSeq)
     residual.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
 
-    aggInfo match {
+    val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
       case Some((groupExprs, aggExprs)) =>
         // ---- GROUP BY / HAVING over the CQC join result. The aggregate
         // itself is a plain Catalyst hash aggregate (partial + final) on
@@ -203,7 +222,7 @@ object CqcSql {
             functions.col(aliasNames(al.exprId.id)).as(al.name)
           case other => GraftSqlBridge.column(toOutNames(other))
         }
-        agg.select(cols: _*)
+        (agg.select(cols: _*), finalList)
 
       case None =>
         // ---- final projection with the SELECT's names
@@ -215,8 +234,26 @@ object CqcSql {
           case other =>
             GraftSqlBridge.column(toVarNames(other)) // computed select item
         }
-        out.select(cols: _*)
+        (out.select(cols: _*), projectList)
     }
+
+    // ---- re-apply ORDER BY / LIMIT on the final frame, by output name
+    val (sortOrders, limitN) = sortLimit
+    var res = resBase
+    if (sortOrders.nonEmpty) {
+      val finalNames = finalNamed.map(ne => ne.exprId.id -> ne.name).toMap
+      val scols = sortOrders.map { so =>
+        GraftSqlBridge.column(so.transform {
+          case a: AttributeReference =>
+            UnresolvedAttribute(finalNames.getOrElse(a.exprId.id,
+              throw new IllegalArgumentException(
+                "ORDER BY must reference selected columns")))
+        })
+      }
+      res = res.orderBy(scols: _*)
+    }
+    limitN.foreach(n => res = res.limit(n))
+    res
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

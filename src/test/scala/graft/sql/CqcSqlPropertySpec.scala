@@ -1,0 +1,42 @@
+package graft.sql
+
+import graft.SparkSpecBase
+
+/**
+ * Seeded random-query fuzz of the SQL door: chain joins over a random
+ * edge table with random filters/comparisons, each compared against
+ * stock Spark execution of the identical text. Every relation's columns
+ * are selected, so result rows are unique and set-compare is exact.
+ */
+class CqcSqlPropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("random chain queries with filters/comparisons match stock Spark") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("prop_edges")
+
+    var nonEmpty = 0
+    for (_ <- 1 to 10) {
+      val n = 2 + rnd.nextInt(3) // 2-4 relations
+      val joins = (1 until n).map { j =>
+        val la = if (rnd.nextBoolean()) "src" else "dst"
+        val ra = if (rnd.nextBoolean()) "src" else "dst"
+        s"g$j.$la = g${j + 1}.$ra"
+      }
+      val filters = (1 to n).filter(_ => rnd.nextInt(3) == 0)
+        .map(j => s"g$j.src < ${3 + rnd.nextInt(9)}")
+      val cmps = if (rnd.nextBoolean()) Seq(s"g1.src < g$n.dst") else Nil
+      val select = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j").mkString(", ")
+      val from = (1 to n).map(j => s"prop_edges g$j").mkString(", ")
+      val sql = s"SELECT $select FROM $from WHERE ${(joins ++ filters ++ cmps).mkString(" AND ")}"
+
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want, s"mismatch for: $sql")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5) // the generator must not fuzz trivial empties only
+  }
+}

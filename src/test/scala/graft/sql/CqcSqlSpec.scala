@@ -109,6 +109,33 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("ORDER BY + LIMIT plans as a ranked top-k (TakeOrderedAndProject)") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |ORDER BY c DESC, a ASC, b ASC LIMIT 7""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(got == want && want.size == 7) // exact order: total tie-break
+    assert(df.queryExecution.executedPlan.toString().contains("TakeOrderedAndProject"))
+  }
+
+  test("ORDER BY + LIMIT over a GROUP BY aggregate") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, COUNT(*) AS n
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src
+        |ORDER BY n DESC, a ASC LIMIT 5""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSeq
+    val want = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("cyclic SQL routes through GHD") {
     prep()
     val sql =
