@@ -56,6 +56,25 @@ final class JoinTree(
     val root: String,
     val parentOf: Map[String, String]) {
 
+  /** The same (undirected) join tree re-rooted at `newRoot`: parent
+    * pointers along the path newRoot..root flip direction. Any node of a
+    * join tree can serve as root — the running-intersection property is
+    * undirected — so this is how a cost model picks WHERE enumeration
+    * starts without re-running GYO. */
+  def rerooted(newRoot: String): JoinTree = {
+    require(rels.contains(newRoot), s"unknown relation $newRoot")
+    if (newRoot == root) this
+    else {
+      // ancestors newRoot -> ... -> old root, then flip each edge on it
+      val up = scala.collection.mutable.ArrayBuffer(newRoot)
+      while (parentOf.contains(up.last)) up += parentOf(up.last)
+      val flipped = scala.collection.mutable.Map[String, String]() ++ parentOf
+      flipped -= newRoot
+      for (i <- 0 until up.length - 1) flipped(up(i + 1)) = up(i)
+      new JoinTree(rels, newRoot, flipped.toMap)
+    }
+  }
+
   val childrenOf: Map[String, Seq[String]] =
     parentOf.toSeq.groupBy(_._2).map { case (p, kids) => p -> kids.map(_._1).sorted }
       .withDefaultValue(Seq.empty)
@@ -89,14 +108,36 @@ final class JoinTree(
 
 object Hypergraph {
 
+  /** Driver-side size estimate from Catalyst's optimized-plan stats —
+    * pure metadata (parquet footer sizes x selectivity guesses), no jobs.
+    * The reference's cost pick reads table statistics the same way
+    * (its join-tree candidates are costed before compilation). */
+  private def estSize(r: Rel): BigInt =
+    try r.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+
   /**
-   * GYO reduction → join tree. Throws CyclicQueryException when the
-   * hypergraph is not alpha-acyclic (cyclic queries go through
-   * [[graft.wcoj]] / GHD instead).
+   * GYO reduction → join tree, COST-PICKED among the valid candidates
+   * (reference: gyo/GyoAlgorithm.scala feeding a costed candidate pick):
+   *  - each round absorbs the SMALLEST available ear, so small relations
+   *    sit deep in the tree and semijoin filters flow outward from them;
+   *  - among witnesses of that ear, prefer the largest shared-variable
+   *    overlap (strongest semijoin), tie-broken by smaller size, then
+   *    name (determinism);
+   *  - the finished tree is re-rooted at the LARGEST relation: the big
+   *    side is reduced by every child before enumeration ever widens it,
+   *    and the accumulated intermediate joins against small reduced
+   *    children (AQE broadcasts them) instead of meeting the big
+   *    relation last.
+   * Tree choice never changes results (join trees of an acyclic query
+   * are result-equivalent — spec-verified); it changes shuffle payloads.
+   * Throws CyclicQueryException when not alpha-acyclic (cyclic queries
+   * go through [[graft.wcoj]] / GHD instead).
    */
   def joinTree(rels: Seq[Rel]): JoinTree = {
     require(rels.map(_.name).distinct.size == rels.size, "relation names must be unique")
     val byName = rels.map(r => r.name -> r).toMap
+    val size: Map[String, BigInt] = rels.map(r => r.name -> estSize(r)).toMap
     var alive = scala.collection.immutable.ListMap(rels.map(r => r.name -> r.vars): _*)
     val parent = scala.collection.mutable.Map[String, String]()
 
@@ -107,15 +148,21 @@ object Hypergraph {
         val others = alive - e
         val isolated = vs.filter(v => !others.valuesIterator.exists(_.contains(v)))
         val rest = vs -- isolated
-        // an "ear": its non-isolated vars are covered by a single witness
-        others.collectFirst { case (w, wvs) if rest.subsetOf(wvs) => (e, w) }
-      }
-      candidates.nextOption() match {
-        case Some((ear, witness)) =>
-          parent(ear) = witness
-          alive -= ear
-          progress = true
-        case None => ()
+        // an "ear": its non-isolated vars are covered by a single witness;
+        // collect every witness and keep the best one for this ear
+        val witnesses = others.collect { case (w, wvs) if rest.subsetOf(wvs) => w }
+        if (witnesses.isEmpty) None
+        else {
+          val w = witnesses.minBy(w =>
+            (-(byName(e).vars intersect byName(w).vars).size, size(w), w))
+          Some((e, w))
+        }
+      }.toSeq
+      if (candidates.nonEmpty) {
+        val (ear, witness) = candidates.minBy { case (e, _) => (size(e), e) }
+        parent(ear) = witness
+        alive -= ear
+        progress = true
       }
     }
 
@@ -123,7 +170,8 @@ object Hypergraph {
       throw new CyclicQueryException(
         s"query is cyclic; remaining hyperedges: ${alive.keys.mkString(", ")}")
 
-    new JoinTree(byName, alive.head._1, parent.toMap)
+    val tree = new JoinTree(byName, alive.head._1, parent.toMap)
+    tree.rerooted(rels.maxBy(r => (size(r.name), r.name)).name)
   }
 
   def isAcyclic(rels: Seq[Rel]): Boolean =

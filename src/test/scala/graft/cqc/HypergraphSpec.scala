@@ -33,6 +33,30 @@ class HypergraphSpec extends SparkSpecBase {
     }
   }
 
+  test("cost pick roots the tree at the largest relation") {
+    val big = spark.range(10000).selectExpr("id % 50 AS a", "id % 70 AS b")
+    val small = spark.range(50).selectExpr("id % 50 AS a", "id AS c")
+    val tiny = spark.range(10).selectExpr("id AS c", "id % 5 AS d")
+    val tree = Hypergraph.joinTree(
+      Seq(Rel("big", big), Rel("small", small), Rel("tiny", tiny)))
+    assert(tree.root == "big")
+    // chain structure must survive the re-rooting: big -> small -> tiny
+    assert(tree.parentOf("small") == "big" && tree.parentOf("tiny") == "small")
+  }
+
+  test("rerooting preserves the undirected edge set at every choice of root") {
+    val tree = Hypergraph.joinTree(Seq(
+      rel("r1", "a", "b"), rel("r2", "b", "c"), rel("r3", "c", "d"), rel("r4", "c", "e")))
+    val edges0 = tree.parentOf.toSet.map((kv: (String, String)) => Set(kv._1, kv._2))
+    for (n <- tree.rels.keys) {
+      val rt = tree.rerooted(n)
+      assert(rt.root == n)
+      assert(rt.parentOf.toSet.map((kv: (String, String)) => Set(kv._1, kv._2)) == edges0)
+      assert(rt.topDown.toSet == tree.rels.keySet) // still one connected tree
+      assert(!rt.parentOf.contains(n))
+    }
+  }
+
   test("tree path connects any two nodes through their common ancestor") {
     val tree = Hypergraph.joinTree(Seq(
       rel("r1", "a", "b"), rel("r2", "b", "c"), rel("r3", "c", "d"), rel("r4", "c", "e")))
