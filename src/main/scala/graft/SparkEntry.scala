@@ -580,6 +580,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
     "pipe_clean" -> (qPipeClean _),
+    "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d)))
@@ -840,6 +841,7 @@ object SparkEntry {
         |       CAST(list_sum(list_transform(string_split(text, ' '),
         |                     x -> (len(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM surv""".stripMargin,
+    "pipe_pack" -> TextOps.packShardsSql,
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_join" -> EventStreams.viewPurchaseJoinSql,

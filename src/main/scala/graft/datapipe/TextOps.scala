@@ -199,6 +199,48 @@ object TextOps {
     withHs.select(col("doc_id"), explode(mins).as("fp"))
   }
 
+  // --------------------------------------------------------- shard packing
+
+  /** Token budget per training shard (BPE-estimated tokens). */
+  val shardBudget = 2048L
+
+  /**
+   * Greedy training-shard packing: assign each document to a shard so
+   * each shard holds ~[[shardBudget]] BPE-estimated tokens, packing in
+   * deterministic doc_id order WITHIN each language partition.
+   * `shard_id = (running token total before this doc) div budget` — the
+   * streaming-greedy rule, one window pass. The window partitions by
+   * `lang`, so packing parallelizes across languages and there is no
+   * global sort; at 100 TB you additionally sub-salt giant languages
+   * (partition by (lang, hash(doc) % K)) and key shards (lang, k, seq).
+   * Token counts are integral, so the running sum is exact and the
+   * assignment engine-independent.
+   */
+  def packShards(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenCounts(docs).select(col("doc_id"), col("n_bpe"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("lang"))
+      .join(toks, "doc_id")
+      .withColumn("cum", sum(col("n_bpe")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bpe"),
+        expr(s"(cum - n_bpe) div $shardBudget").as("shard_id"))
+  }
+
+  val packShardsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |                       t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
+       |  FROM documents
+       |)
+       |SELECT d.doc_id, d.lang, t.n_bpe,
+       |       CAST((sum(t.n_bpe) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       |                                ROWS UNBOUNDED PRECEDING) - t.n_bpe)
+       |            // $shardBudget AS BIGINT) AS shard_id
+       |FROM documents d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin
+
   val fingerprintsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |s AS (

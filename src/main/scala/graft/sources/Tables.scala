@@ -128,6 +128,16 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /**
+   * Partitioned parquet write: one directory per value combination of
+   * `cols`. Reads that filter on a partition column scan ONLY the
+   * matching directories (`PartitionFilters` in the plan — verified in
+   * TablesSpec) — at 100 TB, date/source partitioning is what turns a
+   * full-corpus scan into a single-partition read.
+   */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** CSV loader (the reference reads comma-separated `.dat` files). */
   def csv(spark: SparkSession, path: String, schemaDdl: String, delimiter: String = ","): DataFrame =
     tune(spark).read

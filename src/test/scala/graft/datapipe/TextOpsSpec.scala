@@ -48,4 +48,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(fps(1L) != fps(3L))
     assert(fps(1L).nonEmpty)
   }
+
+  test("packShards matches a sequential greedy pack per language") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val got = TextOps.packShards(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bpe"), r.getAs[Long]("shard_id")))
+    assert(got.nonEmpty)
+    // replay the greedy rule sequentially per language and compare
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, shard) =>
+        assert(shard == cum / TextOps.shardBudget)
+        cum += n
+      }
+    }
+    // more than one shard must exist somewhere, else the test is vacuous
+    assert(got.map(_._4).distinct.length > 1)
+  }
 }

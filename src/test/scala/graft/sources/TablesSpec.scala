@@ -30,4 +30,17 @@ class TablesSpec extends SparkSpecBase {
     val e = Tables.edges(spark, sfDir)
     assert(e.count() == e.distinct().count())
   }
+
+  test("partitioned write enables partition pruning on read-back") {
+    val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sfDir)
+    Tables.writePartitioned(docs, dir, Seq("lang"))
+    val langs = docs.select("lang").distinct().count()
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("lang=")) == langs)
+    val one = spark.read.parquet(dir).where("lang = 'en'")
+    val plan = one.queryExecution.executedPlan.toString()
+    // the lang predicate must prune DIRECTORIES, not filter rows post-scan
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"))
+    assert(one.count() == docs.where("lang = 'en'").count())
+  }
 }
