@@ -47,6 +47,19 @@ object SparkEntry {
     out.select("src", "via1", "via2", "dst", "cnt1", "cnt2")
   }
 
+  /** Per-source 4-hop path counts WITHOUT enumerating the paths:
+    * aggregation pushed through the join tree ([[Yannakakis.countOverJoin]]
+    * — per-key counts multiply up the tree; the path set itself, which
+    * grows as |edges|^4 on the dense graph, never materializes). */
+  def qCqcCountFast(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    Yannakakis.countOverJoin(Seq(
+      Rel("g1", e.toDF("src", "v1")),
+      Rel("g2", e.toDF("v1", "v2")),
+      Rel("g3", e.toDF("v2", "v3")),
+      Rel("g4", e.toDF("v3", "dst"))), Seq("src"))
+  }
+
   /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
   def qCqcRst(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
@@ -534,6 +547,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cqc_line3" -> (qCqcLine3 _),
+    "cqc_count_fast" -> (qCqcCountFast _),
     "cqc_path3_deg" -> (qCqcPath3Deg _),
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
@@ -595,6 +609,11 @@ object SparkEntry {
       s"""SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src""".stripMargin,
+    "cqc_count_fast" ->
+      s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
     "cqc_path3_deg" ->
       s"""WITH c AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM $E e GROUP BY src)
          |SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS dst,

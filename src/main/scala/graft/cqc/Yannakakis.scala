@@ -127,6 +127,57 @@ object Yannakakis {
   }
 
   /**
+   * COUNT(*) over the natural join of `rels`, grouped by `groupVars` —
+   * computed WITHOUT enumerating the join. Classic aggregation
+   * pushdown over a join tree (the FAQ/AJAR formulation; the reference
+   * computes aggregates AFTER enumeration — TpchQueriesTest — which is
+   * the part that cannot scale when the join output is huge): each node
+   * sends its parent a per-join-key COUNT of its subtree's join
+   * combinations, parents multiply incoming counts into their rows, and
+   * the root groups by `groupVars` summing the products. Every message
+   * is a small (key, count) aggregate — map-side combinable, broadcast-
+   * able — so the full join result (potentially |edges|^depth rows)
+   * never exists anywhere.
+   *
+   * `groupVars` must be covered by one relation; the tree is re-rooted
+   * there. Comparisons are not supported on this path (they break the
+   * per-subtree factorization); use [[solve]] + groupBy when you need
+   * them.
+   */
+  def countOverJoin(rels: Seq[Rel], groupVars: Seq[String]): DataFrame = {
+    val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
+      throw new IllegalArgumentException(
+        s"groupVars $groupVars must be covered by a single relation"))
+    val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
+    val reduced = fullReduce(tree)
+
+    // bottom-up: per-key counts of each subtree's join combinations
+    val msg = scala.collection.mutable.Map[String, DataFrame]()
+    def withChildCounts(n: String): DataFrame = {
+      var df = reduced(n).withColumn("__cnt", lit(1L))
+      for (c <- tree.childrenOf(n)) {
+        val ck = tree.sharedVars(c, n)
+        val m = msg(c).withColumnRenamed("__cnt", "__cnt_c")
+        df =
+          if (ck.nonEmpty) df.join(m, ck, "inner")
+          else df.crossJoin(m) // disconnected edge: counts still multiply
+        df = df.withColumn("__cnt", col("__cnt") * col("__cnt_c")).drop("__cnt_c")
+      }
+      df
+    }
+    for (n <- tree.bottomUp if n != tree.root) {
+      val keys = tree.sharedVars(n, tree.parentOf(n))
+      val d = withChildCounts(n)
+      msg(n) =
+        if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(sum(col("__cnt")).as("__cnt"))
+        else d.agg(sum(col("__cnt")).as("__cnt"))
+    }
+    withChildCounts(tree.root)
+      .groupBy(groupVars.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"))
+  }
+
+  /**
    * Propagate the min/max bounds of every `cmp.right` in `cmps` (all
    * living in node `b`) along the tree path to node `a` in ONE fused
    * carrier, then filter `a` on all of them at once. Each hop is a single

@@ -18,6 +18,31 @@ class YannakakisSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("countOverJoin equals groupBy-count over the enumerated join") {
+    val e = edges.toDF("a", "b")
+    // chain: counts per a of 3-hop paths
+    val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "d")))
+    val got = Yannakakis.countOverJoin(rels, Seq("a"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == want && want.nonEmpty)
+    // star: group vars live in the hub, messages come from three legs
+    val hub = Seq((1, 10, 100), (2, 20, 200), (2, 20, 300)).toDF("x", "y", "z")
+    val star = Seq(Rel("hub", hub),
+      Rel("l1", e.toDF("x", "p")), Rel("l2", e.toDF("y", "q").where(col("y") < 30)),
+      Rel("l3", e.toDF("z", "r")))
+    val gotS = Yannakakis.countOverJoin(star, Seq("x", "y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val wantS = hub.join(e.toDF("x", "p"), "x").join(e.toDF("y", "q").where(col("y") < 30), "y")
+      .join(e.toDF("z", "r"), "z")
+      .groupBy("x", "y").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotS == wantS)
+  }
+
   test("solve with a cross-relation comparison equals join + filter") {
     val e = edges.toDF("a", "b")
     val w = Seq((1, 10), (2, 20), (3, 5), (4, 40), (5, 1), (6, 2)).toDF("n", "wt")
