@@ -60,6 +60,18 @@ object SparkEntry {
       Rel("g4", e.toDF("v3", "dst"))), Seq("src"))
   }
 
+  /** Per-source COUNT and SUM(endpoint) over the 4-hop join, again with
+    * no enumeration — the (count, sum) semiring form of the message
+    * passing ([[Yannakakis.aggOverJoin]]). */
+  def qCqcSumFast(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    Yannakakis.aggOverJoin(Seq(
+      Rel("g1", e.toDF("src", "v1")),
+      Rel("g2", e.toDF("v1", "v2")),
+      Rel("g3", e.toDF("v2", "v3")),
+      Rel("g4", e.toDF("v3", "dst"))), Seq("src"), Some("dst"))
+  }
+
   /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
   def qCqcRst(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
@@ -548,6 +560,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cqc_line3" -> (qCqcLine3 _),
     "cqc_count_fast" -> (qCqcCountFast _),
+    "cqc_sum_fast" -> (qCqcSumFast _),
     "cqc_path3_deg" -> (qCqcPath3Deg _),
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
@@ -611,6 +624,12 @@ object SparkEntry {
          |WHERE g1.dst = g2.src AND g2.dst = g3.src""".stripMargin,
     "cqc_count_fast" ->
       s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
+    "cqc_sum_fast" ->
+      s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(g4.dst) AS BIGINT) AS sum_dst
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY 1""".stripMargin,

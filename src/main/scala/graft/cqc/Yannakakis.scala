@@ -144,37 +144,69 @@ object Yannakakis {
    * per-subtree factorization); use [[solve]] + groupBy when you need
    * them.
    */
-  def countOverJoin(rels: Seq[Rel], groupVars: Seq[String]): DataFrame = {
+  def countOverJoin(rels: Seq[Rel], groupVars: Seq[String]): DataFrame =
+    aggOverJoin(rels, groupVars, None)
+
+  /**
+   * COUNT(*) and optionally SUM(`sumVar`) over the natural join, grouped
+   * by `groupVars`, via the same message passing — the (count, sum)
+   * semiring: absorbing a child message into a node's rows multiplies
+   * counts and cross-multiplies sums (`sum' = sum·cnt_c + cnt·sum_c`),
+   * which is exactly how Σ x distributes over a product of independent
+   * subtree combinations. `sumVar` may live in any ONE relation.
+   */
+  def aggOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      sumVar: Option[String]): DataFrame = {
     val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
       throw new IllegalArgumentException(
         s"groupVars $groupVars must be covered by a single relation"))
+    sumVar.foreach(v => require(rels.count(_.vars.contains(v)) == 1,
+      s"sum variable $v must appear in exactly ONE relation (a shared join " +
+        "variable would be seeded once per copy and overcounted)"))
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
     val reduced = fullReduce(tree)
 
-    // bottom-up: per-key counts of each subtree's join combinations
+    // bottom-up: per-key (count, sum) of each subtree's join combinations
     val msg = scala.collection.mutable.Map[String, DataFrame]()
-    def withChildCounts(n: String): DataFrame = {
-      var df = reduced(n).withColumn("__cnt", lit(1L))
+    def withChildMsgs(n: String): DataFrame = {
+      // sum column keeps its own type (integral vars stay exact; float
+      // vars are the caller's determinism tradeoff, as with any Spark sum)
+      val init = sumVar match {
+        case Some(v) if tree.rels(n).vars.contains(v) => col(v)
+        case _ => lit(0L)
+      }
+      var df = reduced(n).withColumn("__cnt", lit(1L)).withColumn("__sum", init)
       for (c <- tree.childrenOf(n)) {
         val ck = tree.sharedVars(c, n)
         val m = msg(c).withColumnRenamed("__cnt", "__cnt_c")
+          .withColumnRenamed("__sum", "__sum_c")
         df =
           if (ck.nonEmpty) df.join(m, ck, "inner")
-          else df.crossJoin(m) // disconnected edge: counts still multiply
-        df = df.withColumn("__cnt", col("__cnt") * col("__cnt_c")).drop("__cnt_c")
+          else df.crossJoin(m) // disconnected edge: semiring still multiplies
+        df = df
+          .withColumn("__sum", col("__sum") * col("__cnt_c") + col("__cnt") * col("__sum_c"))
+          .withColumn("__cnt", col("__cnt") * col("__cnt_c"))
+          .drop("__cnt_c", "__sum_c")
       }
       df
     }
     for (n <- tree.bottomUp if n != tree.root) {
       val keys = tree.sharedVars(n, tree.parentOf(n))
-      val d = withChildCounts(n)
+      val d = withChildMsgs(n)
+      val aggs = Seq(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"))
       msg(n) =
-        if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(sum(col("__cnt")).as("__cnt"))
-        else d.agg(sum(col("__cnt")).as("__cnt"))
+        if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        else d.agg(aggs.head, aggs.tail: _*)
     }
-    withChildCounts(tree.root)
+    val rootDf = withChildMsgs(tree.root)
       .groupBy(groupVars.map(col): _*)
-      .agg(sum(col("__cnt")).as("cnt"))
+    sumVar match {
+      case Some(v) => rootDf.agg(sum(col("__cnt")).as("cnt"),
+        sum(col("__sum")).as(s"sum_$v"))
+      case None => rootDf.agg(sum(col("__cnt")).as("cnt"))
+    }
   }
 
   /**

@@ -43,6 +43,22 @@ class YannakakisSpec extends SparkSpecBase {
     assert(gotS == wantS)
   }
 
+  test("aggOverJoin sums a leaf variable without enumerating") {
+    val e = edges.toDF("a", "b")
+    val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "d")))
+    val got = Yannakakis.aggOverJoin(rels, Seq("a"), Some("d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(count(lit(1)).as("cnt"), sum(col("d").cast("long")).as("sum_d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // a shared join variable cannot be the sum target
+    intercept[IllegalArgumentException] {
+      Yannakakis.aggOverJoin(rels, Seq("a"), Some("b"))
+    }
+  }
+
   test("solve with a cross-relation comparison equals join + filter") {
     val e = edges.toDF("a", "b")
     val w = Seq((1, 10), (2, 20), (3, 5), (4, 40), (5, 1), (6, 2)).toDF("n", "wt")
