@@ -179,30 +179,46 @@ object Ann {
   val ivfProbes = 2
 
   /**
-   * IVF (inverted-file) ANN skeleton: a coarse quantizer assigns every
-   * vector to its nearest centroid (one inverted list per centroid);
-   * queries probe only the [[ivfProbes]] nearest lists and rank their
-   * members exactly. Centroid "training" is a deterministic STUB — the
-   * first [[ivfCentroids]] vectors serve as centroids (swap in k-means
-   * at production scale); the partition/probe/rank plumbing is the real
-   * IVF shape: search cost is |probed lists|, not |collection|.
+   * IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+   * its nearest centroid (one inverted list per centroid); queries probe
+   * only the [[ivfProbes]] nearest lists and rank their members exactly
+   * — search cost is |probed lists|, not |collection|.
+   *
+   * Centroid training = deterministic k-means seeding (the first
+   * [[ivfCentroids]] vectors) plus ONE exact Lloyd refinement: assign
+   * all vectors to their seed, then recompute each centroid as the
+   * per-dimension mean of its members. The mean is engine-exact: the
+   * per-dimension float sum runs in DECIMAL (order-independent), and
+   * only the final single division + 6dp round happens in double — so
+   * DuckDB reproduces the trained centroids bit-for-bit and the oracle
+   * stays a hash compare. More Lloyd rounds at production scale are the
+   * same two dataflow steps repeated.
    */
   def ivfTopK(emb: DataFrame): DataFrame = {
-    val cent = emb.where(col("vec_id") < ivfCentroids)
+    val seed = emb.where(col("vec_id") < ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     // assignment: nearest centroid by cosine (ties -> lower centroid id)
-    def assign(of: DataFrame, idCol: String): DataFrame = {
+    def assign(of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
       of.crossJoin(broadcast(cent))
         .withColumn("__sim", cosine(col("c_emb"), col("embedding")))
         .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= (if (idCol == "q_id") ivfProbes else 1))
+        .where(col("__rn") <= keep)
         .drop("__sim", "__rn", "c_emb")
     }
-    val lists = assign(emb, "vec_id") // (vec_id, embedding, cid)
+    // one Lloyd step: per-cluster, per-dimension exact mean
+    val cent = assign(emb, "vec_id", seed, 1)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c_emb"))
+
+    val lists = assign(emb, "vec_id", cent, 1) // (vec_id, embedding, cid)
     val q = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = assign(q.withColumnRenamed("q_emb", "embedding"), "q_id")
+    val probed = assign(q.withColumnRenamed("q_emb", "embedding"), "q_id", cent, ivfProbes)
       .withColumnRenamed("embedding", "q_emb") // (q_id, q_emb, cid) x probes
     val scored = probed.join(lists, "cid")
       .where(col("vec_id") =!= col("q_id"))
@@ -217,9 +233,28 @@ object Ann {
   }
 
   val ivfTopKSql: String = {
-    val simToC = cosineSql("c.embedding", "e.embedding")
+    val simToSeed = cosineSql("c.embedding", "e.embedding")
+    val simToC = cosineSql("c.c_emb", "e.embedding")
     val simQ = cosineSql("p.q_emb", "e.embedding")
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $ivfCentroids),
+    s"""WITH seed AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $ivfCentroids),
+       |assign0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $simToSeed DESC, c.cid) AS rn
+       |  FROM embeddings e, seed c
+       |  QUALIFY rn <= 1
+       |),
+       |dims AS (
+       |  SELECT cid, unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |  FROM assign0
+       |),
+       |upd AS (
+       |  SELECT cid, pos,
+       |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM dims GROUP BY cid, pos
+       |),
+       |cent AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM upd GROUP BY cid),
        |lists AS (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -232,7 +267,7 @@ object Ann {
        |probed AS (
        |  SELECT q.q_id, q.q_emb, c.cid,
        |         row_number() OVER (PARTITION BY q.q_id
-       |                            ORDER BY ${cosineSql("c.embedding", "q.q_emb")} DESC, c.cid) AS rn
+       |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS rn
        |  FROM q0 q, cent c
        |  QUALIFY rn <= $ivfProbes
        |),

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Native Catalyst expression for cosine similarity over two
- * `array<float>` columns.
+ * `array<float>` or `array<double>` columns (element type read per side
+ * from the child's resolved type — e.g. stored float embeddings against
+ * computed double centroids).
  *
  * Why an Expression and not `aggregate(zip_with(...))`: the built-in
  * composition allocates two intermediate arrays and walks the input three
@@ -22,22 +24,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float> (the embedding storage type); enforced by
-  // the callers rather than ExpectsInputTypes, which is sql-private
+  // inputs must be array<float|double> (float is the embedding storage
+  // type); enforced by the callers rather than ExpectsInputTypes, which
+  // is sql-private
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -55,14 +64,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |double $na = 0.0;
          |double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;

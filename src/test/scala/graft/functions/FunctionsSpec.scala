@@ -31,6 +31,18 @@ class FunctionsSpec extends SparkSpecBase {
     assert(diff == 0.0)
   }
 
+  test("cosine dispatches on element type: float vs double arrays agree") {
+    val f = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, 0.25f, 4.0f))).toDF("a", "b")
+    val viaFloat = f.select(graft.datapipe.Ann.cosine(col("a"), col("b"))).head().getDouble(0)
+    // same values as doubles (exactly representable) must give the same cosine
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(0.5, 0.25, 4.0))).toDF("a", "b")
+    val viaDouble = d.select(graft.datapipe.Ann.cosine(col("a"), col("b"))).head().getDouble(0)
+    val mixed = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, 0.25, 4.0)))
+      .toDF("a", "b")
+      .select(graft.datapipe.Ann.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(viaFloat == viaDouble && viaDouble == mixed)
+  }
+
   test("graft_h60 is registered and equals TextOps.h60") {
     val viaSql = spark.sql("SELECT graft_h60('hello') AS h").head().getLong(0)
     val viaCol = Seq("hello").toDF("s")
