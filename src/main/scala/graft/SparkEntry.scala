@@ -506,6 +506,57 @@ object SparkEntry {
       .agg(round(sum(col("rev_d")), 2).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT IN exclusion
+    * subquery planned as a LEFT ANTI join (supplier pairs come from
+    * lineitem — the testdata has no partsupp). */
+  def qQ16Distinct(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d).where(col("s_name").like("%7"))
+      .select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#12" && col("p_size").isin(1, 5, 9, 14, 20))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 shape: correlated per-part average as a join (quantity
+    * below 20% of the part's mean), small-order revenue sum. The mean is
+    * sum/count of integral doubles — exact, engine-independent. */
+  def qQ17Avg(s: SparkSession, d: String): DataFrame = {
+    val avgQ = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("aq"))
+    val p = Tables.part(s, d).where(col("p_brand") === "Brand#23").select("p_partkey")
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(14,2)").as("price_d"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(round(sum(col("price_d")), 2).cast("double").as("avg_yearly_base"))
+      .select(round(col("avg_yearly_base") / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 shape: positive-balance average as a scalar subquery
+    * (exact decimal mean), NOT EXISTS planned as LEFT ANTI join,
+    * per-segment counts over rich customers with no urgent orders. */
+  def qQ22Anti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val thr = c.where(col("c_acctbal") > 0)
+      .agg(round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)), 6).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .where(col("c_acctbal") > col("thr"))
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").as("totacctbal"))
+  }
+
   /** Window functions over a partitioned total order: row_number, lag,
     * and a running decimal sum (exact + associative, so the windowed
     * cumulative is engine-independent — a double running sum would not
@@ -586,8 +637,11 @@ object SparkEntry {
     "q12_case" -> (qQ12Case _),
     "q13_outer" -> (qQ13Outer _),
     "q14_case" -> (qQ14Case _),
+    "q16_distinct" -> (qQ16Distinct _),
+    "q17_avg" -> (qQ17Avg _),
     "q18_having" -> (qQ18Having _),
     "q19_disj" -> (qQ19Disj _),
+    "q22_anti" -> (qQ22Anti _),
     "q_window" -> (qWindowFns _),
     "q_rollup" -> (qRollup _),
     "anyk_page" -> (qAnykPage _),
@@ -777,6 +831,32 @@ object SparkEntry {
         |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
         |      GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
+    "q16_distinct" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 14, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2""".stripMargin,
+    "q17_avg" ->
+      """WITH a AS (SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS aq
+        |           FROM lineitem GROUP BY 1)
+        |SELECT round(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN a ON a.pk = l_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * aq""".stripMargin,
+    "q22_anti" ->
+      """WITH thr AS (
+        |  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS thr
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     "q18_having" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |       epoch_ns(o_orderdate) // 1000000 AS o_date_ms, o_totalprice,

@@ -74,6 +74,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q22_anti plans NOT EXISTS as a LEFT ANTI join, threshold broadcast") {
+    val p = plan("q22_anti")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("q_window computes all three window functions in one shuffle") {
     val p = plan("q_window")
     // one Window node (same partitioning/ordering fuses the functions);
