@@ -181,6 +181,28 @@ object SparkEntry {
       .agg(sum(col("n1") * col("n2")).as("n_pairs"))
   }
 
+  /** Deterministic 10% corpus sample: md5-hash-threshold Bernoulli on the
+    * CONTENT (not rand() — reproducible across engines, runs, and
+    * cluster sizes, and stable under re-partitioning; the property that
+    * makes corpus experiments comparable), with per-lang sample counts
+    * verifying the rate. */
+  def qPipeSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(pmod(TextOps.h60(col("text")), lit(100)) < 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+
+  /** Per-language quality top-3 (the 'keep the best documents per
+    * stratum' pipeline stage): quality-score every doc, per-key prune via
+    * the same rank machinery the ranked joins use. */
+  def qPipeTopk(s: SparkSession, d: String): DataFrame = {
+    val scored = TextOps.quality(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    RankJoin.prunePerKey(scored, Seq("lang"),
+        Seq(col("score").desc, col("doc_id").asc), 3)
+      .select("lang", "doc_id", "score")
+  }
+
   /** End-to-end corpus cleaning — the composed pipeline a training-data
     * job actually runs: quality-score filter, then exact dedup (keep the
     * min doc_id per normalized hash), then token statistics over the
@@ -662,6 +684,8 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
     "pipe_clean" -> (qPipeClean _),
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
+    "pipe_sample" -> (qPipeSample _),
+    "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d)))
@@ -960,6 +984,17 @@ object SparkEntry {
         |                     x -> (len(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM surv""".stripMargin,
     "pipe_pack" -> TextOps.packShardsSql,
+    "pipe_sample" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
+         |FROM documents
+         |WHERE (${graft.datapipe.TextOps.h60Sql("text")}) % 100 < 10
+         |GROUP BY 1""".stripMargin,
+    "pipe_topk" ->
+      s"""SELECT d.lang, q.doc_id, q.score
+         |FROM (${TextOps.qualitySql}) q
+         |JOIN documents d ON d.doc_id = q.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY d.lang
+         |                           ORDER BY q.score DESC, q.doc_id) <= 3""".stripMargin,
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
