@@ -112,7 +112,7 @@ object Hypergraph {
     * pure metadata (parquet footer sizes x selectivity guesses), no jobs.
     * The reference's cost pick reads table statistics the same way
     * (its join-tree candidates are costed before compilation). */
-  private def estSize(r: Rel): BigInt =
+  private[graft] def estSize(r: Rel): BigInt =
     try r.df.queryExecution.optimizedPlan.stats.sizeInBytes
     catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
 

@@ -158,55 +158,66 @@ object Yannakakis {
   def aggOverJoin(
       rels: Seq[Rel],
       groupVars: Seq[String],
-      sumVar: Option[String]): DataFrame = {
+      sumVar: Option[String]): DataFrame =
+    aggOverJoin(rels, groupVars, sumVar.toSeq)
+
+  /** Multi-sum form: any number of sum variables, each living in exactly
+    * one relation; messages carry one sum column per variable next to the
+    * count, combined independently by the same cross-multiplication. */
+  def aggOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      sumVars: Seq[String]): DataFrame = {
     val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
       throw new IllegalArgumentException(
         s"groupVars $groupVars must be covered by a single relation"))
-    sumVar.foreach(v => require(rels.count(_.vars.contains(v)) == 1,
+    sumVars.foreach(v => require(rels.count(_.vars.contains(v)) == 1,
       s"sum variable $v must appear in exactly ONE relation (a shared join " +
         "variable would be seeded once per copy and overcounted)"))
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
     val reduced = fullReduce(tree)
+    val sumCols = sumVars.indices.map(i => s"__sum$i")
 
-    // bottom-up: per-key (count, sum) of each subtree's join combinations
+    // bottom-up: per-key (count, sums...) of each subtree's combinations
     val msg = scala.collection.mutable.Map[String, DataFrame]()
     def withChildMsgs(n: String): DataFrame = {
-      // sum column keeps its own type (integral vars stay exact; float
+      // sum columns keep their own type (integral vars stay exact; float
       // vars are the caller's determinism tradeoff, as with any Spark sum)
-      val init = sumVar match {
-        case Some(v) if tree.rels(n).vars.contains(v) => col(v)
-        case _ => lit(0L)
+      var df = reduced(n).withColumn("__cnt", lit(1L))
+      sumVars.zip(sumCols).foreach { case (v, sc) =>
+        df = df.withColumn(sc,
+          if (tree.rels(n).vars.contains(v)) col(v) else lit(0L))
       }
-      var df = reduced(n).withColumn("__cnt", lit(1L)).withColumn("__sum", init)
       for (c <- tree.childrenOf(n)) {
         val ck = tree.sharedVars(c, n)
-        val m = msg(c).withColumnRenamed("__cnt", "__cnt_c")
-          .withColumnRenamed("__sum", "__sum_c")
+        var m = msg(c).withColumnRenamed("__cnt", "__cnt_c")
+        sumCols.foreach(sc => m = m.withColumnRenamed(sc, s"${sc}_c"))
         df =
           if (ck.nonEmpty) df.join(m, ck, "inner")
           else df.crossJoin(m) // disconnected edge: semiring still multiplies
-        df = df
-          .withColumn("__sum", col("__sum") * col("__cnt_c") + col("__cnt") * col("__sum_c"))
-          .withColumn("__cnt", col("__cnt") * col("__cnt_c"))
-          .drop("__cnt_c", "__sum_c")
+        sumCols.foreach { sc =>
+          df = df.withColumn(sc,
+            col(sc) * col("__cnt_c") + col("__cnt") * col(s"${sc}_c"))
+        }
+        df = df.withColumn("__cnt", col("__cnt") * col("__cnt_c"))
+          .drop("__cnt_c" +: sumCols.map(sc => s"${sc}_c"): _*)
       }
       df
     }
     for (n <- tree.bottomUp if n != tree.root) {
       val keys = tree.sharedVars(n, tree.parentOf(n))
       val d = withChildMsgs(n)
-      val aggs = Seq(sum(col("__cnt")).as("__cnt"), sum(col("__sum")).as("__sum"))
+      val aggs = sum(col("__cnt")).as("__cnt") +:
+        sumCols.map(sc => sum(col(sc)).as(sc))
       msg(n) =
         if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         else d.agg(aggs.head, aggs.tail: _*)
     }
-    val rootDf = withChildMsgs(tree.root)
+    val finalAggs = sum(col("__cnt")).as("cnt") +:
+      sumVars.zip(sumCols).map { case (v, sc) => sum(col(sc)).as(s"sum_$v") }
+    withChildMsgs(tree.root)
       .groupBy(groupVars.map(col): _*)
-    sumVar match {
-      case Some(v) => rootDf.agg(sum(col("__cnt")).as("cnt"),
-        sum(col("__sum")).as(s"sum_$v"))
-      case None => rootDf.agg(sum(col("__cnt")).as("cnt"))
-    }
+      .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
   /**
@@ -224,8 +235,12 @@ object Yannakakis {
       b: String,
       cmps: Seq[Cmp]): Unit = {
     val hops = tree.path(b, a) // b ... a
+    // relation names can contain expression operators (GHD bags are named
+    // "g1+g2"), so sanitize everything embedded in a column name that
+    // later round-trips through expr()
+    def safe(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
     val bound = cmps.zipWithIndex.map { case (c, i) =>
-      c -> s"__bound${i}_${c.right}_${a}_$b"
+      c -> s"__bound${i}_${safe(c.right)}_${safe(a)}_${safe(b)}"
     }
 
     // Walk from b toward a, carrying all per-join-key bounds together.

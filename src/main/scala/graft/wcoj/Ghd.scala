@@ -31,12 +31,17 @@ object Ghd {
     var guard = 0
     while (!Hypergraph.isAcyclic(current) && guard < rels.size) {
       guard += 1
-      // merge the pair sharing the most variables (ties: first by name)
+      // merge the pair sharing the most variables; among equally-connected
+      // pairs, the SMALLEST combined estimated size — the bag's join is
+      // materialization the enumeration re-reads, so build the cheap bag
+      // (same cost source as the join-tree pick: driver-side plan stats)
       val pairs = for {
         i <- current.indices; j <- current.indices if i < j
         shared = (current(i).vars intersect current(j).vars).size if shared > 0
       } yield (i, j, shared)
-      val (i, j, _) = pairs.maxBy { case (i, j, s) => (s, -i, -j) }
+      val (i, j, _) = pairs.maxBy { case (i, j, s) =>
+        (s, -(Hypergraph.estSize(current(i)) + Hypergraph.estSize(current(j))), -i, -j)
+      }
       val a = current(i)
       val b = current(j)
       val keys = (a.vars intersect b.vars).toSeq.sorted

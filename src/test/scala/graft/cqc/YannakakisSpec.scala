@@ -59,6 +59,20 @@ class YannakakisSpec extends SparkSpecBase {
     }
   }
 
+  test("aggOverJoin carries multiple sum variables independently") {
+    val e = edges.toDF("a", "b")
+    val g2 = e.toDF("b", "c").withColumn("w", col("c") * 2)
+    val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", g2),
+      Rel("g3", e.toDF("c", "d")))
+    val got = Yannakakis.aggOverJoin(rels, Seq("a"), Seq("w", "d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = e.toDF("a", "b").join(g2, "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(count(lit(1)).as("cnt"),
+        sum(col("w")).as("sum_w"), sum(col("d").cast("long")).as("sum_d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("solve with a cross-relation comparison equals join + filter") {
     val e = edges.toDF("a", "b")
     val w = Seq((1, 10), (2, 20), (3, 5), (4, 40), (5, 1), (6, 2)).toDF("n", "wt")
