@@ -59,7 +59,13 @@ object CqcSql {
     // ---- peel HAVING / Aggregate off the top (GROUP BY over the CQC
     // join result — reference TpchQueriesTest shapes; the analyzer turns
     // HAVING into Filter(cond, Aggregate(...)))
-    val (outerProj, havingConds, aggInfo, afterAgg) = afterSort match {
+    // ---- SELECT DISTINCT: evaluate through CQC, dedup the final frame
+    val (isDistinct, afterDistinct) = afterSort match {
+      case org.apache.spark.sql.catalyst.plans.logical.Distinct(child) => (true, child)
+      case other => (false, other)
+    }
+
+    val (outerProj, havingConds, aggInfo, afterAgg) = afterDistinct match {
       // HAVING on a non-selected aggregate: the analyzer widens the
       // Aggregate with a helper column and strips it with a Project
       case Project(pl, Filter(cond, Aggregate(ge, ae, child, _))) =>
@@ -237,9 +243,9 @@ object CqcSql {
         (out.select(cols: _*), projectList)
     }
 
-    // ---- re-apply ORDER BY / LIMIT on the final frame, by output name
+    // ---- re-apply DISTINCT / ORDER BY / LIMIT on the final frame
     val (sortOrders, limitN) = sortLimit
-    var res = resBase
+    var res = if (isDistinct) resBase.distinct() else resBase
     if (sortOrders.nonEmpty) {
       val finalNames = finalNamed.map(ne => ne.exprId.id -> ne.name).toMap
       val scols = sortOrders.map { so =>

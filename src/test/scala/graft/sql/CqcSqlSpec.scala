@@ -136,6 +136,17 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("SELECT DISTINCT dedups the CQC result") {
+    prep()
+    val sql =
+      """SELECT DISTINCT g1.src AS a, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq)
+    val want = spark.sql(sql).collect().map(_.toSeq)
+    assert(got.toSet == want.toSet && got.length == want.length && want.nonEmpty)
+  }
+
   test("cyclic SQL routes through GHD") {
     prep()
     val sql =
