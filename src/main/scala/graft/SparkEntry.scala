@@ -72,6 +72,19 @@ object SparkEntry {
       Rel("g4", e.toDF("v3", "dst"))), Seq("src"), Some("dst"))
   }
 
+  /** Per-source MIN/MAX endpoint over the 4-hop join — the idempotent-
+    * semiring member of the no-enumeration aggregate family
+    * ([[Yannakakis.extremaOverJoin]]: the annotation carrier IS the
+    * aggregate). */
+  def qCqcExtremaFast(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    Yannakakis.extremaOverJoin(Seq(
+      Rel("g1", e.toDF("src", "v1")),
+      Rel("g2", e.toDF("v1", "v2")),
+      Rel("g3", e.toDF("v2", "v3")),
+      Rel("g4", e.toDF("v3", "dst"))), Seq("src"), "dst")
+  }
+
   /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
   def qCqcRst(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
@@ -634,6 +647,7 @@ object SparkEntry {
     "cqc_line3" -> (qCqcLine3 _),
     "cqc_count_fast" -> (qCqcCountFast _),
     "cqc_sum_fast" -> (qCqcSumFast _),
+    "cqc_extrema_fast" -> (qCqcExtremaFast _),
     "cqc_path3_deg" -> (qCqcPath3Deg _),
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
@@ -708,6 +722,11 @@ object SparkEntry {
     "cqc_sum_fast" ->
       s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt,
          |       CAST(sum(g4.dst) AS BIGINT) AS sum_dst
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
+    "cqc_extrema_fast" ->
+      s"""SELECT g1.src AS src, min(g4.dst) AS min_dst, max(g4.dst) AS max_dst
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY 1""".stripMargin,

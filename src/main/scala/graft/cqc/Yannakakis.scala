@@ -221,6 +221,47 @@ object Yannakakis {
   }
 
   /**
+   * MIN(v) and MAX(v) over the natural join, grouped by `groupVars`,
+   * with no enumeration: min/max are idempotent, so join multiplicities
+   * are irrelevant and the comparison-annotation carrier walk IS the
+   * aggregate — per-key extrema of `v` flow from its relation along the
+   * tree path to the (re-rooted) group relation, one tiny aggregate +
+   * join per hop. Completes the aggregate family next to
+   * [[countOverJoin]]/[[aggOverJoin]] (COUNT/SUM need the counting
+   * semiring; MIN/MAX only need reachability).
+   */
+  def extremaOverJoin(rels: Seq[Rel], groupVars: Seq[String], v: String): DataFrame = {
+    val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
+      throw new IllegalArgumentException(
+        s"groupVars $groupVars must be covered by a single relation"))
+    val vRel = rels.find(_.vars.contains(v)).getOrElse(
+      throw new IllegalArgumentException(s"variable $v appears in no relation")).name
+    val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
+    val reduced = fullReduce(tree)
+    if (vRel == tree.root)
+      return reduced(tree.root).groupBy(groupVars.map(col): _*)
+        .agg(min(col(v)).as(s"min_$v"), max(col(v)).as(s"max_$v"))
+    val hops = tree.path(vRel, tree.root)
+    var carrier: DataFrame = null
+    for (i <- 0 until hops.length - 1) {
+      val cur = hops(i)
+      val next = hops(i + 1)
+      val keys = tree.sharedVars(cur, next)
+      require(keys.nonEmpty, s"disconnected tree edge $cur-$next")
+      val base =
+        if (i == 0) reduced(cur).select((keys :+ v).distinct.map(col): _*)
+        else reduced(cur).join(carrier, tree.sharedVars(hops(i - 1), cur), "inner")
+      val (mnc, mxc) = if (i == 0) (v, v) else ("__mn", "__mx")
+      carrier = base.groupBy(keys.map(col): _*)
+        .agg(min(col(mnc)).as("__mn"), max(col(mxc)).as("__mx"))
+    }
+    reduced(tree.root)
+      .join(carrier, tree.sharedVars(hops(hops.length - 2), tree.root), "inner")
+      .groupBy(groupVars.map(col): _*)
+      .agg(min(col("__mn")).as(s"min_$v"), max(col("__mx")).as(s"max_$v"))
+  }
+
+  /**
    * Propagate the min/max bounds of every `cmp.right` in `cmps` (all
    * living in node `b`) along the tree path to node `a` in ONE fused
    * carrier, then filter `a` on all of them at once. Each hop is a single

@@ -59,6 +59,25 @@ class YannakakisSpec extends SparkSpecBase {
     }
   }
 
+  test("extremaOverJoin equals min/max over the enumerated join") {
+    val e = edges.toDF("a", "b")
+    val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "d")))
+    val got = Yannakakis.extremaOverJoin(rels, Seq("a"), "d")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // v in the root relation itself: direct aggregation path
+    val got2 = Yannakakis.extremaOverJoin(rels, Seq("a"), "b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val want2 = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got2 == want2)
+  }
+
   test("aggOverJoin carries multiple sum variables independently") {
     val e = edges.toDF("a", "b")
     val g2 = e.toDF("b", "c").withColumn("w", col("c") * 2)
