@@ -164,6 +164,19 @@ object SparkEntry {
     else Lftj.count(e, tri, order)
   }
 
+  /** Directed 4-cycle count via the generic LFTJ path on the sparse
+    * graph — the worst-case-optimal operator on a pattern with no
+    * specialized plan (the triangle queries have one; the square shows
+    * the hypercube/leapfrog machinery is shape-generic). */
+  def qWcojSquare(s: SparkSession, d: String): DataFrame =
+    // cubeSide 3: with 4 variables the replication factor is side^2, so
+    // side 3 ships 9 copies/tuple into 81 cells vs side 4's 16 into 256 —
+    // cells stay executor-sized and the shuffle is 44% lighter
+    Lftj.enumerate(Tables.edgesWide(s, d),
+        Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")),
+        Seq("a", "b", "c", "d"), cubeSide = 3)
+      .agg(count(lit(1)).as("squares"))
+
   /** Triangle count on the wide-domain SPARSE graph — the low-collision
     * regime (the dense 100-key graph makes every key hot; judging scale
     * behavior needs both). */
@@ -656,6 +669,7 @@ object SparkEntry {
     "wcoj_triangle" -> (qWcojTriangle _),
     "wcoj_lftj_triangle" -> (qLftjTriangle _),
     "wcoj_triangle_wide" -> (qWcojTriangleWide _),
+    "wcoj_square" -> (qWcojSquare _),
     "ghd_bridge" -> (qGhdBridge _),
     "sql_frontend" -> (qSqlFrontend _),
     "sql_cqc" -> (qSqlCqc _),
@@ -777,6 +791,11 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $EW g1, $EW g2, $EW g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "wcoj_square" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS squares
+         |FROM $EW g1, $EW g2, $EW g3, $EW g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |  AND g4.dst = g1.src""".stripMargin,
     "sql_frontend" ->
       s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS e
          |FROM $E g1, $E g2, $E g3

@@ -21,6 +21,39 @@ class YannakakisPropertySpec extends SparkSpecBase {
       } yield (s, d))
     }
 
+  test("aggregate family over random chains equals the enumerated oracle") {
+    var seed = Seed(11L)
+    for (i <- 1 to 8) {
+      val es = edgeGen.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val e = es.distinct.toDF("x", "y")
+      val n = 2 + i % 3 // 2-4 relations
+      val vars = (0 to n).map(j => s"v$j")
+      val rels = (0 until n).map(j => Rel(s"g$j", e.toDF(vars(j), vars(j + 1))))
+      var naive = e.toDF(vars(0), vars(1))
+      for (j <- 1 until n) naive = naive.join(e.toDF(vars(j), vars(j + 1)), vars(j))
+      val g = vars(0)
+      val v = vars(n) // last var: lives only in the last relation
+
+      val gotC = Yannakakis.aggOverJoin(rels, Seq(g), Seq(v))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val wantC = naive.groupBy(g)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum(col(v)).as(s"sum_$v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotC == wantC, s"agg case $i edges=$es")
+
+      val gotE = Yannakakis.extremaOverJoin(rels, Seq(g), v)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val wantE = naive.groupBy(g)
+        .agg(org.apache.spark.sql.functions.min(col(v)).as("mn"),
+          org.apache.spark.sql.functions.max(col(v)).as("mx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotE == wantE, s"extrema case $i edges=$es")
+    }
+  }
+
   test("solve(path-3 + random comparison) equals naive join+filter") {
     var seed = Seed(7L)
     val ops = Seq("<", "<=", ">", ">=")
