@@ -264,42 +264,29 @@ object Dedup {
   val shMaxHamming = 6 // report pairs within this distance (guaranteed
                        // recall by pigeonhole only up to shChunks - 1 = 3)
 
-  /** 16-bit lanes, 4 bit-counters per packed aggregation column. */
-  private val shLaneBits = 16
-  private val shLanesPerWord = 4
-  private val shWords = (shBits + shLanesPerWord - 1) / shLanesPerWord // 15
-
   /**
-   * 60-bit SimHash per doc over distinct NORMALIZED tokens. The per-bit
-   * counters are PACKED four to an aggregation column in 16-bit lanes:
-   * 15 sum columns + 1 count instead of 60 sums — a 4x narrower
-   * aggregation payload on the one shuffle this operator has, with the
-   * identical signature coming out (sign of the ±1 sum ⇔ 2·ones > n).
-   * Lane capacity bounds distinct tokens per doc at 32767 (the top lane
-   * must not carry into the long's sign bit); corpus docs are orders of
-   * magnitude below that — shard a doc's tokens first if yours are not.
+   * 60-bit SimHash per doc over distinct NORMALIZED tokens, computed
+   * ENTIRELY map-side: the token-hash array is materialized once per doc
+   * (own projection — CollapseProject keeps non-cheap exprs
+   * un-duplicated), then each signature bit counts its set hashes with
+   * an array filter. No explode, no shuffle, no aggregation — the
+   * operator is a single projection pass over the scan, the same
+   * zero-shuffle shape as [[TextOps.fingerprints]], which is what you
+   * want signing 100 TB of text. (A previous revision exploded tokens
+   * into a 60-column — later 15-packed — hash aggregate; the per-doc
+   * array form removes that shuffle entirely.) Sign rule: bit set ⇔
+   * 2·ones > n ⇔ the classic ±1 sum is positive.
    */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        explode(array_distinct(words(normText))).as("t"))
-      .select(col("doc_id"), h60(col("t")).as("h"))
-    val words15 = (0 until shWords).map { wd =>
-      val term = (0 until shLanesPerWord)
-        .filter(l => wd * shLanesPerWord + l < shBits)
-        .map { l =>
-          val b = wd * shLanesPerWord + l
-          shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(1L << (shLaneBits * l))
-        }.reduce(_ + _)
-      sum(term).as(s"w$wd")
-    }
+    val withHs = docs.select(col("doc_id"),
+      transform(array_distinct(words(normText)), t => h60(t)).as("hs"))
+    val n = size(col("hs"))
     val packed = (0 until shBits).map { b =>
-      val ones = shiftright(col(s"w${b / shLanesPerWord}"), shLaneBits * (b % shLanesPerWord))
-        .bitwiseAND(lit((1L << shLaneBits) - 1))
-      when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+      val ones = size(filter(col("hs"),
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tok.groupBy(col("doc_id"))
-      .agg(words15.head, (words15.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("doc_id"), packed.as("sig"))
+    withHs.select(col("doc_id"), packed.as("sig"))
   }
 
   /**
