@@ -277,6 +277,18 @@ object SparkEntry {
         |  AND g3.dst = c2.src AND c1.cnt < c2.cnt""".stripMargin)
   }
 
+  /** A CYCLIC query through the SQL door: triangle enumeration as plain
+    * SQL text — [[graft.sql.CqcSql]] detects the cyclic hypergraph and
+    * routes through GHD bag decomposition (the reference's
+    * CyclicHandler path, reached from its main entry). */
+  def qSqlCqcCyclic(s: SparkSession, d: String): DataFrame = {
+    Tables.edgesWide(s, d).createOrReplaceTempView("cqcy_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS a, g2.src AS b, g3.src AS c
+        |FROM cqcy_edges g1, cqcy_edges g2, cqcy_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin)
+  }
+
   /** The SQL door with ORDER BY + LIMIT: ranked top-k straight from SQL
     * text, planned as TakeOrderedAndProject over the CQC result (no full
     * sort materialization). */
@@ -675,6 +687,7 @@ object SparkEntry {
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
+    "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
@@ -1041,6 +1054,10 @@ object SparkEntry {
          |FROM $E g1, $E g2
          |WHERE g1.dst = g2.src
          |ORDER BY c DESC, a ASC, b ASC LIMIT 10""".stripMargin,
+    "sql_cqc_cyclic" ->
+      s"""SELECT g1.src AS a, g2.src AS b, g3.src AS c
+         |FROM $EW g1, $EW g2, $EW g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)
