@@ -289,6 +289,21 @@ object SparkEntry {
         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin)
   }
 
+  /** The cyclic SQL door on the DENSE graph, aggregated: per-vertex
+    * triangle counts where every join key is hot. This is the shape where
+    * the GHD bag strategy decides scale behavior — a binary-join bag
+    * materializes all 2-paths (|E|²/|V| rows) before the closing edge
+    * prunes them; the WCOJ certificate ([[graft.wcoj.Ghd]]) keeps the
+    * intermediate at the AGM bound (the triangle set itself). */
+  def qSqlCqcCyclicDense(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqcyd_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS a, COUNT(*) AS n_tri
+        |FROM cqcyd_edges g1, cqcyd_edges g2, cqcyd_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
   /** The SQL door with ORDER BY + LIMIT: ranked top-k straight from SQL
     * text, planned as TakeOrderedAndProject over the CQC result (no full
     * sort materialization). */
@@ -688,6 +703,7 @@ object SparkEntry {
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
+    "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
@@ -1058,6 +1074,11 @@ object SparkEntry {
       s"""SELECT g1.src AS a, g2.src AS b, g3.src AS c
          |FROM $EW g1, $EW g2, $EW g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin,
+    "sql_cqc_cyclic_dense" ->
+      s"""SELECT g1.src AS a, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+         |GROUP BY g1.src""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)

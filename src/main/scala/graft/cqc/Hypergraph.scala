@@ -135,6 +135,26 @@ object Hypergraph {
    * go through [[graft.wcoj]] / GHD instead).
    */
   def joinTree(rels: Seq[Rel]): JoinTree = {
+    val (parent, alive) = gyo(rels)
+    if (alive.size > 1)
+      throw new CyclicQueryException(
+        s"query is cyclic; remaining hyperedges: ${alive.keys.mkString(", ")}")
+    val byName = rels.map(r => r.name -> r).toMap
+    val size: Map[String, BigInt] = rels.map(r => r.name -> estSize(r)).toMap
+    val tree = new JoinTree(byName, alive.head._1, parent)
+    tree.rerooted(rels.maxBy(r => (size(r.name), r.name)).name)
+  }
+
+  /** Names of the hyperedges left un-absorbed when GYO stalls — the
+    * cyclic core of the query (empty when alpha-acyclic). [[graft.wcoj.Ghd]]
+    * evaluates exactly this set worst-case-optimally as one bag. */
+  def cyclicCore(rels: Seq[Rel]): Seq[String] = {
+    val (_, alive) = gyo(rels)
+    if (alive.size > 1) alive.keys.toSeq else Seq.empty
+  }
+
+  /** Shared GYO ear-absorption loop: returns (parent pointers, residual). */
+  private def gyo(rels: Seq[Rel]): (Map[String, String], scala.collection.immutable.ListMap[String, Set[String]]) = {
     require(rels.map(_.name).distinct.size == rels.size, "relation names must be unique")
     val byName = rels.map(r => r.name -> r).toMap
     val size: Map[String, BigInt] = rels.map(r => r.name -> estSize(r)).toMap
@@ -165,13 +185,7 @@ object Hypergraph {
         progress = true
       }
     }
-
-    if (alive.size > 1)
-      throw new CyclicQueryException(
-        s"query is cyclic; remaining hyperedges: ${alive.keys.mkString(", ")}")
-
-    val tree = new JoinTree(byName, alive.head._1, parent.toMap)
-    tree.rerooted(rels.maxBy(r => (size(r.name), r.name)).name)
+    (parent.toMap, alive)
   }
 
   def isAcyclic(rels: Seq[Rel]): Boolean =

@@ -74,57 +74,121 @@ object Lftj {
     import spark.implicits._
     validate(patterns, varOrder)
     val n = varOrder.length
-    val varIdx = varOrder.zipWithIndex.toMap
     val side = cubeSide
-
-    // (pattern index, earlier-var position, later-var position, swapped?,
-    //  number of free cells each tuple replicates to)
-    val pats = patterns.zipWithIndex.map { case ((u, v), r) =>
-      val (iu, iv) = (varIdx(u), varIdx(v))
-      val (i, j, swapped) = if (iu < iv) (iu, iv, false) else (iv, iu, true)
-      (r, i, j, swapped, math.pow(side, n - 2).toInt)
-    }
+    val pats = patInfo(patterns, varOrder, side)
 
     val Array(c1, c2) = edges.columns
     val e = edges.select(col(c1).cast("long"), col(c2).cast("long")).as[(Long, Long)]
 
-    // hypercube replication: fix the two bound coordinates, enumerate the rest
+    // hypercube replication: fix the two bound coordinates, enumerate the
+    // rest — ONE scan of the edge list feeds every pattern
     val rows = e.mapPartitions { it =>
       it.flatMap { case (x, y) =>
         pats.iterator.flatMap { case (r, i, j, swapped, nCells) =>
-          val (k1, k2) = if (swapped) (y, x) else (x, y)
-          val ci = coord(k1, side)
-          val cj = coord(k2, side)
-          (0 until nCells).iterator.map { code =>
-            var pid = 0
-            var rem = code
-            var d = 0
-            var mul = 1
-            while (d < n) {
-              val c =
-                if (d == i) ci
-                else if (d == j) cj
-                else { val cc = rem % side; rem /= side; cc }
-              pid += c * mul
-              mul *= side
-              d += 1
-            }
-            CubeRow(pid, r, k1, k2)
-          }
+          replicateOne(x, y, r, i, j, swapped, nCells, n, side)
         }
       }
     }
+    solveCells(rows, pats, n, varOrder)
+  }
 
-    val nRels = patterns.length
+  /**
+   * Multi-relation WCOJ: each pattern (u, v) is bound by ITS OWN binary
+   * relation `inputs(r)._1` (columns in (u, v) order) rather than one
+   * shared edge list — the general GHD-bag form, where a cyclic bag's
+   * member relations carry different leaf filters. Null keys are dropped
+   * (inner-equi-join semantics: NULL joins nothing). Output bindings are
+   * DISTINCT (set semantics — the certificate contract [[Ghd]] relies
+   * on); inputs with duplicate tuples do not produce duplicate bindings.
+   */
+  def enumerateMulti(
+      inputs: Seq[(DataFrame, (String, String))],
+      varOrder: Seq[String],
+      cubeSide: Int = 4): DataFrame = {
+    val patterns = inputs.map(_._2)
+    validate(patterns, varOrder)
+    val spark = inputs.head._1.sparkSession
+    import spark.implicits._
+    val n = varOrder.length
+    val side = cubeSide
+    val pats = patInfo(patterns, varOrder, side)
+
+    val tagged = inputs.zipWithIndex.map { case ((df, _), r) =>
+      val Array(c1, c2) = df.columns
+      df.where(col(c1).isNotNull && col(c2).isNotNull)
+        .select(lit(r).as("r"), col(c1).cast("long").as("x"), col(c2).cast("long").as("y"))
+    }.reduce(_ unionAll _).as[(Int, Long, Long)]
+
+    val rows = tagged.mapPartitions { it =>
+      it.flatMap { case (r, x, y) =>
+        val (_, i, j, swapped, nCells) = pats(r)
+        replicateOne(x, y, r, i, j, swapped, nCells, n, side)
+      }
+    }
+    solveCells(rows, pats, n, varOrder)
+  }
+
+  /** (pattern index, earlier-var position, later-var position, swapped?,
+    * number of free cells each tuple replicates to) per pattern. */
+  private def patInfo(
+      patterns: Seq[(String, String)],
+      varOrder: Seq[String],
+      side: Int): Seq[(Int, Int, Int, Boolean, Int)] = {
+    val varIdx = varOrder.zipWithIndex.toMap
+    val n = varOrder.length
+    patterns.zipWithIndex.map { case ((u, v), r) =>
+      val (iu, iv) = (varIdx(u), varIdx(v))
+      val (i, j, swapped) = if (iu < iv) (iu, iv, false) else (iv, iu, true)
+      (r, i, j, swapped, math.pow(side, n - 2).toInt)
+    }
+  }
+
+  /** Replicate one tuple of pattern `r` to every hypercube cell consistent
+    * with its two bound coordinates. */
+  private def replicateOne(
+      x: Long, y: Long, r: Int, i: Int, j: Int, swapped: Boolean,
+      nCells: Int, n: Int, side: Int): Iterator[CubeRow] = {
+    val (k1, k2) = if (swapped) (y, x) else (x, y)
+    val ci = coord(k1, side)
+    val cj = coord(k2, side)
+    (0 until nCells).iterator.map { code =>
+      var pid = 0
+      var rem = code
+      var d = 0
+      var mul = 1
+      while (d < n) {
+        val c =
+          if (d == i) ci
+          else if (d == j) cj
+          else { val cc = rem % side; rem /= side; cc }
+        pid += c * mul
+        mul *= side
+        d += 1
+      }
+      CubeRow(pid, r, k1, k2)
+    }
+  }
+
+  /** Group replicated tuples by cell, leapfrog each cell, project vars. */
+  private def solveCells(
+      rows: org.apache.spark.sql.Dataset[CubeRow],
+      pats: Seq[(Int, Int, Int, Boolean, Int)],
+      n: Int,
+      varOrder: Seq[String]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val nRels = pats.length
+    val patPos = pats.map { case (_, i, j, _, _) => (i, j) }.toArray
     val bindings = rows
       .groupByKey(_.pid)
       .flatMapGroups { (_, it) =>
-        // build sorted tries per pattern
+        // build sorted tries per pattern; dedup so inputs with repeated
+        // tuples still yield set-semantics bindings (certificate contract)
         val bufs = Array.fill(nRels)(new ArrayBuffer[(Long, Long)]())
         it.foreach(r => bufs(r.rel) += ((r.k1, r.k2)))
-        val tries = bufs.map(_.sortInPlace().toArray)
+        val tries = bufs.map(b => b.sortInPlace().distinct.toArray)
         if (tries.exists(_.isEmpty)) Iterator.empty
-        else lftj(tries, pats.map { case (_, i, j, _, _) => (i, j) }.toArray, n)
+        else lftj(tries, patPos, n)
       }
 
     bindings.toDF("b").select(
@@ -151,11 +215,11 @@ object Lftj {
       tries: Array[Array[(Long, Long)]],
       pats: Array[(Int, Int)], // (earlier var, later var) per pattern
       n: Int): Iterator[Array[Long]] = {
-    val out = new ArrayBuffer[Array[Long]]()
+    // LAZY enumeration: per-cell memory is bounded by the INPUT (the
+    // tries + O(depth * nRels) range copies), never the output — a dense
+    // pattern streams its rows through the mapGroups iterator instead of
+    // buffering them (the earlier ArrayBuffer form OOM'd exactly there).
     val bind = new Array[Long](n)
-    // current [lo, hi) range per pattern
-    val lo = tries.map(_ => 0)
-    val hi = tries.indices.map(r => tries(r).length).toArray
 
     // first index in [from, until) of t with t(i)._1 >= key (k1 search)
     def lower1(t: Array[(Long, Long)], from: Int, until: Int, key: Long): Int = {
@@ -168,78 +232,100 @@ object Lftj {
       while (a < b) { val m = (a + b) >>> 1; if (t(m)._2 < key) a = m + 1 else b = m }
       a
     }
+    def valueAt(r: Int, isK1: Boolean, p: Int): Long =
+      if (isK1) tries(r)(p)._1 else tries(r)(p)._2
 
-    def recurse(level: Int): Unit = {
-      if (level == n) { out += bind.clone(); return }
-      // patterns whose earlier var is `level`: candidates are k1 over range
-      // patterns whose later var is `level`: k1 fixed earlier, candidates k2
-      val first = tries.indices.filter(r => pats(r)._1 == level)
-      val second = tries.indices.filter(r => pats(r)._2 == level)
-      val parts = first.map(r => (r, true)) ++ second.map(r => (r, false))
-      if (parts.isEmpty) return // pattern set must bind every variable
+    // patterns whose earlier var is `lv`: candidates are k1 over range;
+    // patterns whose later var is `lv`: k1 fixed earlier, candidates k2
+    val partsByLevel: Array[Array[(Int, Boolean)]] = Array.tabulate(n) { lv =>
+      (tries.indices.filter(r => pats(r)._1 == lv).map(r => (r, true)) ++
+        tries.indices.filter(r => pats(r)._2 == lv).map(r => (r, false))).toArray
+    }
 
-      // leapfrog intersection over the participating sorted sequences
-      def valueAt(r: Int, isK1: Boolean, pos: Int): Long =
-        if (isK1) tries(r)(pos)._1 else tries(r)(pos)._2
-      val pos = parts.map { case (r, _) => lo(r) }.toArray
+    // Each level owns ITS OWN [lo, hi) range copies, so a parent's target
+    // iterator can advance immediately while the child is still being
+    // consumed lazily. `bind` is shared: flatMap sets bind(lv) right
+    // before creating the child iterator and the child is fully drained
+    // before the next target — the leaf clones it.
+    def level(lv: Int, lo: Array[Int], hi: Array[Int]): Iterator[Array[Long]] = {
+      if (lv == n) return Iterator.single(bind.clone())
+      val parts = partsByLevel(lv)
+      if (parts.isEmpty) return Iterator.empty // validate() rejects this up front
+      val pos = Array.tabulate(parts.length)(i => lo(parts(i)._1))
 
-      var exhausted = false
-      while (!exhausted) {
-        // compute the max head; advance everyone to >= it until all equal
-        var target = Long.MinValue
-        var idx = 0
-        while (idx < parts.length && !exhausted) {
-          val (r, isK1) = parts(idx)
-          if (pos(idx) >= hi(r)) exhausted = true
-          else {
-            val v = valueAt(r, isK1, pos(idx))
-            if (v > target) target = v
-          }
-          idx += 1
-        }
-        if (!exhausted) {
-          var allEqual = true
-          idx = 0
-          while (idx < parts.length && !exhausted) {
-            val (r, isK1) = parts(idx)
-            val v = valueAt(r, isK1, pos(idx))
-            if (v < target) {
-              allEqual = false
-              pos(idx) =
-                if (isK1) lower1(tries(r), pos(idx), hi(r), target)
-                else lower2(tries(r), pos(idx), hi(r), target)
-              if (pos(idx) >= hi(r)) exhausted = true
-            }
-            idx += 1
-          }
-          if (!exhausted && allEqual) {
-            bind(level) = target
-            // narrow ranges of `first` patterns to k1 == target, recurse
-            val saved = parts.map { case (r, _) => (r, lo(r), hi(r)) }
-            parts.zipWithIndex.foreach { case ((r, isK1), pi) =>
-              if (isK1) {
-                lo(r) = pos(pi)
-                hi(r) = lower1(tries(r), pos(pi), saved.find(_._1 == r).get._3, target + 1)
-              }
-            }
-            recurse(level + 1)
-            saved.foreach { case (r, l, h) => lo(r) = l; hi(r) = h }
-            // advance every participant past `target`
-            idx = 0
-            while (idx < parts.length && !exhausted) {
+      // leapfrog intersection, one (target, narrowed ranges) at a time
+      val targets = new Iterator[(Long, Array[Int], Array[Int])] {
+        private var done = false
+        private var pending: (Long, Array[Int], Array[Int]) = null
+
+        private def seek(): Unit = {
+          while (!done && pending == null) {
+            // compute the max head; advance everyone to >= it until all equal
+            var target = Long.MinValue
+            var idx = 0
+            while (idx < parts.length && !done) {
               val (r, isK1) = parts(idx)
-              pos(idx) =
-                if (isK1) lower1(tries(r), pos(idx), hi(r), target + 1)
-                else lower2(tries(r), pos(idx), hi(r), target + 1)
-              if (pos(idx) >= hi(r)) exhausted = true
+              if (pos(idx) >= hi(r)) done = true
+              else {
+                val v = valueAt(r, isK1, pos(idx))
+                if (v > target) target = v
+              }
               idx += 1
             }
+            if (!done) {
+              var allEqual = true
+              idx = 0
+              while (idx < parts.length && !done) {
+                val (r, isK1) = parts(idx)
+                if (valueAt(r, isK1, pos(idx)) < target) {
+                  allEqual = false
+                  pos(idx) =
+                    if (isK1) lower1(tries(r), pos(idx), hi(r), target)
+                    else lower2(tries(r), pos(idx), hi(r), target)
+                  if (pos(idx) >= hi(r)) done = true
+                }
+                idx += 1
+              }
+              if (!done && allEqual) {
+                // child ranges: narrow `first` patterns to k1 == target
+                val cLo = lo.clone(); val cHi = hi.clone()
+                var pi = 0
+                while (pi < parts.length) {
+                  val (r, isK1) = parts(pi)
+                  if (isK1) {
+                    cLo(r) = pos(pi)
+                    cHi(r) = lower1(tries(r), pos(pi), hi(r), target + 1)
+                  }
+                  pi += 1
+                }
+                pending = (target, cLo, cHi)
+                // advance every participant past `target` for the next seek
+                pi = 0
+                while (pi < parts.length && !done) {
+                  val (r, isK1) = parts(pi)
+                  pos(pi) =
+                    if (isK1) lower1(tries(r), pos(pi), hi(r), target + 1)
+                    else lower2(tries(r), pos(pi), hi(r), target + 1)
+                  if (pos(pi) >= hi(r)) done = true
+                  pi += 1
+                }
+              }
+            }
           }
         }
+        def hasNext: Boolean = { if (pending == null) seek(); pending != null }
+        def next(): (Long, Array[Int], Array[Int]) = {
+          if (!hasNext) throw new NoSuchElementException
+          val t = pending; pending = null; t
+        }
+      }
+
+      targets.flatMap { case (target, cLo, cHi) =>
+        bind(lv) = target
+        level(lv + 1, cLo, cHi)
       }
     }
 
-    recurse(0)
-    out.iterator
+    level(0, Array.fill(tries.length)(0), Array.tabulate(tries.length)(r => tries(r).length))
   }
 }

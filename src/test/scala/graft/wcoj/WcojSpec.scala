@@ -57,7 +57,32 @@ class WcojSpec extends SparkSpecBase {
     assert(!Hypergraph.isAcyclic(rels))
     val bags = Ghd.decompose(rels)
     assert(Hypergraph.isAcyclic(bags))
-    assert(bags.size < rels.size)
+    // the cyclic core is closed by an ADDED WCOJ certificate (set of
+    // bindings satisfying every core pattern); original members survive
+    // to carry multiplicities/types
+    val cert = bags.find(_.name.contains("+")).get
+    assert(rels.forall(r => bags.exists(_.name == r.name)))
+    assert(rels.flatMap(_.vars).toSet.subsetOf(cert.vars))
+  }
+
+  test("GHD certificate bags are LFTJ-evaluated, not binary-join 2-paths") {
+    // a pure triangle through the generic path: the bag must come from the
+    // worst-case-optimal mapGroups operator — a binary join of two edge
+    // relations (the |E|²/d two-path materialization) must NOT appear in
+    // the certificate's plan
+    val rels = Seq(
+      Rel("g1", edges.toDF("a", "b")), Rel("g2", edges.toDF("b", "c")),
+      Rel("g3", edges.toDF("c", "a")))
+    val bags = Ghd.decompose(rels)
+    assert(bags.size == 4)
+    val cert = bags.find(_.name == "g1+g2+g3").get
+    val plan = cert.df.queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), s"certificate should leapfrog, got:\n$plan")
+    assert(!plan.contains("Join"), s"certificate must not binary-join, got:\n$plan")
+    // and the full solve still returns the exact triangle set
+    val got = Ghd.solve(rels).select("a", "b", "c").collect().map(_.toSeq).toSet
+    val want = Wcoj.triangles(edges).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
   }
 
   test("Ghd.solve handles the reference q2 shape: bridge edge + sum comparison") {
