@@ -289,6 +289,23 @@ object SparkEntry {
         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin)
   }
 
+  /** COMPUTED-expression comparison through the SQL door (reference q2/q10
+    * shape: compare SUMS of variables across relations and still get CQC
+    * pruning): each comparison side is arithmetic over ONE relation's
+    * attrs, so [[graft.sql.CqcSql]] lifts it into a [[graft.cqc.Cmp]] and
+    * Yannakakis propagates a per-join-key bound of the computed value —
+    * rows with no possible partner never reach enumeration (previously
+    * this shape fell to a post-join residual filter). */
+  def qSqlCqcExpr(s: SparkSession, d: String): DataFrame = {
+    Tables.ratedEdges(s, d).createOrReplaceTempView("cqce_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT r.src AS node1, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(ROUND(SUM(CAST(s.rating AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_w2
+        |FROM cqce_edges r, cqce_edges s
+        |WHERE r.dst = s.src AND r.rating + r.src < s.rating + s.dst
+        |GROUP BY r.src""".stripMargin)
+  }
+
   /** The cyclic SQL door on the DENSE graph, aggregated: per-vertex
     * triangle counts where every join key is hot. This is the shape where
     * the GHD bag strategy decides scale behavior — a binary-join bag
@@ -704,6 +721,7 @@ object SparkEntry {
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
+    "sql_cqc_expr" -> (qSqlCqcExpr _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
@@ -1079,6 +1097,12 @@ object SparkEntry {
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
          |GROUP BY g1.src""".stripMargin,
+    "sql_cqc_expr" ->
+      s"""SELECT r.src AS node1, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(ROUND(SUM(CAST(s.rating AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_w2
+         |FROM $RE r, $RE s
+         |WHERE r.dst = s.src AND r.rating + r.src < s.rating + s.dst
+         |GROUP BY r.src""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)

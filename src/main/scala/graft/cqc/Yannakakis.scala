@@ -75,19 +75,24 @@ object Yannakakis {
     val tree = Hypergraph.joinTree(rels)
     val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
 
-    // Comparison-bound annotation: for `x op y` with x in rel A, y in rel
-    // B (A != B), propagate the best bound of y along the tree path from B
-    // to A, per join key, then filter A. Prunes A-rows having no possible
-    // comparison partner — the CQC reduction. All comparisons sharing the
-    // same (A, B) pair are FUSED into one aggregate + one join (the
+    // Comparison-bound annotation: for `x op y` with x computed over rel A
+    // and y computed over rel B (A != B), propagate the best bound of the
+    // y-expression along the tree path from B to A, per join key, then
+    // filter A. Prunes A-rows having no possible comparison partner — the
+    // CQC reduction. COMPUTED sides participate too (the reference q2/q10
+    // sum-comparison shape): the bound carrier simply aggregates the
+    // expression's value instead of a bare column. All comparisons sharing
+    // the same (A, B) pair are FUSED into one aggregate + one join (the
     // TreeLikeArray double-bound case costs the same shuffle count as a
     // single bound), preserving first-occurrence order for determinism.
-    val located = cmps.filter(_.isSimple).flatMap { cmp =>
-      val locL = tree.rels.values.find(_.vars.contains(cmp.left)).map(_.name)
-      val locR = tree.rels.values.find(_.vars.contains(cmp.right)).map(_.name)
+    val located = cmps.flatMap { cmp =>
+      val locL = tree.rels.values
+        .find(r => cmp.leftRefs.nonEmpty && cmp.leftRefs.subsetOf(r.vars)).map(_.name)
+      val locR = tree.rels.values
+        .find(r => cmp.rightRefs.nonEmpty && cmp.rightRefs.subsetOf(r.vars)).map(_.name)
       (locL, locR) match {
         case (Some(a), Some(b)) if a != b => Some(((a, b), cmp))
-        case _ => None // same-relation: residual filter covers it
+        case _ => None // same-relation / multi-relation side: residual covers it
       }
     }
     for (pair <- located.map(_._1).distinct) {
@@ -285,6 +290,9 @@ object Yannakakis {
     }
 
     // Walk from b toward a, carrying all per-join-key bounds together.
+    // The first hop projects each right-hand side as an EXPRESSION over
+    // b's variables (a bare column is just the simplest case), so computed
+    // comparison sides get the same per-key bound machinery.
     var carrier: DataFrame = null
     for (i <- 0 until hops.length - 1) {
       val cur = hops(i)
@@ -292,17 +300,17 @@ object Yannakakis {
       val keys = tree.sharedVars(cur, next)
       if (keys.isEmpty) return // disconnected hop: bail out, residual filter still applies
       val base =
-        if (i == 0) reduced(cur).select((keys ++ cmps.map(_.right)).distinct.map(col): _*)
+        if (i == 0) reduced(cur).select(
+          keys.map(col) ++ bound.map { case (c, bc) => expr(c.right).as(bc) }: _*)
         else reduced(cur).join(carrier, tree.sharedVars(hops(i - 1), cur), "inner")
       val aggs = bound.map { case (c, bc) =>
-        val valueCol = if (i == 0) c.right else bc
-        (if (c.rightBoundIsMax) max(col(valueCol)) else min(col(valueCol))).as(bc)
+        (if (c.rightBoundIsMax) max(col(bc)) else min(col(bc))).as(bc)
       }
       carrier = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     if (carrier == null) return
     val aKeys = tree.sharedVars(hops(hops.length - 2), a)
-    val cond = bound.map { case (c, bc) => s"(${c.left} ${c.op} $bc)" }.mkString(" AND ")
+    val cond = bound.map { case (c, bc) => s"((${c.left}) ${c.op} $bc)" }.mkString(" AND ")
     val filtered = reduced(a)
       .join(carrier, aKeys, "inner")
       .where(expr(cond))

@@ -144,17 +144,26 @@ object CqcSql {
       case _: GreaterThanOrEqual => Some(">=")
       case _ => None
     }
+    def toVarNamesEarly(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
+    }
     others.foreach { e =>
       val refLeaves = e.references.map(a => leafOf(a.exprId.id)).toSet
       e match {
         case _ if refLeaves.size == 1 =>
           leafFilters(refLeaves.head) = e :: leafFilters(refLeaves.head)
         case bc: BinaryComparison if opOf(bc).isDefined =>
-          (bc.left, bc.right) match {
-            case (a: AttributeReference, b: AttributeReference) =>
-              cmps += Cmp(varName(a.exprId.id), opOf(bc).get, varName(b.exprId.id))
-            case _ => residual += e
-          }
+          // each side confined to ONE leaf (different leaves) becomes a
+          // Cmp — bare attributes AND computed expressions alike (the
+          // reference q2/q10 sum-comparison shape): Yannakakis gives both
+          // the per-key bound-annotation pruning. A side spanning two
+          // leaves can't be annotated; it stays a residual filter.
+          val lLeaves = bc.left.references.map(a => leafOf(a.exprId.id)).toSet
+          val rLeaves = bc.right.references.map(a => leafOf(a.exprId.id)).toSet
+          if (lLeaves.size == 1 && rLeaves.size == 1 && lLeaves != rLeaves)
+            cmps += Cmp(toVarNamesEarly(bc.left).sql, opOf(bc).get,
+              toVarNamesEarly(bc.right).sql)
+          else residual += e
         case _ => residual += e
       }
     }

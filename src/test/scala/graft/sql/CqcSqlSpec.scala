@@ -33,15 +33,33 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
-  test("computed comparisons fall through to the residual filter") {
+  test("computed comparisons are lifted to Cmp and annotation-pruned") {
     prep()
+    // each side is arithmetic over ONE relation's attrs (the reference
+    // q2/q10 sum-comparison shape) — the door must turn it into a Cmp so
+    // Yannakakis prunes with a per-join-key bound BEFORE enumeration
     val sql =
       """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
         |FROM cqcsql_edges g1, cqcsql_edges g2
         |WHERE g1.dst = g2.src AND g1.src + g1.dst < g2.dst * 2""".stripMargin
-    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
     val want = spark.sql(sql).collect().map(_.toSeq).toSet
     assert(got == want && want.nonEmpty)
+    // the bound-annotation join must exist in the plan (not a residual)
+    assert(df.queryExecution.analyzed.toString.contains("__bound0"),
+      "computed comparison should produce a bound-annotation carrier")
+  }
+
+  test("a comparison side spanning two relations stays a residual filter") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src + g2.dst < g1.dst + 3""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    assert(df.collect().map(_.toSeq).toSet == spark.sql(sql).collect().map(_.toSeq).toSet)
+    assert(!df.queryExecution.analyzed.toString.contains("__bound0"))
   }
 
   test("same-relation equality is applied as a leaf filter, not dropped") {
