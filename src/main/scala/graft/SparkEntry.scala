@@ -289,6 +289,36 @@ object SparkEntry {
         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src""".stripMargin)
   }
 
+  /** LEFT OUTER JOIN through the SQL door (the TPC-H Q13 core as SQL
+    * text): the outer join is peeled off the join root, the preserved
+    * side runs through the CQC pipeline, and the outer side re-joins the
+    * result — with the ON-condition's extra filter intact. */
+  def qSqlCqcOuter(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("cqco_customer")
+    Tables.orders(s, d).createOrReplaceTempView("cqco_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c.c_custkey AS c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |FROM cqco_customer c LEFT OUTER JOIN cqco_orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |GROUP BY c.c_custkey""".stripMargin)
+  }
+
+  /** Top-level DISJUNCTION through the SQL door (the TPC-H Q19 shape as
+    * SQL text): the cross-relation OR cannot be a Cmp annotation, so it
+    * rides the enumeration as a residual applied AT the first join where
+    * both sides are bound — never after a full materialization. */
+  def qSqlCqcDisj(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("cqcd_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("cqcd_part")
+    graft.sql.CqcSql.solve(s,
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l.l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM cqcd_lineitem l, cqcd_part p
+        |WHERE l.l_partkey = p.p_partkey
+        |  AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+        |    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+        |    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30))""".stripMargin)
+  }
+
   /** COMPUTED-expression comparison through the SQL door (reference q2/q10
     * shape: compare SUMS of variables across relations and still get CQC
     * pruning): each comparison side is arithmetic over ONE relation's
@@ -722,6 +752,8 @@ object SparkEntry {
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
     "sql_cqc_expr" -> (qSqlCqcExpr _),
+    "sql_cqc_outer" -> (qSqlCqcOuter _),
+    "sql_cqc_disj" -> (qSqlCqcDisj _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
@@ -1103,6 +1135,18 @@ object SparkEntry {
          |FROM $RE r, $RE s
          |WHERE r.dst = s.src AND r.rating + r.src < s.rating + s.dst
          |GROUP BY r.src""".stripMargin,
+    "sql_cqc_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |GROUP BY c_custkey""".stripMargin,
+    "sql_cqc_disj" ->
+      """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)

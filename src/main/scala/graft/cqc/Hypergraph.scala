@@ -28,19 +28,21 @@ case class Cmp(left: String, op: String, right: String) {
   def rightBoundIsMax: Boolean = op == "<" || op == "<="
   def sqlExpr: String = s"($left) $op ($right)"
 
-  /** Variable names each side references (parsed, so computed exprs work;
-    * the tree is unresolved here so collect attribute NAMES — an
-    * unresolved tree's `references` set is empty). */
-  private def refsOf(s: String): Set[String] =
-    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
-      .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.name }
-      .toSet
-
-  lazy val leftRefs: Set[String] = refsOf(left)
-  lazy val rightRefs: Set[String] = refsOf(right)
+  lazy val leftRefs: Set[String] = Cmp.refsOf(left)
+  lazy val rightRefs: Set[String] = Cmp.refsOf(right)
 
   /** Both sides are bare variables (bound annotation is applicable). */
   def isSimple: Boolean = leftRefs == Set(left) && rightRefs == Set(right)
+}
+
+object Cmp {
+  /** Variable names a SQL expression string references (parsed, so
+    * computed exprs work; the tree is unresolved here so collect attribute
+    * NAMES — an unresolved tree's `references` set is empty). */
+  private[graft] def refsOf(s: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.name }
+      .toSet
 }
 
 class CyclicQueryException(msg: String) extends RuntimeException(msg)

@@ -61,7 +61,18 @@ object Yannakakis {
    * output-sensitive enumeration. The result columns are all distinct
    * variables, in sorted order.
    */
-  def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame = {
+  def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame =
+    solve(rels, cmps, Nil)
+
+  /**
+   * As above, plus `residualSql`: arbitrary predicates over the variables
+   * (disjunctions, multi-relation expressions — anything that is not a
+   * plain `Cmp`). Each is applied at the FIRST enumeration point where
+   * every referenced variable is bound — the earliest the semantics
+   * allow — so a cross-relation OR filters the join as it happens
+   * instead of after the full result materializes.
+   */
+  def solve(rels: Seq[Rel], cmps: Seq[Cmp], residualSql: Seq[String]): DataFrame = {
     // Materialization discipline: every relation is referenced by several
     // passes (bottom-up semijoins, top-down semijoins, bound carriers,
     // enumeration). Left fully lazy, each reference re-embeds the whole
@@ -107,16 +118,17 @@ object Yannakakis {
     // after materializing the result.
     tree.topDown.foreach(n => reduced(n) = graft.CacheRegistry.persistTracked(reduced(n)))
 
-    // Enumeration: fold natural joins root-first; apply each comparison as
-    // soon as both variables are bound (earliest possible filtering, like
-    // enumerateWithOneComparison's takeWhile).
+    // Enumeration: fold natural joins root-first; apply each comparison /
+    // residual predicate as soon as its variables are bound (earliest
+    // possible filtering, like enumerateWithOneComparison's takeWhile).
     var acc = reduced(tree.root)
-    var pending = cmps
+    var pending: Seq[(String, Set[String])] =
+      cmps.map(c => c.sqlExpr -> (c.leftRefs ++ c.rightRefs)) ++
+        residualSql.map(s => s -> Cmp.refsOf(s))
     def applyReady(): Unit = {
       val bound = acc.columns.toSet
-      val (ready, rest) = pending.partition(c =>
-        (c.leftRefs ++ c.rightRefs).subsetOf(bound))
-      ready.foreach(c => acc = acc.where(expr(c.sqlExpr)))
+      val (ready, rest) = pending.partition { case (_, refs) => refs.subsetOf(bound) }
+      ready.foreach { case (sql, _) => acc = acc.where(expr(sql)) }
       pending = rest
     }
     applyReady()
@@ -127,7 +139,7 @@ object Yannakakis {
         else acc.crossJoin(reduced(n))
       applyReady()
     }
-    require(pending.isEmpty, s"unresolved comparisons: $pending")
+    require(pending.isEmpty, s"unresolved predicates: ${pending.map(_._1)}")
     acc.select(acc.columns.sorted.map(col): _*)
   }
 

@@ -24,12 +24,17 @@ import graft.wcoj.Ghd
  * this path also applies CQC comparison pruning.
  *
  * Supported shape: SELECT <attrs/aliases | aggregates> FROM
- * <inner-joined relations> WHERE <conjunction of equalities,
- * comparisons, single-relation predicates> [GROUP BY <attrs>
- * [HAVING <conds>]] [ORDER BY <selected cols> [LIMIT n]]. Single-
- * relation predicates are pushed into their leaf; var-to-var
- * comparisons become [[Cmp]] annotations; anything else is applied as
- * a residual filter on the enumeration output. GROUP BY/HAVING run as
+ * <inner-joined relations> [LEFT OUTER JOIN <rel> ON <cond>]* WHERE
+ * <conjunction of equalities, comparisons, disjunctions,
+ * single-relation predicates> [GROUP BY <attrs> [HAVING <conds>]]
+ * [ORDER BY <selected cols> [LIMIT n]]. Single-relation predicates are
+ * pushed into their leaf; comparisons whose sides each live in one
+ * relation (bare attrs OR computed expressions — the reference q2/q10
+ * shape) become [[Cmp]] annotations; anything else (disjunctions,
+ * multi-relation sides) is applied at the first enumeration join where
+ * its variables are bound. LEFT OUTER joins are peeled off the join
+ * root and re-applied to the CQC result (the reference Q13 routing);
+ * WHERE conjuncts touching outer attrs apply after. GROUP BY/HAVING run as
  * an ordinary Catalyst hash aggregate on top of the CQC result
  * (reference TpchQueriesTest's aggregate-over-join shapes); ORDER
  * BY+LIMIT plan as TakeOrderedAndProject (no full-sort
@@ -89,6 +94,26 @@ object CqcSql {
       case other => (Nil, other)
     }
 
+    // ---- peel LEFT OUTER joins off the join root (reference
+    // LogicalPlanConverter routes the TPC-H Q13 shape): the preserved
+    // (left) subtree is the CQC cluster; each peeled right side re-joins
+    // the CQC result afterwards, in the original bottom-up order. WHERE
+    // conjuncts that touch only inner attrs commute with a left outer
+    // join (the preserved side is never null-extended) and stay in the
+    // CQC pipeline; conjuncts touching outer attrs apply after the join.
+    val outerJoins = scala.collection.mutable.ArrayBuffer[(LogicalPlan, Option[Expression])]()
+    def peelOuter(p: LogicalPlan): LogicalPlan = p match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftOuter, cond, _) =>
+        val inner = peelOuter(l)
+        outerJoins += ((r, cond))
+        inner
+      case SubqueryAlias(_, child) => peelOuter(child)
+      case other => other
+    }
+    val innerRoot = peelOuter(joinRoot)
+    val outerNames: Map[Long, String] =
+      outerJoins.flatMap(_._1.output.map(a => a.exprId.id -> s"o${a.exprId.id}")).toMap
+
     // ---- flatten the inner-join cluster into leaves + join conditions
     val leaves = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
     val joinConds = scala.collection.mutable.ArrayBuffer[Expression]()
@@ -98,9 +123,10 @@ object CqcSql {
       case SubqueryAlias(_, child) => flatten(child)
       case leaf => leaves += leaf
     }
-    flatten(joinRoot)
+    flatten(innerRoot)
     require(leaves.nonEmpty, "no relations found")
-    val conjuncts = topConjuncts ++ joinConds
+    val (postOuterConjuncts, conjuncts) = (topConjuncts ++ joinConds).partition(
+      _.references.exists(a => outerNames.contains(a.exprId.id)))
 
     // ---- equality classes over ExprIds. Only CROSS-leaf equalities are
     // join variables: a same-leaf equality like `g1.src = g1.dst` must be
@@ -128,10 +154,10 @@ object CqcSql {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def isJoinVar(rep: Long): Boolean =
       classMembers(rep).map(leafOf).size > 1
-    def varName(id: Long): String = {
+    def varName(id: Long): String = outerNames.getOrElse(id, {
       val rep = find(id)
       if (isJoinVar(rep)) s"v$rep" else s"c$id"
-    }
+    })
 
     // ---- classify the remaining predicates
     val leafFilters = scala.collection.mutable.Map[Int, List[Expression]]().withDefaultValue(Nil)
@@ -147,6 +173,31 @@ object CqcSql {
     def toVarNamesEarly(e: Expression): Expression = e.transform {
       case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
     }
+    // RuntimeReplaceable nodes (BETWEEN, NULLIF, ...) keep their ORIGINAL
+    // argument expressions out of `children`, so an attr rename transform
+    // misses them and the .sql round-trip emits stale qualified names —
+    // expand to their replacement form (to fixpoint) before renaming
+    def deRuntime(e: Expression): Expression = {
+      var cur = e
+      var prev: Expression = null
+      while (prev == null || !cur.fastEquals(prev)) {
+        prev = cur
+        cur = cur.transformUp {
+          case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+            rr.replacement
+          // a replacement may be a With (common-subexpression) node, whose
+          // .sql form `with(...)` is not parseable — inline the defs
+          case w: org.apache.spark.sql.catalyst.expressions.With =>
+            val defs = w.defs.map(d => d.id -> d.child).toMap
+            w.child.transformUp {
+              case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+                defs.getOrElse(r.id, r)
+            }
+        }
+      }
+      cur
+    }
+    def varSql(e: Expression): String = toVarNamesEarly(deRuntime(e)).sql
     others.foreach { e =>
       val refLeaves = e.references.map(a => leafOf(a.exprId.id)).toSet
       e match {
@@ -161,8 +212,7 @@ object CqcSql {
           val lLeaves = bc.left.references.map(a => leafOf(a.exprId.id)).toSet
           val rLeaves = bc.right.references.map(a => leafOf(a.exprId.id)).toSet
           if (lLeaves.size == 1 && rLeaves.size == 1 && lLeaves != rLeaves)
-            cmps += Cmp(toVarNamesEarly(bc.left).sql, opOf(bc).get,
-              toVarNamesEarly(bc.right).sql)
+            cmps += Cmp(varSql(bc.left), opOf(bc).get, varSql(bc.right))
           else residual += e
         case _ => residual += e
       }
@@ -193,9 +243,21 @@ object CqcSql {
       Rel(s"r$i", df)
     }.toSeq
 
-    // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic)
-    var out = Ghd.solve(rels, cmps.toSeq)
-    residual.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
+    // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic).
+    // Residuals ride along so they filter at the FIRST join where their
+    // variables are bound (a cross-relation OR never waits for the full
+    // enumeration).
+    var out = Ghd.solve(rels, cmps.toSeq, residual.map(varSql).toSeq)
+
+    // ---- re-apply the peeled LEFT OUTER joins on the CQC result
+    outerJoins.foreach { case (rplan, cond) =>
+      var rdf = GraftSqlBridge.dataFrame(spark, rplan)
+      rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
+      val joinCond = cond.map(c => GraftSqlBridge.column(toVarNames(c)))
+        .getOrElse(functions.lit(true))
+      out = out.join(rdf, joinCond, "left_outer")
+    }
+    postOuterConjuncts.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
 
     val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
       case Some((groupExprs, aggExprs)) =>

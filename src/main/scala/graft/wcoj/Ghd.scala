@@ -93,9 +93,10 @@ object Ghd {
   }
 
   /**
-   * Evaluate a (possibly cyclic) conjunctive query with comparisons:
-   * decompose into bags, then CQC-evaluate the acyclic bag tree.
+   * Evaluate a (possibly cyclic) conjunctive query with comparisons and
+   * residual predicates: decompose into bags, then CQC-evaluate the
+   * acyclic bag tree.
    */
-  def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil): DataFrame =
-    Yannakakis.solve(decompose(rels), cmps)
+  def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil, residualSql: Seq[String] = Nil): DataFrame =
+    Yannakakis.solve(decompose(rels), cmps, residualSql)
 }

@@ -22,6 +22,49 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("LEFT OUTER JOIN is peeled and re-applied over the CQC result") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated")
+    // inner 2-hop cluster, then an outer join whose ON carries an extra
+    // filter — unmatched rows must survive with NULLs (q13 semantics)
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS b, r.rating AS w
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |LEFT OUTER JOIN cqcsql_rated r
+        |  ON g2.dst = r.src AND r.rating > 45.0
+        |WHERE g1.dst = g2.src AND g1.src < 10""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // must include null-extended rows, or the outer join degenerated
+    assert(got.exists(r => r.last == null))
+  }
+
+  test("outer join + aggregate (the Q13 core) through the door") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated2")
+    val sql =
+      """SELECT g.src AS a, CAST(COUNT(r.rating) AS BIGINT) AS n
+        |FROM cqcsql_edges g LEFT OUTER JOIN cqcsql_rated2 r
+        |  ON g.dst = r.src AND r.rating > 45.0
+        |GROUP BY g.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("cross-relation disjunction applies at the join, not post-enumeration") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |  AND ((g1.src < 5 AND g2.dst > 90) OR (g1.src > 95 AND g2.dst < 10))""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("single-relation predicates are pushed into their leaf") {
     prep()
     val sql =
