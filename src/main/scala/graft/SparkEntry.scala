@@ -207,6 +207,27 @@ object SparkEntry {
       .agg(sum(col("n1") * col("n2")).as("n_pairs"))
   }
 
+  /** Ranked enumeration over a CYCLIC query (reference
+    * convert/BreakableCyclicHandler.scala composed with convert/
+    * TopK.scala): top-10 triangles by total edge rating. The WCOJ
+    * certificate bounds the candidate set at the AGM bound — the triangle
+    * set itself, never the |E|²/d two-path intermediate — the three
+    * rating lookups are output-sensitive joins against it, and the global
+    * top-k plans as TakeOrderedAndProject (per-partition top-k + merge,
+    * no full-sort materialization). */
+  def qTopkCyclic(s: SparkSession, d: String): DataFrame = {
+    val re = Tables.ratedEdges(s, d)
+    val tri = Lftj.enumerate(re.select(col("src"), col("dst")),
+      Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"))
+    tri.join(re.toDF("a", "b", "w1"), Seq("a", "b"))
+      .join(re.toDF("b", "c", "w2"), Seq("b", "c"))
+      .join(re.toDF("c", "a", "w3"), Seq("c", "a"))
+      .select(col("a"), col("b"), col("c"),
+        (col("w1") + col("w2") + col("w3")).as("total_rank"))
+      .orderBy(col("total_rank").desc, col("a").asc, col("b").asc, col("c").asc)
+      .limit(10)
+  }
+
   /** Deterministic 10% corpus sample: md5-hash-threshold Bernoulli on the
     * CONTENT (not rand() — reproducible across engines, runs, and
     * cluster sizes, and stable under re-partitioning; the property that
@@ -222,8 +243,9 @@ object SparkEntry {
     * stratum' pipeline stage): quality-score every doc, per-key prune via
     * the same rank machinery the ranked joins use. */
   def qPipeTopk(s: SparkSession, d: String): DataFrame = {
-    val scored = TextOps.quality(Tables.documents(s, d))
-      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    // carry `lang` through the quality projection: ONE documents scan
+    // (text + lang columns), no self-join for the stratum key
+    val scored = TextOps.quality(Tables.documents(s, d), carry = Seq("lang"))
     RankJoin.prunePerKey(scored, Seq("lang"),
         Seq(col("score").desc, col("doc_id").asc), 3)
       .select("lang", "doc_id", "score")
@@ -648,14 +670,19 @@ object SparkEntry {
     * below 20% of the part's mean), small-order revenue sum. The mean is
     * sum/count of integral doubles — exact, engine-independent. */
   def qQ17Avg(s: SparkSession, d: String): DataFrame = {
-    val avgQ = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("pk"))
-      .agg((sum(col("l_quantity")) / count(lit(1))).as("aq"))
     val p = Tables.part(s, d).where(col("p_brand") === "Brand#23").select("p_partkey")
-    Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"),
+    // semi-join lineitem against the broadcast part filter BEFORE the
+    // per-part average: only ~1/25 of parts are Brand#23, so the groupBy
+    // shuffles 1/25th of (partkey, quantity) instead of the whole fact.
+    // Every lineitem row OF a qualifying part survives, so the per-part
+    // mean is unchanged (the correlated-subquery semantics).
+    val l = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice").cast("decimal(14,2)").as("price_d"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgQ, col("l_partkey") === col("pk"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQ = l.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("aq"))
+    l.join(avgQ, col("l_partkey") === col("pk"))
       .where(col("l_quantity") < lit(0.2) * col("aq"))
       .agg(round(sum(col("price_d")), 2).cast("double").as("avg_yearly_base"))
       .select(round(col("avg_yearly_base") / 7.0, 6).as("avg_yearly"))
@@ -740,6 +767,7 @@ object SparkEntry {
     "cqc_trade" -> (qCqcTrade _),
     "topk_join" -> (qTopkJoin _),
     "topk_path3" -> (qTopkPath3 _),
+    "topk_cyclic" -> (qTopkCyclic _),
     "wcoj_triangle" -> (qWcojTriangle _),
     "wcoj_lftj_triangle" -> (qLftjTriangle _),
     "wcoj_triangle_wide" -> (qWcojTriangleWide _),
@@ -858,6 +886,12 @@ object SparkEntry {
          |FROM $RE r, $RE s, $RE t
          |WHERE r.dst = s.src AND s.dst = t.src
          |ORDER BY total_rank DESC, node1, node2, node3, node4 LIMIT 10""".stripMargin,
+    "topk_cyclic" ->
+      s"""SELECT r1.src AS a, r1.dst AS b, r2.dst AS c,
+         |       r1.rating + r2.rating + r3.rating AS total_rank
+         |FROM $RE r1, $RE r2, $RE r3
+         |WHERE r1.dst = r2.src AND r2.dst = r3.src AND r3.dst = r1.src
+         |ORDER BY total_rank DESC, a ASC, b ASC, c ASC LIMIT 10""".stripMargin,
     "wcoj_triangle" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS triangles
          |FROM $E g1, $E g2, $E g3

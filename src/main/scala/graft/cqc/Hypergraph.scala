@@ -95,6 +95,19 @@ final class JoinTree(
   def sharedVars(a: String, b: String): Seq[String] =
     (rels(a).vars intersect rels(b).vars).toSeq.sorted
 
+  /** Human-readable dry-run description: every node with its parent edge,
+    * shared join variables, and the driver-side size estimate the cost
+    * pick used — the plan surface WITHOUT executing anything (reference
+    * convert/DryRunHandler.scala:6 prints its candidate plans the same
+    * way). */
+  def describe: String =
+    topDown.map { n =>
+      val edge = parentOf.get(n)
+        .map(p => s"<- $p on [${sharedVars(n, p).mkString(",")}]")
+        .getOrElse("(root)")
+      s"$n $edge est=${Hypergraph.estSize(rels(n))}B"
+    }.mkString("\n")
+
   /** Tree path between two nodes (inclusive). */
   def path(from: String, to: String): Seq[String] = {
     def ancestors(n: String): List[String] =
@@ -145,6 +158,17 @@ object Hypergraph {
     val size: Map[String, BigInt] = rels.map(r => r.name -> estSize(r)).toMap
     val tree = new JoinTree(byName, alive.head._1, parent)
     tree.rerooted(rels.maxBy(r => (size(r.name), r.name)).name)
+  }
+
+  /** Every valid join tree the cost model chooses among: the GYO tree
+    * rerooted at each relation (rerooting preserves the running-
+    * intersection property, so all are result-equivalent — spec-verified).
+    * The HINT surface: inspect with [[JoinTree.describe]], then pin one
+    * via [[Yannakakis.solveWithTree]] (reference convert/
+    * HintHandler.scala:9 pins user-chosen join trees the same way). */
+  def candidateTrees(rels: Seq[Rel]): Seq[JoinTree] = {
+    val t = joinTree(rels)
+    rels.map(r => t.rerooted(r.name))
   }
 
   /** Names of the hyperedges left un-absorbed when GYO stalls — the

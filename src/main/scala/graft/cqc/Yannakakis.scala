@@ -72,7 +72,21 @@ object Yannakakis {
    * allow — so a cross-relation OR filters the join as it happens
    * instead of after the full result materializes.
    */
-  def solve(rels: Seq[Rel], cmps: Seq[Cmp], residualSql: Seq[String]): DataFrame = {
+  def solve(rels: Seq[Rel], cmps: Seq[Cmp], residualSql: Seq[String]): DataFrame =
+    solveWithTree(Hypergraph.joinTree(rels), cmps, residualSql)
+
+  /**
+   * The HINT door (reference convert/HintHandler.scala:9): evaluate with
+   * a CALLER-PINNED join tree instead of the cost pick — any candidate
+   * from [[Hypergraph.candidateTrees]] (or any rerooting; all join trees
+   * of an acyclic query are result-equivalent, so a hint changes shuffle
+   * payloads and enumeration order, never the answer). Inspect candidates
+   * first with [[JoinTree.describe]] — the dry-run surface.
+   */
+  def solveWithTree(
+      tree: JoinTree,
+      cmps: Seq[Cmp] = Nil,
+      residualSql: Seq[String] = Nil): DataFrame = {
     // Materialization discipline: every relation is referenced by several
     // passes (bottom-up semijoins, top-down semijoins, bound carriers,
     // enumeration). Left fully lazy, each reference re-embeds the whole
@@ -83,7 +97,6 @@ object Yannakakis {
     // Raw leaf inputs are deliberately NOT cached: at 100 TB the inputs
     // do not fit anywhere, and the 2-3 leaf reads the reducer makes are
     // pushdown-pruned columnar scans — the cheap path.
-    val tree = Hypergraph.joinTree(rels)
     val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
 
     // Comparison-bound annotation: for `x op y` with x computed over rel A

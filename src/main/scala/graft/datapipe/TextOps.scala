@@ -71,7 +71,10 @@ object TextOps {
    * and a bounded length prior, combined into one [0,1] score. Single
    * narrow projection — the shape you want scanning 100 TB of text.
    */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: extra input columns to keep in the output projection, so a
+    // downstream per-stratum consumer (pipe_topk) needs ONE scan instead
+    // of re-joining the corpus for its grouping column
     val w = words(col("text"))
     val nTok = size(w).cast("double")
     val ttr = size(array_distinct(w)) / nTok
@@ -79,14 +82,15 @@ object TextOps {
     val stopHits = size(filter(w, t => t.isin(qualityStop: _*))).cast("double")
     val stopRatio = stopHits / nTok
     val lenPrior = least(lit(1.0), nTok / lit(100.0))
-    docs.select(
+    val cols = Seq(
       col("doc_id"),
       size(w).cast(LongType).as("n_tokens"),
       round(ttr, 6).as("ttr"),
       round(avgLen, 6).as("avg_len"),
       round(stopRatio, 6).as("stop_ratio"),
       round(lit(0.3) * lenPrior + lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 6)
-        .as("score"))
+        .as("score")) ++ carry.map(col)
+    docs.select(cols: _*)
   }
 
   val qualitySql: String = {

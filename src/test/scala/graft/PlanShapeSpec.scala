@@ -80,6 +80,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q17_avg semi-joins lineitem before the per-part average") {
+    val p = plan("q17_avg")
+    // the brand filter must reach the aggregate's INPUT: a LeftSemi
+    // broadcast join below the partial aggregate, so the avg shuffles
+    // ~1/25 of (partkey, quantity) instead of the whole fact table
+    assert(p.contains("LeftSemi"))
+    val aggIdx = p.indexOf("HashAggregate")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      "semi-join must sit below the aggregate in the printed plan")
+  }
+
+  test("pipe_topk scans documents once (lang carried, no self-join)") {
+    val p = plan("pipe_topk")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1)
+  }
+
   test("q_window computes all three window functions in one shuffle") {
     val p = plan("q_window")
     // one Window node (same partitioning/ordering fuses the functions);

@@ -44,6 +44,30 @@ class HypergraphSpec extends SparkSpecBase {
     assert(tree.parentOf("small") == "big" && tree.parentOf("tiny") == "small")
   }
 
+  test("hint/dry-run: candidates enumerable, a pinned tree changes the plan not the result") {
+    val e = graft.sources.Tables.edges(spark, sfDir)
+    val rels = Seq(
+      Rel("g1", e.toDF("a", "b")),
+      Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "d")))
+    val default = Hypergraph.joinTree(rels)
+    val cands = Hypergraph.candidateTrees(rels)
+    // one candidate per relation, each a valid tree rooted there
+    assert(cands.map(_.root).toSet == rels.map(_.name).toSet)
+    // dry-run description shows root + join edges + size estimates
+    val desc = default.describe
+    assert(desc.contains("(root)") && desc.contains("est=") && desc.contains("on ["))
+    // pin a NON-default root: the described plan differs...
+    val alt = cands.find(_.root != default.root).get
+    assert(alt.describe != desc)
+    // ...the physical enumeration starts from a different relation...
+    assert(alt.topDown.head != default.topDown.head)
+    // ...and the result is identical (join trees are result-equivalent)
+    val got = Yannakakis.solveWithTree(alt).collect().map(_.toSeq).toSet
+    val want = Yannakakis.solve(rels).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("rerooting preserves the undirected edge set at every choice of root") {
     val tree = Hypergraph.joinTree(Seq(
       rel("r1", "a", "b"), rel("r2", "b", "c"), rel("r3", "c", "d"), rel("r4", "c", "e")))
