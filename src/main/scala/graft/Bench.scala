@@ -34,7 +34,11 @@ object Bench {
     // timed twice and the min reported — the host shows ~2.4x run-to-run
     // noise (BASELINE.md), and min-of-2 is the standard way to read
     // steady-state operator cost through it
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (local iteration aid;
+    // the driver passes none and benches everything)
+    val wanted = SparkEntry.queries.toSeq
+      .filter(q => args.isEmpty || args.contains(q._1))
+    val results = wanted.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         CacheRegistry.unpersistAll() // release operator-internal persists
         spark.catalog.clearCache()   // per-query hygiene: no cross-query caches

@@ -89,9 +89,19 @@ object Ann {
 
   // ------------------------------------------- hyperplane LSH signatures
 
-  /** Number of hyperplanes for the single-table ANN bucket index. */
+  /** Number of hyperplanes for the single-table ANN bucket index
+    * (default sized for the test corpus; see [[lshPlanesFor]]). */
   val lshPlanes = 8
   val dim = 64
+
+  /** Plane count sized to the corpus: expected bucket population is
+    * N / 2^planes, so planes ≈ log2(N / target) holds bucket size — and
+    * therefore per-query candidate cost — CONSTANT as the collection
+    * grows. A fixed plane count is the quadratic-candidate trap: bucket
+    * size N/2^planes makes the bucket join grow as N². */
+  def lshPlanesFor(n: Long, targetBucket: Int = 32): Int =
+    math.min(62, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
 
   /** Deterministic md5-derived hyperplane weight in [-1, 1], computed
     * driver-side (same md5 → identical to the SQL rendering below). */
@@ -142,8 +152,12 @@ object Ann {
    * exact cosine ranks the candidates. The bucket join replaces the
    * all-pairs crossJoin — the 100 TB path.
    */
-  def lshTopK(emb: DataFrame): DataFrame = {
-    val bk = buckets(emb, lshPlanes)
+  def lshTopK(emb: DataFrame): DataFrame = lshTopK(emb, lshPlanes)
+
+  /** Parameterized form — pick `planes` with [[lshPlanesFor]] as the
+    * collection grows. */
+  def lshTopK(emb: DataFrame, planes: Int): DataFrame = {
+    val bk = buckets(emb, planes)
     val side = emb.join(bk, "vec_id")
     val q = side.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
@@ -284,7 +298,10 @@ object Ann {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Bands x planes-per-band for the near-dup candidate index. */
+  /** Bands x planes-per-band for the near-dup candidate index (defaults
+    * sized for the test corpus — widen planes-per-band with
+    * [[lshPlanesFor]] as the collection grows: per-band bucket size is
+    * N / 2^planesPerBand, the same constant-bucket rule). */
   val ndBands = 3
   val ndPlanesPerBand = 5
   val ndTau = 0.35
@@ -295,9 +312,14 @@ object Ann {
    * Cost is bounded by bucket collisions (|v|^2 / 2^planes per band), not
    * all-pairs — the same banding trade-off as MinHash LSH.
    */
-  def embedNearDup(emb: DataFrame): DataFrame = {
-    val bandBuckets = (0 until ndBands).map { b =>
-      buckets(emb, ndPlanesPerBand, planeBase = 100 + b * ndPlanesPerBand)
+  def embedNearDup(emb: DataFrame): DataFrame =
+    embedNearDup(emb, ndBands, ndPlanesPerBand)
+
+  /** Parameterized form — widen `planesPerBand` as the collection grows
+    * (see [[lshPlanesFor]]); more `bands` buys recall at linear cost. */
+  def embedNearDup(emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val bandBuckets = (0 until bands).map { b =>
+      buckets(emb, planesPerBand, planeBase = 100 + b * planesPerBand)
         .select(col("vec_id"), lit(b).as("band"), col("bucket"))
     }.reduce(_ unionByName _)
     val cand = bandBuckets.toDF("d1", "band", "bucket")

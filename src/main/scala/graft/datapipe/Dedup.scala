@@ -16,10 +16,10 @@ import TextOps.{h60, h60Sql, words}
  *  - minhash: banded LSH — signature is 12 per-doc aggregates (one
  *    shuffle), candidates join on (band, key) buckets, exact Jaccard
  *    verified on candidates only.
- *  - simhash: 60-bit signature built from per-bit partial sums (one
- *    aggregate), candidate pairs via 15-bit chunk buckets (pigeonhole:
- *    hamming <= 3 is guaranteed recall with 4 chunks), verified by
- *    bit_count(xor).
+ *  - simhash: 120-bit signature (two md5-derived halves) computed in one
+ *    zero-shuffle projection pass, candidate pairs via 20-bit chunk
+ *    buckets with a hot-bucket cap (pigeonhole: hamming <= chunks-1 is
+ *    guaranteed recall), verified by bit_count(xor) on both halves.
  *
  * All hashes are md5-derived (see [[TextOps.h60]]) so the DuckDB oracle is
  * exact, not rows-only.
@@ -258,95 +258,163 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  val shBits = 60      // md5-derived hashes carry 60 usable bits
-  val shChunks = 4     // 4 x 15-bit bucket keys
-  val shChunkBits = 15
-  val shMaxHamming = 6 // report pairs within this distance (guaranteed
-                       // recall by pigeonhole only up to shChunks - 1 = 3)
+  val shBits = 60      // usable bits per md5-derived signature HALF
+  val shSalt = "g2:"   // token salt deriving the second, independent half
+  val shChunks = 6     // 6 x 20-bit bucket keys (3 per half)
+  val shChunkBits = 20
+  /** Pigeonhole-EXACT recall: two 120-bit signatures within hamming
+    * distance `shChunks - 1` must agree on at least one of the `shChunks`
+    * disjoint chunks, so every such pair IS generated as a candidate —
+    * the recall contract is a theorem, not a probability. Pairs farther
+    * apart than this are out of contract (raise the chunk count — and
+    * narrow the chunks — to widen it). */
+  val shMaxHamming = shChunks - 1
+  /** Hot-bucket cap: a chunk key shared by more than this many docs is
+    * dropped from candidate generation. Without it one degenerate key
+    * (near-empty docs all hash their chunks to 0) alone makes candidate
+    * pairs quadratic in corpus size. Contract refinement: a qualifying
+    * pair is reported IF at least one of its shared chunks is uncapped —
+    * the same skew/recall trade [[ngramDfCap]] makes for stop-shingles. */
+  val shBucketCap = 200
+
+  /** Chunk width sized to the corpus: random candidate collisions are
+    * ~ chunks * N² / 2^bits pairs, so keep 2^bits ≳ N·slack. The two
+    * 60-bit halves support (chunks, bits) = (8,15) → N ~ 10³,
+    * (6,20) → N ~ 10⁵, (4,30) → N ~ 10⁸; the pigeonhole guarantee
+    * chunks-1 narrows as buckets widen — that is the honest trade. */
+  def shChunkBitsFor(n: Long): Int =
+    if (n <= 1000L) 15 else if (n <= 300000L) 20 else 30
 
   /**
-   * 60-bit SimHash per doc over distinct NORMALIZED tokens, computed
-   * ENTIRELY map-side: the token-hash array is materialized once per doc
-   * (own projection — CollapseProject keeps non-cheap exprs
-   * un-duplicated), then each signature bit counts its set hashes with
-   * an array filter. No explode, no shuffle, no aggregation — the
-   * operator is a single projection pass over the scan, the same
-   * zero-shuffle shape as [[TextOps.fingerprints]], which is what you
-   * want signing 100 TB of text. (A previous revision exploded tokens
-   * into a 60-column — later 15-packed — hash aggregate; the per-doc
-   * array form removes that shuffle entirely.) Sign rule: bit set ⇔
-   * 2·ones > n ⇔ the classic ±1 sum is positive.
+   * Two 60-bit SimHash halves per doc (120 bits total) over distinct
+   * NORMALIZED tokens, computed ENTIRELY map-side: the token array is
+   * materialized once per doc, each half's hash array once (own
+   * projections — CollapseProject keeps non-cheap exprs un-duplicated),
+   * then each signature bit counts its set hashes with an array filter.
+   * No explode, no shuffle, no aggregation — a projection pass over the
+   * scan, the zero-shuffle shape you want signing 100 TB of text. The
+   * second half hashes `"g2:" + token` — independent bits, same pass.
+   * Sign rule: bit set ⇔ 2·ones > n ⇔ the classic ±1 sum is positive.
    */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val withHs = docs.select(col("doc_id"),
-      transform(array_distinct(words(normText)), t => h60(t)).as("hs"))
-    val n = size(col("hs"))
-    val packed = (0 until shBits).map { b =>
-      val ones = size(filter(col("hs"),
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withHs.select(col("doc_id"), packed.as("sig"))
+    val withWs = docs.select(col("doc_id"), array_distinct(words(normText)).as("ws"))
+    val withHs = withWs.select(col("doc_id"),
+      transform(col("ws"), t => h60(t)).as("hs"),
+      transform(col("ws"), t => h60(concat(lit(shSalt), t))).as("hs2"))
+    def pack(hsCol: Column): Column = {
+      val n = size(hsCol)
+      (0 until shBits).map { b =>
+        val ones = size(filter(hsCol,
+          h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+        when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    withHs.select(col("doc_id"), pack(col("hs")).as("sig"), pack(col("hs2")).as("sig2"))
   }
 
-  /**
-   * SimHash near-dup: candidates share at least one 15-bit signature chunk
-   * (bucketed join — never all-pairs), verified by hamming distance.
-   */
-  def simhashNearDup(docs: DataFrame): DataFrame = {
-    val sig = simhashSignatures(docs)
-    val chunkStructs = (0 until shChunks).map { c =>
+  /** Candidate pairs (d1 < d2) sharing at least one uncapped signature
+    * chunk — exposed separately so callers (and the perf specs) can COUNT
+    * the candidate volume, the quantity that decides cost at scale. */
+  def simhashCandidates(
+      sig: DataFrame, chunks: Int, chunkBits: Int, cap: Int): DataFrame = {
+    val perHalf = shBits / chunkBits
+    require(chunks >= 2 && chunks <= 2 * perHalf,
+      s"$chunks chunks of $chunkBits bits exceed 2x$shBits signature bits")
+    val chunkStructs = (0 until chunks).map { c =>
+      val half = if (c / perHalf == 0) col("sig") else col("sig2")
+      val off = (c % perHalf) * chunkBits
       struct(lit(c).as("chunk"),
-        shiftright(col("sig"), c * shChunkBits).bitwiseAND(lit((1L << shChunkBits) - 1))
-          .as("key"))
+        shiftright(half, off).bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))
     }
-    val chunks = sig.select(col("doc_id"), explode(array(chunkStructs: _*)).as("ck"))
+    val ck = sig.select(col("doc_id"), explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val cand = chunks.toDF("d1", "chunk", "key")
-      .join(chunks.toDF("d2", "chunk2", "key2")
+    // hot-bucket cap: one count window on the SAME (chunk, key) hash
+    // partitioning the candidate join shuffles on anyway
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")
+    val capped = ck.withColumn("__bsz", count(lit(1)).over(w))
+      .where(col("__bsz") <= cap).drop("__bsz")
+    capped.toDF("d1", "chunk", "key")
+      .join(capped.toDF("d2", "chunk2", "key2")
         .withColumnRenamed("chunk2", "chunk").withColumnRenamed("key2", "key"),
         Seq("chunk", "key"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+  }
+
+  /**
+   * SimHash near-dup with the default, corpus-sized parameters: pairs
+   * within hamming distance [[shMaxHamming]] over the 120-bit signature,
+   * found via uncapped-chunk buckets (never all-pairs) and verified by
+   * bit_count(xor) on both halves.
+   */
+  def simhashNearDup(docs: DataFrame): DataFrame =
+    simhashNearDup(docs, shChunks, shChunkBits, shBucketCap)
+
+  /** Parameterized form — pick `chunkBits` with [[shChunkBitsFor]] as the
+    * corpus grows; the recall bound is always `chunks - 1`. */
+  def simhashNearDup(
+      docs: DataFrame, chunks: Int, chunkBits: Int, cap: Int): DataFrame = {
+    // signatures feed chunk generation AND both verify joins: persist the
+    // tiny (doc_id, sig, sig2) frame so the 120-bit packing runs once
+    val sig = graft.CacheRegistry.persistTracked(simhashSignatures(docs))
+    val cand = simhashCandidates(sig, chunks, chunkBits, cap)
     cand
-      .join(sig.toDF("d1", "sig1"), "d1")
-      .join(sig.toDF("d2", "sig2"), "d2")
-      .withColumn("hamming", expr("bit_count(sig1 ^ sig2)").cast("long"))
-      .where(col("hamming") <= shMaxHamming)
+      .join(sig.toDF("d1", "s1a", "s1b"), "d1")
+      .join(sig.toDF("d2", "s2a", "s2b"), "d2")
+      .withColumn("hamming",
+        (expr("bit_count(s1a ^ s2a)") + expr("bit_count(s1b ^ s2b)")).cast("long"))
+      .where(col("hamming") <= chunks - 1)
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
-  val simhashNearDupSql: String = {
+  val simhashNearDupSql: String = simhashNearDupSqlFor(shChunks, shChunkBits, shBucketCap)
+
+  def simhashNearDupSqlFor(chunks: Int, chunkBits: Int, cap: Int): String = {
+    val perHalf = shBits / chunkBits
     val sums = (0 until shBits).map { b =>
       s"sum(((h >> $b) & 1) * 2 - 1) AS s$b"
+    }.mkString(",\n         ")
+    val sums2 = (0 until shBits).map { b =>
+      s"sum(((h2 >> $b) & 1) * 2 - 1) AS t$b"
     }.mkString(",\n         ")
     val packed = (0 until shBits).map { b =>
       s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    val chunkSelects = (0 until shChunks).map { c =>
-      s"SELECT doc_id, $c AS chunk, (sig >> ${c * shChunkBits}) & ${(1L << shChunkBits) - 1} AS key FROM sig"
+    val packed2 = (0 until shBits).map { b =>
+      s"CASE WHEN t$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    val chunkSelects = (0 until chunks).map { c =>
+      val half = if (c / perHalf == 0) "sig" else "sig2"
+      val off = (c % perHalf) * chunkBits
+      s"SELECT doc_id, $c AS chunk, ($half >> $off) & ${(1L << chunkBits) - 1} AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+    val ham = "bit_count(xor(s1.sig, s2.sig)) + bit_count(xor(s1.sig2, s2.sig2))"
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, t
        |  FROM (SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS t FROM documents)
        |),
-       |th AS (SELECT doc_id, ${h60Sql("t")} AS h FROM tok),
+       |th AS (SELECT doc_id, ${h60Sql("t")} AS h, ${h60Sql(s"'$shSalt' || t")} AS h2 FROM tok),
        |bitsums AS (
        |  SELECT doc_id,
-       |         $sums
+       |         $sums,
+       |         $sums2
        |  FROM th GROUP BY doc_id
        |),
-       |sig AS (SELECT doc_id, $packed AS sig FROM bitsums),
+       |sig AS (SELECT doc_id, $packed AS sig, $packed2 AS sig2 FROM bitsums),
        |chunks AS (
        |  $chunkSelects
        |),
+       |capped AS (
+       |  SELECT * FROM chunks
+       |  QUALIFY count(*) OVER (PARTITION BY chunk, key) <= $cap
+       |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+       |  FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.key = b.key
        |  WHERE a.doc_id < b.doc_id
        |)
-       |SELECT c.d1, c.d2, CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS hamming
+       |SELECT c.d1, c.d2, CAST($ham AS BIGINT) AS hamming
        |FROM cand c JOIN sig s1 ON c.d1 = s1.doc_id JOIN sig s2 ON c.d2 = s2.doc_id
-       |WHERE bit_count(xor(s1.sig, s2.sig)) <= $shMaxHamming""".stripMargin
+       |WHERE $ham <= ${chunks - 1}""".stripMargin
   }
 }

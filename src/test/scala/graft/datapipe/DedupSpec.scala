@@ -46,6 +46,52 @@ class DedupSpec extends SparkSpecBase {
     assert(out.forall(_._3 <= Dedup.shMaxHamming))
   }
 
+  test("simhash recall is pigeonhole-exact up to chunks-1 on the real corpus") {
+    // the CONTRACT: every pair within hamming shMaxHamming (= shChunks-1)
+    // over the 120-bit signature must be reported, because such a pair
+    // necessarily agrees on one of the shChunks disjoint chunks. Verify
+    // against an all-pairs brute force over the collected signatures.
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val sigs = Dedup.simhashSignatures(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (d1, a1, b1) <- sigs; (d2, a2, b2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(a1 ^ a2) + java.lang.Long.bitCount(b1 ^ b2)
+      if h <= Dedup.shMaxHamming
+    } yield (d1, d2, h.toLong)).toSet
+    val got = Dedup.simhashNearDup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no capped bucket on this corpus -> EXACT equality, not just subset
+    assert(got == brute && brute.nonEmpty)
+    val cands = Dedup.simhashCandidates(
+      graft.CacheRegistry.persistTracked(Dedup.simhashSignatures(corpus)),
+      Dedup.shChunks, Dedup.shChunkBits, Dedup.shBucketCap).count()
+    info(s"candidates=$cands matches=${got.size} docs=${sigs.length}")
+    // candidate volume must stay FAR from all-pairs (the scale property)
+    assert(cands < sigs.length.toLong * sigs.length / 10)
+  }
+
+  test("simhash hot-bucket cap drops oversized buckets deterministically") {
+    // 30 near-empty docs share every chunk (identical signatures): with a
+    // cap below 30 the degenerate bucket is dropped entirely -> no pairs;
+    // uncapped they form all 435 pairs
+    val tiny = (1L to 30L).map(i => (i, "x")).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(tiny)
+    val capped = Dedup.simhashCandidates(sig, Dedup.shChunks, Dedup.shChunkBits, 29)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashCandidates(sig, Dedup.shChunks, Dedup.shChunkBits, 30)
+    assert(uncapped.count() == 435)
+  }
+
+  test("corpus-size rules widen buckets/planes as N grows") {
+    assert(Dedup.shChunkBitsFor(500) == 15)
+    assert(Dedup.shChunkBitsFor(100000) == 20)
+    assert(Dedup.shChunkBitsFor(10000000) == 30)
+    assert(Ann.lshPlanesFor(2500) == 7)
+    assert(Ann.lshPlanesFor(2500L * 1024) == 17) // 1024x corpus -> +10 planes
+    assert(Ann.lshPlanesFor(Long.MaxValue) <= 62) // packing stays in one long
+  }
+
   test("signature columns are stable across runs (deterministic hashing)") {
     val s1 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
     val s2 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
