@@ -53,6 +53,18 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("ranked cyclic SQL: ORDER BY + LIMIT over a triangle body") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g2.src AS b, g3.src AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2, cqcsql_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+        |ORDER BY a ASC, b ASC, c ASC LIMIT 10""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq)
+    val want = spark.sql(sql).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq && want.nonEmpty)
+  }
+
   test("cross-relation disjunction applies at the join, not post-enumeration") {
     prep()
     val sql =
