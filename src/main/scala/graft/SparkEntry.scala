@@ -85,6 +85,22 @@ object SparkEntry {
       Rel("g4", e.toDF("v3", "dst"))), Seq("src"), "dst")
   }
 
+  /** Per-source SUM over all 3-hop paths of a CROSS-RELATION product
+    * (first-hop rating x last-hop rating) — the sum-of-products semiring
+    * ([[Yannakakis.productOverJoin]]), the aggregate shape the (count,
+    * sum) form cannot express: Σ x_A·y_B factorizes as a product of
+    * per-subtree message sums, so the path set is never enumerated.
+    * Ratings are integral; the bigint product keeps both engines exact. */
+  def qCqcProdFast(s: SparkSession, d: String): DataFrame = {
+    val re = Tables.ratedEdges(s, d)
+      .select(col("src"), col("dst"), col("rating").cast("bigint").as("w"))
+    Yannakakis.productOverJoin(Seq(
+      Rel("g1", re.toDF("src", "v1", "w1")),
+      Rel("g2", re.select("src", "dst").toDF("v1", "v2")),
+      Rel("g3", re.toDF("v2", "dst", "w3"))),
+      Seq("src"), Map("g1" -> "w1", "g3" -> "w3"))
+  }
+
   /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
   def qCqcRst(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
@@ -762,6 +778,7 @@ object SparkEntry {
     "cqc_count_fast" -> (qCqcCountFast _),
     "cqc_sum_fast" -> (qCqcSumFast _),
     "cqc_extrema_fast" -> (qCqcExtremaFast _),
+    "cqc_prod_fast" -> (qCqcProdFast _),
     "cqc_path3_deg" -> (qCqcPath3Deg _),
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
@@ -850,6 +867,12 @@ object SparkEntry {
       s"""SELECT g1.src AS src, min(g4.dst) AS min_dst, max(g4.dst) AS max_dst
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
+    "cqc_prod_fast" ->
+      s"""SELECT g1.src AS src,
+         |       CAST(sum(CAST(g1.rating AS BIGINT) * CAST(g3.rating AS BIGINT)) AS BIGINT) AS sum_product
+         |FROM $RE g1, $RE g2, $RE g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
          |GROUP BY 1""".stripMargin,
     "cqc_path3_deg" ->
       s"""WITH c AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM $E e GROUP BY src)

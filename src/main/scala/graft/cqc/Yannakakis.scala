@@ -251,6 +251,69 @@ object Yannakakis {
   }
 
   /**
+   * Σ over the natural join of a PRODUCT of per-relation factors — the
+   * sum-of-products semiring, grouped by `groupVars`, with no
+   * enumeration. `factors` maps relation name → SQL expression over that
+   * relation's own variables; relations absent from the map contribute
+   * the multiplicative identity 1. Seeding each row's message value with
+   * its factor makes the same per-key message passing as
+   * [[countOverJoin]] compute Σ_join Π_r factor_r directly: a subtree's
+   * message is the per-join-key sum of its factor products, absorbing a
+   * child message multiplies (independent combinations distribute), and
+   * the root groups by `groupVars` summing the products. COUNT is the
+   * all-ones special case; SUM(x) is the single-factor case — this is
+   * the general semiring member of the family (cross-relation terms like
+   * Σ x_A·y_B need it; the (count, sum) form of [[aggOverJoin]] cannot
+   * express them).
+   *
+   * Every message is a small (key, value) aggregate — map-side
+   * combinable, broadcastable — so the join result never exists.
+   * Factor type discipline is the caller's (integer/decimal factors stay
+   * exact and order-independent; floats carry the usual Spark-sum
+   * caveat).
+   */
+  def productOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      factors: Map[String, String],
+      resultName: String = "sum_product"): DataFrame = {
+    val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
+      throw new IllegalArgumentException(
+        s"groupVars $groupVars must be covered by a single relation"))
+    factors.keys.foreach(n => require(rels.exists(_.name == n),
+      s"factor relation $n not among the relations"))
+    val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
+    val reduced = fullReduce(tree)
+
+    def seeded(n: String): DataFrame =
+      reduced(n).withColumn("__w",
+        factors.get(n).map(expr).getOrElse(lit(1L)))
+    val msg = scala.collection.mutable.Map[String, DataFrame]()
+    def withChildMsgs(n: String): DataFrame = {
+      var df = seeded(n)
+      for (c <- tree.childrenOf(n)) {
+        val ck = tree.sharedVars(c, n)
+        val m = msg(c).withColumnRenamed("__w", "__w_c")
+        df =
+          if (ck.nonEmpty) df.join(m, ck, "inner")
+          else df.crossJoin(m) // disconnected edge: semiring still multiplies
+        df = df.withColumn("__w", col("__w") * col("__w_c")).drop("__w_c")
+      }
+      df
+    }
+    for (n <- tree.bottomUp if n != tree.root) {
+      val keys = tree.sharedVars(n, tree.parentOf(n))
+      val d = withChildMsgs(n)
+      msg(n) =
+        if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(sum(col("__w")).as("__w"))
+        else d.agg(sum(col("__w")).as("__w"))
+    }
+    withChildMsgs(tree.root)
+      .groupBy(groupVars.map(col): _*)
+      .agg(sum(col("__w")).as(resultName))
+  }
+
+  /**
    * MIN(v) and MAX(v) over the natural join, grouped by `groupVars`,
    * with no enumeration: min/max are idempotent, so join multiplicities
    * are irrelevant and the comparison-annotation carrier walk IS the

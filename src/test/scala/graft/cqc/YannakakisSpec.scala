@@ -59,6 +59,40 @@ class YannakakisSpec extends SparkSpecBase {
     }
   }
 
+  test("productOverJoin sums a cross-relation product without enumerating") {
+    val e = edges.toDF("a", "b")
+    // chain with weights at both ends: Σ over 3-hop paths of w1·w3
+    val w = edges.zipWithIndex.map { case ((u, v), i) => (u, v, (i + 2).toLong) }
+      .toDF("a", "b", "w")
+    val rels = Seq(
+      Rel("g1", w.toDF("a", "b", "w1")),
+      Rel("g2", e.toDF("b", "c")),
+      Rel("g3", w.toDF("c", "d", "w3")))
+    val got = Yannakakis.productOverJoin(rels, Seq("a"),
+        Map("g1" -> "w1", "g3" -> "w3"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = w.toDF("a", "b", "w1").join(e.toDF("b", "c"), "b")
+      .join(w.toDF("c", "d", "w3"), "c")
+      .groupBy("a").agg(sum(col("w1") * col("w3")).as("p"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == want && want.nonEmpty)
+    // all-ones factors degenerate to the count
+    val gotCnt = Yannakakis.productOverJoin(
+        Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+          Rel("g3", e.toDF("c", "d"))),
+        Seq("a"), Map.empty)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val wantCnt = Yannakakis.countOverJoin(
+        Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+          Rel("g3", e.toDF("c", "d"))), Seq("a"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(gotCnt == wantCnt)
+    // a factor over an unknown relation is rejected
+    intercept[IllegalArgumentException] {
+      Yannakakis.productOverJoin(rels, Seq("a"), Map("nope" -> "w1"))
+    }
+  }
+
   test("extremaOverJoin equals min/max over the enumerated join") {
     val e = edges.toDF("a", "b")
     val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
