@@ -430,6 +430,43 @@ object SparkEntry {
         |HAVING COUNT(*) > 100""".stripMargin)
   }
 
+  /** The SQL door's no-enumeration aggregate routing: COUNT/SUM/MIN/MAX
+    * over a 4-hop join (~10^9 paths at sf0.1) straight from SQL text.
+    * [[graft.sql.CqcSql]] detects that the aggregate factorizes (group
+    * key in one relation, aggregates over single-relation expressions,
+    * no comparisons) and routes to the FAQ/AJAR message passing
+    * ([[Yannakakis.aggOverJoin]]/[[Yannakakis.extremaOverJoin]]) — the
+    * join result never exists anywhere, from plain SQL in. */
+  def qSqlCqcAggFast(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqcf_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS src, COUNT(*) AS cnt, SUM(g4.dst) AS sum_dst,
+        |       MIN(g4.dst) AS min_dst, MAX(g4.dst) AS max_dst
+        |FROM cqcf_edges g1, cqcf_edges g2, cqcf_edges g3, cqcf_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
+  /** The FULL two-level TPC-H Q13 as one SQL text through the door:
+    * [[graft.sql.CqcSql.solvePlan]] recurses into the derived-table leaf
+    * (customer LEFT OUTER JOIN orders, aggregated) — outer-join peel and
+    * the CQC pipeline apply at the inner level, the histogram GROUP BY
+    * at the outer level routes through the no-enumeration aggregate
+    * path. Previously only the inner block was expressible. */
+  def qSqlCqcQ13(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("q13_customer")
+    Tables.orders(s, d).createOrReplaceTempView("q13_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey AS c_custkey,
+        |             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM q13_customer c LEFT OUTER JOIN q13_orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '5-LOW'
+        |      GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -793,6 +830,8 @@ object SparkEntry {
     "sql_frontend" -> (qSqlFrontend _),
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
+    "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
+    "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -1192,6 +1231,22 @@ object SparkEntry {
          |FROM $RE r, $RE s
          |WHERE r.dst = s.src AND r.rating + r.src < s.rating + s.dst
          |GROUP BY r.src""".stripMargin,
+    "sql_cqc_agg_fast" ->
+      s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(g4.dst) AS BIGINT) AS sum_dst,
+         |       min(g4.dst) AS min_dst, max(g4.dst) AS max_dst
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
+    "sql_cqc_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey AS c_custkey,
+        |             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '5-LOW'
+        |      GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
     "sql_cqc_outer" ->
       """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
         |FROM customer LEFT OUTER JOIN orders

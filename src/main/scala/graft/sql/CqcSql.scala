@@ -44,8 +44,19 @@ import graft.wcoj.Ghd
  */
 object CqcSql {
 
-  def solve(spark: SparkSession, sql: String): DataFrame = {
-    val analyzed = spark.sql(sql).queryExecution.analyzed
+  def solve(spark: SparkSession, sql: String): DataFrame =
+    solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+
+  /**
+   * The plan-level door: evaluate an ANALYZED LogicalPlan through the
+   * CQC pipeline. Recursive — a join-tree leaf that itself contains a
+   * join (a nested subquery block: derived tables, aggregate subqueries
+   * — the reference's AggregatedRelation, convert/LogicalPlanConverter
+   * subquery routing) is solved by the same machinery, so e.g. the full
+   * two-level TPC-H Q13 text gets CQC treatment at BOTH levels instead
+   * of evaluating the inner block as an opaque stock-Spark leaf.
+   */
+  def solvePlan(spark: SparkSession, analyzed: LogicalPlan): DataFrame = {
 
     // ---- peel ORDER BY / LIMIT off the top (the reference's ranked
     // SQL form). Sort refs must point at SELECTed output columns; they
@@ -223,8 +234,23 @@ object CqcSql {
       case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
     }
     val rels = leaves.zipWithIndex.map { case (leaf, i) =>
-      var df = GraftSqlBridge.dataFrame(spark, leaf)
-      leafFilters(i).foreach(f => df = df.where(GraftSqlBridge.column(f)))
+      // a leaf with a join beneath is a nested subquery block: recurse
+      // (its frame loses the analyzer's exprIds, so predicates against it
+      // are rebound by NAME — unique within a block's output). A leaf
+      // that IS the whole input plan means no peel made progress (an
+      // unsupported shape above the join, e.g. a window function) —
+      // evaluate it stock rather than recurse forever; each recursion
+      // otherwise descends a strict subtree, so termination is by depth.
+      val nested = leaf.collectFirst { case j: Join => j }.isDefined &&
+        !(leaf fastEquals analyzed)
+      var df =
+        if (nested) solvePlan(spark, leaf)
+        else GraftSqlBridge.dataFrame(spark, leaf)
+      def byName(f: Expression): Expression = f.transform {
+        case a: AttributeReference => UnresolvedAttribute(a.name)
+      }
+      leafFilters(i).foreach(f =>
+        df = df.where(GraftSqlBridge.column(if (nested) byName(f) else f)))
       // Rename attrs to variable names. TRANSITIVE equalities can place
       // two attrs of the same leaf in one class (r.a = s.x AND s.x = r.b
       // implies r.a = r.b): keep the first column under the class name,
@@ -246,18 +272,130 @@ object CqcSql {
     // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic).
     // Residuals ride along so they filter at the FIRST join where their
     // variables are bound (a cross-relation OR never waits for the full
-    // enumeration).
-    var out = Ghd.solve(rels, cmps.toSeq, residual.map(varSql).toSeq)
+    // enumeration). Lazy: the aggregate fast path below never builds it.
+    lazy val enumerated: DataFrame = {
+      var out = Ghd.solve(rels, cmps.toSeq, residual.map(varSql).toSeq)
 
-    // ---- re-apply the peeled LEFT OUTER joins on the CQC result
-    outerJoins.foreach { case (rplan, cond) =>
-      var rdf = GraftSqlBridge.dataFrame(spark, rplan)
-      rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
-      val joinCond = cond.map(c => GraftSqlBridge.column(toVarNames(c)))
-        .getOrElse(functions.lit(true))
-      out = out.join(rdf, joinCond, "left_outer")
+      // ---- re-apply the peeled LEFT OUTER joins on the CQC result
+      outerJoins.foreach { case (rplan, cond) =>
+        var rdf = GraftSqlBridge.dataFrame(spark, rplan)
+        rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
+        val joinCond = cond.map(c => GraftSqlBridge.column(toVarNames(c)))
+          .getOrElse(functions.lit(true))
+        out = out.join(rdf, joinCond, "left_outer")
+      }
+      postOuterConjuncts.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
+      out
     }
-    postOuterConjuncts.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
+
+    // ---- aggregate FAST PATH (FAQ/AJAR routing): a GROUP BY whose keys
+    // live in one relation and whose aggregates are COUNT(*) / SUM /
+    // MIN / MAX over single-relation expressions — with no comparison
+    // machinery, outer joins, or residuals — factorizes over the join
+    // tree: route to [[graft.cqc.Yannakakis.aggOverJoin]] (counting
+    // semiring) + [[graft.cqc.Yannakakis.extremaOverJoin]] (idempotent),
+    // so the join result is NEVER enumerated (a 4-hop count of ~10^9
+    // paths from SQL text costs four per-key message aggregates).
+    // Returns the aggregated frame with group vars + one __agg$i column
+    // per aggregate alias — the same layout the generic branch builds —
+    // so HAVING / projection / ORDER BY downstream are path-agnostic.
+    def tryFastAgg(
+        groupExprs: Seq[Expression],
+        aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
+      if (cmps.nonEmpty || residual.nonEmpty || outerJoins.nonEmpty ||
+        postOuterConjuncts.nonEmpty || isDistinct) return None
+      // cyclic bodies go through GHD enumeration (a factorized aggregate
+      // over a GHD would need bag-level semirings — not yet)
+      if (!graft.cqc.Hypergraph.isAcyclic(rels)) return None
+      val gvars = groupExprs.map {
+        case a: AttributeReference => varName(a.exprId.id)
+        case _ => return None // computed group key: generic path
+      }
+      if (!rels.exists(r => gvars.toSet.subsetOf(r.vars))) return None
+
+      sealed trait Kind
+      case object CntK extends Kind
+      case class SumK(leaf: Int, e: Expression) extends Kind
+      case class MinK(leaf: Int, e: Expression) extends Kind
+      case class MaxK(leaf: Int, e: Expression) extends Kind
+      def oneLeaf(e: Expression): Option[Int] = {
+        val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
+        if (ls.size == 1) Some(ls.head) else None
+      }
+      def sumSafe(e: Expression): Boolean = {
+        // the semiring cross-multiplies partial sums with counts: integral
+        // and double types keep Spark's native SUM result type; decimal
+        // precision would creep per hop — generic path for those
+        import org.apache.spark.sql.types._
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DoubleType => true
+          case _ => false
+        }
+      }
+      val kinds: Seq[Kind] = aggAliases.map { case (al, _) =>
+        al.child match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+                  if c.children.forall(_.foldable) => CntK
+              case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+                  if sumSafe(s.child) =>
+                oneLeaf(s.child).map(SumK(_, s.child)).getOrElse(return None)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+                oneLeaf(m.child).map(MinK(_, m.child)).getOrElse(return None)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+                oneLeaf(m.child).map(MaxK(_, m.child)).getOrElse(return None)
+              case _ => return None
+            }
+          case _ => return None // aggregate inside arithmetic: generic path
+        }
+      }
+
+      // derive one column per aggregated expression on its home relation
+      // (a bare attr is the simplest case; this also frees SUM from the
+      // shared-join-variable restriction — the derived copy lives in
+      // exactly one relation by construction)
+      val derived = scala.collection.mutable.Map[Int, List[(String, Expression)]]()
+        .withDefaultValue(Nil)
+      val cols = kinds.zipWithIndex.map {
+        case (SumK(l, e), i) => derived(l) = (s"__sv$i", e) :: derived(l); s"__sv$i"
+        case (MinK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
+        case (MaxK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
+        case (CntK, _) => ""
+      }
+      val rels2 = rels.zipWithIndex.map { case (r, i) =>
+        Rel(r.name, derived(i).foldLeft(r.df) { case (df, (n, e)) =>
+          df.withColumn(n, GraftSqlBridge.column(toVarNames(e)))
+        })
+      }
+
+      val sumVars = kinds.zip(cols).collect { case (_: SumK, c) => c }.distinct
+      val needCounting = sumVars.nonEmpty || kinds.contains(CntK)
+      val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      if (needCounting)
+        parts += graft.cqc.Yannakakis.aggOverJoin(rels2, gvars, sumVars)
+      kinds.zip(cols).collect { case (k @ (_: MinK | _: MaxK), c) => c }.distinct
+        .foreach { c =>
+          parts += graft.cqc.Yannakakis.extremaOverJoin(rels2, gvars, c)
+        }
+      var agg = parts.reduceLeft { (a, b) =>
+        if (gvars.nonEmpty) a.join(b, gvars) else a.crossJoin(b)
+      }
+      // global COUNT over an empty join is 0, not null
+      def cnt = if (gvars.isEmpty)
+        functions.coalesce(functions.col("cnt"), functions.lit(0L))
+      else functions.col("cnt")
+      val outCols = gvars.map(functions.col) ++
+        kinds.zip(cols).zip(aggAliases).map { case ((k, c), (_, n)) =>
+          (k match {
+            case CntK => cnt
+            case _: SumK => functions.col(s"sum_$c")
+            case _: MinK => functions.col(s"min_$c")
+            case _: MaxK => functions.col(s"max_$c")
+          }).as(n)
+        }
+      Some(agg.select(outCols: _*))
+    }
 
     val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
       case Some((groupExprs, aggExprs)) =>
@@ -273,10 +411,12 @@ object CqcSql {
         }
         require(aggAliases.nonEmpty,
           "GROUP BY without aggregate functions — use SELECT DISTINCT instead")
-        val acols = aggAliases.map { case (al, n) =>
-          GraftSqlBridge.column(toVarNames(al.child)).as(n)
+        var agg = tryFastAgg(groupExprs, aggAliases).getOrElse {
+          val acols = aggAliases.map { case (al, n) =>
+            GraftSqlBridge.column(toVarNames(al.child)).as(n)
+          }
+          enumerated.groupBy(gcols: _*).agg(acols.head, acols.tail: _*)
         }
-        var agg = out.groupBy(gcols: _*).agg(acols.head, acols.tail: _*)
         // agg outputs are addressable by internal name; group keys by var
         // name; grouping-column ALIASES (SELECT g1.src AS a ... GROUP BY
         // g1.src) resolve through to the underlying variable
@@ -311,7 +451,7 @@ object CqcSql {
           case other =>
             GraftSqlBridge.column(toVarNames(other)) // computed select item
         }
-        (out.select(cols: _*), projectList)
+        (enumerated.select(cols: _*), projectList)
     }
 
     // ---- re-apply DISTINCT / ORDER BY / LIMIT on the final frame

@@ -53,6 +53,73 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("factorizable aggregate routes to message passing, no enumeration") {
+    prep()
+    val sql =
+      """SELECT g1.src AS src, COUNT(*) AS cnt, SUM(g3.dst) AS sum_dst,
+        |       MIN(g3.dst) AS min_dst, MAX(g3.dst + 1) AS max_dst1
+        |FROM cqcsql_edges g1, cqcsql_edges g2, cqcsql_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src
+        |HAVING COUNT(*) > 3""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // the fast path shows as per-hop message aggregates: the generic
+    // enumerate+hashAgg plan has exactly ONE Aggregate node, message
+    // passing has one per tree edge plus the final group
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected message-passing aggregates, got $nAggs")
+    // SUM over a shared join variable still routes fast (derived-column
+    // seeding frees the single-relation restriction)
+    val sql2 =
+      """SELECT g1.src AS src, SUM(g2.src) AS s
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+    // a comparison disables the fast path but stays correct
+    val sql3 =
+      """SELECT g1.src AS src, COUNT(*) AS cnt
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src < g2.dst
+        |GROUP BY g1.src""".stripMargin
+    val got3 = CqcSql.solve(spark, sql3).collect().map(_.toSeq).toSet
+    val want3 = spark.sql(sql3).collect().map(_.toSeq).toSet
+    assert(got3 == want3 && want3.nonEmpty)
+  }
+
+  test("nested subquery blocks recurse through the door (two-level Q13 shape)") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated3")
+    // inner block: outer join + aggregate; outer block: histogram GROUP BY
+    val sql =
+      """SELECT n, CAST(COUNT(*) AS BIGINT) AS dist
+        |FROM (SELECT g.src AS src, CAST(COUNT(r.rating) AS BIGINT) AS n
+        |      FROM cqcsql_edges g LEFT OUTER JOIN cqcsql_rated3 r
+        |        ON g.dst = r.src AND r.rating > 45.0
+        |      GROUP BY g.src) counts
+        |GROUP BY n""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // a join-bearing derived table under a WHERE on its output
+    val sql2 =
+      """SELECT p.a AS a, p.b AS b, e.dst AS c
+        |FROM (SELECT g1.src AS a, g2.dst AS b
+        |      FROM cqcsql_edges g1, cqcsql_edges g2
+        |      WHERE g1.dst = g2.src) p, cqcsql_edges e
+        |WHERE p.b = e.src AND p.a < 5""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+  }
+
   test("ranked cyclic SQL: ORDER BY + LIMIT over a triangle body") {
     prep()
     val sql =
