@@ -24,7 +24,7 @@ import graft.wcoj.Ghd
  * this path also applies CQC comparison pruning.
  *
  * Supported shape: SELECT <attrs/aliases | aggregates> FROM
- * <inner-joined relations> [LEFT OUTER JOIN <rel> ON <cond>]* WHERE
+ * <inner-joined relations> [LEFT|RIGHT OUTER JOIN <rel> ON <cond>]* WHERE
  * <conjunction of equalities, comparisons, disjunctions,
  * single-relation predicates> [GROUP BY <attrs> [HAVING <conds>]]
  * [ORDER BY <selected cols> [LIMIT n]]. Single-relation predicates are
@@ -105,18 +105,27 @@ object CqcSql {
       case other => (Nil, other)
     }
 
-    // ---- peel LEFT OUTER joins off the join root (reference
-    // LogicalPlanConverter routes the TPC-H Q13 shape): the preserved
-    // (left) subtree is the CQC cluster; each peeled right side re-joins
-    // the CQC result afterwards, in the original bottom-up order. WHERE
-    // conjuncts that touch only inner attrs commute with a left outer
-    // join (the preserved side is never null-extended) and stay in the
-    // CQC pipeline; conjuncts touching outer attrs apply after the join.
+    // ---- peel LEFT / RIGHT OUTER joins off the join root (reference
+    // LogicalPlanConverter routes the TPC-H Q13 shape): the PRESERVED
+    // subtree is the CQC cluster; each peeled null-extended side re-joins
+    // the CQC result afterwards as a left_outer (for a RIGHT OUTER the
+    // preserved side is the right subtree, so the re-application with
+    // the peeled side on the right is the same join flipped — identical
+    // semantics, and the final projection restores column order). FULL
+    // OUTER preserves both sides, so it cannot peel — it falls through
+    // to a stock-evaluated leaf. WHERE conjuncts that touch only inner
+    // attrs commute with the outer join (the preserved side is never
+    // null-extended) and stay in the CQC pipeline; conjuncts touching
+    // outer attrs apply after the join.
     val outerJoins = scala.collection.mutable.ArrayBuffer[(LogicalPlan, Option[Expression])]()
     def peelOuter(p: LogicalPlan): LogicalPlan = p match {
       case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftOuter, cond, _) =>
         val inner = peelOuter(l)
         outerJoins += ((r, cond))
+        inner
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.RightOuter, cond, _) =>
+        val inner = peelOuter(r)
+        outerJoins += ((l, cond))
         inner
       case SubqueryAlias(_, child) => peelOuter(child)
       case other => other
@@ -276,9 +285,12 @@ object CqcSql {
     lazy val enumerated: DataFrame = {
       var out = Ghd.solve(rels, cmps.toSeq, residual.map(varSql).toSeq)
 
-      // ---- re-apply the peeled LEFT OUTER joins on the CQC result
+      // ---- re-apply the peeled outer joins on the CQC result (a
+      // join-bearing peeled side is itself a nested block: recurse)
       outerJoins.foreach { case (rplan, cond) =>
-        var rdf = GraftSqlBridge.dataFrame(spark, rplan)
+        var rdf =
+          if (rplan.collectFirst { case j: Join => j }.isDefined) solvePlan(spark, rplan)
+          else GraftSqlBridge.dataFrame(spark, rplan)
         rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
         val joinCond = cond.map(c => GraftSqlBridge.column(toVarNames(c)))
           .getOrElse(functions.lit(true))

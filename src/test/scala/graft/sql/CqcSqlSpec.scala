@@ -40,6 +40,22 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got.exists(r => r.last == null))
   }
 
+  test("RIGHT OUTER JOIN peels the preserved right side into the cluster") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedR")
+    // the null-extended LEFT side is peeled; the preserved right side is
+    // the CQC cluster; WHERE conjuncts on preserved attrs stay inside
+    val sql2 =
+      """SELECT g.src AS a, g.dst AS b, r.rating AS w
+        |FROM cqcsql_ratedR r RIGHT OUTER JOIN cqcsql_edges g
+        |  ON g.dst = r.src AND r.rating > 45.0
+        |WHERE g.src < 10""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+    assert(got2.exists(r => r.last == null)) // null-extension survived
+  }
+
   test("outer join + aggregate (the Q13 core) through the door") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated2")
