@@ -197,7 +197,25 @@ object Yannakakis {
   def aggOverJoin(
       rels: Seq[Rel],
       groupVars: Seq[String],
-      sumVars: Seq[String]): DataFrame = {
+      sumVars: Seq[String]): DataFrame =
+    aggOverJoin(rels, groupVars, sumVars, Nil, Nil)
+
+  /**
+   * The fully fused form: COUNT(*), any number of SUMs, and any number
+   * of MIN/MAX variables in ONE message pass — extrema ride the same
+   * per-key aggregates as the counting semiring (min/max are idempotent,
+   * so a message's extremum combines with `least`/`greatest` instead of
+   * the cross-multiplication; relations not on the variable's path carry
+   * a typed null, which `least`/`greatest` skip). One shuffle per tree
+   * edge total, however many aggregates are requested — the same fusion
+   * discipline as the comparison-bound carriers.
+   */
+  def aggOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      sumVars: Seq[String],
+      minVars: Seq[String],
+      maxVars: Seq[String]): DataFrame = {
     val rootRel = rels.find(r => groupVars.toSet.subsetOf(r.vars)).getOrElse(
       throw new IllegalArgumentException(
         s"groupVars $groupVars must be covered by a single relation"))
@@ -207,8 +225,17 @@ object Yannakakis {
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
     val reduced = fullReduce(tree)
     val sumCols = sumVars.indices.map(i => s"__sum$i")
+    // extrema: (variable, isMin, message column); shared join variables
+    // are fine here (idempotent — a double-seeded value changes nothing)
+    val exSpecs = (minVars.map((_, true)) ++ maxVars.map((_, false)))
+      .zipWithIndex.map { case ((v, isMin), i) => (v, isMin, s"__ex$i") }
+    val exType = exSpecs.map { case (v, _, _) =>
+      v -> rels.find(_.vars.contains(v)).getOrElse(
+        throw new IllegalArgumentException(s"variable $v appears in no relation"))
+        .df.schema(v).dataType
+    }.toMap
 
-    // bottom-up: per-key (count, sums...) of each subtree's combinations
+    // bottom-up: per-key (count, sums..., extrema...) of each subtree
     val msg = scala.collection.mutable.Map[String, DataFrame]()
     def withChildMsgs(n: String): DataFrame = {
       // sum columns keep their own type (integral vars stay exact; float
@@ -218,10 +245,16 @@ object Yannakakis {
         df = df.withColumn(sc,
           if (tree.rels(n).vars.contains(v)) col(v) else lit(0L))
       }
+      exSpecs.foreach { case (v, _, ec) =>
+        df = df.withColumn(ec,
+          if (tree.rels(n).vars.contains(v)) col(v)
+          else lit(null).cast(exType(v))) // least/greatest skip nulls
+      }
       for (c <- tree.childrenOf(n)) {
         val ck = tree.sharedVars(c, n)
         var m = msg(c).withColumnRenamed("__cnt", "__cnt_c")
-        sumCols.foreach(sc => m = m.withColumnRenamed(sc, s"${sc}_c"))
+        (sumCols ++ exSpecs.map(_._3)).foreach(sc =>
+          m = m.withColumnRenamed(sc, s"${sc}_c"))
         df =
           if (ck.nonEmpty) df.join(m, ck, "inner")
           else df.crossJoin(m) // disconnected edge: semiring still multiplies
@@ -229,22 +262,33 @@ object Yannakakis {
           df = df.withColumn(sc,
             col(sc) * col("__cnt_c") + col("__cnt") * col(s"${sc}_c"))
         }
+        exSpecs.foreach { case (_, isMin, ec) =>
+          df = df.withColumn(ec,
+            if (isMin) least(col(ec), col(s"${ec}_c"))
+            else greatest(col(ec), col(s"${ec}_c")))
+        }
         df = df.withColumn("__cnt", col("__cnt") * col("__cnt_c"))
-          .drop("__cnt_c" +: sumCols.map(sc => s"${sc}_c"): _*)
+          .drop("__cnt_c" +: (sumCols ++ exSpecs.map(_._3)).map(sc => s"${sc}_c"): _*)
       }
       df
     }
     for (n <- tree.bottomUp if n != tree.root) {
       val keys = tree.sharedVars(n, tree.parentOf(n))
       val d = withChildMsgs(n)
-      val aggs = sum(col("__cnt")).as("__cnt") +:
-        sumCols.map(sc => sum(col(sc)).as(sc))
+      val aggs = (sum(col("__cnt")).as("__cnt") +:
+        sumCols.map(sc => sum(col(sc)).as(sc))) ++
+        exSpecs.map { case (_, isMin, ec) =>
+          (if (isMin) min(col(ec)) else max(col(ec))).as(ec)
+        }
       msg(n) =
         if (keys.nonEmpty) d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         else d.agg(aggs.head, aggs.tail: _*)
     }
-    val finalAggs = sum(col("__cnt")).as("cnt") +:
-      sumVars.zip(sumCols).map { case (v, sc) => sum(col(sc)).as(s"sum_$v") }
+    val finalAggs = (sum(col("__cnt")).as("cnt") +:
+      sumVars.zip(sumCols).map { case (v, sc) => sum(col(sc)).as(s"sum_$v") }) ++
+      exSpecs.map { case (v, isMin, ec) =>
+        if (isMin) min(col(ec)).as(s"min_$v") else max(col(ec)).as(s"max_$v")
+      }
     withChildMsgs(tree.root)
       .groupBy(groupVars.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)

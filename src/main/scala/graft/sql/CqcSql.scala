@@ -381,18 +381,13 @@ object CqcSql {
         })
       }
 
+      // ONE fused message pass: count, sums, and extrema share the same
+      // per-edge aggregates (one shuffle per tree edge, total)
       val sumVars = kinds.zip(cols).collect { case (_: SumK, c) => c }.distinct
-      val needCounting = sumVars.nonEmpty || kinds.contains(CntK)
-      val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      if (needCounting)
-        parts += graft.cqc.Yannakakis.aggOverJoin(rels2, gvars, sumVars)
-      kinds.zip(cols).collect { case (k @ (_: MinK | _: MaxK), c) => c }.distinct
-        .foreach { c =>
-          parts += graft.cqc.Yannakakis.extremaOverJoin(rels2, gvars, c)
-        }
-      var agg = parts.reduceLeft { (a, b) =>
-        if (gvars.nonEmpty) a.join(b, gvars) else a.crossJoin(b)
-      }
+      val minVars = kinds.zip(cols).collect { case (_: MinK, c) => c }.distinct
+      val maxVars = kinds.zip(cols).collect { case (_: MaxK, c) => c }.distinct
+      val agg = graft.cqc.Yannakakis.aggOverJoin(
+        rels2, gvars, sumVars, minVars, maxVars)
       // global COUNT over an empty join is 0, not null
       def cnt = if (gvars.isEmpty)
         functions.coalesce(functions.col("cnt"), functions.lit(0L))

@@ -59,6 +59,27 @@ class YannakakisSpec extends SparkSpecBase {
     }
   }
 
+  test("fused aggOverJoin carries count, sums and extrema in one pass") {
+    val e = edges.toDF("a", "b")
+    val rels = Seq(Rel("g1", e.toDF("a", "b")), Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "d")))
+    val got = Yannakakis.aggOverJoin(rels, Seq("a"), Seq("d"), Seq("c"), Seq("d"))
+      .select("a", "cnt", "sum_d", "min_c", "max_d")
+      .collect().map(_.toSeq).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(count(lit(1)).as("cnt"), sum(col("d").cast("long")).as("sum_d"),
+        min(col("c")).as("min_c"), max(col("d")).as("max_d"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // extrema over a SHARED join variable are fine (idempotent)
+    val got2 = Yannakakis.aggOverJoin(rels, Seq("a"), Nil, Seq("b"), Nil)
+      .select("a", "min_b").collect().map(_.toSeq).toSet
+    val want2 = e.toDF("a", "b").join(e.toDF("b", "c"), "b").join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(min(col("b")).as("min_b"))
+      .collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+  }
+
   test("productOverJoin sums a cross-relation product without enumerating") {
     val e = edges.toDF("a", "b")
     // chain with weights at both ends: Σ over 3-hop paths of w1·w3
