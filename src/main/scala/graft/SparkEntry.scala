@@ -866,6 +866,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
+    "ann_multiprobe" -> ((s, d) => Ann.lshMultiprobeTopK(Tables.embeddings(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -1162,6 +1163,7 @@ object SparkEntry {
     "ann_topk" -> Ann.bruteForceTopKSql,
     "ann_lsh" -> Ann.lshTopKSql,
     "ann_ivf" -> Ann.ivfTopKSql,
+    "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "text_langid" -> TextOps.langIdSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,

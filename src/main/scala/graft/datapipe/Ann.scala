@@ -186,6 +186,62 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ------------------------------------------------- multiprobe LSH ANN
+
+  /**
+   * Multiprobe LSH: each query probes its own bucket PLUS every bucket at
+   * hamming distance 1 on the plane signature (`planes + 1` probes). A
+   * true neighbor lands in a different bucket exactly when some planes
+   * split the pair; 1-flip probing recovers every single-plane split —
+   * the standard recall lever that does NOT widen buckets (candidate
+   * cost is `(planes+1) · N / 2^planes` per query, still constant-bucket
+   * scale-safe, vs halving `planes`, which doubles EVERY bucket).
+   * Probe buckets are distinct by construction (xor of distinct flips),
+   * so no candidate dedup is needed.
+   */
+  def lshMultiprobeTopK(emb: DataFrame): DataFrame = lshMultiprobeTopK(emb, lshPlanes)
+
+  def lshMultiprobeTopK(emb: DataFrame, planes: Int): DataFrame = {
+    val bk = buckets(emb, planes)
+    val side = emb.join(bk, "vec_id")
+    val q = side.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val flips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val probes = q.select(col("q_id"), col("q_emb"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("q_id"), col("q_emb"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = side.join(probes, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  val lshMultiprobeTopKSql: String = {
+    val cos = cosineSql("q.q_emb", "e.embedding")
+    s"""WITH bk AS (${bucketsSql(lshPlanes, 0)}),
+       |side AS (SELECT e.vec_id, e.embedding, bk.bucket
+       |         FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+       |       FROM side WHERE vec_id % $queryMod = 0),
+       |q AS (
+       |  SELECT q_id, q_emb,
+       |         xor(bucket, CASE WHEN f = 0 THEN 0 ELSE 1 << (f - 1) END) AS bucket
+       |  FROM q0, (SELECT unnest(range(0, ${lshPlanes + 1})) AS f)
+       |)
+       |SELECT q.q_id AS q_id, e.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.q_id
+       |                               ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS sim
+       |FROM q JOIN side e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
   // ------------------------------------------------------------ IVF ANN
 
   /** Number of IVF centroids and probed lists per query. */

@@ -33,6 +33,26 @@ class AnnSpec extends SparkSpecBase {
     assert(for50.map(_._3).toSeq == (1L to for50.length).toSeq)
   }
 
+  test("multiprobe recovers single-plane splits: recall >= single-probe LSH") {
+    // 200 random-ish deterministic vectors, enough bucket fragmentation
+    // that single-probe LSH misses some true neighbors
+    val many = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"))).toSet
+    val truth = pairs(Ann.bruteForceTopK(many))
+    val single = pairs(Ann.lshTopK(many))
+    val multi = pairs(Ann.lshMultiprobeTopK(many))
+    val rSingle = (truth intersect single).size
+    val rMulti = (truth intersect multi).size
+    assert(rMulti >= rSingle, s"multiprobe recall $rMulti < single $rSingle")
+    // the probe set strictly contains the single-probe bucket, so every
+    // single-probe candidate survives; with 200 vectors in 256 buckets
+    // the 1-flip probes must find strictly more of the true top-k
+    assert(rMulti > rSingle, s"expected strict recall gain ($rMulti vs $rSingle)")
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
