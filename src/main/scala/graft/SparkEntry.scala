@@ -867,6 +867,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_multiprobe" -> ((s, d) => Ann.lshMultiprobeTopK(Tables.embeddings(s, d))),
+    "ann_ivf2" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), rounds = 2)),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -1164,6 +1165,7 @@ object SparkEntry {
     "ann_lsh" -> Ann.lshTopKSql,
     "ann_ivf" -> Ann.ivfTopKSql,
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
+    "ann_ivf2" -> Ann.ivfTopKSql(2),
     "text_langid" -> TextOps.langIdSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,

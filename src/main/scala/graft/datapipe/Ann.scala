@@ -264,7 +264,14 @@ object Ann {
    * stays a hash compare. More Lloyd rounds at production scale are the
    * same two dataflow steps repeated.
    */
-  def ivfTopK(emb: DataFrame): DataFrame = {
+  def ivfTopK(emb: DataFrame): DataFrame = ivfTopK(emb, 1)
+
+  /** Parameterized Lloyd depth: `rounds` exact refinements, each the same
+    * two dataflow steps (assign all vectors to their nearest centroid,
+    * recompute per-dimension decimal-exact means) — convergence at
+    * production scale is this loop with a larger `rounds`. */
+  def ivfTopK(emb: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
     val seed = emb.where(col("vec_id") < ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     // assignment: nearest centroid by cosine (ties -> lower centroid id)
@@ -277,13 +284,15 @@ object Ann {
         .drop("__sim", "__rn", "c_emb")
     }
     // one Lloyd step: per-cluster, per-dimension exact mean
-    val cent = assign(emb, "vec_id", seed, 1)
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c_emb"))
+    def lloyd(cent: DataFrame): DataFrame =
+      assign(emb, "vec_id", cent, 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c_emb"))
+    val cent = (1 to rounds).foldLeft(seed)((c, _) => lloyd(c))
 
     val lists = assign(emb, "vec_id", cent, 1) // (vec_id, embedding, cid)
     val q = emb.where(col("vec_id") % queryMod === 0)
@@ -302,34 +311,43 @@ object Ann {
         round(col("cos"), 6).as("sim"))
   }
 
-  val ivfTopKSql: String = {
-    val simToSeed = cosineSql("c.embedding", "e.embedding")
+  val ivfTopKSql: String = ivfTopKSql(1)
+
+  /** Mirror of [[ivfTopK]] with chained per-round CTEs. */
+  def ivfTopKSql(rounds: Int): String = {
     val simToC = cosineSql("c.c_emb", "e.embedding")
     val simQ = cosineSql("p.q_emb", "e.embedding")
-    s"""WITH seed AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $ivfCentroids),
-       |assign0 AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY $simToSeed DESC, c.cid) AS rn
-       |  FROM embeddings e, seed c
-       |  QUALIFY rn <= 1
-       |),
-       |dims AS (
-       |  SELECT cid, unnest(embedding) AS x,
-       |         unnest(range(1, len(embedding) + 1)) AS pos
-       |  FROM assign0
-       |),
-       |upd AS (
-       |  SELECT cid, pos,
-       |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
-       |  FROM dims GROUP BY cid, pos
-       |),
-       |cent AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM upd GROUP BY cid),
-       |lists AS (
+    val roundCtes = new StringBuilder
+    var prev = "seed"
+    for (r <- 0 until rounds) {
+      roundCtes ++=
+        s"""assign$r AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $simToC DESC, c.cid) AS rn
+           |  FROM embeddings e, $prev c
+           |  QUALIFY rn <= 1
+           |),
+           |dims$r AS (
+           |  SELECT cid, unnest(embedding) AS x,
+           |         unnest(range(1, len(embedding) + 1)) AS pos
+           |  FROM assign$r
+           |),
+           |upd$r AS (
+           |  SELECT cid, pos,
+           |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
+           |  FROM dims$r GROUP BY cid, pos
+           |),
+           |cent$r AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM upd$r GROUP BY cid),
+           |""".stripMargin
+      prev = s"cent$r"
+    }
+    s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCentroids),
+       |${roundCtes}lists AS (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY $simToC DESC, c.cid) AS rn
-       |  FROM embeddings e, cent c
+       |  FROM embeddings e, $prev c
        |  QUALIFY rn <= 1
        |),
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
@@ -338,7 +356,7 @@ object Ann {
        |  SELECT q.q_id, q.q_emb, c.cid,
        |         row_number() OVER (PARTITION BY q.q_id
        |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS rn
-       |  FROM q0 q, cent c
+       |  FROM q0 q, $prev c
        |  QUALIFY rn <= $ivfProbes
        |),
        |scored AS (
