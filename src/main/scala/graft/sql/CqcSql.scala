@@ -330,9 +330,17 @@ object CqcSql {
       case class SumK(leaf: Int, e: Expression) extends Kind
       case class MinK(leaf: Int, e: Expression) extends Kind
       case class MaxK(leaf: Int, e: Expression) extends Kind
+      case class AvgK(leaf: Int, e: Expression) extends Kind
       def oneLeaf(e: Expression): Option[Int] = {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
         if (ls.size == 1) Some(ls.head) else None
+      }
+      def integral(e: Expression): Boolean = {
+        import org.apache.spark.sql.types._
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
       }
       def sumSafe(e: Expression): Boolean = {
         // the semiring cross-multiplies partial sums with counts: integral
@@ -357,6 +365,12 @@ object CqcSql {
                 oneLeaf(m.child).map(MinK(_, m.child)).getOrElse(return None)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
                 oneLeaf(m.child).map(MaxK(_, m.child)).getOrElse(return None)
+              case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                  if integral(a.child) =>
+                // AVG = exact integral SUM / COUNT, divided once in double
+                // — order-independent, so it matches any engine bit-for-bit
+                // (a double-typed AVG would depend on summation order)
+                oneLeaf(a.child).map(AvgK(_, a.child)).getOrElse(return None)
               case _ => return None
             }
           case _ => return None // aggregate inside arithmetic: generic path
@@ -371,6 +385,7 @@ object CqcSql {
         .withDefaultValue(Nil)
       val cols = kinds.zipWithIndex.map {
         case (SumK(l, e), i) => derived(l) = (s"__sv$i", e) :: derived(l); s"__sv$i"
+        case (AvgK(l, e), i) => derived(l) = (s"__sv$i", e) :: derived(l); s"__sv$i"
         case (MinK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
         case (MaxK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
         case (CntK, _) => ""
@@ -383,7 +398,10 @@ object CqcSql {
 
       // ONE fused message pass: count, sums, and extrema share the same
       // per-edge aggregates (one shuffle per tree edge, total)
-      val sumVars = kinds.zip(cols).collect { case (_: SumK, c) => c }.distinct
+      val sumVars = kinds.zip(cols).collect {
+        case (_: SumK, c) => c
+        case (_: AvgK, c) => c
+      }.distinct
       val minVars = kinds.zip(cols).collect { case (_: MinK, c) => c }.distinct
       val maxVars = kinds.zip(cols).collect { case (_: MaxK, c) => c }.distinct
       val agg = graft.cqc.Yannakakis.aggOverJoin(
@@ -397,6 +415,8 @@ object CqcSql {
           (k match {
             case CntK => cnt
             case _: SumK => functions.col(s"sum_$c")
+            case _: AvgK =>
+              functions.col(s"sum_$c").cast("double") / functions.col("cnt")
             case _: MinK => functions.col(s"min_$c")
             case _: MaxK => functions.col(s"max_$c")
           }).as(n)

@@ -73,7 +73,8 @@ class CqcSqlSpec extends SparkSpecBase {
     prep()
     val sql =
       """SELECT g1.src AS src, COUNT(*) AS cnt, SUM(g3.dst) AS sum_dst,
-        |       MIN(g3.dst) AS min_dst, MAX(g3.dst + 1) AS max_dst1
+        |       MIN(g3.dst) AS min_dst, MAX(g3.dst + 1) AS max_dst1,
+        |       AVG(g3.dst) AS avg_dst
         |FROM cqcsql_edges g1, cqcsql_edges g2, cqcsql_edges g3
         |WHERE g1.dst = g2.src AND g2.dst = g3.src
         |GROUP BY g1.src
