@@ -881,7 +881,9 @@ object SparkEntry {
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
-    "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d)))
+    "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d))),
+    "stream_enrich" -> ((s, d) =>
+      EventStreams.enrichedSegmentAgg(Tables.events(s, d), Tables.customer(s, d)))
   )
 
   private val E = s"(${Tables.edgesSql})"
@@ -1215,6 +1217,7 @@ object SparkEntry {
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
+    "stream_enrich" -> EventStreams.enrichedSegmentAggSql,
     "sql_cqc_topk" ->
       s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
          |FROM $E g1, $E g2

@@ -79,6 +79,32 @@ object EventStreams {
        |FROM numbered
        |GROUP BY user_id, sid""".stripMargin
 
+  /**
+   * Stream-STATIC enrichment join: the event stream joins a slowly-
+   * changing dimension (user → market segment) broadcast to every task.
+   * Stateless in streaming — a static side needs no watermark and no
+   * join state at all (Spark re-plans the broadcast per micro-batch, so
+   * dimension updates between batches are picked up) — the canonical
+   * lookup-enrichment stage of an event pipeline. Windowed per-segment
+   * counts + exact decimal sums aggregate on top; in streaming the
+   * watermark ages the window state as usual.
+   */
+  def enrichedSegmentAgg(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(userDim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("val_sum"))
+      .select(unix_millis(col("w.start")).as("ws_ms"),
+        col("c_mktsegment").as("segment"), col("n_events"), col("val_sum"))
+
+  val enrichedSegmentAggSql: String =
+    """SELECT epoch_ms(date_trunc('hour', e.ts)) AS ws_ms, c.c_mktsegment AS segment,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** Interval bound for the view->purchase attribution join. */
   val attributionWindow = "30 minutes"
   val attributionWindowMs = 30L * 60 * 1000

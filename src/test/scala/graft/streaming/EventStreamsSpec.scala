@@ -40,6 +40,35 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"), (9L, "FURNITURE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      IdEvent(1L, 7L, "view", ts(10 * hour)),
+      IdEvent(2L, 8L, "view", ts(10 * hour + 100)),
+      IdEvent(3L, 7L, "purchase", ts(11 * hour)),
+      IdEvent(4L, 9L, "view", ts(12 * hour)))
+    def withValue(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value",
+        org.apache.spark.sql.functions.col("event_id") * 1.5)
+    val input = MemoryStream[IdEvent]
+    val q = EventStreams.enrichedSegmentAgg(
+        withValue(input.toDF().withWatermark("ts", "2 hours")), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+      val batch = EventStreams.enrichedSegmentAgg(withValue(events.toDF()), dim)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch result") {
     implicit val ctx = spark.sqlContext
     val min = 60L * 1000
