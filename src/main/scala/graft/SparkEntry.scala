@@ -872,6 +872,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
@@ -1172,6 +1173,7 @@ object SparkEntry {
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
+    "text_tfidf" -> TextOps.tfidfTopTermsSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
     "mm_frames" -> Multimodal.frameSampleDocumentsSql,

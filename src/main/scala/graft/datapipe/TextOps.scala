@@ -260,4 +260,57 @@ object TextOps {
        |  FROM s
        |)
        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
+
+  // ------------------------------------------------------ TF-IDF top terms
+
+  /** Top terms kept per document. */
+  val tfidfK = 3
+
+  /**
+   * TF-IDF-style term weighting: per-document top-[[tfidfK]] terms by
+   * `tf · (N / df)` (the inverse-document-frequency RATIO, log-free: the
+   * ln of one engine's libm can differ from another's by 1 ulp, while
+   * integer-ratio division and one multiply are IEEE-exact everywhere —
+   * the monotone transform does not change the per-doc ranking).
+   *
+   * Scale shape: tf is one map-side-combinable groupBy of the exploded
+   * term list; df is a distinct + groupBy on (term) — vocabulary-sized,
+   * so its join back to tf broadcasts; the corpus size joins as a
+   * broadcast scalar (no driver-side collect); the per-doc top-k is a
+   * window over doc_id partitions (per-partition top-k + merge).
+   */
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("w",
+        round(col("tf") * (col("n_docs").cast("double") / col("df")), 6))
+    val win = Window.partitionBy("doc_id").orderBy(col("w").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(win))
+      .where(col("rnk") <= tfidfK)
+      .select(col("doc_id"), col("term"), col("rnk").cast(LongType).as("rnk"), col("w"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tt AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t WHERE len(term) > 0 GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM t WHERE len(term) > 0 GROUP BY 1
+       |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT tt.doc_id, tt.term,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY tt.doc_id
+       |         ORDER BY round(tt.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) DESC,
+       |                  tt.term) AS BIGINT) AS rnk,
+       |       round(tt.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS w
+       |FROM tt JOIN dfreq ON tt.term = dfreq.term, n
+       |QUALIFY rnk <= $tfidfK""".stripMargin
 }

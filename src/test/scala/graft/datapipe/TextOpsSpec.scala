@@ -49,6 +49,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(fps(1L).nonEmpty)
   }
 
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "common common rare"),
+      (2L, "common filler words"),
+      (3L, "common other tokens"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("rnk"), r.getAs[Double]("w")))
+    // doc 1: 'rare' (df=1) outweighs 'common' (df=3) even at tf 1 vs 2:
+    // 1*(3/1)=3 > 2*(3/3)=2
+    val d1 = out.filter(_._1 == 1L).sortBy(_._3)
+    assert(d1.head._2 == "rare" && d1.head._4 == 3.0)
+    assert(d1(1)._2 == "common" && d1(1)._4 == 2.0)
+    // every doc keeps at most k terms, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.length <= TextOps.tfidfK)
+    }
+  }
+
   test("packShards matches a sequential greedy pack per language") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val got = TextOps.packShards(docs).collect()
