@@ -467,6 +467,24 @@ object SparkEntry {
         |GROUP BY c_count""".stripMargin)
   }
 
+  /** Correlated scalar subquery through the SQL door (the TPC-H Q17
+    * shape as TEXT): the per-part average rides as a leaf filter with
+    * the subquery embedded — [[graft.sql.CqcSql]] pushes it into the
+    * lineitem leaf, where Spark plans the standard de-correlated
+    * aggregate join. Sums stay decimal-exact; the mean divides two
+    * exact quantities (sum of small integral doubles / count). */
+  def qSqlCqcSubq(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q17s_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("q17s_part")
+    graft.sql.CqcSql.solve(s,
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+        |FROM q17s_lineitem l, q17s_part p
+        |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+        |                      FROM q17s_lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -832,6 +850,7 @@ object SparkEntry {
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
+    "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -1247,6 +1266,13 @@ object SparkEntry {
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY 1""".stripMargin,
+    "sql_cqc_subq" ->
+      """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem l, part p
+        |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
     "sql_cqc_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c.c_custkey AS c_custkey,

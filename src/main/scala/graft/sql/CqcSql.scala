@@ -155,6 +155,19 @@ object CqcSql {
     // since a class confined to one leaf never gets a shared join name.
     val leafAttrIds: Seq[Set[Long]] = leaves.map(_.output.map(_.exprId.id).toSet).toSeq
     def leafOf(id: Long): Int = leafAttrIds.indexWhere(_.contains(id))
+
+    // ---- subquery predicates (scalar / EXISTS / IN): a conjunct whose
+    // references live in ONE leaf applies as that leaf's filter with the
+    // subquery embedded — Spark evaluates it there, correlated or not
+    // (reference q17/q22 shapes as SQL text). A subquery predicate whose
+    // outer references SPAN leaves cannot ride the variable renaming
+    // (PlanExpression.sql does not round-trip), so the whole query falls
+    // back to stock evaluation — correct, just not CQC-accelerated.
+    def hasSubquery(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+    if ((conjuncts ++ postOuterConjuncts).exists(e => hasSubquery(e) &&
+      e.references.map(a => leafOf(a.exprId.id)).toSet.size != 1))
+      return GraftSqlBridge.dataFrame(spark, analyzed)
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(id: Long): Long = {
       val p = parent.getOrElse(id, id)

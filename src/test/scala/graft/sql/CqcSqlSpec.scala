@@ -137,6 +137,34 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got2 == want2 && want2.nonEmpty)
   }
 
+  test("subquery predicates: scalar / correlated / EXISTS / IN through the door") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedS")
+    def check(sql: String): Unit = {
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want && want.nonEmpty, sql)
+    }
+    // uncorrelated scalar subquery inside a 2-relation CQC body
+    check("""SELECT g1.src AS a, g2.dst AS c FROM cqcsql_edges g1, cqcsql_edges g2
+            |WHERE g1.dst = g2.src AND g1.src > (SELECT AVG(src) FROM cqcsql_edges)""".stripMargin)
+    // correlated scalar subquery (the q17 shape), single-leaf refs
+    check("""SELECT g1.src AS a, g1.dst AS b FROM cqcsql_edges g1, cqcsql_edges g2
+            |WHERE g1.dst = g2.src
+            |  AND g1.src < (SELECT AVG(r.rating) FROM cqcsql_ratedS r WHERE r.src = g1.src)""".stripMargin)
+    // EXISTS and IN (the q4/q18/q22 shapes)
+    check("""SELECT g1.src AS a, g2.dst AS c FROM cqcsql_edges g1, cqcsql_edges g2
+            |WHERE g1.dst = g2.src
+            |  AND EXISTS (SELECT 1 FROM cqcsql_ratedS r WHERE r.src = g1.src AND r.rating > 45)""".stripMargin)
+    check("""SELECT g1.src AS a, g2.dst AS c FROM cqcsql_edges g1, cqcsql_edges g2
+            |WHERE g1.dst = g2.src
+            |  AND g1.src IN (SELECT src FROM cqcsql_ratedS WHERE rating > 45)""".stripMargin)
+    // a subquery predicate SPANNING two leaves falls back to stock, stays correct
+    check("""SELECT g1.src AS a, g2.dst AS c FROM cqcsql_edges g1, cqcsql_edges g2
+            |WHERE g1.dst = g2.src
+            |  AND g1.src + g2.dst > (SELECT AVG(src) FROM cqcsql_edges)""".stripMargin)
+  }
+
   test("ranked cyclic SQL: ORDER BY + LIMIT over a triangle body") {
     prep()
     val sql =
