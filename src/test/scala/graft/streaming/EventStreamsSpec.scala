@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpecBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** One raw event for the MemoryStream run. */
 case class RawEvent(ts: Timestamp, event_type: String, value: Double)
@@ -38,6 +39,30 @@ class EventStreamsSpec extends SparkSpecBase {
       val batch = EventStreams.windowedAgg(events.toDF()).collect().map(_.toSeq).toSet
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
+  }
+
+  test("parquet file sink with checkpoint: append stream lands exactly once") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val events = Seq(
+      IdEvent(1L, 7L, "view", ts(10 * hour)),
+      IdEvent(2L, 8L, "view", ts(10 * hour + 100)),
+      IdEvent(3L, 7L, "purchase", ts(11 * hour)))
+    val input = MemoryStream[IdEvent]
+    // append-mode projection to a parquet sink; the checkpoint carries the
+    // committed-offset log that makes re-delivery exactly-once per batch
+    val q = input.toDF().select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(2)); q.processAllAvailable()
+      input.addData(events.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("event_id")).sorted.toSeq
+    assert(landed == Seq(1L, 2L, 3L)) // every event exactly once
   }
 
   test("stream-static broadcast enrichment join equals the batch result") {
