@@ -101,6 +101,23 @@ object SparkEntry {
       Seq("src"), Map("g1" -> "w1", "g3" -> "w3"))
   }
 
+  /** Factorized aggregate over a CYCLIC body (bag-level semiring,
+    * [[graft.wcoj.Ghd.aggOverJoin]]): per-vertex count and endpoint sum
+    * of (triangle at a,b,c) x (2-hop tail from c) — the enumerated form
+    * is |triangles| x |tails per c| (quadratic blowup); factorized, the
+    * triangle core stays at the AGM bound (the WCOJ certificate) and
+    * the tails collapse to per-c messages that multiply in. */
+  def qCqcCyclicAggFast(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    graft.wcoj.Ghd.aggOverJoin(Seq(
+      Rel("g1", e.toDF("a", "b")),
+      Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "a")),
+      Rel("g4", e.toDF("c", "d")),
+      Rel("g5", e.toDF("d", "e2"))),
+      Seq("a"), Seq("e2"))
+  }
+
   /** Reference q11 shape: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e. */
   def qCqcRst(s: SparkSession, d: String): DataFrame = {
     val e = Tables.edges(s, d)
@@ -834,6 +851,7 @@ object SparkEntry {
     "cqc_sum_fast" -> (qCqcSumFast _),
     "cqc_extrema_fast" -> (qCqcExtremaFast _),
     "cqc_prod_fast" -> (qCqcProdFast _),
+    "cqc_cyclic_agg_fast" -> (qCqcCyclicAggFast _),
     "cqc_path3_deg" -> (qCqcPath3Deg _),
     "cqc_rst" -> (qCqcRst _),
     "cqc_trade" -> (qCqcTrade _),
@@ -936,6 +954,13 @@ object SparkEntry {
          |       CAST(sum(CAST(g1.rating AS BIGINT) * CAST(g3.rating AS BIGINT)) AS BIGINT) AS sum_product
          |FROM $RE g1, $RE g2, $RE g3
          |WHERE g1.dst = g2.src AND g2.dst = g3.src
+         |GROUP BY 1""".stripMargin,
+    "cqc_cyclic_agg_fast" ->
+      s"""SELECT g1.src AS a, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(g5.dst) AS BIGINT) AS sum_e2
+         |FROM $E g1, $E g2, $E g3, $E g4, $E g5
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+         |  AND g3.src = g4.src AND g4.dst = g5.src
          |GROUP BY 1""".stripMargin,
     "cqc_path3_deg" ->
       s"""WITH c AS (SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM $E e GROUP BY src)

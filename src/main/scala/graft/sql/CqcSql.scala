@@ -329,9 +329,6 @@ object CqcSql {
         aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
       if (cmps.nonEmpty || residual.nonEmpty || outerJoins.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
-      // cyclic bodies go through GHD enumeration (a factorized aggregate
-      // over a GHD would need bag-level semirings — not yet)
-      if (!graft.cqc.Hypergraph.isAcyclic(rels)) return None
       val gvars = groupExprs.map {
         case a: AttributeReference => varName(a.exprId.id)
         case _ => return None // computed group key: generic path
@@ -410,14 +407,18 @@ object CqcSql {
       }
 
       // ONE fused message pass: count, sums, and extrema share the same
-      // per-edge aggregates (one shuffle per tree edge, total)
+      // per-edge aggregates (one shuffle per tree edge, total). A CYCLIC
+      // body decomposes to certificate bags first (after the derived
+      // columns, so aggregated expressions live in exactly one member) —
+      // the bag-level semiring: the core stays at the AGM bound and the
+      // aggregate still factorizes across the bag tree.
       val sumVars = kinds.zip(cols).collect {
         case (_: SumK, c) => c
         case (_: AvgK, c) => c
       }.distinct
       val minVars = kinds.zip(cols).collect { case (_: MinK, c) => c }.distinct
       val maxVars = kinds.zip(cols).collect { case (_: MaxK, c) => c }.distinct
-      val agg = graft.cqc.Yannakakis.aggOverJoin(
+      val agg = graft.wcoj.Ghd.aggOverJoin(
         rels2, gvars, sumVars, minVars, maxVars)
       // global COUNT over an empty join is 0, not null
       def cnt = if (gvars.isEmpty)

@@ -99,4 +99,39 @@ object Ghd {
    */
   def solve(rels: Seq[Rel], cmps: Seq[Cmp] = Nil, residualSql: Seq[String] = Nil): DataFrame =
     Yannakakis.solve(decompose(rels), cmps, residualSql)
+
+  /**
+   * Factorized aggregates over a CYCLIC body — the bag-level semiring:
+   * decompose to certificate bags (the augmented hypergraph is acyclic;
+   * the certificate is DISTINCT on its scope, so joining it changes no
+   * multiplicities), then run the message-passing aggregate over the
+   * augmented set. The cyclic core stays at the AGM bound (the
+   * certificate itself) and the cross-bag join — e.g. triangles x
+   * per-vertex tails, quadratic if enumerated — never materializes:
+   * tails collapse to per-key messages that multiply into the
+   * certificate. No-ops to the plain Yannakakis forms when the body is
+   * already acyclic.
+   */
+  def countOverJoin(rels: Seq[Rel], groupVars: Seq[String]): DataFrame =
+    Yannakakis.countOverJoin(decompose(rels), groupVars)
+
+  /** Fused count/sums/extrema over a cyclic body (see [[countOverJoin]];
+    * sum/extrema variables must live OUTSIDE the certificate scope's
+    * duplicated columns — i.e. in exactly one member relation, which
+    * derived columns guarantee). */
+  def aggOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      sumVars: Seq[String],
+      minVars: Seq[String] = Nil,
+      maxVars: Seq[String] = Nil): DataFrame =
+    Yannakakis.aggOverJoin(decompose(rels), groupVars, sumVars, minVars, maxVars)
+
+  /** Sum-of-products semiring over a cyclic body (see [[countOverJoin]]). */
+  def productOverJoin(
+      rels: Seq[Rel],
+      groupVars: Seq[String],
+      factors: Map[String, String],
+      resultName: String = "sum_product"): DataFrame =
+    Yannakakis.productOverJoin(decompose(rels), groupVars, factors, resultName)
 }

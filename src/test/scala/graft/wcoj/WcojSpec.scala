@@ -85,6 +85,35 @@ class WcojSpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("factorized aggregates over a cyclic body equal the enumerated join") {
+    // self-loops break LFTJ's hypercube; use the loop-free subset
+    val e = edges.where(col("src") =!= col("dst"))
+    val rels = Seq(
+      Rel("g1", e.toDF("a", "b")),
+      Rel("g2", e.toDF("b", "c")),
+      Rel("g3", e.toDF("c", "a")),
+      Rel("g4", e.toDF("c", "d")))
+    val got = Ghd.aggOverJoin(rels, Seq("a"), Seq("d"), Seq("d"), Nil)
+      .select("a", "cnt", "sum_d", "min_d")
+      .collect().map(_.toSeq).toSet
+    val want = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .join(e.toDF("c", "a2"), "c").where(col("a") === col("a2"))
+      .join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(count(lit(1)).as("cnt"), sum(col("d")).as("sum_d"),
+        min(col("d")).as("min_d"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // product semiring over the same cyclic body
+    val gotP = Ghd.productOverJoin(rels, Seq("a"), Map("g4" -> "d"))
+      .collect().map(_.toSeq).toSet
+    val wantP = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+      .join(e.toDF("c", "a2"), "c").where(col("a") === col("a2"))
+      .join(e.toDF("c", "d"), "c")
+      .groupBy("a").agg(sum(col("d")).as("sum_product"))
+      .collect().map(_.toSeq).toSet
+    assert(gotP == wantP)
+  }
+
   test("Ghd.solve handles the reference q2 shape: bridge edge + sum comparison") {
     // two triangles (a,b,c)/(d,e,f) joined by a bridge edge b->d, with
     // g1.src+g2.src+g3.src < g4.src+g5.src+g6.src (sum over sources =
