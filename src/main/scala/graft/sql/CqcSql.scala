@@ -368,6 +368,15 @@ object CqcSql {
             ae.aggregateFunction match {
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
                   if c.children.forall(_.foldable) => CntK
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+                  if c.children.size == 1 =>
+                // COUNT(expr) = Σ of a null indicator — rides the sum
+                // machinery (exact long, same result type as COUNT)
+                oneLeaf(c.children.head).map { l =>
+                  SumK(l, org.apache.spark.sql.catalyst.expressions.If(
+                    org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
+                    Literal(0L), Literal(1L)))
+                }.getOrElse(return None)
               case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
                   if sumSafe(s.child) =>
                 oneLeaf(s.child).map(SumK(_, s.child)).getOrElse(return None)
@@ -401,8 +410,10 @@ object CqcSql {
         case (CntK, _) => ""
       }
       val rels2 = rels.zipWithIndex.map { case (r, i) =>
+        // deRuntime first: a RuntimeReplaceable (NULLIF, ...) analyzes to
+        // a With node whose defs break on attr renaming
         Rel(r.name, derived(i).foldLeft(r.df) { case (df, (n, e)) =>
-          df.withColumn(n, GraftSqlBridge.column(toVarNames(e)))
+          df.withColumn(n, GraftSqlBridge.column(toVarNames(deRuntime(e))))
         })
       }
 

@@ -100,6 +100,15 @@ class CqcSqlSpec extends SparkSpecBase {
     val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
     val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
     assert(got2 == want2 && want2.nonEmpty)
+    // COUNT(expr) with real nulls rides the sum machinery (null indicator)
+    val sqlN =
+      """SELECT g1.src AS src, COUNT(NULLIF(g2.dst, 2)) AS n_not2
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val gotN = CqcSql.solve(spark, sqlN).collect().map(_.toSeq).toSet
+    val wantN = spark.sql(sqlN).collect().map(_.toSeq).toSet
+    assert(gotN == wantN && wantN.nonEmpty)
     // a comparison disables the fast path but stays correct
     val sql3 =
       """SELECT g1.src AS src, COUNT(*) AS cnt
