@@ -900,6 +900,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
+    "dedup_embed_mp" -> ((s, d) => Ann.embedNearDupMultiprobe(Tables.embeddings(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
@@ -1208,6 +1209,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_embed" -> Ann.embedNearDupSql,
+    "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
     "ann_lsh" -> Ann.lshTopKSql,
     "ann_ivf" -> Ann.ivfTopKSql,

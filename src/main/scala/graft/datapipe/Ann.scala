@@ -410,6 +410,65 @@ object Ann {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("sim"))
   }
 
+  /**
+   * Multiprobe near-dup: within each band, a vector's bucket is probed
+   * together with every bucket at hamming distance 1 — a true near-dup
+   * pair split by exactly one plane in EVERY band (invisible to
+   * [[embedNearDup]]) is recovered as long as one band is a single-plane
+   * split. The same recall-at-constant-bucket-width lever as
+   * [[lshMultiprobeTopK]]; candidate volume grows by (planes+1)x per
+   * band, not by the 2x-per-halved-plane of widening buckets.
+   */
+  def embedNearDupMultiprobe(emb: DataFrame): DataFrame =
+    embedNearDupMultiprobe(emb, ndBands, ndPlanesPerBand)
+
+  def embedNearDupMultiprobe(emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val bandBuckets = (0 until bands).map { b =>
+      buckets(emb, planesPerBand, planeBase = 100 + b * planesPerBand)
+        .select(col("vec_id"), lit(b).as("band"), col("bucket"))
+    }.reduce(_ unionByName _)
+    val flips = array((lit(0L) +: (0 until planesPerBand).map(p => lit(1L << p))): _*)
+    val probes = bandBuckets.select(col("vec_id").as("d2"), col("band"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("d2"), col("band"), col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = bandBuckets.toDF("d1", "band", "bucket")
+      .join(probes, Seq("band", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
+    val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
+    cand.join(e1, "d1").join(e2, "d2")
+      .withColumn("cos", cosine(col("emb1"), col("emb2")))
+      .where(col("cos") >= ndTau)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("sim"))
+  }
+
+  val embedNearDupMultiprobeSql: String = {
+    val bandCtes = (0 until ndBands).map { b =>
+      s"bk$b AS (SELECT vec_id, $b AS band, bucket FROM (${bucketsSql(ndPlanesPerBand, 100 + b * ndPlanesPerBand)}))"
+    }.mkString(",\n")
+    val unions = (0 until ndBands).map(b => s"SELECT * FROM bk$b").mkString("\n  UNION ALL\n  ")
+    val cos = cosineSql("e1.embedding", "e2.embedding")
+    s"""WITH $bandCtes,
+       |bands AS (
+       |  $unions
+       |),
+       |probes AS (
+       |  SELECT vec_id AS d2, band,
+       |         xor(bucket, CASE WHEN f = 0 THEN 0 ELSE 1 << (f - 1) END) AS bucket
+       |  FROM bands, (SELECT unnest(range(0, ${ndPlanesPerBand + 1})) AS f)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, p.d2
+       |  FROM bands a JOIN probes p ON a.band = p.band AND a.bucket = p.bucket
+       |  WHERE a.vec_id < p.d2
+       |)
+       |SELECT c.d1, c.d2, round($cos, 6) AS sim
+       |FROM cand c JOIN embeddings e1 ON e1.vec_id = c.d1
+       |            JOIN embeddings e2 ON e2.vec_id = c.d2
+       |WHERE $cos >= $ndTau""".stripMargin
+  }
+
   val embedNearDupSql: String = {
     val bandCtes = (0 until ndBands).map { b =>
       s"bk$b AS (SELECT vec_id, $b AS band, bucket FROM (${bucketsSql(ndPlanesPerBand, 100 + b * ndPlanesPerBand)}))"

@@ -506,8 +506,14 @@ object CqcSql {
         (enumerated.select(cols: _*), projectList)
     }
 
-    // ---- re-apply DISTINCT / ORDER BY / LIMIT on the final frame
+    // ---- re-apply DISTINCT / ORDER BY / LIMIT on the final frame.
+    // An ORDER BY referencing a NON-selected column cannot be re-applied
+    // on the projected frame — fall back to stock evaluation of the whole
+    // query (correct, not CQC-accelerated) instead of failing.
     val (sortOrders, limitN) = sortLimit
+    if (sortOrders.exists(_.references.exists(a =>
+      !finalNamed.exists(_.exprId == a.exprId))))
+      return GraftSqlBridge.dataFrame(spark, analyzed)
     var res = if (isDistinct) resBase.distinct() else resBase
     if (sortOrders.nonEmpty) {
       val finalNames = finalNamed.map(ne => ne.exprId.id -> ne.name).toMap

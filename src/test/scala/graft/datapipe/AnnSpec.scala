@@ -53,6 +53,23 @@ class AnnSpec extends SparkSpecBase {
     assert(rMulti > rSingle, s"expected strict recall gain ($rMulti vs $rSingle)")
   }
 
+  test("near-dup multiprobe pairs are a superset of the single-probe pairs") {
+    val many = (0L until 150L).map { i =>
+      // clustered vectors: base direction per i%10 with small noise
+      (i, Array.tabulate(64)(d =>
+        (math.sin((i % 10) * 31 + d * 7) + 0.15 * math.sin(i * 13 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val single = pairs(Ann.embedNearDup(many))
+    val multi = pairs(Ann.embedNearDupMultiprobe(many))
+    // the probe set contains each vector's own bucket, so every single-
+    // probe candidate survives; the 1-flip probes can only add pairs
+    assert(single.subsetOf(multi), s"${(single diff multi).size} pairs lost")
+    assert(multi.size > single.size,
+      s"expected strict recall gain (${multi.size} vs ${single.size})")
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),

@@ -174,6 +174,18 @@ class CqcSqlSpec extends SparkSpecBase {
             |  AND g1.src + g2.dst > (SELECT AVG(src) FROM cqcsql_edges)""".stripMargin)
   }
 
+  test("ORDER BY on a non-selected column falls back to stock, stays correct") {
+    prep()
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS c
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |ORDER BY g1.dst ASC, a ASC, c ASC LIMIT 7""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSeq
+    val want = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("ranked cyclic SQL: ORDER BY + LIMIT over a triangle body") {
     prep()
     val sql =
