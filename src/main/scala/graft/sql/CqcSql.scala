@@ -255,6 +255,32 @@ object CqcSql {
     def toVarNames(e: Expression): Expression = e.transform {
       case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
     }
+    // ---- FULL OUTER join leaf: neither side is preserved, so it cannot
+    // peel — but BOTH sides can still be CQC-evaluated independently and
+    // full-outer joined at the end. Sides are tagged with exprId-derived
+    // column names so the ON condition rebinds unambiguously, then the
+    // original names are restored (requires distinct output names —
+    // ambiguous outputs fall through to stock).
+    def fullOuterFrame(p: LogicalPlan): Option[DataFrame] = p match {
+      case SubqueryAlias(_, c) => fullOuterFrame(c)
+      case j @ Join(l, r, org.apache.spark.sql.catalyst.plans.FullOuter, cond, _)
+          if j.output.map(_.name).distinct.size == j.output.size =>
+        def side(sp: LogicalPlan): DataFrame = {
+          var df =
+            if (sp.collectFirst { case jj: Join => jj }.isDefined) solvePlan(spark, sp)
+            else GraftSqlBridge.dataFrame(spark, sp)
+          sp.output.foreach(a => df = df.withColumnRenamed(a.name, s"__fo${a.exprId.id}"))
+          df
+        }
+        val joinCond = cond.map(c0 => GraftSqlBridge.column(c0.transform {
+          case a: AttributeReference => UnresolvedAttribute(s"__fo${a.exprId.id}")
+        })).getOrElse(functions.lit(true))
+        var out = side(l).join(side(r), joinCond, "full_outer")
+        j.output.foreach(a => out = out.withColumnRenamed(s"__fo${a.exprId.id}", a.name))
+        Some(out)
+      case _ => None
+    }
+
     val rels = leaves.zipWithIndex.map { case (leaf, i) =>
       // a leaf with a join beneath is a nested subquery block: recurse
       // (its frame loses the analyzer's exprIds, so predicates against it
@@ -263,11 +289,14 @@ object CqcSql {
       // unsupported shape above the join, e.g. a window function) —
       // evaluate it stock rather than recurse forever; each recursion
       // otherwise descends a strict subtree, so termination is by depth.
-      val nested = leaf.collectFirst { case j: Join => j }.isDefined &&
-        !(leaf fastEquals analyzed)
-      var df =
+      val fullOuter = fullOuterFrame(leaf)
+      val nested = fullOuter.isDefined || (
+        leaf.collectFirst { case j: Join => j }.isDefined &&
+          !(leaf fastEquals analyzed))
+      var df = fullOuter.getOrElse {
         if (nested) solvePlan(spark, leaf)
         else GraftSqlBridge.dataFrame(spark, leaf)
+      }
       def byName(f: Expression): Expression = f.transform {
         case a: AttributeReference => UnresolvedAttribute(a.name)
       }

@@ -56,6 +56,25 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got2.exists(r => r.last == null)) // null-extension survived
   }
 
+  test("FULL OUTER JOIN: both sides CQC-evaluated, null-extended both ways") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedF")
+    // left side is itself a join-bearing block (recursed through the
+    // door); right side a filtered base relation
+    val sql =
+      """SELECT p.a AS a, p.c AS c, r.rating AS w
+        |FROM (SELECT g1.src AS a, g2.dst AS c
+        |      FROM cqcsql_edges g1, cqcsql_edges g2
+        |      WHERE g1.dst = g2.src AND g1.src < 5) p
+        |FULL OUTER JOIN cqcsql_ratedF r
+        |  ON p.c = r.src AND r.rating > 48.0""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    assert(got.exists(r => r.last == null))  // unmatched left rows survive
+    assert(got.exists(r => r.head == null))  // unmatched right rows survive
+  }
+
   test("outer join + aggregate (the Q13 core) through the door") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated2")
