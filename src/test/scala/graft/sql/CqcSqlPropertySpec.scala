@@ -39,4 +39,42 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     }
     assert(nonEmpty >= 5) // the generator must not fuzz trivial empties only
   }
+
+  test("random aggregate queries (fast-path shapes) match stock Spark") {
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(220)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("propa_edges")
+
+    var nonEmpty = 0
+    for (_ <- 1 to 10) {
+      val n = 2 + rnd.nextInt(3)
+      // chain joins keep at least one free endpoint for aggregates
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      val filters = (1 to n).filter(_ => rnd.nextInt(3) == 0)
+        .map(j => s"g$j.src < ${3 + rnd.nextInt(9)}")
+      // sometimes a cycle-closing predicate: exercises the GHD bag route
+      val cyc = if (n >= 3 && rnd.nextInt(3) == 0) Seq(s"g$n.dst = g1.src") else Nil
+      val aggPool = Seq(
+        "COUNT(*) AS cnt",
+        s"SUM(g$n.dst) AS s1",
+        s"MIN(g$n.dst) AS mn",
+        s"MAX(g1.dst + g1.src) AS mx",
+        s"AVG(g$n.dst) AS av",
+        s"COUNT(NULLIF(g$n.dst, 3)) AS cn")
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+      val having = if (rnd.nextBoolean()) " HAVING COUNT(*) > 1" else ""
+      val sql =
+        s"""SELECT g1.src AS k, ${aggs.mkString(", ")}
+           |FROM ${(1 to n).map(j => s"propa_edges g$j").mkString(", ")}
+           |WHERE ${(joins ++ filters ++ cyc).mkString(" AND ")}
+           |GROUP BY g1.src$having""".stripMargin
+
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want, s"mismatch for: $sql")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+  }
 }
