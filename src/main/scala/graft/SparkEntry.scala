@@ -502,6 +502,24 @@ object SparkEntry {
         |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
   }
 
+  /** Window functions through the SQL door: the Window chain peels off,
+    * the join beneath gets CQC semijoin reduction, and the windows
+    * re-apply on the reduced result (running decimal sum — exact and
+    * order-stable on the unique (date, orderkey) sort). */
+  def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("winq_orders")
+    Tables.customer(s, d).createOrReplaceTempView("winq_customer")
+    graft.sql.CqcSql.solve(s,
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+        |              ORDER BY o.o_orderdate, o.o_orderkey) AS BIGINT) AS rn,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)))
+        |         OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+        |               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend
+        |FROM winq_orders o, winq_customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -869,6 +887,7 @@ object SparkEntry {
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
+    "sql_cqc_window" -> (qSqlCqcWindow _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -1300,6 +1319,15 @@ object SparkEntry {
         |  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
         |                      FROM lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "sql_cqc_window" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+        |              ORDER BY o.o_orderdate, o.o_orderkey) AS BIGINT) AS rn,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)))
+        |         OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+        |               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend
+        |FROM orders o, customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
     "sql_cqc_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c.c_custkey AS c_custkey,

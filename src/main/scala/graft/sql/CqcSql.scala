@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{functions, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{functions, Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
@@ -100,7 +100,46 @@ object CqcSql {
       case Project(pl, child) => (pl, child)
       case other => (other.output.map(a => a: NamedExpression), other)
     }
-    val (topConjuncts, joinRoot) = afterProject match {
+    // ---- peel window functions (SELECT ... agg OVER (...) FROM joins):
+    // the analyzer builds a CHAIN of Window nodes (one per distinct
+    // spec) interleaved with helper Projects (which may alias attrs and
+    // repeat them). Walk the whole chain, collecting window expressions
+    // and helper aliases; the window expressions re-apply on the CQC
+    // result as Columns (renamed to variable names), so the join under
+    // them still gets semijoin reduction — the window itself is
+    // Catalyst's standard partitioned sort, unchanged.
+    def winChain(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case Project(_, c) => winChain(c)
+      case _ => false
+    }
+    val windowDefs = scala.collection.mutable.ArrayBuffer[NamedExpression]()
+    val helperAliases = scala.collection.mutable.Map[Long, Expression]()
+    var afterWindow = afterProject
+    while (winChain(afterWindow)) afterWindow match {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        windowDefs ++= w.windowExpressions
+        afterWindow = w.child
+      case Project(pl2, c) =>
+        pl2.foreach {
+          case al: Alias => helperAliases(al.exprId.id) = al.child
+          case _ => ()
+        }
+        afterWindow = c
+    }
+    // the chain always ends on the helper Project the analyzer put UNDER
+    // the lowest Window (it aliases/repeats attrs for the window specs);
+    // consume it too, or it becomes a leaf with duplicate column names
+    if (windowDefs.nonEmpty) afterWindow match {
+      case Project(pl2, c) =>
+        pl2.foreach {
+          case al: Alias => helperAliases(al.exprId.id) = al.child
+          case _ => ()
+        }
+        afterWindow = c
+      case _ => ()
+    }
+    val (topConjuncts, joinRoot) = afterWindow match {
       case Filter(cond, child) => (splitConjuncts(cond), child)
       case other => (Nil, other)
     }
@@ -523,14 +562,86 @@ object CqcSql {
         (agg.select(cols: _*), finalList)
 
       case None =>
-        // ---- final projection with the SELECT's names
-        val cols = projectList.map {
-          case Alias(child: AttributeReference, name) =>
-            functions.col(varName(child.exprId.id)).as(name)
-          case a: AttributeReference =>
-            functions.col(varName(a.exprId.id)).as(a.name)
-          case other =>
-            GraftSqlBridge.column(toVarNames(other)) // computed select item
+        // ---- final projection with the SELECT's names; peeled window
+        // expressions and helper aliases substitute in by exprId first
+        val windowByld: Map[Long, Expression] = windowDefs.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        def resolveTop(e: Expression): Expression = e.transformUp {
+          case a: AttributeReference if windowByld.contains(a.exprId.id) =>
+            resolveTop(windowByld(a.exprId.id))
+          case a: AttributeReference if helperAliases.contains(a.exprId.id) =>
+            resolveTop(helperAliases(a.exprId.id))
+        }
+        // a WindowExpression cannot be attr-renamed by transform (rank-
+        // like functions eagerly call dataType on their injected order
+        // children) — rebuild it through the Column DSL instead
+        def windowColumn(
+            we: org.apache.spark.sql.catalyst.expressions.WindowExpression): Column = {
+          import org.apache.spark.sql.catalyst.expressions.{CumeDist, CurrentRow, DenseRank, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+          import org.apache.spark.sql.expressions.{Window => WinDsl}
+          val sd = we.windowSpec
+          def c(e: Expression): Column =
+            GraftSqlBridge.column(toVarNames(resolveTop(e)))
+          var spec = WinDsl.partitionBy(sd.partitionSpec.map(c): _*)
+          if (sd.orderSpec.nonEmpty) spec = spec.orderBy(sd.orderSpec.map { so =>
+            // unwrap the SortOrder: orderBy wraps its Columns itself
+            import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
+            val base = c(so.child)
+            (so.direction == Ascending, so.nullOrdering == NullsFirst) match {
+              case (true, true) => base.asc_nulls_first
+              case (true, false) => base.asc_nulls_last
+              case (false, true) => base.desc_nulls_first
+              case (false, false) => base.desc_nulls_last
+            }
+          }: _*)
+          def boundVal(e: Expression): Option[Long] = e match {
+            case UnboundedPreceding => Some(WinDsl.unboundedPreceding)
+            case UnboundedFollowing => Some(WinDsl.unboundedFollowing)
+            case CurrentRow => Some(WinDsl.currentRow)
+            case Literal(v: Int, _) => Some(v.toLong)
+            case Literal(v: Long, _) => Some(v)
+            case _ => None
+          }
+          // frames only apply to aggregates (rank-likes reject explicit
+          // frames; their analyzer-assigned frame IS the DSL default)
+          if (we.windowFunction.isInstanceOf[AggregateExpression])
+            sd.frameSpecification match {
+              case f: SpecifiedWindowFrame =>
+                (boundVal(f.lower), boundVal(f.upper)) match {
+                  case (Some(lo), Some(hi)) if f.frameType == RowFrame =>
+                    spec = spec.rowsBetween(lo, hi)
+                  case (Some(lo), Some(hi)) if f.frameType == RangeFrame =>
+                    spec = spec.rangeBetween(lo, hi)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          val fn: Column = we.windowFunction match {
+            case _: RowNumber => functions.row_number()
+            case _: Rank => functions.rank()
+            case _: DenseRank => functions.dense_rank()
+            case _: PercentRank => functions.percent_rank()
+            case _: CumeDist => functions.cume_dist()
+            case nt: NTile => nt.buckets match {
+              case Literal(b: Int, _) => functions.ntile(b)
+              case _ => throw new IllegalArgumentException("non-literal ntile")
+            }
+            case other => c(other)
+          }
+          fn.over(spec)
+        }
+        val cols = projectList.map { ne =>
+          val (target, name) = ne match {
+            case Alias(c, n) => (c, n)
+            case other => (other: Expression, other.name)
+          }
+          resolveTop(target) match {
+            case a: AttributeReference => functions.col(varName(a.exprId.id)).as(name)
+            case we: org.apache.spark.sql.catalyst.expressions.WindowExpression =>
+              windowColumn(we).as(name)
+            case other => GraftSqlBridge.column(toVarNames(other)).as(name)
+          }
         }
         (enumerated.select(cols: _*), projectList)
     }

@@ -193,6 +193,31 @@ class CqcSqlSpec extends SparkSpecBase {
             |  AND g1.src + g2.dst > (SELECT AVG(src) FROM cqcsql_edges)""".stripMargin)
   }
 
+  test("window functions peel off the door; the join beneath is CQC-evaluated") {
+    prep()
+    // running count + rank over a 2-hop join body
+    val sql =
+      """SELECT g1.src AS a, g2.dst AS c,
+        |       ROW_NUMBER() OVER (PARTITION BY g1.src ORDER BY g2.dst, g1.dst) AS rn,
+        |       COUNT(*) OVER (PARTITION BY g1.src) AS n_per_src
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src AND g1.src < 8""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq)
+      .groupBy(r => (r.head, r(1))).view.mapValues(_.toSet).toMap
+    val want = spark.sql(sql).collect().map(_.toSeq)
+      .groupBy(r => (r.head, r(1))).view.mapValues(_.toSet).toMap
+    assert(got == want && want.nonEmpty)
+    // window over a GROUP BY subtree (aggregate recursed, rank on top)
+    val sql2 =
+      """SELECT src, n, RANK() OVER (ORDER BY n DESC, src ASC) AS rnk
+        |FROM (SELECT g1.src AS src, COUNT(*) AS n
+        |      FROM cqcsql_edges g1, cqcsql_edges g2
+        |      WHERE g1.dst = g2.src GROUP BY g1.src) d""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+  }
+
   test("ORDER BY on a non-selected column falls back to stock, stays correct") {
     prep()
     val sql =
