@@ -8,6 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
 
+import scala.util.chaining._
+
 import graft.cqc.{Cmp, Rel}
 import graft.wcoj.Ghd
 
@@ -392,10 +394,130 @@ object CqcSql {
     // Returns the aggregated frame with group vars + one __agg$i column
     // per aggregate alias — the same layout the generic branch builds —
     // so HAVING / projection / ORDER BY downstream are path-agnostic.
+    // ---- aggregate pushdown UNDER a peeled outer join (eager
+    // aggregation — the Q13 inner block): when the aggregates are
+    // COUNT(*) / COUNT(outer attr) / SUM(outer integral expr) and the
+    // group+join keys live in one inner relation, the outer join never
+    // materializes. The outer side pre-aggregates per join key into
+    // (multiplicity __m, per-key sums); the inner cluster aggregates per
+    // (group, join key) via message passing; a left join of the two tiny
+    // aggregates weights them together: COUNT(*) = Σ cnt·coalesce(__m,1)
+    // (an unmatched inner row is exactly one null-extended row),
+    // COUNT/SUM over the outer side = Σ cnt·coalesce(sum, 0).
+    // a CAST directly around an aggregate (CAST(COUNT(..) AS BIGINT))
+    // commutes with the fast paths: match the inner aggregate, cast the
+    // output column afterwards
+    def unwrapCast(e: Expression): (Expression, Option[org.apache.spark.sql.types.DataType]) =
+      e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => (c.child, Some(c.dataType))
+        case other => (other, None)
+      }
+
+    def tryOuterFastAgg(
+        groupExprs: Seq[Expression],
+        aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
+      if (outerJoins.size != 1 || cmps.nonEmpty || residual.nonEmpty ||
+        postOuterConjuncts.nonEmpty || isDistinct) return None
+      val (rplan, condOpt) = outerJoins.head
+      val outerIds = rplan.output.map(_.exprId.id).toSet
+      def allOuter(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.forall(a => outerIds.contains(a.exprId.id))
+      val keyPairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val outerFilters = scala.collection.mutable.ArrayBuffer[Expression]()
+      condOpt.map(splitConjuncts).getOrElse(Nil).foreach {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if outerIds.contains(b.exprId.id) && !outerIds.contains(a.exprId.id) =>
+          keyPairs += ((varName(a.exprId.id), outerNames(b.exprId.id)))
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if outerIds.contains(a.exprId.id) && !outerIds.contains(b.exprId.id) =>
+          keyPairs += ((varName(b.exprId.id), outerNames(a.exprId.id)))
+        case e if allOuter(e) => outerFilters += e
+        case _ => return None
+      }
+      if (keyPairs.isEmpty) return None
+      val gvars = groupExprs.map {
+        case a: AttributeReference if !outerIds.contains(a.exprId.id) =>
+          varName(a.exprId.id)
+        case _ => return None
+      }
+      val innerKeys = keyPairs.map(_._1).distinct
+      val groupKeys = (gvars ++ innerKeys).distinct
+      if (!rels.exists(r => groupKeys.toSet.subsetOf(r.vars))) return None
+
+      def integralType(e: Expression): Boolean = {
+        import org.apache.spark.sql.types._
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+      // None = COUNT(*); Some((e, isCount)) = Σ over the outer side of e
+      // (isCount: an empty group is 0; a plain SUM of an empty group is
+      // NULL — the null-extended row's product stays null and Spark's
+      // sum skips it)
+      val aggCasts = aggAliases.map { case (al, _) => unwrapCast(al.child)._2 }
+      val kinds: Seq[Option[(Expression, Boolean)]] = aggAliases.map { case (al, _) =>
+        unwrapCast(al.child)._1 match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+                  if c.children.forall(_.foldable) => None
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+                  if c.children.size == 1 && allOuter(c.children.head) =>
+                Some((org.apache.spark.sql.catalyst.expressions.If(
+                  org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
+                  Literal(0L), Literal(1L)), true))
+              case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+                  if allOuter(s.child) && integralType(s.child) => Some((s.child, false))
+              case _ => return None
+            }
+          case _ => return None
+        }
+      }
+
+      // inner cluster: per-(group, join key) multiplicities, factorized
+      val innerAgg = graft.wcoj.Ghd.aggOverJoin(rels, groupKeys, Nil)
+      // outer side: per-join-key multiplicity + sums (join-bearing sides
+      // recurse through the door like any nested block)
+      var rdf =
+        if (rplan.collectFirst { case j: Join => j }.isDefined) solvePlan(spark, rplan)
+        else GraftSqlBridge.dataFrame(spark, rplan)
+      rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
+      outerFilters.foreach(f => rdf = rdf.where(GraftSqlBridge.column(toVarNames(deRuntime(f)))))
+      val osums = kinds.zipWithIndex.collect { case (Some((e, _)), i) =>
+        functions.sum(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+      }
+      val keyCols = keyPairs.zipWithIndex.map { case ((_, o), i) =>
+        functions.col(o).as(s"__k$i")
+      }.toSeq
+      val msg = rdf.groupBy(keyCols: _*)
+        .agg(functions.count(functions.lit(1)).as("__m"), osums: _*)
+      val joinCond = keyPairs.zipWithIndex.map { case ((iv, _), i) =>
+        functions.col(iv) === functions.col(s"__k$i")
+      }.reduce(_ && _)
+      val joined = innerAgg.join(msg, joinCond, "left_outer")
+      val aggCols = kinds.zip(aggAliases).zipWithIndex.map { case ((k, (_, n)), i) =>
+        (k match {
+          case None =>
+            functions.sum(functions.col("cnt") *
+              functions.coalesce(functions.col("__m"), functions.lit(1L)))
+          case Some((_, true)) =>
+            functions.sum(functions.col("cnt") *
+              functions.coalesce(functions.col(s"__os$i"), functions.lit(0L)))
+          case Some((_, false)) =>
+            functions.sum(functions.col("cnt") * functions.col(s"__os$i"))
+        }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
+      }
+      Some(joined.groupBy(gvars.map(functions.col): _*)
+        .agg(aggCols.head, aggCols.tail: _*))
+    }
+
     def tryFastAgg(
         groupExprs: Seq[Expression],
         aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
-      if (cmps.nonEmpty || residual.nonEmpty || outerJoins.nonEmpty ||
+      if (outerJoins.nonEmpty)
+        return tryOuterFastAgg(groupExprs, aggAliases)
+      if (cmps.nonEmpty || residual.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
       val gvars = groupExprs.map {
         case a: AttributeReference => varName(a.exprId.id)
@@ -430,8 +552,9 @@ object CqcSql {
           case _ => false
         }
       }
+      val aggCasts = aggAliases.map { case (al, _) => unwrapCast(al.child)._2 }
       val kinds: Seq[Kind] = aggAliases.map { case (al, _) =>
-        al.child match {
+        unwrapCast(al.child)._1 match {
           case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
@@ -504,7 +627,7 @@ object CqcSql {
         functions.coalesce(functions.col("cnt"), functions.lit(0L))
       else functions.col("cnt")
       val outCols = gvars.map(functions.col) ++
-        kinds.zip(cols).zip(aggAliases).map { case ((k, c), (_, n)) =>
+        kinds.zip(cols).zip(aggAliases).zipWithIndex.map { case (((k, c), (_, n)), i) =>
           (k match {
             case CntK => cnt
             case _: SumK => functions.col(s"sum_$c")
@@ -512,7 +635,7 @@ object CqcSql {
               functions.col(s"sum_$c").cast("double") / functions.col("cnt")
             case _: MinK => functions.col(s"min_$c")
             case _: MaxK => functions.col(s"max_$c")
-          }).as(n)
+          }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
         }
       Some(agg.select(outCols: _*))
     }

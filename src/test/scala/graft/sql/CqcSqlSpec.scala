@@ -75,6 +75,27 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got.exists(r => r.head == null))  // unmatched right rows survive
   }
 
+  test("aggregate pushdown UNDER the outer join: the join never materializes") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedP")
+    val sql =
+      """SELECT g.src AS a, COUNT(*) AS n_rows, COUNT(r.rating) AS n_matched,
+        |       SUM(r.src) AS s_key
+        |FROM cqcsql_edges g LEFT OUTER JOIN cqcsql_ratedP r
+        |  ON g.dst = r.src AND r.rating > 45.0
+        |GROUP BY g.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // eager aggregation shows as aggregates BELOW the join: the generic
+    // enumerate-then-aggregate plan has exactly one Aggregate node
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
+  }
+
   test("outer join + aggregate (the Q13 core) through the door") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated2")
