@@ -416,31 +416,43 @@ object CqcSql {
     def tryOuterFastAgg(
         groupExprs: Seq[Expression],
         aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
-      if (outerJoins.size != 1 || cmps.nonEmpty || residual.nonEmpty ||
+      if (outerJoins.isEmpty || cmps.nonEmpty || residual.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
-      val (rplan, condOpt) = outerJoins.head
-      val outerIds = rplan.output.map(_.exprId.id).toSet
-      def allOuter(e: Expression): Boolean =
-        e.references.nonEmpty && e.references.forall(a => outerIds.contains(a.exprId.id))
-      val keyPairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val outerFilters = scala.collection.mutable.ArrayBuffer[Expression]()
-      condOpt.map(splitConjuncts).getOrElse(Nil).foreach {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if outerIds.contains(b.exprId.id) && !outerIds.contains(a.exprId.id) =>
-          keyPairs += ((varName(a.exprId.id), outerNames(b.exprId.id)))
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if outerIds.contains(a.exprId.id) && !outerIds.contains(b.exprId.id) =>
-          keyPairs += ((varName(b.exprId.id), outerNames(a.exprId.id)))
-        case e if allOuter(e) => outerFilters += e
-        case _ => return None
-      }
-      if (keyPairs.isEmpty) return None
+      val allOuterIds = outerJoins.flatMap(_._1.output.map(_.exprId.id)).toSet
+
+      // per outer side: equi-key pairs (inner var, outer col) + own filters.
+      // An ON conjunct referencing ANOTHER outer side (chained outer
+      // joins with cross-side conditions) defeats the factorization.
+      case class Side(
+          plan: LogicalPlan,
+          keyPairs: Seq[(String, String)],
+          filters: Seq[Expression],
+          ids: Set[Long])
+      val sides = outerJoins.zipWithIndex.map { case ((rplan, condOpt), _) =>
+        val ids = rplan.output.map(_.exprId.id).toSet
+        val kp = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val fs = scala.collection.mutable.ArrayBuffer[Expression]()
+        condOpt.map(splitConjuncts).getOrElse(Nil).foreach {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if ids.contains(b.exprId.id) && !allOuterIds.contains(a.exprId.id) =>
+            kp += ((varName(a.exprId.id), outerNames(b.exprId.id)))
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if ids.contains(a.exprId.id) && !allOuterIds.contains(b.exprId.id) =>
+            kp += ((varName(b.exprId.id), outerNames(a.exprId.id)))
+          case e if e.references.nonEmpty &&
+              e.references.forall(a => ids.contains(a.exprId.id)) => fs += e
+          case _ => return None
+        }
+        if (kp.isEmpty) return None
+        Side(rplan, kp.toSeq, fs.toSeq, ids)
+      }.toSeq
+
       val gvars = groupExprs.map {
-        case a: AttributeReference if !outerIds.contains(a.exprId.id) =>
+        case a: AttributeReference if !allOuterIds.contains(a.exprId.id) =>
           varName(a.exprId.id)
         case _ => return None
       }
-      val innerKeys = keyPairs.map(_._1).distinct
+      val innerKeys = sides.flatMap(_.keyPairs.map(_._1)).distinct
       val groupKeys = (gvars ++ innerKeys).distinct
       if (!rels.exists(r => groupKeys.toSet.subsetOf(r.vars))) return None
 
@@ -451,24 +463,39 @@ object CqcSql {
           case _ => false
         }
       }
-      // None = COUNT(*); Some((e, isCount)) = Σ over the outer side of e
+      def sideOf(e: Expression): Option[Int] = {
+        val js = e.references.map(a => sides.indexWhere(_.ids.contains(a.exprId.id))).toSet
+        if (js.size == 1 && js.head >= 0) Some(js.head) else None
+      }
+      // CntStar = COUNT(*); OSum(e, j, isCount) = Σ of e over side j
       // (isCount: an empty group is 0; a plain SUM of an empty group is
       // NULL — the null-extended row's product stays null and Spark's
-      // sum skips it)
+      // sum skips it); OMin/OMax(e, j): extrema are idempotent, so the
+      // other sides' multiplicities never matter
+      sealed trait OK
+      case object CntStar extends OK
+      case class OSum(e: Expression, j: Int, isCount: Boolean) extends OK
+      case class OMin(e: Expression, j: Int) extends OK
+      case class OMax(e: Expression, j: Int) extends OK
       val aggCasts = aggAliases.map { case (al, _) => unwrapCast(al.child)._2 }
-      val kinds: Seq[Option[(Expression, Boolean)]] = aggAliases.map { case (al, _) =>
+      val kinds: Seq[OK] = aggAliases.map { case (al, _) =>
         unwrapCast(al.child)._1 match {
           case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
-                  if c.children.forall(_.foldable) => None
+                  if c.children.forall(_.foldable) => CntStar
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
-                  if c.children.size == 1 && allOuter(c.children.head) =>
-                Some((org.apache.spark.sql.catalyst.expressions.If(
+                  if c.children.size == 1 && sideOf(c.children.head).isDefined =>
+                OSum(org.apache.spark.sql.catalyst.expressions.If(
                   org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
-                  Literal(0L), Literal(1L)), true))
-              case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
-                  if allOuter(s.child) && integralType(s.child) => Some((s.child, false))
+                  Literal(0L), Literal(1L)), sideOf(c.children.head).get, isCount = true)
+              case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+                  if sideOf(su.child).isDefined && integralType(su.child) =>
+                OSum(su.child, sideOf(su.child).get, isCount = false)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min
+                  if sideOf(m.child).isDefined => OMin(m.child, sideOf(m.child).get)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max
+                  if sideOf(m.child).isDefined => OMax(m.child, sideOf(m.child).get)
               case _ => return None
             }
           case _ => return None
@@ -477,35 +504,54 @@ object CqcSql {
 
       // inner cluster: per-(group, join key) multiplicities, factorized
       val innerAgg = graft.wcoj.Ghd.aggOverJoin(rels, groupKeys, Nil)
-      // outer side: per-join-key multiplicity + sums (join-bearing sides
-      // recurse through the door like any nested block)
-      var rdf =
-        if (rplan.collectFirst { case j: Join => j }.isDefined) solvePlan(spark, rplan)
-        else GraftSqlBridge.dataFrame(spark, rplan)
-      rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
-      outerFilters.foreach(f => rdf = rdf.where(GraftSqlBridge.column(toVarNames(deRuntime(f)))))
-      val osums = kinds.zipWithIndex.collect { case (Some((e, _)), i) =>
-        functions.sum(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+      // each outer side: per-join-key multiplicity + sums/extrema
+      // (join-bearing sides recurse through the door like nested blocks)
+      var joined = innerAgg
+      sides.zipWithIndex.foreach { case (side, j) =>
+        var rdf =
+          if (side.plan.collectFirst { case jj: Join => jj }.isDefined)
+            solvePlan(spark, side.plan)
+          else GraftSqlBridge.dataFrame(spark, side.plan)
+        side.plan.output.foreach(a =>
+          rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
+        side.filters.foreach(f =>
+          rdf = rdf.where(GraftSqlBridge.column(toVarNames(deRuntime(f)))))
+        val extras = kinds.zipWithIndex.collect {
+          case (OSum(e, `j`, _), i) =>
+            functions.sum(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+          case (OMin(e, `j`), i) =>
+            functions.min(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+          case (OMax(e, `j`), i) =>
+            functions.max(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+        }
+        val keyCols = side.keyPairs.zipWithIndex.map { case ((_, o), i) =>
+          functions.col(o).as(s"__k${j}_$i")
+        }
+        val msg = rdf.groupBy(keyCols: _*)
+          .agg(functions.count(functions.lit(1)).as(s"__m$j"), extras: _*)
+        val joinCond = side.keyPairs.zipWithIndex.map { case ((iv, _), i) =>
+          functions.col(iv) === functions.col(s"__k${j}_$i")
+        }.reduce(_ && _)
+        joined = joined.join(msg, joinCond, "left_outer")
       }
-      val keyCols = keyPairs.zipWithIndex.map { case ((_, o), i) =>
-        functions.col(o).as(s"__k$i")
-      }.toSeq
-      val msg = rdf.groupBy(keyCols: _*)
-        .agg(functions.count(functions.lit(1)).as("__m"), osums: _*)
-      val joinCond = keyPairs.zipWithIndex.map { case ((iv, _), i) =>
-        functions.col(iv) === functions.col(s"__k$i")
-      }.reduce(_ && _)
-      val joined = innerAgg.join(msg, joinCond, "left_outer")
+      // weight the messages together: each aggregate multiplies the inner
+      // multiplicity by ITS side's term and every OTHER side's match
+      // count (max 1 — an unmatched side contributes one null-extended row)
+      def multOthers(base: Column, j: Int): Column =
+        sides.indices.filter(_ != j).foldLeft(base) { (c, k) =>
+          c * functions.coalesce(functions.col(s"__m$k"), functions.lit(1L))
+        }
       val aggCols = kinds.zip(aggAliases).zipWithIndex.map { case ((k, (_, n)), i) =>
         (k match {
-          case None =>
-            functions.sum(functions.col("cnt") *
-              functions.coalesce(functions.col("__m"), functions.lit(1L)))
-          case Some((_, true)) =>
-            functions.sum(functions.col("cnt") *
-              functions.coalesce(functions.col(s"__os$i"), functions.lit(0L)))
-          case Some((_, false)) =>
-            functions.sum(functions.col("cnt") * functions.col(s"__os$i"))
+          case CntStar =>
+            functions.sum(multOthers(functions.col("cnt"), -1))
+          case OSum(_, j, true) =>
+            functions.sum(multOthers(functions.col("cnt") *
+              functions.coalesce(functions.col(s"__os$i"), functions.lit(0L)), j))
+          case OSum(_, j, false) =>
+            functions.sum(multOthers(functions.col("cnt") * functions.col(s"__os$i"), j))
+          case OMin(_, _) => functions.min(functions.col(s"__os$i"))
+          case OMax(_, _) => functions.max(functions.col(s"__os$i"))
         }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
       }
       Some(joined.groupBy(gvars.map(functions.col): _*)

@@ -94,6 +94,17 @@ class CqcSqlSpec extends SparkSpecBase {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.size
     assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
+    // TWO outer joins: multiplicities multiply; extrema ignore them
+    val sql2 =
+      """SELECT g.src AS a, COUNT(*) AS n_rows, COUNT(r1.rating) AS n1,
+        |       SUM(r2.src) AS s2, MIN(r1.rating) AS mn1, MAX(r2.rating) AS mx2
+        |FROM cqcsql_edges g
+        |LEFT OUTER JOIN cqcsql_ratedP r1 ON g.dst = r1.src AND r1.rating > 45.0
+        |LEFT OUTER JOIN cqcsql_ratedP r2 ON g.src = r2.dst AND r2.rating > 40.0
+        |GROUP BY g.src""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
   }
 
   test("outer join + aggregate (the Q13 core) through the door") {
