@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cqc.{Cmp, Rel, Yannakakis}
-import graft.datapipe.{Ann, Dedup, Multimodal, TextOps}
+import graft.datapipe.{Ann, Dedup, Multimodal, Sketches, TextOps}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import graft.topk.RankJoin
@@ -930,6 +930,11 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // sketch estimates: no DuckDB oracle (implementation-defined
+    // estimates) — the driver records its rows-only check; SketchesSpec
+    // pins the accuracy contract
+    "pipe_cardinality" -> ((s, d) => Sketches.tokenCardinality(Tables.documents(s, d))),
+    "pipe_quantiles" -> ((s, d) => Sketches.valueQuantiles(Tables.events(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),

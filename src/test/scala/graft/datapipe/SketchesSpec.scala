@@ -1,0 +1,41 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpecBase {
+
+  test("HLL cardinality is within the rsd contract of the exact count") {
+    val out = Sketches.tokenCardinality(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_terms").toDouble
+      val exact = r.getAs[Long]("exact_terms").toDouble
+      // 5 sigma of the configured rsd — loose enough to never flake,
+      // tight enough to catch a broken sketch
+      assert(math.abs(approx - exact) <= 5 * Sketches.hllRsd * exact + 5,
+        s"lang=${r.getAs[String]("lang")}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("approximate quantiles are ordered and within the value range") {
+    val out = Sketches.valueQuantiles(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p95, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p95"),
+        r.getAs[Double]("p99"))
+      val (lo, hi) = (r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))
+      assert(lo <= p50 && p50 <= p95 && p95 <= p99 && p99 <= hi)
+    }
+    // p95 must sit at the 95th percentile of the exact sorted values
+    // (within the summary's rank tolerance)
+    val views = Tables.events(spark, sfDir)
+      .where(col("event_type") === "view").select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val p95 = out.find(_.getAs[String]("event_type") == "view")
+      .get.getAs[Double]("p95")
+    val rank = views.count(_ <= p95).toDouble / views.length
+    assert(math.abs(rank - 0.95) < 0.02, s"p95 sits at rank $rank")
+  }
+}
