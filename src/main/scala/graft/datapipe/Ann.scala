@@ -270,29 +270,82 @@ object Ann {
     * two dataflow steps (assign all vectors to their nearest centroid,
     * recompute per-dimension decimal-exact means) — convergence at
     * production scale is this loop with a larger `rounds`. */
+  /** Seed centroids: the first [[ivfCentroids]] vectors. */
+  private def ivfSeed(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+
+  /** Assignment: nearest centroid by cosine (ties -> lower centroid id). */
+  private def ivfAssign(
+      of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
+    of.crossJoin(broadcast(cent))
+      .withColumn("__sim", cosine(col("c_emb"), col("embedding")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= keep)
+      .drop("__sim", "__rn", "c_emb")
+  }
+
+  /** One Lloyd step: per-cluster, per-dimension exact mean. */
+  private def ivfLloyd(emb: DataFrame, cent: DataFrame): DataFrame =
+    ivfAssign(emb, "vec_id", cent, 1)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c_emb"))
+
+  /**
+   * The production training loop: Lloyd rounds until the largest
+   * per-centroid squared movement drops below `tol` (or `maxRounds`).
+   * Each round's K centroids are COLLECTED to the driver — K x dim
+   * doubles, the one payload that is legitimately driver-sized — both
+   * to decide convergence and to rebuild the next round's centroid
+   * frame as a literal (constant-depth plans instead of a re-evaluated
+   * lazy chain; the broadcast side of every assignment is a local
+   * relation). All heavy work — assignment and per-dimension means over
+   * the full collection — stays distributed. Returns the final
+   * centroids and the number of rounds run.
+   */
+  def ivfTrainConverged(
+      emb: DataFrame,
+      maxRounds: Int = 10,
+      tol: Double = 1e-9): (Seq[(Long, Array[Double])], Int) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def collectCent(df: DataFrame): Seq[(Long, Array[Double])] =
+      df.collect().map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.sortBy(_._1).toSeq
+    def frame(c: Seq[(Long, Array[Double])]): DataFrame =
+      c.map { case (id, v) => (id, v.toSeq) }.toDF("cid", "c_emb")
+    var cent = collectCent(ivfSeed(emb))
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < maxRounds && moved > tol) {
+      val next = collectCent(ivfLloyd(emb, frame(cent)))
+      val prev = cent.toMap
+      moved = next.map { case (id, v) =>
+        prev.get(id).map(p => v.zip(p).map { case (a, b) =>
+          (a - b) * (a - b)
+        }.sum).getOrElse(Double.MaxValue)
+      }.max
+      cent = next
+      rounds += 1
+    }
+    (cent, rounds)
+  }
+
   def ivfTopK(emb: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
-    val seed = emb.where(col("vec_id") < ivfCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    // assignment: nearest centroid by cosine (ties -> lower centroid id)
-    def assign(of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
-      of.crossJoin(broadcast(cent))
-        .withColumn("__sim", cosine(col("c_emb"), col("embedding")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= keep)
-        .drop("__sim", "__rn", "c_emb")
-    }
-    // one Lloyd step: per-cluster, per-dimension exact mean
-    def lloyd(cent: DataFrame): DataFrame =
-      assign(emb, "vec_id", cent, 1)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c_emb"))
-    val cent = (1 to rounds).foldLeft(seed)((c, _) => lloyd(c))
+    val seed = ivfSeed(emb)
+    def assign(of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame =
+      ivfAssign(of, idCol, cent, keep)
+    val cent = (1 to rounds).foldLeft(seed)((c, _) => ivfLloyd(emb, c))
 
     val lists = assign(emb, "vec_id", cent, 1) // (vec_id, embedding, cid)
     val q = emb.where(col("vec_id") % queryMod === 0)

@@ -70,6 +70,22 @@ class AnnSpec extends SparkSpecBase {
       s"expected strict recall gain (${multi.size} vs ${single.size})")
   }
 
+  test("Lloyd training converges to a fixed point within the round budget") {
+    // 3 tight clusters; centroids must stop moving well before 10 rounds
+    val pts = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(64)(d =>
+        (math.sin(c * 17 + d) + 0.01 * math.sin(i * 7 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (cent, rounds) = Ann.ivfTrainConverged(pts, maxRounds = 10)
+    assert(cent.size == Ann.ivfCentroids.min(60))
+    assert(rounds >= 1 && rounds < 10, s"did not converge: $rounds rounds")
+    // fixed point: within the 6dp mean rounding, the assignment is stable
+    val (cent2, _) = Ann.ivfTrainConverged(pts, maxRounds = rounds + 1)
+    assert(cent2.map { case (i, a) => (i, a.toSeq) } ==
+      cent.map { case (i, a) => (i, a.toSeq) })
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
