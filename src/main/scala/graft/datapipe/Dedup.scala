@@ -367,6 +367,77 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  // ------------------------------------------- connected-component clusters
+
+  /**
+   * Connected-component clustering over a near-dup pair list — the step
+   * that turns pairwise evidence into the dedup DECISION: every document
+   * appearing in `pairs` (cols d1, d2) is assigned
+   * `cluster_id` = the minimum doc_id reachable through the pair graph,
+   * so the deduplicated corpus is simply `doc_id = cluster_id` (one
+   * canonical keeper per component, the rest drop).
+   *
+   * Distributed min-label propagation to a FIXED POINT:
+   * `L'(v) = min(L(v), min over neighbours u of L(u))`. Each round is
+   * one shuffle join + one map-side-combinable min aggregate; per-round
+   * state is one (vertex, label) row per vertex — proportional to the
+   * documents under suspicion, never to pairs². Each round's labels are
+   * persisted and the superseded round is released immediately; the
+   * driver sees only a changed-row COUNT (one long per round) to decide
+   * convergence — labels themselves never leave the executors. Round
+   * count = the pair graph's diameter, which for near-dup clusters is
+   * small (duplicate clusters are dense, not path-like); on a general
+   * 100 TB graph the same per-round dataflow runs the
+   * O(log n)-round large-star/small-star variant instead.
+   */
+  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = graft.CacheRegistry.persistTracked(
+      pairs.select(col("d1").as("v"), col("d2").as("u"))
+        .union(pairs.select(col("d2").as("v"), col("d1").as("u"))))
+    var persisted = graft.CacheRegistry.persistTracked(
+      edges.select(col("v")).distinct().withColumn("lbl", col("v")))
+    var lbl = persisted
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges.join(lbl.toDF("u", "ulbl"), "u")
+        .groupBy(col("v")).agg(min(col("ulbl")).as("nlbl"))
+      val step = graft.CacheRegistry.persistTracked(
+        lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
+          .select(col("v"), col("old"),
+            least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl")))
+      changed = step.where(col("lbl") < col("old")).count()
+      persisted.unpersist(blocking = false)
+      persisted = step
+      lbl = step.select(col("v"), col("lbl"))
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** DuckDB mirror of [[clusters]]: transitive closure via a recursive
+    * CTE (labels walk the undirected edges; UNION dedup bounds the
+    * closure at component-size² rows), min label per vertex = the
+    * component minimum. The pair query rides in as a derived table. */
+  def clustersSql(pairsSql: String): String =
+    s"""WITH RECURSIVE __pairs AS (
+       |  SELECT d1, d2 FROM ($pairsSql) __sp
+       |),
+       |__e AS (SELECT d1 AS a, d2 AS b FROM __pairs
+       |        UNION ALL SELECT d2, d1 FROM __pairs),
+       |__walk(v, lbl) AS (
+       |  SELECT DISTINCT a, a FROM __e
+       |  UNION
+       |  SELECT __e.b, w.lbl FROM __walk w JOIN __e ON __e.a = w.v
+       |),
+       |__lab AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM __walk GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM __lab""".stripMargin
+
   val simhashNearDupSql: String = simhashNearDupSqlFor(shChunks, shChunkBits, shBucketCap)
 
   def simhashNearDupSqlFor(chunks: Int, chunkBits: Int, cap: Int): String = {
