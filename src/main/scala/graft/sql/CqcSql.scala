@@ -46,6 +46,10 @@ import graft.wcoj.Ghd
  */
 object CqcSql {
 
+  /** Signals a window frame the Column DSL cannot reproduce — callers
+    * fall back to stock evaluation of the whole query. */
+  private final class UnsupportedFrame extends RuntimeException
+
   def solve(spark: SparkSession, sql: String): DataFrame =
     solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
 
@@ -483,7 +487,9 @@ object CqcSql {
           case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
-                  if c.children.forall(_.foldable) => CntStar
+                  if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
+                // foldable AND non-null: COUNT(NULL) is 0, not COUNT(*)
+                CntStar
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
                   if c.children.size == 1 && sideOf(c.children.head).isDefined =>
                 OSum(org.apache.spark.sql.catalyst.expressions.If(
@@ -589,12 +595,17 @@ object CqcSql {
         }
       }
       def sumSafe(e: Expression): Boolean = {
-        // the semiring cross-multiplies partial sums with counts: integral
-        // and double types keep Spark's native SUM result type; decimal
-        // precision would creep per hop — generic path for those
+        // EXACT integral types only. The semiring cross-multiplies partial
+        // sums with counts, which reassociates addition: exact for
+        // integers, but a double SUM through the factorized path can
+        // differ from stock/DuckDB by an ULP — a silent cross-engine hash
+        // mismatch. Double sums stay on the generic path here; the
+        // programmatic Yannakakis.aggOverJoin API remains the documented
+        // opt-in where the caller owns that tradeoff. Decimal precision
+        // would creep per hop — generic path too.
         import org.apache.spark.sql.types._
         e.dataType match {
-          case ByteType | ShortType | IntegerType | LongType | DoubleType => true
+          case ByteType | ShortType | IntegerType | LongType => true
           case _ => false
         }
       }
@@ -604,7 +615,9 @@ object CqcSql {
           case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
-                  if c.children.forall(_.foldable) => CntK
+                  if c.children.forall(ch => ch.foldable && ch.eval() != null) =>
+                // foldable AND non-null: COUNT(NULL) is 0, not COUNT(*)
+                CntK
               case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
                   if c.children.size == 1 =>
                 // COUNT(expr) = Σ of a null indicator — rides the sum
@@ -623,9 +636,12 @@ object CqcSql {
                 oneLeaf(m.child).map(MaxK(_, m.child)).getOrElse(return None)
               case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
                   if integral(a.child) =>
-                // AVG = exact integral SUM / COUNT, divided once in double
-                // — order-independent, so it matches any engine bit-for-bit
-                // (a double-typed AVG would depend on summation order)
+                // AVG = exact integral SUM / non-null COUNT, divided once
+                // in double — order-independent, so it matches any engine
+                // bit-for-bit (a double-typed AVG would depend on summation
+                // order). The denominator is a summed NULL-INDICATOR, not
+                // the join-row count: SQL AVG divides by the count of
+                // non-null values only
                 oneLeaf(a.child).map(AvgK(_, a.child)).getOrElse(return None)
               case _ => return None
             }
@@ -641,7 +657,12 @@ object CqcSql {
         .withDefaultValue(Nil)
       val cols = kinds.zipWithIndex.map {
         case (SumK(l, e), i) => derived(l) = (s"__sv$i", e) :: derived(l); s"__sv$i"
-        case (AvgK(l, e), i) => derived(l) = (s"__sv$i", e) :: derived(l); s"__sv$i"
+        case (AvgK(l, e), i) =>
+          // value sum + non-null indicator sum: AVG = Σv / Σ(v IS NOT NULL)
+          derived(l) = (s"__nn$i", org.apache.spark.sql.catalyst.expressions.If(
+            org.apache.spark.sql.catalyst.expressions.IsNull(e),
+            Literal(0L), Literal(1L))) :: (s"__sv$i", e) :: derived(l)
+          s"__sv$i"
         case (MinK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
         case (MaxK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
         case (CntK, _) => ""
@@ -660,9 +681,10 @@ object CqcSql {
       // columns, so aggregated expressions live in exactly one member) —
       // the bag-level semiring: the core stays at the AGM bound and the
       // aggregate still factorizes across the bag tree.
-      val sumVars = kinds.zip(cols).collect {
-        case (_: SumK, c) => c
-        case (_: AvgK, c) => c
+      val sumVars = kinds.zip(cols).zipWithIndex.flatMap {
+        case ((_: SumK, c), _) => Seq(c)
+        case ((_: AvgK, c), i) => Seq(c, s"__nn$i")
+        case _ => Nil
       }.distinct
       val minVars = kinds.zip(cols).collect { case (_: MinK, c) => c }.distinct
       val maxVars = kinds.zip(cols).collect { case (_: MaxK, c) => c }.distinct
@@ -678,7 +700,7 @@ object CqcSql {
             case CntK => cnt
             case _: SumK => functions.col(s"sum_$c")
             case _: AvgK =>
-              functions.col(s"sum_$c").cast("double") / functions.col("cnt")
+              functions.col(s"sum_$c").cast("double") / functions.col(s"sum___nn$i")
             case _: MinK => functions.col(s"min_$c")
             case _: MaxK => functions.col(s"max_$c")
           }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
@@ -764,12 +786,34 @@ object CqcSql {
               case (false, false) => base.desc_nulls_last
             }
           }: _*)
+          // 'n PRECEDING' reaches the ANALYZED plan as UnaryMinus(Literal(n))
+          // (constant folding is an optimizer rule) — any foldable numeric
+          // bound evaluates here; a non-reproducible bound (e.g. a RANGE
+          // interval) must NOT be silently dropped, or the aggregate runs
+          // under the wrong frame — it aborts the door instead (see below)
           def boundVal(e: Expression): Option[Long] = e match {
             case UnboundedPreceding => Some(WinDsl.unboundedPreceding)
             case UnboundedFollowing => Some(WinDsl.unboundedFollowing)
             case CurrentRow => Some(WinDsl.currentRow)
-            case Literal(v: Int, _) => Some(v.toLong)
-            case Literal(v: Long, _) => Some(v)
+            case _ if e.foldable =>
+              // dataType check is load-bearing: an INTERVAL bound's
+              // internal value is also a Long (micros) but means a RANGE
+              // duration the DSL cannot express — only true integral
+              // literals are row/range offsets
+              e.dataType match {
+                case org.apache.spark.sql.types.ByteType |
+                    org.apache.spark.sql.types.ShortType |
+                    org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.LongType =>
+                  e.eval() match {
+                    case i: Int => Some(i.toLong)
+                    case l: Long => Some(l)
+                    case s: Short => Some(s.toLong)
+                    case b: Byte => Some(b.toLong)
+                    case _ => None
+                  }
+                case _ => None
+              }
             case _ => None
           }
           // frames only apply to aggregates (rank-likes reject explicit
@@ -782,7 +826,7 @@ object CqcSql {
                     spec = spec.rowsBetween(lo, hi)
                   case (Some(lo), Some(hi)) if f.frameType == RangeFrame =>
                     spec = spec.rangeBetween(lo, hi)
-                  case _ => ()
+                  case _ => throw new UnsupportedFrame
                 }
               case _ => ()
             }
@@ -800,7 +844,10 @@ object CqcSql {
           }
           fn.over(spec)
         }
-        val cols = projectList.map { ne =>
+        // a window frame windowColumn cannot reproduce aborts the door:
+        // stock evaluation of the whole query (correct, not accelerated)
+        // beats a silently-wrong default frame
+        val cols = try projectList.map { ne =>
           val (target, name) = ne match {
             case Alias(c, n) => (c, n)
             case other => (other: Expression, other.name)
@@ -811,6 +858,8 @@ object CqcSql {
               windowColumn(we).as(name)
             case other => GraftSqlBridge.column(toVarNames(other)).as(name)
           }
+        } catch {
+          case _: UnsupportedFrame => return GraftSqlBridge.dataFrame(spark, analyzed)
         }
         (enumerated.select(cols: _*), projectList)
     }

@@ -439,4 +439,83 @@ class CqcSqlSpec extends SparkSpecBase {
     val want = spark.sql(sql).collect().map(_.toSeq).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("bounded window frame (n PRECEDING) survives the door") {
+    // 'ROWS BETWEEN 2 PRECEDING AND CURRENT ROW' reaches the analyzed plan
+    // as UnaryMinus(Literal(2)) — before the foldable-bound fix the frame
+    // was silently dropped and the sum ran UNBOUNDED PRECEDING
+    Tables.orders(spark, sfDir).createOrReplaceTempView("wfo_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("wfo_customer")
+    val sql =
+      """SELECT o.o_custkey AS ck, o.o_orderkey AS ok,
+        |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2)))
+        |         OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS s3
+        |FROM wfo_orders o, wfo_customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("non-reproducible window frame falls back to stock, never a wrong frame") {
+    // RANGE with an interval bound has no Column-DSL equivalent: the door
+    // must return the stock result, not silently run a default frame
+    Tables.events(spark, sfDir).createOrReplaceTempView("wfr_events")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("wfr_customer")
+    val sql =
+      """SELECT e.user_id AS uid, e.event_id AS eid,
+        |       COUNT(*) OVER (PARTITION BY e.user_id ORDER BY e.ts
+        |         RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS n_day
+        |FROM wfr_events e, wfr_customer c
+        |WHERE e.user_id = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("AVG over a NULLABLE column divides by non-null count") {
+    prep()
+    // SQL AVG divides by the NON-NULL count, not the join-row count: the
+    // factorized path must carry a null-indicator sum as the denominator
+    spark.sql(
+      """SELECT src AS k, CASE WHEN dst % 3 = 0 THEN NULL ELSE dst END AS v
+        |FROM cqcsql_edges""".stripMargin).createOrReplaceTempView("avgn_t")
+    val sql =
+      """SELECT g.src AS src, AVG(t.v) AS avg_v
+        |FROM cqcsql_edges g, avgn_t t
+        |WHERE g.dst = t.k
+        |GROUP BY g.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("COUNT of a null literal is 0, not the join-row count") {
+    prep()
+    val sql =
+      """SELECT g1.src AS src, COUNT(NULL) AS n, COUNT(*) AS total
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    assert(got.forall(r => r(1) == 0L)) // COUNT(NULL) = 0 per group
+  }
+
+  test("SUM over a double column matches stock bit-for-bit (no semiring reroute)") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("sumd_rated")
+    // double addition is non-associative: the door must leave double SUMs
+    // on the stock-ordered generic path, not the factorized semiring
+    val sql =
+      """SELECT g.src AS src, SUM(r.rating) AS sum_w
+        |FROM cqcsql_edges g, sumd_rated r
+        |WHERE g.dst = r.src
+        |GROUP BY g.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }
