@@ -930,11 +930,11 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
-    // sketch estimates: no DuckDB oracle (implementation-defined
-    // estimates) — the driver records its rows-only check; SketchesSpec
-    // pins the accuracy contract
-    "pipe_cardinality" -> ((s, d) => Sketches.tokenCardinality(Tables.documents(s, d))),
-    "pipe_quantiles" -> ((s, d) => Sketches.valueQuantiles(Tables.events(s, d))),
+    // sketch estimates, oracle-checkable form: exact companion columns +
+    // deterministic in-query accuracy flags (the raw estimates are
+    // implementation-defined; SketchesSpec pins them separately)
+    "pipe_cardinality" -> ((s, d) => Sketches.tokenCardinalityChecked(Tables.documents(s, d))),
+    "pipe_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(Tables.events(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
@@ -1244,6 +1244,8 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_tfidf" -> TextOps.tfidfTopTermsSql,
+    "pipe_cardinality" -> Sketches.tokenCardinalityCheckedSql,
+    "pipe_quantiles" -> Sketches.valueQuantilesCheckedSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
     "mm_frames" -> Multimodal.frameSampleDocumentsSql,

@@ -12,25 +12,27 @@ import org.apache.spark.sql.functions._
  *    fixed-size register array, mergeable and map-side combinable, so
  *    vocabulary cardinality over 100 TB costs one scan + a tiny merge
  *    tree — the exact COUNT(DISTINCT) shuffles every distinct token.
- *    Hash-based and order-independent: repeated runs give identical
- *    estimates.
+ *    Hash-based with commutative register-max merge: repeated runs give
+ *    identical estimates regardless of partitioning.
  *  - quantile summaries (`percentile_approx`, Greenwald-Khanna): bounded
- *    per-partition state with a mergeable summary; error is bounded by
- *    the accuracy parameter, not the data size.
+ *    per-partition state with a mergeable summary; rank error is bounded
+ *    by n/accuracy for ANY merge order, not by the data size.
  *
- * These cannot be DuckDB-hash-verified (different sketch
+ * The raw estimates cannot be DuckDB-hash-verified (different sketch
  * implementations give different — equally valid — estimates), so the
- * driver records a rows-only check; SketchesSpec pins the accuracy
- * contract against exact answers instead.
+ * driver-facing `*Checked` forms emit the EXACT companion columns plus a
+ * deterministic within-bounds flag computed in-query against the
+ * sketch's accuracy contract; the oracle reproduces the exact columns
+ * and expects the flags to be true. SketchesSpec additionally pins the
+ * contract on the raw estimates.
  */
 object Sketches {
 
   /** HLL++ relative standard deviation (default Spark rsd is 0.05). */
   val hllRsd = 0.02
 
-  /** Approximate vs exact distinct-token cardinality per language. The
-    * exact column rides along here (test scale) to make the estimate's
-    * error observable; a production profile would drop it. */
+  /** Approximate vs exact distinct-token cardinality per language —
+    * the raw profiling output (spec-pinned). */
   def tokenCardinality(docs: DataFrame): DataFrame =
     docs.select(col("lang"), explode(TextOps.words(col("text"))).as("term"))
       .where(length(col("term")) > 0)
@@ -39,18 +41,79 @@ object Sketches {
         approx_count_distinct(col("term"), hllRsd).as("approx_terms"),
         countDistinct(col("term")).as("exact_terms"))
 
+  /** Driver-gate form: exact cardinality next to an `hll_ok` flag —
+    * |approx - exact| / exact <= 3*rsd. The estimate is hash-based and
+    * order-independent, so the flag is stable across runs and
+    * partitionings; at 3 standard deviations it is an honest accuracy
+    * contract, not a tautology. */
+  def tokenCardinalityChecked(docs: DataFrame): DataFrame =
+    tokenCardinality(docs)
+      .select(col("lang"), col("exact_terms"),
+        (abs(col("approx_terms").cast("double") - col("exact_terms")) <=
+          lit(3 * hllRsd) * col("exact_terms")).as("hll_ok"))
+
+  /** Oracle: the exact side in DuckDB (same single-space tokenization),
+    * flags expected true. */
+  val tokenCardinalityCheckedSql: String =
+    """SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_terms,
+      |       true AS hll_ok
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |WHERE len(term) > 0
+      |GROUP BY lang""".stripMargin
+
+  /** GK summary accuracy: rank error is bounded by n/accuracy. */
+  val gkAccuracy = 10000
+
   /** Per-event-type value quantiles (p50/p95/p99) via mergeable
-    * Greenwald-Khanna summaries, next to min/max as sanity bounds. */
-  def valueQuantiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    * Greenwald-Khanna summaries, next to min/max as sanity bounds —
+    * the raw profiling output (spec-pinned). */
+  def valueQuantiles(events: DataFrame, accuracy: Int = gkAccuracy): DataFrame =
     events.groupBy(col("event_type"))
       .agg(
         percentile_approx(col("value"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"),
+        count(lit(1)).as("n"),
         min(col("value")).as("v_min"),
         max(col("value")).as("v_max"))
-      .select(col("event_type"),
+      .select(col("event_type"), col("n"),
         col("q").getItem(0).as("p50"),
         col("q").getItem(1).as("p95"),
         col("q").getItem(2).as("p99"),
         col("v_min"), col("v_max"))
+
+  /** Driver-gate form: each estimated quantile p of target rank q*n is
+    * verified IN-QUERY against the exact rank contract —
+    * `count(v < p) <= (q+eps)*n` and `count(v <= p) >= (q-eps)*n` with
+    * eps = 1/accuracy. The GK guarantee holds for every merge order, so
+    * the flags are deterministic; the second pass computing exact ranks
+    * is a broadcast join of the tiny per-type summaries back to the
+    * facts — verification machinery, not part of the production
+    * profile. */
+  def valueQuantilesChecked(events: DataFrame, accuracy: Int = gkAccuracy): DataFrame = {
+    val eps = 1.0 / accuracy
+    val q = valueQuantiles(events, accuracy)
+      .select(col("event_type").as("qt"), col("n"), col("v_min"), col("v_max"),
+        col("p50"), col("p95"), col("p99"))
+    def okFlag(p: String, target: Double) =
+      (sum(when(col("value") < col(p), 1L).otherwise(0L)) <=
+        (lit(target) + lit(eps)) * col("n").cast("double")) &&
+        (sum(when(col("value") <= col(p), 1L).otherwise(0L)) >=
+          (lit(target) - lit(eps)) * col("n").cast("double"))
+    events.join(broadcast(q), col("event_type") === col("qt"))
+      .groupBy(col("event_type"), col("n"), col("v_min"), col("v_max"))
+      .agg(
+        okFlag("p50", 0.5).as("p50_ok"),
+        okFlag("p95", 0.95).as("p95_ok"),
+        okFlag("p99", 0.99).as("p99_ok"))
+      .select(col("event_type"), col("n"), col("v_min"), col("v_max"),
+        col("p50_ok"), col("p95_ok"), col("p99_ok"))
+  }
+
+  /** Oracle: exact per-type counts and bounds, flags expected true. */
+  val valueQuantilesCheckedSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       min(value) AS v_min, max(value) AS v_max,
+      |       true AS p50_ok, true AS p95_ok, true AS p99_ok
+      |FROM events
+      |GROUP BY event_type""".stripMargin
 }

@@ -38,4 +38,13 @@ class SketchesSpec extends SparkSpecBase {
     val rank = views.count(_ <= p95).toDouble / views.length
     assert(math.abs(rank - 0.95) < 0.02, s"p95 sits at rank $rank")
   }
+
+  test("checked forms emit all-true accuracy flags (the driver-gate contract)") {
+    val card = Sketches.tokenCardinalityChecked(Tables.documents(spark, sfDir)).collect()
+    assert(card.nonEmpty && card.forall(_.getAs[Boolean]("hll_ok")))
+    val qs = Sketches.valueQuantilesChecked(Tables.events(spark, sfDir)).collect()
+    assert(qs.nonEmpty && qs.forall(r =>
+      r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok") &&
+        r.getAs[Boolean]("p99_ok")))
+  }
 }
