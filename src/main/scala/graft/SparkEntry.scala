@@ -812,6 +812,131 @@ object SparkEntry {
         round(sum(col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").as("totacctbal"))
   }
 
+  /** TPC-H Q9 shape (reference TpchQueriesTest.scala:502): multi-
+    * dimension profit rollup — 6-relation join with a computed
+    * `revenue - supplycost*qty` amount, grouped by nation x year.
+    * Supply costs ride in integral CENTS (see [[Tables.partsupp]]) so
+    * every sum is exact until one final division; dims broadcast, the
+    * two fact-fact joins (lineitem⋈partsupp on the composite key,
+    * ⋈orders on orderkey) shuffle once each and the part filter
+    * broadcast-semijoins the fact before anything shuffles. */
+  def qQ9Profit(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_name").like("%gear%")).select("p_partkey")
+    val ps = Tables.partsupp(s, d)
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("bigint").as("qty"), revD.as("rev_d"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    l.join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((round(sum(col("rev_d")), 2).cast("double") -
+        sum(col("ps_supplycost_c") * col("qty")).cast("double") / 100.0)
+        .as("sum_profit"))
+  }
+
+  /** TPC-H Q8 shape (reference TpchQueriesTest.scala:426): market share —
+    * a two-level aggregate (CASE-summed share over total) over a
+    * 8-relation join; the customer side pins the market region, the
+    * supplier side carries the nation whose share is measured. */
+  def qQ8Mktshare(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_type") === "ECONOMY").select("p_partkey")
+    val r = Tables.region(s, d).where(col("r_name") === "AMERICA").select("r_regionkey")
+    val n1 = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate").between(
+        expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revD.as("rev_d"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_1", col("rev_d"))
+          .otherwise(lit(0).cast("decimal(14,2)"))), 2).cast("double").as("share_d"),
+        round(sum(col("rev_d")), 2).cast("double").as("total_d"))
+      .select(col("o_year"), round(col("share_d") / col("total_d"), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 as SQL TEXT through the door: the reference's derived-
+    * table-then-aggregate structure — [[graft.sql.CqcSql.solvePlan]]
+    * recurses into the 6-relation profit block (CQC reduction applies
+    * inside), and the outer nation x year GROUP BY aggregates its
+    * output. */
+  def qSqlCqcQ9(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("q9_part")
+    Tables.supplier(s, d).createOrReplaceTempView("q9_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q9_lineitem")
+    Tables.partsupp(s, d).createOrReplaceTempView("q9_partsupp")
+    Tables.orders(s, d).createOrReplaceTempView("q9_orders")
+    Tables.nation(s, d).createOrReplaceTempView("q9_nation")
+    graft.sql.CqcSql.solve(s,
+      """SELECT nation, o_year,
+        |       CAST(ROUND(SUM(amount_rev), 2) AS DOUBLE)
+        |         - CAST(SUM(amount_cost_c) AS DOUBLE) / 100.0 AS sum_profit
+        |FROM (SELECT n.n_name AS nation,
+        |             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l.l_extendedprice AS DECIMAL(14,2))
+        |               * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS amount_rev,
+        |             ps.ps_supplycost_c * CAST(l.l_quantity AS BIGINT) AS amount_cost_c
+        |      FROM q9_part p, q9_supplier s, q9_lineitem l, q9_partsupp ps,
+        |           q9_orders o, q9_nation n
+        |      WHERE s.s_suppkey = l.l_suppkey AND ps.ps_suppkey = l.l_suppkey
+        |        AND ps.ps_partkey = l.l_partkey AND p.p_partkey = l.l_partkey
+        |        AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+        |        AND p.p_name LIKE '%gear%') profit
+        |GROUP BY nation, o_year""".stripMargin)
+  }
+
+  /** TPC-H Q8 as SQL TEXT through the door: market-share ratio over the
+    * recursed all-nations block. */
+  def qSqlCqcQ8(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("q8_part")
+    Tables.supplier(s, d).createOrReplaceTempView("q8_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q8_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("q8_orders")
+    Tables.customer(s, d).createOrReplaceTempView("q8_customer")
+    Tables.nation(s, d).createOrReplaceTempView("q8_nation")
+    Tables.region(s, d).createOrReplaceTempView("q8_region")
+    graft.sql.CqcSql.solve(s,
+      """SELECT o_year,
+        |       ROUND(CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1'
+        |                 THEN amount_rev ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE)
+        |         / CAST(ROUND(SUM(amount_rev), 2) AS DOUBLE), 6) AS mkt_share
+        |FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |             n2.n_name AS supp_nation,
+        |             CAST(l.l_extendedprice AS DECIMAL(14,2))
+        |               * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS amount_rev
+        |      FROM q8_part p, q8_supplier s, q8_lineitem l, q8_orders o,
+        |           q8_customer c, q8_nation n1, q8_nation n2, q8_region r
+        |      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+        |        AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+        |        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |        AND p.p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year""".stripMargin)
+  }
+
   /** Window functions over a partitioned total order: row_number, lag,
     * and a running decimal sum (exact + associative, so the windowed
     * cumulative is engine-independent — a double running sum would not
@@ -911,6 +1036,10 @@ object SparkEntry {
     "q18_having" -> (qQ18Having _),
     "q19_disj" -> (qQ19Disj _),
     "q22_anti" -> (qQ22Anti _),
+    "q9_profit" -> (qQ9Profit _),
+    "q8_mktshare" -> (qQ8Mktshare _),
+    "sql_cqc_q9" -> (qSqlCqcQ9 _),
+    "sql_cqc_q8" -> (qSqlCqcQ8 _),
     "q_window" -> (qWindowFns _),
     "q_rollup" -> (qRollup _),
     "anyk_page" -> (qAnykPage _),
@@ -952,6 +1081,36 @@ object SparkEntry {
   private val E = s"(${Tables.edgesSql})"
   private val EW = s"(${Tables.edgesWideSql})"
   private val RE = s"(${Tables.ratedEdgesSql})"
+  private val PS = s"(${Tables.partsuppSql})"
+
+  /** TPC-H Q9 oracle body — shared by the API and SQL-door entries. */
+  private def q9OracleSql: String =
+    s"""SELECT n_name AS nation,
+       |       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+       |         - CAST(sum(ps_supplycost_c * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
+       |FROM lineitem, $PS ps, part, supplier, orders, nation
+       |WHERE s_suppkey = l_suppkey AND ps.ps_suppkey = l_suppkey
+       |  AND ps.ps_partkey = l_partkey AND p_partkey = l_partkey
+       |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%gear%'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q8 oracle body — shared by the API and SQL-door entries. */
+  private def q8OracleSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |       ROUND(CAST(ROUND(sum(CASE WHEN n2.n_name = 'NATION_1'
+      |                 THEN CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))
+      |                 ELSE CAST(0 AS DECIMAL(14,2)) END), 2) AS DOUBLE)
+      |         / CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE), 6) AS mkt_share
+      |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND p_type = 'ECONOMY'
+      |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cqc_line3" ->
@@ -1184,6 +1343,10 @@ object SparkEntry {
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q9_profit" -> q9OracleSql,
+    "sql_cqc_q9" -> q9OracleSql,
+    "q8_mktshare" -> q8OracleSql,
+    "sql_cqc_q8" -> q8OracleSql,
     "q_window" ->
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER w AS rn,

@@ -103,6 +103,31 @@ object Tables {
   val edgesSkewedSql: String =
     "SELECT l_orderkey % 5000 AS src, 1000 // (1 + l_orderkey % 1000) AS dst FROM lineitem"
 
+  /**
+   * Derived PARTSUPP for the TPC-H Q2/Q9/Q11/Q20 shapes (the reference's
+   * TpchQueriesTest exercises them; our testdata ships no partsupp
+   * table). One row per observed (partkey, suppkey) pair in lineitem,
+   * with supply cost and available quantity derived DETERMINISTICALLY
+   * from the keys so the DuckDB oracle reproduces them bit-for-bit.
+   * Supply cost is kept in integral CENTS — all downstream arithmetic
+   * stays exact until one final division.
+   */
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_c",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9000 + 1000)
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 500 + 1)
+
+  val partsuppSql: String =
+    """SELECT ps_partkey, ps_suppkey,
+      |       (ps_partkey * 7 + ps_suppkey * 13) % 9000 + 1000 AS ps_supplycost_c,
+      |       (ps_partkey * 31 + ps_suppkey * 17) % 500 + 1 AS ps_availqty
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem)""".stripMargin.replace("\n", " ")
+
   /** Weighted graph for ranked (top-k) joins: edge rating = max quantity. */
   def ratedEdges(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
