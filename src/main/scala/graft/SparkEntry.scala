@@ -937,6 +937,196 @@ object SparkEntry {
         |GROUP BY o_year""".stripMargin)
   }
 
+  /** TPC-H Q2 shape (reference TpchQueriesTest.scala:181): correlated-
+    * min supplier lookup — each qualifying part pairs with the supplier
+    * offering its MINIMUM regional supply cost. The min-cost view (the
+    * reference's view1) is a per-partkey aggregate of the regional
+    * partsupp join; the equality against it implements the correlated
+    * scalar subquery without re-running it per row. */
+  def qQ2Mincost(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    // regional partsupp: only pairs whose supplier sits in the region
+    val eups = Tables.partsupp(s, d)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+    val v1 = eups.groupBy(col("ps_partkey").as("v1_partkey"))
+      .agg(min(col("ps_supplycost_c")).as("v1_min_c"))
+    val p = Tables.part(s, d)
+      .where(col("p_size") >= 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    eups.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(v1, col("ps_partkey") === col("v1_partkey") &&
+        col("ps_supplycost_c") === col("v1_min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_supplycost_c"))
+  }
+
+  /** TPC-H Q11 shape (reference TpchQueriesTest.scala:583): per-part
+    * stock value within one nation, kept only where it exceeds a
+    * fraction of the GLOBAL stock value — the scalar-subquery HAVING.
+    * All values in integral cents; the global threshold broadcast. */
+  def qQ11Important(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).where(col("n_name") === "NATION_12")
+      .select("n_nationkey")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val ps = Tables.partsupp(s, d)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_c") * col("ps_availqty")).as("value_c"))
+    val thr = ps.agg((sum(col("value_c")).cast("double") * 0.0001).as("thr"))
+    ps.groupBy(col("ps_partkey"))
+      .agg(sum(col("value_c")).as("value_c"))
+      .crossJoin(broadcast(thr))
+      .where(col("value_c").cast("double") > col("thr"))
+      .select(col("ps_partkey"), col("value_c"))
+  }
+
+  /** TPC-H Q15 shape (reference TpchQueriesTest.scala:687): top supplier
+    * — revenue-per-supplier view over a 3-month lineitem window, joined
+    * against the MAX over that same view (the reference's view2). The
+    * max is a broadcast scalar; the view computes once (Spark reuses the
+    * shuffle via the self-referencing plan). */
+  def qQ15Topsupp(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(revD), 2).cast("double").as("total_revenue"))
+    val v2 = v1.agg(max(col("total_revenue")).as("max_rev"))
+    Tables.supplier(s, d).select("s_suppkey", "s_name")
+      .join(v1, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(v2))
+      .where(col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q20 shape (reference TpchQueriesTest.scala:874,:933): nested
+    * IN subqueries over views — suppliers (in one region) holding
+    * excess stock of promo-family parts: partsupp filtered to part-IN
+    * and availqty > half the part-supplier's shipped quantity in a
+    * year. Each IN becomes a left-semi join; the quantity subquery is a
+    * per-(part,supp) aggregate joined back — no per-row re-execution. */
+  def qQ20Nested(s: SparkSession, d: String): DataFrame = {
+    val promo = Tables.part(s, d).where(col("p_name").like("cold%"))
+      .select("p_partkey")
+    val halfQty = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(col("l_quantity")) * 0.5).as("half_qty"))
+    val pskeys = Tables.partsupp(s, d)
+      .join(broadcast(promo), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(halfQty, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty").cast("double") > col("half_qty"))
+      .select(col("ps_suppkey")).distinct()
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    Tables.supplier(s, d)
+      .join(pskeys, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  /** TPC-H Q2 as SQL TEXT: the correlated-min scalar subquery rides the
+    * partsupp leaf through the door (single-leaf subquery routing). */
+  def qSqlCqcQ2(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("q2_part")
+    Tables.supplier(s, d).createOrReplaceTempView("q2_supplier")
+    Tables.partsupp(s, d).createOrReplaceTempView("q2_partsupp")
+    Tables.nation(s, d).createOrReplaceTempView("q2_nation")
+    Tables.region(s, d).createOrReplaceTempView("q2_region")
+    graft.sql.CqcSql.solve(s,
+      """SELECT s.s_acctbal AS s_acctbal, s.s_name AS s_name, n.n_name AS n_name,
+        |       p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+        |       ps.ps_supplycost_c AS ps_supplycost_c
+        |FROM q2_part p, q2_supplier s, q2_partsupp ps, q2_nation n, q2_region r
+        |WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+        |  AND p.p_size >= 15 AND p.p_type = 'STANDARD'
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE'
+        |  AND ps.ps_supplycost_c =
+        |      (SELECT MIN(ps2.ps_supplycost_c)
+        |       FROM q2_partsupp ps2, q2_supplier s2, q2_nation n2, q2_region r2
+        |       WHERE ps2.ps_partkey = ps.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |         AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |         AND r2.r_name = 'EUROPE')""".stripMargin)
+  }
+
+  /** TPC-H Q15 as SQL TEXT: view + max-over-view through the door. */
+  def qSqlCqcQ15(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("q15_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q15_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW q15_revenue AS
+        |SELECT l_suppkey AS supplier_no,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |         * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS total_revenue
+        |FROM q15_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY l_suppkey""".stripMargin)
+    graft.sql.CqcSql.solve(s,
+      """SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+        |       v.total_revenue AS total_revenue
+        |FROM q15_supplier s, q15_revenue v
+        |WHERE s.s_suppkey = v.supplier_no
+        |  AND v.total_revenue = (SELECT MAX(total_revenue) FROM q15_revenue)""".stripMargin)
+  }
+
+  /** TPC-H Q20 as SQL TEXT: the double-nested IN rides the supplier
+    * leaf; the correlated half-quantity subquery nests one level
+    * deeper — the hardest stress of the door's subquery routing. */
+  def qSqlCqcQ20(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("q20_part")
+    Tables.supplier(s, d).createOrReplaceTempView("q20_supplier")
+    Tables.partsupp(s, d).createOrReplaceTempView("q20_partsupp")
+    Tables.nation(s, d).createOrReplaceTempView("q20_nation")
+    Tables.region(s, d).createOrReplaceTempView("q20_region")
+    Tables.lineitem(s, d).createOrReplaceTempView("q20_lineitem")
+    graft.sql.CqcSql.solve(s,
+      """SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, s.s_acctbal AS s_acctbal
+        |FROM q20_supplier s, q20_nation n, q20_region r
+        |WHERE s.s_suppkey IN
+        |      (SELECT ps.ps_suppkey FROM q20_partsupp ps
+        |       WHERE ps.ps_partkey IN
+        |             (SELECT p_partkey FROM q20_part WHERE p_name LIKE 'cold%')
+        |         AND CAST(ps.ps_availqty AS DOUBLE) >
+        |             (SELECT 0.5 * SUM(l.l_quantity) FROM q20_lineitem l
+        |              WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        |                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'""".stripMargin)
+  }
+
+  /** TPC-H Q11 as SQL TEXT: scalar-subquery HAVING through the door. */
+  def qSqlCqcQ11(s: SparkSession, d: String): DataFrame = {
+    Tables.partsupp(s, d).createOrReplaceTempView("q11_partsupp")
+    Tables.supplier(s, d).createOrReplaceTempView("q11_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("q11_nation")
+    graft.sql.CqcSql.solve(s,
+      """SELECT ps.ps_partkey AS ps_partkey,
+        |       SUM(ps.ps_supplycost_c * ps.ps_availqty) AS value_c
+        |FROM q11_partsupp ps, q11_supplier s, q11_nation n
+        |WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_name = 'NATION_12'
+        |GROUP BY ps.ps_partkey
+        |HAVING CAST(SUM(ps.ps_supplycost_c * ps.ps_availqty) AS DOUBLE) >
+        |       (SELECT CAST(SUM(ps2.ps_supplycost_c * ps2.ps_availqty) AS DOUBLE) * 0.0001
+        |        FROM q11_partsupp ps2, q11_supplier s2, q11_nation n2
+        |        WHERE ps2.ps_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+        |          AND n2.n_name = 'NATION_12')""".stripMargin)
+  }
+
   /** Window functions over a partitioned total order: row_number, lag,
     * and a running decimal sum (exact + associative, so the windowed
     * cumulative is engine-independent — a double running sum would not
@@ -1040,6 +1230,14 @@ object SparkEntry {
     "q8_mktshare" -> (qQ8Mktshare _),
     "sql_cqc_q9" -> (qSqlCqcQ9 _),
     "sql_cqc_q8" -> (qSqlCqcQ8 _),
+    "q2_mincost" -> (qQ2Mincost _),
+    "q11_important" -> (qQ11Important _),
+    "q15_topsupp" -> (qQ15Topsupp _),
+    "q20_nested" -> (qQ20Nested _),
+    "sql_cqc_q2" -> (qSqlCqcQ2 _),
+    "sql_cqc_q11" -> (qSqlCqcQ11 _),
+    "sql_cqc_q15" -> (qSqlCqcQ15 _),
+    "sql_cqc_q20" -> (qSqlCqcQ20 _),
     "q_window" -> (qWindowFns _),
     "q_rollup" -> (qRollup _),
     "anyk_page" -> (qAnykPage _),
@@ -1095,6 +1293,56 @@ object SparkEntry {
        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
        |  AND p_name LIKE '%gear%'
        |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q2 oracle body — shared by the API and SQL-door entries. */
+  private def q2OracleSql: String =
+    s"""WITH eups AS (SELECT ps_partkey, ps_suppkey, ps_supplycost_c, s_name, s_acctbal, n_name
+       |              FROM $PS ps JOIN supplier ON ps_suppkey = s_suppkey
+       |              JOIN nation ON s_nationkey = n_nationkey
+       |              JOIN region ON n_regionkey = r_regionkey
+       |              WHERE r_name = 'EUROPE'),
+       |v1 AS (SELECT ps_partkey AS pk, min(ps_supplycost_c) AS mc FROM eups GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_c
+       |FROM eups JOIN v1 ON ps_partkey = pk AND ps_supplycost_c = mc
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_size >= 15 AND p_type = 'STANDARD'""".stripMargin
+
+  /** TPC-H Q11 oracle body. */
+  private def q11OracleSql: String =
+    s"""WITH ps AS (SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
+       |            FROM $PS ps JOIN supplier ON ps_suppkey = s_suppkey
+       |            JOIN nation ON s_nationkey = n_nationkey
+       |            WHERE n_name = 'NATION_12')
+       |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+       |FROM ps GROUP BY 1
+       |HAVING CAST(sum(v) AS DOUBLE) >
+       |       (SELECT CAST(sum(v) AS DOUBLE) * 0.0001 FROM ps)""".stripMargin
+
+  /** TPC-H Q15 oracle body. */
+  private def q15OracleSql: String =
+    """WITH v1 AS (SELECT l_suppkey AS supplier_no,
+      |                   CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS total_revenue
+      |            FROM lineitem
+      |            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |            GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN v1 ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM v1)""".stripMargin
+
+  /** TPC-H Q20 oracle body. */
+  private def q20OracleSql: String =
+    s"""SELECT s_suppkey, s_name, s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND s_suppkey IN
+       |      (SELECT ps_suppkey FROM $PS ps
+       |       WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+       |         AND CAST(ps_availqty AS DOUBLE) >
+       |             (SELECT 0.5 * sum(l_quantity) FROM lineitem
+       |              WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
+       |                AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |                AND l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin
 
   /** TPC-H Q8 oracle body — shared by the API and SQL-door entries. */
   private def q8OracleSql: String =
@@ -1347,6 +1595,14 @@ object SparkEntry {
     "sql_cqc_q9" -> q9OracleSql,
     "q8_mktshare" -> q8OracleSql,
     "sql_cqc_q8" -> q8OracleSql,
+    "q2_mincost" -> q2OracleSql,
+    "sql_cqc_q2" -> q2OracleSql,
+    "q11_important" -> q11OracleSql,
+    "sql_cqc_q11" -> q11OracleSql,
+    "q15_topsupp" -> q15OracleSql,
+    "sql_cqc_q15" -> q15OracleSql,
+    "q20_nested" -> q20OracleSql,
+    "sql_cqc_q20" -> q20OracleSql,
     "q_window" ->
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER w AS rn,

@@ -103,4 +103,18 @@ class PlanShapeSpec extends SparkSpecBase {
     // a second would mean an extra sort+shuffle per function
     assert(p.linesIterator.count(_.contains(" Window [")) == 1)
   }
+
+  test("sql_cqc_q2 / sql_cqc_q20 route through the CQC door, not the fallback") {
+    // the door's non-fallback path renames attributes to class variables
+    // (vNNN aliases in the analyzed plan); the guarded stock fallback
+    // returns the original analyzed plan untouched. Q2's correlated-min
+    // and Q20's double-nested IN must ride the subquery-in-leaf routing,
+    // not fall back.
+    for (name <- Seq("sql_cqc_q2", "sql_cqc_q20", "sql_cqc_q11", "sql_cqc_q15")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val analyzed = df.queryExecution.analyzed.toString()
+      assert(analyzed.matches("(?s).* AS v\\d+.*"),
+        s"$name: no CQC variable renames in plan — door fell back to stock")
+    }
+  }
 }
