@@ -1127,6 +1127,162 @@ object SparkEntry {
         |          AND n2.n_name = 'NATION_12')""".stripMargin)
   }
 
+  // --------------------------------------------- reference example texts
+  // The reference's example queries q2-q11 VERBATIM through the SQL door
+  // (examples/query/qN/query.sql; q1 already runs as `sql_cqc`).
+  // FROM/WHERE bodies are unchanged; SELECT lists are aliased only where
+  // the reference emits duplicate output names (q2: SELECT * over 7
+  // graph copies; q9: both trade sides) because the driver writes
+  // results to parquet. Graph maps to the FIXED-SIZE example graphs
+  // ([[Tables.edgesRef]] sparse; [[Tables.edgesRefDense]] for the cyclic
+  // q2/q10) — like the reference's example datasets, their size is
+  // independent of the corpus scale factor. Trade maps to
+  // [[Tables.trade]]; R/S/T to the cqc_rst relations.
+
+  private def solveOnRefGraph(s: SparkSession, d: String, dense: Boolean,
+      sql: String): DataFrame = {
+    (if (dense) Tables.edgesRefDense(s, d) else Tables.edgesRef(s, d))
+      .createOrReplaceTempView("Graph")
+    graft.sql.CqcSql.solve(s, sql)
+  }
+
+  /** Reference q2: two directed triangles bridged by an edge, with a
+    * cross-triangle SUM comparison — cyclic GHD routing + a residual
+    * comparison spanning three relations per side, in one text. */
+  def qRefQ2(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = true,
+      """SELECT g1.src AS g1_src, g1.dst AS g1_dst, g2.src AS g2_src, g2.dst AS g2_dst,
+        |       g3.src AS g3_src, g3.dst AS g3_dst, g4.src AS g4_src, g4.dst AS g4_dst,
+        |       g5.src AS g5_src, g5.dst AS g5_dst, g6.src AS g6_src, g6.dst AS g6_dst,
+        |       g7.src AS g7_src, g7.dst AS g7_dst
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    Graph AS g4, Graph AS g5, Graph AS g6, Graph AS g7
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+        |    AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+        |    AND g1.dst = g7.src AND g7.dst = g4.src
+        |    AND g1.src + g2.src + g3.src < g4.src + g5.src + g6.src""".stripMargin)
+
+  /** Reference q3: 3-hop path with FOUR degree subqueries and two
+    * independent count comparisons. */
+  def qRefQ3(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+        |    c1.cnt AS cnt1, c2.cnt AS cnt2, c3.cnt AS cnt3, c4.cnt AS cnt4
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c1,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c2,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c3,
+        |    (SELECT dst, COUNT(*) AS cnt FROM Graph GROUP BY dst) AS c4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |    AND c1.src = g1.src AND c2.src = g3.dst
+        |    AND c3.src = g2.src AND c4.dst = g3.dst
+        |    AND c1.cnt < c2.cnt AND c3.cnt < c4.cnt""".stripMargin)
+
+  /** Reference q4: the q1 body projected to ONE edge — output-sensitive
+    * enumeration with a narrow projection (multiplicities preserved). */
+  def qRefQ4(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g3.src AS src, g3.dst AS dst
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c1,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c2
+        |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+        |    AND c1.cnt < c2.cnt""".stripMargin)
+
+  /** Reference q5: a star around the middle edge — path-3 plus two more
+    * incident edges and in/out-degree comparisons on both flanks. */
+  def qRefQ5(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g2.src, g2.dst
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3, Graph AS g4, Graph AS g5,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c1,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c2,
+        |    (SELECT dst, COUNT(*) AS cnt FROM Graph GROUP BY dst) AS c3,
+        |    (SELECT dst, COUNT(*) AS cnt FROM Graph GROUP BY dst) AS c4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src = c1.src
+        |    AND g3.dst = c2.src AND c1.cnt < c2.cnt
+        |    AND g4.dst = g2.src AND g2.dst = g5.src AND g4.src = c3.dst
+        |    AND g5.dst = c4.dst AND c3.cnt < c4.cnt""".stripMargin)
+
+  /** Reference q6: a count compared against a BASE attribute (cnt1 <
+    * g3.dst) — the mixed aggregate/attr comparison form. */
+  def qRefQ6(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+        |    c1.cnt AS cnt1, c2.cnt AS cnt2
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c1,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c2
+        |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+        |    AND c1.cnt < g3.dst""".stripMargin)
+
+  /** Reference q7: two short-span comparisons (each against an adjacent
+    * relation's attribute). */
+  def qRefQ7(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+        |    c1.cnt AS cnt1, c2.cnt AS cnt2
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c1,
+        |    (SELECT src, COUNT(*) AS cnt FROM Graph GROUP BY src) AS c2
+        |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+        |    AND c1.cnt < g1.dst AND c2.cnt < g3.src""".stripMargin)
+
+  /** Reference q8: 4-hop path with two SAME-relation comparisons
+    * (pushed as leaf filters, not annotations). */
+  def qRefQ8(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = false,
+      """SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS via3, g4.dst AS dst
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3, Graph AS g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |    AND g2.src < g2.dst AND g3.src < g3.dst""".stripMargin)
+
+  /** Reference q9: the trade band self-join — LIKE filters, a 90-day
+    * interval band (two comparisons on one edge: the TreeLikeArray
+    * case) and a scaled price comparison, all from text. */
+  def qRefQ9(s: SparkSession, d: String): DataFrame = {
+    Tables.trade(s, d).createOrReplaceTempView("Trade")
+    graft.sql.CqcSql.solve(s,
+      """SELECT t1.T_ID AS t1_id, CAST(UNIX_MILLIS(t1.T_DTS) AS BIGINT) AS t1_dts_ms,
+        |    t1.T_TT_ID AS t1_tt_id, t1.T_TRADE_PRICE AS t1_price,
+        |    t2.T_ID AS t2_id, CAST(UNIX_MILLIS(t2.T_DTS) AS BIGINT) AS t2_dts_ms,
+        |    t2.T_TT_ID AS t2_tt_id, t2.T_TRADE_PRICE AS t2_price,
+        |    t1.T_S_SYMB AS t_s_symb, t1.T_CA_ID AS t_ca_id
+        |FROM Trade t1, Trade t2
+        |WHERE t1.T_TT_ID LIKE '%B%' AND t2.T_TT_ID LIKE '%S%'
+        |    AND t1.T_CA_ID = t2.T_CA_ID AND t1.T_S_SYMB = t2.T_S_SYMB
+        |    AND t1.T_DTS <= t2.T_DTS AND t1.T_DTS + interval '90' day >= t2.T_DTS
+        |    AND t1.T_TRADE_PRICE * 1.2 < t2.T_TRADE_PRICE""".stripMargin)
+  }
+
+  /** Reference q10: the q2 body projected to the bridge edge. */
+  def qRefQ10(s: SparkSession, d: String): DataFrame =
+    solveOnRefGraph(s, d, dense = true,
+      """SELECT g7.src, g7.dst
+        |FROM Graph AS g1, Graph AS g2, Graph AS g3,
+        |    Graph AS g4, Graph AS g5, Graph AS g6, Graph AS g7
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+        |    AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+        |    AND g1.dst = g7.src AND g7.dst = g4.src
+        |    AND g1.src + g2.src + g3.src < g4.src + g5.src + g6.src""".stripMargin)
+
+  /** Reference q11: R(a,b) ⋈ S(b,c) ⋈ T(c,e,f) with r.a < t.e — the
+    * text form of `cqc_rst`, verbatim. */
+  def qRefQ11(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.edges(s, d)
+    e.toDF("a", "b").createOrReplaceTempView("R")
+    e.toDF("b", "c").createOrReplaceTempView("S")
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 200 === 1)
+      .select((col("l_partkey") % 100).as("c"), col("l_quantity").as("e"),
+        col("l_suppkey").as("f"))
+      .createOrReplaceTempView("T")
+    graft.sql.CqcSql.solve(s,
+      """SELECT r.a, s.b, t.c, t.f
+        |FROM R AS r, S AS s, T AS t
+        |WHERE r.b = s.b AND s.c = t.c AND r.a < t.e""".stripMargin)
+  }
+
   /** Window functions over a partitioned total order: row_number, lag,
     * and a running decimal sum (exact + associative, so the windowed
     * cumulative is engine-independent — a double running sum would not
@@ -1230,6 +1386,16 @@ object SparkEntry {
     "q8_mktshare" -> (qQ8Mktshare _),
     "sql_cqc_q9" -> (qSqlCqcQ9 _),
     "sql_cqc_q8" -> (qSqlCqcQ8 _),
+    "sql_ref_q2" -> (qRefQ2 _),
+    "sql_ref_q3" -> (qRefQ3 _),
+    "sql_ref_q4" -> (qRefQ4 _),
+    "sql_ref_q5" -> (qRefQ5 _),
+    "sql_ref_q6" -> (qRefQ6 _),
+    "sql_ref_q7" -> (qRefQ7 _),
+    "sql_ref_q8" -> (qRefQ8 _),
+    "sql_ref_q9" -> (qRefQ9 _),
+    "sql_ref_q10" -> (qRefQ10 _),
+    "sql_ref_q11" -> (qRefQ11 _),
     "q2_mincost" -> (qQ2Mincost _),
     "q11_important" -> (qQ11Important _),
     "q15_topsupp" -> (qQ15Topsupp _),
@@ -1280,6 +1446,8 @@ object SparkEntry {
   private val EW = s"(${Tables.edgesWideSql})"
   private val RE = s"(${Tables.ratedEdgesSql})"
   private val PS = s"(${Tables.partsuppSql})"
+  private val ER = s"(${Tables.edgesRefSql})"
+  private val ERD = s"(${Tables.edgesRefDenseSql})"
 
   /** TPC-H Q9 oracle body — shared by the API and SQL-door entries. */
   private def q9OracleSql: String =
@@ -1595,6 +1763,88 @@ object SparkEntry {
     "sql_cqc_q9" -> q9OracleSql,
     "q8_mktshare" -> q8OracleSql,
     "sql_cqc_q8" -> q8OracleSql,
+    "sql_ref_q2" ->
+      s"""SELECT g1.src AS g1_src, g1.dst AS g1_dst, g2.src AS g2_src, g2.dst AS g2_dst,
+         |       g3.src AS g3_src, g3.dst AS g3_dst, g4.src AS g4_src, g4.dst AS g4_dst,
+         |       g5.src AS g5_src, g5.dst AS g5_dst, g6.src AS g6_src, g6.dst AS g6_dst,
+         |       g7.src AS g7_src, g7.dst AS g7_dst
+         |FROM $ERD g1, $ERD g2, $ERD g3, $ERD g4, $ERD g5, $ERD g6, $ERD g7
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+         |  AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+         |  AND g1.dst = g7.src AND g7.dst = g4.src
+         |  AND g1.src + g2.src + g3.src < g4.src + g5.src + g6.src""".stripMargin,
+    "sql_ref_q3" ->
+      s"""WITH c AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY src),
+         |cd AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY dst)
+         |SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+         |       c1.cnt AS cnt1, c2.cnt AS cnt2, c3.cnt AS cnt3, c4.cnt AS cnt4
+         |FROM $ER g1, $ER g2, $ER g3, c c1, c c2, c c3, cd c4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
+         |  AND c1.src = g1.src AND c2.src = g3.dst
+         |  AND c3.src = g2.src AND c4.dst = g3.dst
+         |  AND c1.cnt < c2.cnt AND c3.cnt < c4.cnt""".stripMargin,
+    "sql_ref_q4" ->
+      s"""WITH c AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY src)
+         |SELECT g3.src AS src, g3.dst AS dst
+         |FROM $ER g1, $ER g2, $ER g3, c c1, c c2
+         |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+         |  AND c1.cnt < c2.cnt""".stripMargin,
+    "sql_ref_q5" ->
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT g1.src AS a, g2.src AS b, g2.dst AS c2, g3.dst AS dd
+         |  FROM $ER g1, $ER g2, $ER g3 WHERE g1.dst = g2.src AND g2.dst = g3.src),
+         |c AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY src),
+         |cd AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY dst)
+         |SELECT p.b AS src, p.c2 AS dst
+         |FROM p
+         |JOIN c c1 ON p.a = c1.src JOIN c c2 ON p.dd = c2.src
+         |JOIN $ER g4 ON g4.dst = p.b JOIN $ER g5 ON p.c2 = g5.src
+         |JOIN cd c3 ON g4.src = c3.dst JOIN cd c4 ON g5.dst = c4.dst
+         |WHERE c1.cnt < c2.cnt AND c3.cnt < c4.cnt""".stripMargin,
+    "sql_ref_q6" ->
+      s"""WITH c AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY src)
+         |SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+         |       c1.cnt AS cnt1, c2.cnt AS cnt2
+         |FROM $ER g1, $ER g2, $ER g3, c c1, c c2
+         |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+         |  AND c1.cnt < g3.dst""".stripMargin,
+    "sql_ref_q7" ->
+      s"""WITH c AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS cnt FROM $ER g GROUP BY src)
+         |SELECT g1.src AS src, g1.dst AS via1, g3.src AS via2, g3.dst AS dst,
+         |       c1.cnt AS cnt1, c2.cnt AS cnt2
+         |FROM $ER g1, $ER g2, $ER g3, c c1, c c2
+         |WHERE c1.src = g1.src AND g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = c2.src
+         |  AND c1.cnt < g1.dst AND c2.cnt < g3.src""".stripMargin,
+    "sql_ref_q8" ->
+      s"""SELECT g1.src AS src, g1.dst AS via1, g2.dst AS via2, g3.dst AS via3, g4.dst AS dst
+         |FROM $ER g1, $ER g2, $ER g3, $ER g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |  AND g2.src < g2.dst AND g3.src < g3.dst""".stripMargin,
+    "sql_ref_q9" ->
+      s"""WITH t AS MATERIALIZED (${Tables.tradeSqlMs})
+         |SELECT t1.t_id AS t1_id, t1.t_dts_ms AS t1_dts_ms, t1.t_tt_id AS t1_tt_id,
+         |       t1.t_trade_price AS t1_price,
+         |       t2.t_id AS t2_id, t2.t_dts_ms AS t2_dts_ms, t2.t_tt_id AS t2_tt_id,
+         |       t2.t_trade_price AS t2_price,
+         |       t1.t_s_symb AS t_s_symb, t1.t_ca_id AS t_ca_id
+         |FROM t t1, t t2
+         |WHERE t1.t_tt_id LIKE '%B%' AND t2.t_tt_id LIKE '%S%'
+         |  AND t1.t_ca_id = t2.t_ca_id AND t1.t_s_symb = t2.t_s_symb
+         |  AND t1.t_dts_ms <= t2.t_dts_ms AND t1.t_dts_ms + 7776000000 >= t2.t_dts_ms
+         |  AND t1.t_trade_price * 1.2 < t2.t_trade_price""".stripMargin,
+    "sql_ref_q10" ->
+      s"""SELECT g7.src AS src, g7.dst AS dst
+         |FROM $ERD g1, $ERD g2, $ERD g3, $ERD g4, $ERD g5, $ERD g6, $ERD g7
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g1.src
+         |  AND g4.dst = g5.src AND g5.dst = g6.src AND g6.dst = g4.src
+         |  AND g1.dst = g7.src AND g7.dst = g4.src
+         |  AND g1.src + g2.src + g3.src < g4.src + g5.src + g6.src""".stripMargin,
+    "sql_ref_q11" ->
+      s"""WITH t0 AS (SELECT l_partkey % 100 AS c, l_quantity AS e, l_suppkey AS f
+         |            FROM lineitem WHERE l_orderkey % 200 = 1)
+         |SELECT r.src AS a, r.dst AS b, s.dst AS c, t0.f AS f
+         |FROM $E r, $E s, t0
+         |WHERE r.dst = s.src AND s.dst = t0.c AND r.src < t0.e""".stripMargin,
     "q2_mincost" -> q2OracleSql,
     "sql_cqc_q2" -> q2OracleSql,
     "q11_important" -> q11OracleSql,

@@ -128,6 +128,65 @@ object Tables {
       |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
       |      FROM lineitem)""".stripMargin.replace("\n", " ")
 
+  /**
+   * Fixed-size example graphs for the reference's verbatim example
+   * queries (examples/query/q1-q11 run on FIXED graph datasets whose
+   * size is independent of any TPC-H scale factor). The orderkey cap
+   * makes the derivation IDENTICAL at every sf >= 0.01 — example-query
+   * cost must not grow with the corpus, exactly like the reference's.
+   * Sparse 2000-key variant: paths/degree comparisons stay selective.
+   */
+  def edgesRef(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0 &&
+        col("l_orderkey") < 16000)
+      .select((col("l_orderkey") % 2000).as("src"), (col("l_partkey") % 2000).as("dst"))
+      .distinct()
+
+  val edgesRefSql: String =
+    "SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0 AND l_orderkey < 16000"
+
+  /** Denser 500-key variant of [[edgesRef]] — triangles exist, for the
+    * cyclic example queries (q2/q10). */
+  def edgesRefDense(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0 &&
+        col("l_orderkey") < 16000)
+      .select((col("l_orderkey") % 500).as("src"), (col("l_partkey") % 500).as("dst"))
+      .distinct()
+
+  val edgesRefDenseSql: String =
+    "SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0 AND l_orderkey < 16000"
+
+  /**
+   * Trade relation for the reference's example q9 (its only non-graph
+   * example; a TPC-E-style trade table). Derived deterministically from
+   * events: trade type from the event id (so one account holds both
+   * buys and sells), symbol from the account, ms-precision timestamps.
+   */
+  def trade(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id").as("T_ID"),
+      col("user_id").as("T_CA_ID"),
+      concat(lit("S"), (col("user_id") % 20).cast("string")).as("T_S_SYMB"),
+      when(col("event_id") % 3 === 0, "TMB")
+        .when(col("event_id") % 3 === 1, "TLS")
+        .otherwise("TMS").as("T_TT_ID"),
+      col("ts").as("T_DTS"),
+      col("value").as("T_TRADE_PRICE"))
+
+  /** The same derivation for DuckDB, timestamps as epoch milliseconds
+    * (the oracle compares ms arithmetic; 90 days = 7776000000 ms). */
+  val tradeSqlMs: String =
+    """SELECT event_id AS t_id, user_id AS t_ca_id,
+      |       'S' || CAST(user_id % 20 AS VARCHAR) AS t_s_symb,
+      |       CASE WHEN event_id % 3 = 0 THEN 'TMB'
+      |            WHEN event_id % 3 = 1 THEN 'TLS'
+      |            ELSE 'TMS' END AS t_tt_id,
+      |       epoch_ns(ts) // 1000000 AS t_dts_ms,
+      |       value AS t_trade_price
+      |FROM events""".stripMargin.replace("\n", " ")
+
   /** Weighted graph for ranked (top-k) joins: edge rating = max quantity. */
   def ratedEdges(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
