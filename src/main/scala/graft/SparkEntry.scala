@@ -1428,6 +1428,7 @@ object SparkEntry {
     // implementation-defined; SketchesSpec pins them separately)
     "pipe_cardinality" -> ((s, d) => Sketches.tokenCardinalityChecked(Tables.documents(s, d))),
     "pipe_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(Tables.events(s, d))),
+    "pipe_heavy" -> ((s, d) => Sketches.heavyHitters(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
@@ -1915,6 +1916,7 @@ object SparkEntry {
     "text_tfidf" -> TextOps.tfidfTopTermsSql,
     "pipe_cardinality" -> Sketches.tokenCardinalityCheckedSql,
     "pipe_quantiles" -> Sketches.valueQuantilesCheckedSql,
+    "pipe_heavy" -> Sketches.heavyHittersSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
     "mm_frames" -> Multimodal.frameSampleDocumentsSql,

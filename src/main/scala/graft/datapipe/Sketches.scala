@@ -116,4 +116,69 @@ object Sketches {
       |       true AS p50_ok, true AS p95_ok, true AS p99_ok
       |FROM events
       |GROUP BY event_type""".stripMargin
+
+  /** Heavy-hitter candidate capacity: the Misra-Gries guarantee is that
+    * every term with global frequency > N/m survives the candidate pass,
+    * so `m` must exceed 1/fraction (4000 > 1/0.0005). */
+  val mgCapacity = 4000
+
+  /**
+   * Frequency heavy hitters over the token stream: every term occurring
+   * in at least `fraction` of all tokens, with its EXACT count — the
+   * corpus-profiling op behind stopword lists and tokenizer audits.
+   *
+   * Two-phase at scale: (1) a per-partition Misra-Gries pass
+   * (`mapPartitions`, bounded at [[mgCapacity]] counters — genuinely
+   * imperative per-partition state, the documented reason to drop below
+   * Catalyst) emits a candidate set; the union of partition candidates
+   * provably contains every global heavy hitter with frequency > N/m.
+   * (2) candidates broadcast back and ONLY their occurrences are
+   * counted exactly — the full token key set never shuffles, which at
+   * 100 TB is the difference between a candidate-sized aggregate and a
+   * vocabulary-sized one. Output is exact, so the DuckDB oracle
+   * reproduces it directly.
+   */
+  def heavyHitters(docs: DataFrame, fraction: Double = 0.0005): DataFrame = {
+    require(mgCapacity > 1 / fraction,
+      s"Misra-Gries capacity $mgCapacity cannot guarantee fraction $fraction")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(TextOps.words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < mgCapacity => counters(t) = 1L
+          case None =>
+            // decrement-all: drops every counter by one (the classic
+            // Misra-Gries step); survivors keep their slot
+            val dead = scala.collection.mutable.ArrayBuffer[String]()
+            counters.keysIterator.foreach { k =>
+              val c = counters(k) - 1
+              if (c == 0) dead += k else counters(k) = c
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+    val tot = toks.agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .where(col("cnt").cast("double") >= lit(fraction) * col("n_tokens").cast("double"))
+      .select(col("term"), col("cnt"))
+  }
+
+  /** Oracle: the exact heavy-hitter set in DuckDB. */
+  val heavyHittersSql: String =
+    """WITH toks AS (SELECT term FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |                                FROM documents) WHERE len(term) > 0)
+      |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |FROM toks GROUP BY term
+      |HAVING CAST(count(*) AS DOUBLE) >= 0.0005 * (SELECT CAST(count(*) AS DOUBLE) FROM toks)""".stripMargin
 }

@@ -54,6 +54,23 @@ object CqcSql {
     solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
 
   /**
+   * Session-script entry (the reference CLI accepts CREATE TABLE DDL in
+   * front of its queries — sqlplus-core parser, SqlPlusParserTest):
+   * semicolon-separated statements; every statement but the last runs
+   * through stock Spark SQL (CREATE TABLE ... USING parquet LOCATION,
+   * CREATE TEMPORARY VIEW, DROP, ...), the final SELECT runs through
+   * [[solve]]. The splitter is line-oriented on ';' and does not parse
+   * string literals containing semicolons — a session-script stub, not
+   * a shell.
+   */
+  def script(spark: SparkSession, text: String): DataFrame = {
+    val stmts = text.split(";").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty script")
+    stmts.init.foreach(spark.sql(_))
+    solve(spark, stmts.last)
+  }
+
+  /**
    * The plan-level door: evaluate an ANALYZED LogicalPlan through the
    * CQC pipeline. Recursive — a join-tree leaf that itself contains a
    * join (a nested subquery block: derived tables, aggregate subqueries

@@ -39,6 +39,20 @@ class SketchesSpec extends SparkSpecBase {
     assert(math.abs(rank - 0.95) < 0.02, s"p95 sits at rank $rank")
   }
 
+  test("heavy hitters: candidate+verify output equals the exact answer") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sketches.heavyHitters(docs).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"))).toSet
+    // exact reference: full groupBy count with the same threshold
+    val toks = docs.select(explode(TextOps.words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val n = toks.count()
+    val want = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt").cast("double") >= lit(0.0005) * n.toDouble)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("checked forms emit all-true accuracy flags (the driver-gate contract)") {
     val card = Sketches.tokenCardinalityChecked(Tables.documents(spark, sfDir)).collect()
     assert(card.nonEmpty && card.forall(_.getAs[Boolean]("hll_ok")))

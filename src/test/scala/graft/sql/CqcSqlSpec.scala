@@ -504,6 +504,29 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got.forall(r => r(1) == 0L)) // COUNT(NULL) = 0 per group
   }
 
+  test("script door: CREATE TABLE DDL then a SELECT through the CQC pipeline") {
+    // a reference-style session script: register a parquet-backed table
+    // via DDL, then query it through the door in the same script
+    spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
+    val df = CqcSql.script(spark,
+      s"""CREATE TABLE ddl_lineitem USING parquet LOCATION '$sfDir/lineitem.parquet';
+         |CREATE OR REPLACE TEMPORARY VIEW ddl_edges AS
+         |  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+         |  FROM ddl_lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0;
+         |SELECT g1.src AS a, g2.dst AS c, COUNT(*) AS n
+         |FROM ddl_edges g1, ddl_edges g2
+         |WHERE g1.dst = g2.src
+         |GROUP BY g1.src, g2.dst""".stripMargin)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(
+      """SELECT g1.src AS a, g2.dst AS c, COUNT(*) AS n
+        |FROM ddl_edges g1, ddl_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src, g2.dst""".stripMargin).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
+  }
+
   test("SUM over a double column matches stock bit-for-bit (no semiring reroute)") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("sumd_rated")
