@@ -612,17 +612,22 @@ object CqcSql {
         }
       }
       def sumSafe(e: Expression): Boolean = {
-        // EXACT integral types only. The semiring cross-multiplies partial
-        // sums with counts, which reassociates addition: exact for
-        // integers, but a double SUM through the factorized path can
-        // differ from stock/DuckDB by an ULP — a silent cross-engine hash
-        // mismatch. Double sums stay on the generic path here; the
-        // programmatic Yannakakis.aggOverJoin API remains the documented
-        // opt-in where the caller owns that tradeoff. Decimal precision
-        // would creep per hop — generic path too.
+        // EXACT types only: integrals and decimals. The semiring
+        // cross-multiplies partial sums with counts, which reassociates
+        // addition — exact for integers and for decimals (scaled-integer
+        // arithmetic; Spark caps intermediate precision at 38 which
+        // bounds MAGNITUDE, not exactness, the same overflow class as a
+        // stock decimal SUM). The output casts back to the stock SUM
+        // result type below. A double SUM through the factorized path
+        // could differ from stock/DuckDB by an ULP — a silent
+        // cross-engine hash mismatch — so doubles stay on the
+        // stock-ordered generic path; the programmatic
+        // Yannakakis.aggOverJoin API remains the documented opt-in where
+        // the caller owns that tradeoff.
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
           case _ => false
         }
       }
@@ -711,6 +716,11 @@ object CqcSql {
       def cnt = if (gvars.isEmpty)
         functions.coalesce(functions.col("cnt"), functions.lit(0L))
       else functions.col("cnt")
+      // factorized intermediates may widen the type (decimal precision
+      // grows under the semiring's cross-multiplication): cast each
+      // output back to the STOCK aggregate's result type — values are
+      // exact, so the cast is lossless and the schema matches stock
+      val stockTypes = aggAliases.map { case (al, _) => unwrapCast(al.child)._1.dataType }
       val outCols = gvars.map(functions.col) ++
         kinds.zip(cols).zip(aggAliases).zipWithIndex.map { case (((k, c), (_, n)), i) =>
           (k match {
@@ -720,7 +730,8 @@ object CqcSql {
               functions.col(s"sum_$c").cast("double") / functions.col(s"sum___nn$i")
             case _: MinK => functions.col(s"min_$c")
             case _: MaxK => functions.col(s"max_$c")
-          }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
+          }).pipe(_.cast(stockTypes(i)))
+            .pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
         }
       Some(agg.select(outCols: _*))
     }

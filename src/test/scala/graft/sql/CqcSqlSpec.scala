@@ -527,6 +527,30 @@ class CqcSqlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
   }
 
+  test("decimal SUM rides the factorized fast path, exact and stock-typed") {
+    prep()
+    spark.sql(
+      """SELECT src AS k, CAST(dst AS DECIMAL(14,2)) AS dv
+        |FROM cqcsql_edges""".stripMargin).createOrReplaceTempView("decsum_t")
+    val sql =
+      """SELECT g1.src AS src, COUNT(*) AS n, SUM(t.dv) AS s
+        |FROM cqcsql_edges g1, cqcsql_edges g2, decsum_t t
+        |WHERE g1.dst = g2.src AND g2.dst = t.k
+        |GROUP BY g1.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // schema must match stock exactly (decimal(24,2), not the widened
+    // semiring intermediate)
+    assert(df.schema("s").dataType == spark.sql(sql).schema("s").dataType)
+    // and it must have taken the message-passing path, not enumeration
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected message-passing aggregates, got $nAggs")
+  }
+
   test("SUM over a double column matches stock bit-for-bit (no semiring reroute)") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("sumd_rated")
