@@ -477,10 +477,14 @@ object CqcSql {
       val groupKeys = (gvars ++ innerKeys).distinct
       if (!rels.exists(r => groupKeys.toSet.subsetOf(r.vars))) return None
 
-      def integralType(e: Expression): Boolean = {
+      def exactType(e: Expression): Boolean = {
+        // integrals and decimals: the multiplicity weighting is exact
+        // scaled-integer arithmetic for both (outputs cast back to the
+        // stock type below); doubles would reassociate — generic path
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
+          case _: DecimalType => true
           case _ => false
         }
       }
@@ -513,7 +517,7 @@ object CqcSql {
                   org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
                   Literal(0L), Literal(1L)), sideOf(c.children.head).get, isCount = true)
               case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
-                  if sideOf(su.child).isDefined && integralType(su.child) =>
+                  if sideOf(su.child).isDefined && exactType(su.child) =>
                 OSum(su.child, sideOf(su.child).get, isCount = false)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min
                   if sideOf(m.child).isDefined => OMin(m.child, sideOf(m.child).get)
@@ -564,6 +568,9 @@ object CqcSql {
         sides.indices.filter(_ != j).foldLeft(base) { (c, k) =>
           c * functions.coalesce(functions.col(s"__m$k"), functions.lit(1L))
         }
+      // widened semiring intermediates cast back to the stock aggregate
+      // type (lossless — values are exact), so schemas match stock
+      val stockTypes = aggAliases.map { case (al, _) => unwrapCast(al.child)._1.dataType }
       val aggCols = kinds.zip(aggAliases).zipWithIndex.map { case ((k, (_, n)), i) =>
         (k match {
           case CntStar =>
@@ -575,7 +582,8 @@ object CqcSql {
             functions.sum(multOthers(functions.col("cnt") * functions.col(s"__os$i"), j))
           case OMin(_, _) => functions.min(functions.col(s"__os$i"))
           case OMax(_, _) => functions.max(functions.col(s"__os$i"))
-        }).pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
+        }).pipe(_.cast(stockTypes(i)))
+          .pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
       }
       Some(joined.groupBy(gvars.map(functions.col): _*)
         .agg(aggCols.head, aggCols.tail: _*))

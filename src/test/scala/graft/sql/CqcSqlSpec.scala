@@ -527,6 +527,26 @@ class CqcSqlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
   }
 
+  test("decimal SUM under a peeled outer join (eager aggregation), stock-typed") {
+    prep()
+    spark.sql(
+      """SELECT src AS k, CAST(dst AS DECIMAL(14,2)) AS dv
+        |FROM cqcsql_edges""".stripMargin).createOrReplaceTempView("decout_t")
+    val sql =
+      """SELECT g.src AS a, COUNT(*) AS n, SUM(t.dv) AS s
+        |FROM cqcsql_edges g LEFT OUTER JOIN decout_t t ON g.dst = t.k
+        |GROUP BY g.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    assert(df.schema("s").dataType == spark.sql(sql).schema("s").dataType)
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
+  }
+
   test("decimal SUM rides the factorized fast path, exact and stock-typed") {
     prep()
     spark.sql(
