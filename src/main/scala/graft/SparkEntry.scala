@@ -520,6 +520,21 @@ object SparkEntry {
         |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
+  /** The sum-of-products semiring from SQL TEXT: Σ of a CROSS-relation
+    * product (first-hop rating x last-hop rating) — the door splits the
+    * multiplication into per-relation factors and routes to
+    * [[graft.cqc.Yannakakis.productOverJoin]]; the 3-hop path set never
+    * materializes (the text form of `cqc_prod_fast`). */
+  def qSqlCqcProdFast(s: SparkSession, d: String): DataFrame = {
+    Tables.ratedEdges(s, d).createOrReplaceTempView("cqcpr_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS src,
+        |       CAST(SUM(CAST(g1.rating AS BIGINT) * CAST(g3.rating AS BIGINT)) AS BIGINT) AS sum_product
+        |FROM cqcpr_edges g1, cqcpr_edges g2, cqcpr_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -1356,6 +1371,7 @@ object SparkEntry {
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
+    "sql_cqc_prod_fast" -> (qSqlCqcProdFast _),
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
@@ -1989,6 +2005,12 @@ object SparkEntry {
          |       min(g4.dst) AS min_dst, max(g4.dst) AS max_dst
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY 1""".stripMargin,
+    "sql_cqc_prod_fast" ->
+      s"""SELECT g1.src AS src,
+         |       CAST(sum(CAST(g1.rating AS BIGINT) * CAST(g3.rating AS BIGINT)) AS BIGINT) AS sum_product
+         |FROM $RE g1, $RE g2, $RE g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
          |GROUP BY 1""".stripMargin,
     "sql_cqc_subq" ->
       """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price

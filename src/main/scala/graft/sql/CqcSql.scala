@@ -608,6 +608,10 @@ object CqcSql {
       case class MinK(leaf: Int, e: Expression) extends Kind
       case class MaxK(leaf: Int, e: Expression) extends Kind
       case class AvgK(leaf: Int, e: Expression) extends Kind
+      /** SUM of a CROSS-relation product (Σ x_A·y_B — the reference q2
+        * sum shape): factors grouped per home leaf, routed to the
+        * sum-of-products semiring ([[graft.cqc.Yannakakis.productOverJoin]]). */
+      case class ProdK(factors: Map[Int, Expression]) extends Kind
       def oneLeaf(e: Expression): Option[Int] = {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
         if (ls.size == 1) Some(ls.head) else None
@@ -659,7 +663,27 @@ object CqcSql {
                 }.getOrElse(return None)
               case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
                   if sumSafe(s.child) =>
-                oneLeaf(s.child).map(SumK(_, s.child)).getOrElse(return None)
+                oneLeaf(s.child).map(SumK(_, s.child): Kind).orElse {
+                  // cross-relation product: split multiplications into
+                  // single-leaf factors (each exact-typed); overlapping
+                  // leaves across a split can't merge — generic path
+                  def factorLeaves(e: Expression): Option[Map[Int, Expression]] =
+                    oneLeaf(e) match {
+                      case Some(l) if sumSafe(e) => Some(Map(l -> e))
+                      case _ => e match {
+                        case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
+                          (factorLeaves(m.left), factorLeaves(m.right)) match {
+                            case (Some(a), Some(b))
+                                if a.keySet.intersect(b.keySet).isEmpty =>
+                              Some(a ++ b)
+                            case _ => None
+                          }
+                        case _ => None
+                      }
+                    }
+                  if (gvars.isEmpty) None
+                  else factorLeaves(s.child).filter(_.size > 1).map(ProdK(_): Kind)
+                }.getOrElse(return None)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
                 oneLeaf(m.child).map(MinK(_, m.child)).getOrElse(return None)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
@@ -695,6 +719,9 @@ object CqcSql {
           s"__sv$i"
         case (MinK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
         case (MaxK(l, e), i) => derived(l) = (s"__mv$i", e) :: derived(l); s"__mv$i"
+        case (ProdK(fs), i) =>
+          fs.foreach { case (l, e) => derived(l) = (s"__pv${i}_$l", e) :: derived(l) }
+          ""
         case (CntK, _) => ""
       }
       val rels2 = rels.zipWithIndex.map { case (r, i) =>
@@ -718,8 +745,20 @@ object CqcSql {
       }.distinct
       val minVars = kinds.zip(cols).collect { case (_: MinK, c) => c }.distinct
       val maxVars = kinds.zip(cols).collect { case (_: MaxK, c) => c }.distinct
-      val agg = graft.wcoj.Ghd.aggOverJoin(
-        rels2, gvars, sumVars, minVars, maxVars)
+      // product sums run their own semiring pass each (the factors seed
+      // the message weights); non-product aggregates share ONE fused
+      // pass. Passes join on the group keys — every frame aggregates the
+      // same reduced join, so the key sets coincide.
+      val prodKs = kinds.zipWithIndex.collect { case (p: ProdK, i) => (p, i) }
+      val needBase = prodKs.size < kinds.size
+      var agg: DataFrame =
+        if (needBase) graft.wcoj.Ghd.aggOverJoin(rels2, gvars, sumVars, minVars, maxVars)
+        else null
+      prodKs.foreach { case (ProdK(fs), i) =>
+        val factorCols = fs.keys.map(l => rels2(l).name -> s"__pv${i}_$l").toMap
+        val pf = graft.wcoj.Ghd.productOverJoin(rels2, gvars, factorCols, s"__prod$i")
+        agg = if (agg == null) pf else agg.join(pf, gvars, "inner")
+      }
       // global COUNT over an empty join is 0, not null
       def cnt = if (gvars.isEmpty)
         functions.coalesce(functions.col("cnt"), functions.lit(0L))
@@ -738,6 +777,7 @@ object CqcSql {
               functions.col(s"sum_$c").cast("double") / functions.col(s"sum___nn$i")
             case _: MinK => functions.col(s"min_$c")
             case _: MaxK => functions.col(s"max_$c")
+            case _: ProdK => functions.col(s"__prod$i")
           }).pipe(_.cast(stockTypes(i)))
             .pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
         }

@@ -63,7 +63,8 @@ class CqcSqlPropertySpec extends SparkSpecBase {
         s"AVG(g$n.dst) AS av",
         s"COUNT(NULLIF(g$n.dst, 3)) AS cn",
         s"SUM(CAST(g$n.dst AS DECIMAL(10,2))) AS sd",
-        s"AVG(NULLIF(g$n.dst, 5)) AS avn")
+        s"AVG(NULLIF(g$n.dst, 5)) AS avn",
+        s"SUM(g1.dst * g$n.dst) AS spr")
       val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
       val having = if (rnd.nextBoolean()) " HAVING COUNT(*) > 1" else ""
       val sql =

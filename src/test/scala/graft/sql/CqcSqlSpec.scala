@@ -547,6 +547,30 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
   }
 
+  test("cross-relation product SUM routes to the sum-of-products semiring") {
+    prep()
+    // Σ x_A·y_B factorizes over the join tree (reference q2 sum shape):
+    // the door must seed per-relation factors and message-pass, never
+    // enumerate — mixed here with COUNT(*) and a plain SUM to prove the
+    // passes compose on the group keys
+    val sql =
+      """SELECT g1.src AS k, COUNT(*) AS n,
+        |       SUM(g1.dst * g3.dst) AS sp,
+        |       SUM(g1.dst * g2.dst * g3.dst) AS sp3,
+        |       SUM(g3.src) AS s1
+        |FROM cqcsql_edges g1, cqcsql_edges g2, cqcsql_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected message-passing aggregates, got $nAggs")
+  }
+
   test("decimal SUM rides the factorized fast path, exact and stock-typed") {
     prep()
     spark.sql(
