@@ -496,12 +496,22 @@ object CqcSql {
       // (isCount: an empty group is 0; a plain SUM of an empty group is
       // NULL — the null-extended row's product stays null and Spark's
       // sum skips it); OMin/OMax(e, j): extrema are idempotent, so the
-      // other sides' multiplicities never matter
+      // other sides' multiplicities never matter; OAvg(e, j) = weighted
+      // value sum / weighted non-null count (a null-extended row
+      // contributes to neither, exactly the SQL AVG null rule)
       sealed trait OK
       case object CntStar extends OK
       case class OSum(e: Expression, j: Int, isCount: Boolean) extends OK
       case class OMin(e: Expression, j: Int) extends OK
       case class OMax(e: Expression, j: Int) extends OK
+      case class OAvg(e: Expression, j: Int) extends OK
+      def integralOnly(e: Expression): Boolean = {
+        import org.apache.spark.sql.types._
+        e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
       val aggCasts = aggAliases.map { case (al, _) => unwrapCast(al.child)._2 }
       val kinds: Seq[OK] = aggAliases.map { case (al, _) =>
         unwrapCast(al.child)._1 match {
@@ -523,6 +533,12 @@ object CqcSql {
                   if sideOf(m.child).isDefined => OMin(m.child, sideOf(m.child).get)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max
                   if sideOf(m.child).isDefined => OMax(m.child, sideOf(m.child).get)
+              case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                  if sideOf(a.child).isDefined && integralOnly(a.child) =>
+                // integral only: the single double division at the end is
+                // exact-over-exact (a decimal AVG's division rounding is
+                // engine-specific — generic path)
+                OAvg(a.child, sideOf(a.child).get)
               case _ => return None
             }
           case _ => return None
@@ -543,13 +559,18 @@ object CqcSql {
           rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
         side.filters.foreach(f =>
           rdf = rdf.where(GraftSqlBridge.column(toVarNames(deRuntime(f)))))
-        val extras = kinds.zipWithIndex.collect {
+        val extras = kinds.zipWithIndex.flatMap {
           case (OSum(e, `j`, _), i) =>
-            functions.sum(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+            Seq(functions.sum(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i"))
           case (OMin(e, `j`), i) =>
-            functions.min(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+            Seq(functions.min(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i"))
           case (OMax(e, `j`), i) =>
-            functions.max(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i")
+            Seq(functions.max(GraftSqlBridge.column(toVarNames(deRuntime(e)))).as(s"__os$i"))
+          case (OAvg(e, `j`), i) =>
+            val v = GraftSqlBridge.column(toVarNames(deRuntime(e)))
+            Seq(functions.sum(v).as(s"__os$i"),
+              functions.sum(functions.when(v.isNull, 0L).otherwise(1L)).as(s"__on$i"))
+          case _ => Nil
         }
         val keyCols = side.keyPairs.zipWithIndex.map { case ((_, o), i) =>
           functions.col(o).as(s"__k${j}_$i")
@@ -582,6 +603,14 @@ object CqcSql {
             functions.sum(multOthers(functions.col("cnt") * functions.col(s"__os$i"), j))
           case OMin(_, _) => functions.min(functions.col(s"__os$i"))
           case OMax(_, _) => functions.max(functions.col(s"__os$i"))
+          case OAvg(_, j) =>
+            // weighted exact sums; nulls (unmatched sides) drop from the
+            // numerator via null products and from the denominator via
+            // the coalesced indicator — one exact-over-exact division
+            functions.sum(multOthers(functions.col("cnt") *
+              functions.col(s"__os$i"), j)).cast("double") /
+              functions.sum(multOthers(functions.col("cnt") *
+                functions.coalesce(functions.col(s"__on$i"), functions.lit(0L)), j))
         }).pipe(_.cast(stockTypes(i)))
           .pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
       }

@@ -80,7 +80,8 @@ class CqcSqlSpec extends SparkSpecBase {
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedP")
     val sql =
       """SELECT g.src AS a, COUNT(*) AS n_rows, COUNT(r.rating) AS n_matched,
-        |       SUM(r.src) AS s_key
+        |       SUM(r.src) AS s_key, AVG(r.src) AS a_key,
+        |       AVG(NULLIF(r.src, 2)) AS a_nn
         |FROM cqcsql_edges g LEFT OUTER JOIN cqcsql_ratedP r
         |  ON g.dst = r.src AND r.rating > 45.0
         |GROUP BY g.src""".stripMargin
