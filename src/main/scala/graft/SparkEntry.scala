@@ -535,6 +535,23 @@ object SparkEntry {
         |GROUP BY g1.src""".stripMargin)
   }
 
+  /** Ranked top-k join from SQL TEXT (the reference reaches convert/TopK
+    * from its SQL door): `ORDER BY r.rating + s.rating + t.rating DESC
+    * LIMIT 10` over the 3-hop chain routes to
+    * [[graft.topk.RankJoin.topKChainExact]] — per-key pruned
+    * intermediates (boundary ties kept, so the prune is exact under any
+    * tie spec), never the full join feeding a sort. */
+  def qSqlCqcRankjoin(s: SparkSession, d: String): DataFrame = {
+    Tables.ratedEdges(s, d).createOrReplaceTempView("cqcrk_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+        |       r.rating + s.rating + t.rating AS total_rank
+        |FROM cqcrk_edges r, cqcrk_edges s, cqcrk_edges t
+        |WHERE r.dst = s.src AND s.dst = t.src
+        |ORDER BY total_rank DESC, node1 ASC, node2 ASC, node3 ASC, node4 ASC
+        |LIMIT 10""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -1372,6 +1389,7 @@ object SparkEntry {
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
     "sql_cqc_prod_fast" -> (qSqlCqcProdFast _),
+    "sql_cqc_rankjoin" -> (qSqlCqcRankjoin _),
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
@@ -1888,6 +1906,12 @@ object SparkEntry {
         |FROM orders, customer, nation
         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)""".stripMargin,
+    "sql_cqc_rankjoin" ->
+      s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+         |       r.rating + s.rating + t.rating AS total_rank
+         |FROM $RE r, $RE s, $RE t
+         |WHERE r.dst = s.src AND s.dst = t.src
+         |ORDER BY total_rank DESC, node1, node2, node3, node4 LIMIT 10""".stripMargin,
     "anyk_page" ->
       s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
          |       r.rating + s.rating + t.rating AS total_rank

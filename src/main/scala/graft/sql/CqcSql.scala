@@ -813,6 +813,80 @@ object CqcSql {
       Some(agg.select(outCols: _*))
     }
 
+    // ---- ranked-join routing (the reference reaches convert/TopK from
+    // its SQL door): `ORDER BY <sum of one rank attr per relation> DESC
+    // [, <selected attr> ASC]* LIMIT k` over a plain inner chain routes
+    // to [[graft.topk.RankJoin.topKChainExact]] — per-key-pruned
+    // intermediates bounded near k·|keys| instead of the full
+    // enumeration feeding a sort. Terms must appear in relation order
+    // (one per relation, textual order = chain order), which also keeps
+    // double addition in stock left-associative order.
+    def tryRankedChain(): Option[DataFrame] = {
+      val (sortOrders0, limitOpt) = sortLimit
+      if (limitOpt.isEmpty || sortOrders0.isEmpty || aggInfo.isDefined || isDistinct ||
+        windowDefs.nonEmpty || outerJoins.nonEmpty || cmps.nonEmpty || residual.nonEmpty ||
+        postOuterConjuncts.nonEmpty || leaves.size < 2) return None
+      val k = limitOpt.get
+      import org.apache.spark.sql.catalyst.expressions.{Add, Ascending, Descending, NullsFirst, NullsLast}
+      val head = sortOrders0.head
+      if (head.direction != Descending || head.nullOrdering != NullsLast) return None
+      if (sortOrders0.tail.exists(so =>
+        so.direction != Ascending || so.nullOrdering != NullsFirst)) return None
+      val rankAlias = head.child match {
+        case a: AttributeReference =>
+          projectList.collectFirst {
+            case al: Alias if al.exprId == a.exprId => al
+          }.getOrElse(return None)
+        case _ => return None
+      }
+      def terms(e: Expression): Seq[Expression] = e match {
+        case Add(l, r, _) => terms(l) ++ terms(r)
+        case other => Seq(other)
+      }
+      val ts = terms(rankAlias.child).map { t =>
+        val ls = t.references.map(a => leafOf(a.exprId.id)).toSet
+        if (ls.size != 1) return None
+        (ls.head, t)
+      }
+      // one term per relation, strictly in relation order, spanning >= 2
+      if (ts.size < 2 || ts.map(_._1) != ts.map(_._1).distinct.sorted) return None
+      val perLeaf = ts.toMap
+      val tieVars = sortOrders0.tail.map { so =>
+        so.child match {
+          case a: AttributeReference =>
+            projectList.collectFirst {
+              case al @ Alias(c: AttributeReference, _) if al.exprId == a.exprId =>
+                varName(c.exprId.id)
+              case ar: AttributeReference if ar.exprId == a.exprId =>
+                varName(ar.exprId.id)
+            }.getOrElse(return None)
+          case _ => return None
+        }
+      }
+      val outCols = projectList.map {
+        case al: Alias if al.exprId == rankAlias.exprId =>
+          functions.col("total_rank").as(al.name)
+        case al @ Alias(c: AttributeReference, name) =>
+          functions.col(varName(c.exprId.id)).as(name)
+        case a: AttributeReference => functions.col(varName(a.exprId.id)).as(a.name)
+        case _ => return None
+      }
+      for (i <- 0 until rels.size - 1)
+        if (rels(i).vars.intersect(rels(i + 1).vars).isEmpty) return None
+      val rels3 = rels.zipWithIndex.map { case (r, i) =>
+        val rk = perLeaf.get(i)
+          .map(e => GraftSqlBridge.column(toVarNames(deRuntime(e))))
+          .getOrElse(functions.lit(0L): Column)
+        r.df.withColumn(s"__rk$i", rk)
+      }
+      val chained = graft.topk.RankJoin.topKChainExact(
+        rels3, rels.indices.map(i => s"__rk$i"), k,
+        tieVars.map(functions.col(_).asc))
+      Some(chained.select(outCols: _*))
+    }
+
+    val rankedChain = tryRankedChain()
+
     val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
       case Some((groupExprs, aggExprs)) =>
         // ---- GROUP BY / HAVING over the CQC join result. The aggregate
@@ -856,6 +930,9 @@ object CqcSql {
           case other => GraftSqlBridge.column(toOutNames(other))
         }
         (agg.select(cols: _*), finalList)
+
+      case None if rankedChain.isDefined =>
+        (rankedChain.get, projectList)
 
       case None =>
         // ---- final projection with the SELECT's names; peeled window

@@ -97,6 +97,46 @@ object RankJoin {
   }
 
   /**
+   * Tie-agnostic exact variant of [[topKChain]] (the SQL door's form):
+   * per-key pruning uses `rank()` over cumulative rank ONLY, keeping
+   * every row that ties at the k-th boundary. Any global top-k row must
+   * sit in its key's top-k by cumulative rank (extensions add the same
+   * future summands to equal cums), so keeping boundary ties makes the
+   * prune EXACT for arbitrary final tie-break specs — the caller's
+   * `tieOrder` applies once, at the end. Intermediates stay bounded at
+   * (k + boundary ties) rows per key.
+   */
+  def topKChainExact(
+      rels: Seq[DataFrame],
+      rankCols: Seq[String],
+      k: Int,
+      tieOrder: Seq[Column]): DataFrame = {
+    require(rels.size >= 2 && rels.size == rankCols.size)
+    val reduced = rels.map(graft.CacheRegistry.persistTracked).toBuffer
+    for (i <- 0 until reduced.size - 1) {
+      val keys = (reduced(i).columns.toSet intersect reduced(i + 1).columns.toSet).toSeq.sorted
+      reduced(i + 1) = reduced(i + 1).join(reduced(i).select(keys.map(col): _*), keys, "left_semi")
+    }
+    for (i <- (reduced.size - 2) to 0 by -1) {
+      val keys = (reduced(i).columns.toSet intersect reduced(i + 1).columns.toSet).toSeq.sorted
+      reduced(i) = reduced(i).join(reduced(i + 1).select(keys.map(col): _*), keys, "left_semi")
+    }
+    var acc = reduced.head.withColumn("__cum", col(rankCols.head))
+    for (i <- 1 until reduced.size) {
+      val next = reduced(i)
+      val keys = (acc.columns.toSet intersect next.columns.toSet).toSeq.sorted
+      require(keys.nonEmpty, "chain relations must share join columns")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("__cum").desc)
+      acc = acc.withColumn("__rnk", rank().over(w)).where(col("__rnk") <= k).drop("__rnk")
+        .join(next, keys, "inner")
+        .withColumn("__cum", col("__cum") + col(rankCols(i)))
+    }
+    acc.withColumnRenamed("__cum", "total_rank")
+      .orderBy(col("total_rank").desc +: tieOrder: _*).limit(k)
+  }
+
+  /**
    * Any-k ranked enumeration, page form (reference convert/TopK.scala's
    * ranked enumeration, re-expressed for a batch engine): return results
    * ranked `offset+1 .. offset+batch` of the chain join, WITHOUT

@@ -548,6 +548,27 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
   }
 
+  test("ranked top-k join from SQL text routes to the pruned rank chain") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("rjoin_rated")
+    val sql =
+      """SELECT r.src AS node1, r.dst AS node2, s.dst AS node3,
+        |       r.rating + s.rating AS total_rank
+        |FROM rjoin_rated r, rjoin_rated s
+        |WHERE r.dst = s.src
+        |ORDER BY total_rank DESC, node1 ASC, node2 ASC, node3 ASC LIMIT 10""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(got == want && want.size == 10)
+    // the rank-chain prune shows as a Window (rank over cum) in the plan;
+    // the plain door path has no window
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isDefined, "expected the per-key rank prune window")
+    graft.CacheRegistry.unpersistAll()
+  }
+
   test("cross-relation product SUM routes to the sum-of-products semiring") {
     prep()
     // Σ x_A·y_B factorizes over the join tree (reference q2 sum shape):
