@@ -80,4 +80,38 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     }
     assert(nonEmpty >= 5)
   }
+
+  test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
+    val rnd = new scala.util.Random(777)
+    // TINY rating domain: cumulative-rank ties at every prune boundary —
+    // the case the rank()-based exact prune must survive
+    val edges = Seq.fill(240)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, rnd.nextInt(4).toLong))
+      .distinct.toDF("src", "dst", "w")
+    edges.createOrReplaceTempView("propr_edges")
+
+    var nonEmpty = 0
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(2)
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      val filters = (1 to n).filter(_ => rnd.nextInt(4) == 0)
+        .map(j => s"g$j.src < ${4 + rnd.nextInt(8)}")
+      val k = 1 + rnd.nextInt(15)
+      val select = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j, g$j.w AS w$j")
+        .mkString(", ")
+      val rank = (1 to n).map(j => s"g$j.w").mkString(" + ")
+      val ties = (1 to n).flatMap(j => Seq(s"s$j", s"d$j", s"w$j")).mkString(" ASC, ")
+      val sql =
+        s"""SELECT $select, $rank AS total_rank
+           |FROM ${(1 to n).map(j => s"propr_edges g$j").mkString(", ")}
+           |WHERE ${(joins ++ filters).mkString(" AND ")}
+           |ORDER BY total_rank DESC, $ties ASC LIMIT $k""".stripMargin
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSeq
+      val want = spark.sql(sql).collect().map(_.toSeq).toSeq
+      assert(got == want, s"mismatch for: $sql")
+      graft.CacheRegistry.unpersistAll()
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+  }
 }
