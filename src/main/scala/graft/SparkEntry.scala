@@ -552,6 +552,21 @@ object SparkEntry {
         |LIMIT 10""".stripMargin)
   }
 
+  /** Any-k PAGING from SQL TEXT: `LIMIT k OFFSET j` over the ranked
+    * chain — the door prunes the chain at depth j+k (boundary-exact)
+    * and pages the result; the full join never materializes (the text
+    * form of `anyk_page`). */
+  def qSqlCqcAnyk(s: SparkSession, d: String): DataFrame = {
+    Tables.ratedEdges(s, d).createOrReplaceTempView("cqcak_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+        |       r.rating + s.rating + t.rating AS total_rank
+        |FROM cqcak_edges r, cqcak_edges s, cqcak_edges t
+        |WHERE r.dst = s.src AND s.dst = t.src
+        |ORDER BY total_rank DESC, node1 ASC, node2 ASC, node3 ASC, node4 ASC
+        |LIMIT 10 OFFSET 10""".stripMargin)
+  }
+
   // ------------------------------------------------------------- TPC-H style
 
   /** TPC-H Q1 shape: wide aggregation with exact decimal arithmetic
@@ -1390,6 +1405,7 @@ object SparkEntry {
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
     "sql_cqc_prod_fast" -> (qSqlCqcProdFast _),
     "sql_cqc_rankjoin" -> (qSqlCqcRankjoin _),
+    "sql_cqc_anyk" -> (qSqlCqcAnyk _),
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
@@ -1913,6 +1929,13 @@ object SparkEntry {
          |WHERE r.dst = s.src AND s.dst = t.src
          |ORDER BY total_rank DESC, node1, node2, node3, node4 LIMIT 10""".stripMargin,
     "anyk_page" ->
+      s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
+         |       r.rating + s.rating + t.rating AS total_rank
+         |FROM $RE r, $RE s, $RE t
+         |WHERE r.dst = s.src AND s.dst = t.src
+         |ORDER BY total_rank DESC, node1, node2, node3, node4
+         |LIMIT 10 OFFSET 10""".stripMargin,
+    "sql_cqc_anyk" ->
       s"""SELECT r.src AS node1, r.dst AS node2, s.dst AS node3, t.dst AS node4,
          |       r.rating + s.rating + t.rating AS total_rank
          |FROM $RE r, $RE s, $RE t

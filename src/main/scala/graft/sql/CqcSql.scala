@@ -86,13 +86,21 @@ object CqcSql {
     // are re-applied by output name on the final frame, so the CQC
     // pipeline under them is unchanged. TakeOrderedAndProject picks up
     // the sort+limit pair physically — the full sort never materializes.
-    val (sortLimit, afterSort): ((Seq[SortOrder], Option[Int]), LogicalPlan) = analyzed match {
+    val (sortLimit, afterSort): ((Seq[SortOrder], Option[Int], Int), LogicalPlan) = analyzed match {
+      // LIMIT k OFFSET j (any-k paging): GlobalLimit(k, LocalLimit(k, Offset(j, ...)))
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_,
+          org.apache.spark.sql.catalyst.plans.logical.Offset(Literal(j: Int, _),
+            Sort(order, true, child, _)))) =>
+        ((order, Some(n), j), child)
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_,
+          org.apache.spark.sql.catalyst.plans.logical.Offset(Literal(j: Int, _), child))) =>
+        ((Nil, Some(n), j), child)
       case GlobalLimit(Literal(n: Int, _), LocalLimit(_, Sort(order, true, child, _))) =>
-        ((order, Some(n)), child)
+        ((order, Some(n), 0), child)
       case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
-        ((Nil, Some(n)), child)
-      case Sort(order, true, child, _) => ((order, None), child)
-      case other => ((Nil, None), other)
+        ((Nil, Some(n), 0), child)
+      case Sort(order, true, child, _) => ((order, None, 0), child)
+      case other => ((Nil, None, 0), other)
     }
 
     // ---- peel HAVING / Aggregate off the top (GROUP BY over the CQC
@@ -822,11 +830,13 @@ object CqcSql {
     // (one per relation, textual order = chain order), which also keeps
     // double addition in stock left-associative order.
     def tryRankedChain(): Option[DataFrame] = {
-      val (sortOrders0, limitOpt) = sortLimit
+      val (sortOrders0, limitOpt, offsetN0) = sortLimit
       if (limitOpt.isEmpty || sortOrders0.isEmpty || aggInfo.isDefined || isDistinct ||
         windowDefs.nonEmpty || outerJoins.nonEmpty || cmps.nonEmpty || residual.nonEmpty ||
         postOuterConjuncts.nonEmpty || leaves.size < 2) return None
-      val k = limitOpt.get
+      // paging: prune deep enough to rank everything under offset+limit;
+      // the tail re-applies ORDER BY / OFFSET / LIMIT on this frame
+      val k = limitOpt.get + offsetN0
       import org.apache.spark.sql.catalyst.expressions.{Add, Ascending, Descending, NullsFirst, NullsLast}
       val head = sortOrders0.head
       if (head.direction != Descending || head.nullOrdering != NullsLast) return None
@@ -1050,7 +1060,7 @@ object CqcSql {
     // An ORDER BY referencing a NON-selected column cannot be re-applied
     // on the projected frame — fall back to stock evaluation of the whole
     // query (correct, not CQC-accelerated) instead of failing.
-    val (sortOrders, limitN) = sortLimit
+    val (sortOrders, limitN, offsetN) = sortLimit
     if (sortOrders.exists(_.references.exists(a =>
       !finalNamed.exists(_.exprId == a.exprId))))
       return GraftSqlBridge.dataFrame(spark, analyzed)
@@ -1067,6 +1077,7 @@ object CqcSql {
       }
       res = res.orderBy(scols: _*)
     }
+    if (offsetN > 0) res = res.offset(offsetN)
     limitN.foreach(n => res = res.limit(n))
     res
   }

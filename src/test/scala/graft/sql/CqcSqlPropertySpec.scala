@@ -97,6 +97,8 @@ class CqcSqlPropertySpec extends SparkSpecBase {
       val filters = (1 to n).filter(_ => rnd.nextInt(4) == 0)
         .map(j => s"g$j.src < ${4 + rnd.nextInt(8)}")
       val k = 1 + rnd.nextInt(15)
+      // sometimes a page: LIMIT k OFFSET j exercises the any-k routing
+      val off = if (rnd.nextBoolean()) s" OFFSET ${1 + rnd.nextInt(10)}" else ""
       val select = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j, g$j.w AS w$j")
         .mkString(", ")
       val rank = (1 to n).map(j => s"g$j.w").mkString(" + ")
@@ -105,7 +107,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
         s"""SELECT $select, $rank AS total_rank
            |FROM ${(1 to n).map(j => s"propr_edges g$j").mkString(", ")}
            |WHERE ${(joins ++ filters).mkString(" AND ")}
-           |ORDER BY total_rank DESC, $ties ASC LIMIT $k""".stripMargin
+           |ORDER BY total_rank DESC, $ties ASC LIMIT $k$off""".stripMargin
       val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSeq
       val want = spark.sql(sql).collect().map(_.toSeq).toSeq
       assert(got == want, s"mismatch for: $sql")
