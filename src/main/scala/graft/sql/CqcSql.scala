@@ -488,11 +488,15 @@ object CqcSql {
       def exactType(e: Expression): Boolean = {
         // integrals and decimals: the multiplicity weighting is exact
         // scaled-integer arithmetic for both (outputs cast back to the
-        // stock type below); doubles would reassociate — generic path
+        // stock type below); doubles would reassociate — generic path.
+        // Decimal contract: scale <= 6 only — under the 38-precision cap
+        // allowPrecisionLoss preserves scale<=6 (magnitude overflow nulls,
+        // the same class as a stock decimal SUM's capped accumulator) but
+        // may SHRINK a larger scale — silent rounding stock would not do
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
-          case _: DecimalType => true
+          case d: DecimalType => d.scale <= 6
           case _ => false
         }
       }
@@ -661,22 +665,25 @@ object CqcSql {
         }
       }
       def sumSafe(e: Expression): Boolean = {
-        // EXACT types only: integrals and decimals. The semiring
-        // cross-multiplies partial sums with counts, which reassociates
-        // addition — exact for integers and for decimals (scaled-integer
-        // arithmetic; Spark caps intermediate precision at 38 which
-        // bounds MAGNITUDE, not exactness, the same overflow class as a
-        // stock decimal SUM). The output casts back to the stock SUM
-        // result type below. A double SUM through the factorized path
-        // could differ from stock/DuckDB by an ULP — a silent
-        // cross-engine hash mismatch — so doubles stay on the
+        // EXACT types only: integrals and decimals with scale <= 6. The
+        // semiring cross-multiplies partial sums with counts, which
+        // reassociates addition — exact for integers and for decimals
+        // (scaled-integer arithmetic). Spark caps intermediate precision
+        // at 38: for scale <= 6 allowPrecisionLoss preserves the scale,
+        // so the cap bounds MAGNITUDE only (overflow nulls — the same
+        // class as a stock decimal SUM's capped accumulator); for larger
+        // scales it may SHRINK the scale — silent rounding stock would
+        // not do — so those stay on the stock path. The output casts back
+        // to the stock SUM result type below. A double SUM through the
+        // factorized path could differ from stock/DuckDB by an ULP — a
+        // silent cross-engine hash mismatch — so doubles stay on the
         // stock-ordered generic path; the programmatic
         // Yannakakis.aggOverJoin API remains the documented opt-in where
         // the caller owns that tradeoff.
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
-          case _: DecimalType => true
+          case d: DecimalType => d.scale <= 6
           case _ => false
         }
       }
@@ -794,7 +801,14 @@ object CqcSql {
       prodKs.foreach { case (ProdK(fs), i) =>
         val factorCols = fs.keys.map(l => rels2(l).name -> s"__pv${i}_$l").toMap
         val pf = graft.wcoj.Ghd.productOverJoin(rels2, gvars, factorCols, s"__prod$i")
-        agg = if (agg == null) pf else agg.join(pf, gvars, "inner")
+        // null-safe merge: a nullable GROUP BY key yields a NULL-key
+        // group that a using-columns equi-join would silently drop
+        agg = if (agg == null) pf else {
+          val pfr = gvars.foldLeft(pf)((d, g) => d.withColumnRenamed(g, s"__pg_$g"))
+          val cond = gvars.map(g => functions.col(g) <=> functions.col(s"__pg_$g"))
+            .reduce(_ && _)
+          agg.join(pfr, cond, "inner").drop(gvars.map(g => s"__pg_$g"): _*)
+        }
       }
       // global COUNT over an empty join is 0, not null
       def cnt = if (gvars.isEmpty)

@@ -64,6 +64,19 @@ object RankJoin {
    * intermediates stay bounded at k * |distinct keys| for every step of
    * the chain — never the full join.
    */
+  /** Columns of the accumulated prefix that ANY remaining relation joins
+   * on. The per-step prune must partition by ALL of these, not just the
+   * adjacent join key: two prefix rows have identical extension sets
+   * (same join eligibility AND same future rank summands) iff they agree
+   * on every column a future relation touches. Partitioning by a subset
+   * (the adjacent key alone) is exact only for true path chains; a later
+   * relation joining back to an early column (triangle, star) would make
+   * the prune drop true top-k rows. */
+  private def futurePruneKeys(accCols: Seq[String], remaining: Seq[DataFrame]): Seq[String] = {
+    val future = remaining.flatMap(_.columns).toSet
+    accCols.filter(future.contains).sorted
+  }
+
   def topKChain(
       rels: Seq[DataFrame],
       rankCols: Seq[String],
@@ -87,8 +100,9 @@ object RankJoin {
       val next = reduced(i)
       val keys = (acc.columns.toSet intersect next.columns.toSet).toSeq.sorted
       require(keys.nonEmpty, "chain relations must share join columns")
+      val pk = futurePruneKeys(acc.columns, reduced.toSeq.drop(i))
       val ties = tieCols.filter(acc.columns.contains).map(col(_).asc)
-      acc = prunePerKey(acc, keys, col("__cum").desc +: ties, k)
+      acc = prunePerKey(acc, pk, col("__cum").desc +: ties, k)
         .join(next, keys, "inner")
         .withColumn("__cum", col("__cum") + col(rankCols(i)))
     }
@@ -126,8 +140,9 @@ object RankJoin {
       val next = reduced(i)
       val keys = (acc.columns.toSet intersect next.columns.toSet).toSeq.sorted
       require(keys.nonEmpty, "chain relations must share join columns")
+      val pk = futurePruneKeys(acc.columns, reduced.toSeq.drop(i))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*).orderBy(col("__cum").desc)
+        .partitionBy(pk.map(col): _*).orderBy(col("__cum").desc)
       acc = acc.withColumn("__rnk", rank().over(w)).where(col("__rnk") <= k).drop("__rnk")
         .join(next, keys, "inner")
         .withColumn("__cum", col("__cum") + col(rankCols(i)))

@@ -593,6 +593,27 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(nAggs > 1, s"expected message-passing aggregates, got $nAggs")
   }
 
+  test("product SUM + second aggregate keeps the NULL-key group (null-safe merge)") {
+    prep()
+    // the sum-of-products frame joins back onto the base aggregate on the
+    // group keys; a nullable GROUP BY key must survive that merge — SQL
+    // grouping treats NULL as a group, so a plain equi-join would drop it
+    spark.sql(
+      """SELECT src, dst,
+        |       CASE WHEN src % 5 = 0 THEN NULL ELSE src % 3 END AS gk
+        |FROM cqcsql_edges""".stripMargin).createOrReplaceTempView("nullg_t")
+    val sql =
+      """SELECT g1.gk AS k, COUNT(*) AS n, SUM(g1.dst * g2.dst) AS sp
+        |FROM nullg_t g1, cqcsql_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.gk""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(want.exists(_.head == null), "oracle must contain a NULL-key group")
+    assert(got == want)
+  }
+
   test("decimal SUM rides the factorized fast path, exact and stock-typed") {
     prep()
     spark.sql(
@@ -615,6 +636,25 @@ class CqcSqlSpec extends SparkSpecBase {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.size
     assert(nAggs > 1, s"expected message-passing aggregates, got $nAggs")
+  }
+
+  test("decimal SUM with scale > 6 stays on the stock path (no scale-shrinking semiring)") {
+    prep()
+    // allowPrecisionLoss can shrink scales > 6 under the 38-precision cap
+    // when the semiring cross-multiplies — those SUMs must not reroute
+    spark.sql(
+      """SELECT src AS k, CAST(dst AS DECIMAL(20,8)) AS dv
+        |FROM cqcsql_edges""".stripMargin).createOrReplaceTempView("decs8_t")
+    val sql =
+      """SELECT g1.src AS src, SUM(t.dv) AS s
+        |FROM cqcsql_edges g1, cqcsql_edges g2, decs8_t t
+        |WHERE g1.dst = g2.src AND g2.dst = t.k
+        |GROUP BY g1.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    assert(df.schema("s").dataType == spark.sql(sql).schema("s").dataType)
   }
 
   test("SUM over a double column matches stock bit-for-bit (no semiring reroute)") {
