@@ -35,11 +35,19 @@ object Bench {
     // noise (BASELINE.md), and min-of-2 is the standard way to read
     // steady-state operator cost through it
     // optional args: bench only the named queries (local iteration aid;
-    // the driver passes none and benches everything)
+    // the driver passes none and benches everything). `--json-file=PATH`
+    // additionally writes the full JSON line to PATH so a truncated
+    // stdout capture can never hide per-query entries or the total.
+    // `--reps=N` overrides the per-query repetition count (min reported).
+    val jsonFile = args.collectFirst { case a if a.startsWith("--json-file=") =>
+      a.stripPrefix("--json-file=") }
+    val reps = args.collectFirst { case a if a.startsWith("--reps=") =>
+      a.stripPrefix("--reps=").toInt }.getOrElse(2)
+    val queryArgs = args.filterNot(_.startsWith("--"))
     val wanted = SparkEntry.queries.toSeq
-      .filter(q => args.isEmpty || args.contains(q._1))
+      .filter(q => queryArgs.isEmpty || queryArgs.contains(q._1))
     val results = wanted.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         CacheRegistry.unpersistAll() // release operator-internal persists
         spark.catalog.clearCache()   // per-query hygiene: no cross-query caches
         val t0 = System.nanoTime()
@@ -53,7 +61,12 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    jsonFile.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -358,6 +358,25 @@ object SparkEntry {
         |GROUP BY c.c_custkey""".stripMargin)
   }
 
+  /** MIN/MAX (and SUM/COUNT) over the PRESERVED side of a peeled outer
+    * join, eagerly aggregated: extrema of inner columns are
+    * multiplicity-free (the outer join replicates preserved rows but
+    * never drops them), inner sums weight per-cell sums by the outer
+    * match counts, and outer-side aggregates ride their per-key
+    * messages — the join itself never materializes. */
+  def qSqlCqcOuterMinmax(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("cqcom_customer")
+    Tables.orders(s, d).createOrReplaceTempView("cqcom_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c.c_nationkey AS nk, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_ord,
+        |       MIN(c.c_acctbal) AS min_bal, MAX(c.c_acctbal) AS max_bal,
+        |       CAST(SUM(c.c_custkey) AS BIGINT) AS s_ck,
+        |       MIN(o.o_totalprice) AS min_op
+        |FROM cqcom_customer c LEFT OUTER JOIN cqcom_orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |GROUP BY c.c_nationkey""".stripMargin)
+  }
+
   /** Top-level DISJUNCTION through the SQL door (the TPC-H Q19 shape as
     * SQL text): the cross-relation OR cannot be a Cmp annotation, so it
     * rides the enumeration as a residual applied AT the first join where
@@ -1414,6 +1433,7 @@ object SparkEntry {
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
     "sql_cqc_expr" -> (qSqlCqcExpr _),
     "sql_cqc_outer" -> (qSqlCqcOuter _),
+    "sql_cqc_outer_minmax" -> (qSqlCqcOuterMinmax _),
     "sql_cqc_disj" -> (qSqlCqcDisj _),
     "skew_join" -> (qSkewJoin _),
     "q1_agg" -> (qQ1Agg _),
@@ -2089,6 +2109,14 @@ object SparkEntry {
         |FROM customer LEFT OUTER JOIN orders
         |  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
         |GROUP BY c_custkey""".stripMargin,
+    "sql_cqc_outer_minmax" ->
+      """SELECT c.c_nationkey AS nk, CAST(count(o.o_orderkey) AS BIGINT) AS n_ord,
+        |       min(c.c_acctbal) AS min_bal, max(c.c_acctbal) AS max_bal,
+        |       CAST(sum(c.c_custkey) AS BIGINT) AS s_ck,
+        |       min(o.o_totalprice) AS min_op
+        |FROM customer c LEFT OUTER JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |GROUP BY c.c_nationkey""".stripMargin,
     "sql_cqc_disj" ->
       """SELECT CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem, part

@@ -517,6 +517,23 @@ object CqcSql {
       case class OMin(e: Expression, j: Int) extends OK
       case class OMax(e: Expression, j: Int) extends OK
       case class OAvg(e: Expression, j: Int) extends OK
+      // INNER-cluster aggregates (the preserved side of every peeled
+      // outer join, so each inner row survives >= 1 time):
+      // ISum/IAvg factorize as per-cell sums times the outer match
+      // counts; IMin/IMax are multiplicity-free (idempotent over the
+      // preserved rows — outer joins replicate but never drop them)
+      case class ISum(leaf: Int, e: Expression, isCount: Boolean) extends OK
+      case class IMin(leaf: Int, e: Expression) extends OK
+      case class IMax(leaf: Int, e: Expression) extends OK
+      case class IAvg(leaf: Int, e: Expression) extends OK
+      def innerLeaf(e: Expression): Option[Int] = {
+        if (e.references.isEmpty ||
+          e.references.exists(a => allOuterIds.contains(a.exprId.id))) None
+        else {
+          val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
+          if (ls.size == 1 && !ls.contains(-1)) Some(ls.head) else None
+        }
+      }
       def integralOnly(e: Expression): Boolean = {
         import org.apache.spark.sql.types._
         e.dataType match {
@@ -538,27 +555,73 @@ object CqcSql {
                 OSum(org.apache.spark.sql.catalyst.expressions.If(
                   org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
                   Literal(0L), Literal(1L)), sideOf(c.children.head).get, isCount = true)
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count
+                  if c.children.size == 1 && innerLeaf(c.children.head).isDefined =>
+                ISum(innerLeaf(c.children.head).get,
+                  org.apache.spark.sql.catalyst.expressions.If(
+                    org.apache.spark.sql.catalyst.expressions.IsNull(c.children.head),
+                    Literal(0L), Literal(1L)), isCount = true)
               case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
                   if sideOf(su.child).isDefined && exactType(su.child) =>
                 OSum(su.child, sideOf(su.child).get, isCount = false)
+              case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+                  if innerLeaf(su.child).isDefined && exactType(su.child) =>
+                ISum(innerLeaf(su.child).get, su.child, isCount = false)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min
                   if sideOf(m.child).isDefined => OMin(m.child, sideOf(m.child).get)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min
+                  if innerLeaf(m.child).isDefined =>
+                IMin(innerLeaf(m.child).get, m.child)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max
                   if sideOf(m.child).isDefined => OMax(m.child, sideOf(m.child).get)
+              case m: org.apache.spark.sql.catalyst.expressions.aggregate.Max
+                  if innerLeaf(m.child).isDefined =>
+                IMax(innerLeaf(m.child).get, m.child)
               case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
                   if sideOf(a.child).isDefined && integralOnly(a.child) =>
                 // integral only: the single double division at the end is
                 // exact-over-exact (a decimal AVG's division rounding is
                 // engine-specific — generic path)
                 OAvg(a.child, sideOf(a.child).get)
+              case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+                  if innerLeaf(a.child).isDefined && integralOnly(a.child) =>
+                IAvg(innerLeaf(a.child).get, a.child)
               case _ => return None
             }
           case _ => return None
         }
       }
 
-      // inner cluster: per-(group, join key) multiplicities, factorized
-      val innerAgg = graft.wcoj.Ghd.aggOverJoin(rels, groupKeys, Nil)
+      // inner-side aggregated expressions ride the factorized inner pass
+      // as derived columns on their home leaf (one message pass carries
+      // count + sums + extrema together)
+      val derivedI = scala.collection.mutable.Map[Int, List[(String, Expression)]]()
+        .withDefaultValue(Nil)
+      kinds.zipWithIndex.foreach {
+        case (ISum(l, e, _), i) => derivedI(l) = (s"__iv$i", e) :: derivedI(l)
+        case (IAvg(l, e), i) =>
+          derivedI(l) = (s"__inn$i", org.apache.spark.sql.catalyst.expressions.If(
+            org.apache.spark.sql.catalyst.expressions.IsNull(e),
+            Literal(0L), Literal(1L))) :: (s"__iv$i", e) :: derivedI(l)
+        case (IMin(l, e), i) => derivedI(l) = (s"__ix$i", e) :: derivedI(l)
+        case (IMax(l, e), i) => derivedI(l) = (s"__ix$i", e) :: derivedI(l)
+        case _ => ()
+      }
+      val relsI = rels.zipWithIndex.map { case (r, i) =>
+        Rel(r.name, derivedI(i).foldLeft(r.df) { case (df, (n, e)) =>
+          df.withColumn(n, GraftSqlBridge.column(toVarNames(deRuntime(e))))
+        })
+      }
+      val isumVars = kinds.zipWithIndex.flatMap {
+        case (ISum(_, _, _), i) => Seq(s"__iv$i")
+        case (IAvg(_, _), i) => Seq(s"__iv$i", s"__inn$i")
+        case _ => Nil
+      }
+      val iminVars = kinds.zipWithIndex.collect { case (IMin(_, _), i) => s"__ix$i" }
+      val imaxVars = kinds.zipWithIndex.collect { case (IMax(_, _), i) => s"__ix$i" }
+      // inner cluster: per-(group, join key) multiplicities + inner
+      // sums/extrema, factorized
+      val innerAgg = graft.wcoj.Ghd.aggOverJoin(relsI, groupKeys, isumVars, iminVars, imaxVars)
       // each outer side: per-join-key multiplicity + sums/extrema
       // (join-bearing sides recurse through the door like nested blocks)
       var joined = innerAgg
@@ -615,6 +678,18 @@ object CqcSql {
             functions.sum(multOthers(functions.col("cnt") * functions.col(s"__os$i"), j))
           case OMin(_, _) => functions.min(functions.col(s"__os$i"))
           case OMax(_, _) => functions.max(functions.col(s"__os$i"))
+          case ISum(_, _, true) =>
+            // COUNT over inner expr: each preserved row appears once per
+            // outer match combination — indicator sum times all sides
+            functions.sum(multOthers(functions.coalesce(
+              functions.col(s"sum___iv$i"), functions.lit(0L)), -1))
+          case ISum(_, _, false) =>
+            functions.sum(multOthers(functions.col(s"sum___iv$i"), -1))
+          case IMin(_, _) => functions.min(functions.col(s"min___ix$i"))
+          case IMax(_, _) => functions.max(functions.col(s"max___ix$i"))
+          case IAvg(_, _) =>
+            functions.sum(multOthers(functions.col(s"sum___iv$i"), -1)).cast("double") /
+              functions.sum(multOthers(functions.col(s"sum___inn$i"), -1))
           case OAvg(_, j) =>
             // weighted exact sums; nulls (unmatched sides) drop from the
             // numerator via null products and from the denominator via

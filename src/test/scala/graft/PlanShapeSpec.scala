@@ -104,6 +104,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains(" Window [")) == 1)
   }
 
+  test("sql_cqc_cyclic_dense: bag-level semiring messages, not enumerate-then-aggregate") {
+    // the flagship AGM-bound claim: the dense triangle aggregate must ride
+    // the certificate + message passing (several partial aggregates), not
+    // a quadratic 2-path enumeration feeding ONE aggregate
+    val df = SparkEntry.queries("sql_cqc_cyclic_dense")(spark, sfDir)
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected bag-level message aggregates, got $nAggs")
+    val ep = df.queryExecution.executedPlan.toString()
+    assert(ep.contains("Lftj") || ep.toLowerCase.contains("mappartitions"),
+      "expected the LFTJ certificate operator in the physical plan")
+  }
+
+  test("sql_cqc_outer_minmax aggregates below the outer join (eager MIN/MAX)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("sql_cqc_outer_minmax")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    val nAggs = plan.collect { case a: Aggregate => a }.size
+    assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.exists(j => j.children.exists(c =>
+      c.collectFirst { case a: Aggregate => a }.isDefined)),
+      "expected an aggregate BELOW the outer join")
+  }
+
   test("sql_cqc_q2 / sql_cqc_q20 route through the CQC door, not the fallback") {
     // the door's non-fallback path renames attributes to class variables
     // (vNNN aliases in the analyzed plan); the guarded stock fallback

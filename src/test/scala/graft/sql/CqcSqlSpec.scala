@@ -108,6 +108,42 @@ class CqcSqlSpec extends SparkSpecBase {
     assert(got2 == want2 && want2.nonEmpty)
   }
 
+  test("INNER-side SUM/MIN/MAX/AVG/COUNT under a peeled outer join stay eager") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_ratedIM")
+    // aggregates over the PRESERVED side: extrema are multiplicity-free
+    // (outer joins replicate preserved rows, never drop them), sums
+    // weight per-cell inner sums by the outer match counts
+    val sql =
+      """SELECT g.src AS a, COUNT(*) AS n_rows,
+        |       MIN(g.dst) AS mn_i, MAX(g.dst) AS mx_i,
+        |       SUM(g.dst) AS s_i, AVG(g.dst) AS a_i, COUNT(g.dst) AS c_i,
+        |       MIN(r.rating) AS mn_o
+        |FROM cqcsql_edges g LEFT OUTER JOIN cqcsql_ratedIM r
+        |  ON g.dst = r.src AND r.rating > 45.0
+        |GROUP BY g.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    val nAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs > 1, s"expected pre-join aggregates, got $nAggs")
+    // multi-relation inner cluster: the inner aggregates message-pass
+    // through the join tree before the outer side re-joins
+    val sql2 =
+      """SELECT g1.src AS a, COUNT(*) AS n,
+        |       SUM(g2.dst) AS s2, MIN(g2.dst) AS mn2, MAX(r.rating) AS mx_o
+        |FROM cqcsql_edges g1, cqcsql_edges g2
+        |LEFT OUTER JOIN cqcsql_ratedIM r ON g1.src = r.src AND r.rating > 45.0
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val got2 = CqcSql.solve(spark, sql2).collect().map(_.toSeq).toSet
+    val want2 = spark.sql(sql2).collect().map(_.toSeq).toSet
+    assert(got2 == want2 && want2.nonEmpty)
+  }
+
   test("outer join + aggregate (the Q13 core) through the door") {
     prep()
     Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("cqcsql_rated2")
