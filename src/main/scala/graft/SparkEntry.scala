@@ -202,12 +202,13 @@ object SparkEntry {
     * specialized plan (the triangle queries have one; the square shows
     * the hypercube/leapfrog machinery is shape-generic). */
   def qWcojSquare(s: SparkSession, d: String): DataFrame =
-    // cubeSide 3: with 4 variables the replication factor is side^2, so
-    // side 3 ships 9 copies/tuple into 81 cells vs side 4's 16 into 256 —
-    // cells stay executor-sized and the shuffle is 44% lighter
+    // cubeSide auto (Lftj.autoSide): picked from |E| stats + cores — on
+    // this host it lands on 3 (9 copies/tuple into 81 cells vs side 4's
+    // 16 into 256), and grows only when per-cell tries would outgrow
+    // executor memory
     Lftj.enumerate(Tables.edgesWide(s, d),
         Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")),
-        Seq("a", "b", "c", "d"), cubeSide = 3)
+        Seq("a", "b", "c", "d"))
       .agg(count(lit(1)).as("squares"))
 
   /** Triangle count on the wide-domain SPARSE graph — the low-collision

@@ -144,7 +144,7 @@ object LftjExec {
       edges: DataFrame,
       patterns: Seq[(String, String)],
       varOrder: Seq[String],
-      cubeSide: Int = 4): DataFrame = {
+      cubeSide: Int = 0): DataFrame = {
     Lftj.validate(patterns, varOrder)
     val spark = edges.sparkSession
     val Array(c1, c2) = edges.columns
@@ -152,8 +152,11 @@ object LftjExec {
       org.apache.spark.sql.functions.col(c1).cast("long"),
       org.apache.spark.sql.functions.col(c2).cast("long"))
     val childPlan = child.queryExecution.analyzed
+    val side = if (cubeSide > 0) cubeSide
+      else Lftj.autoSide(spark,
+        edges.queryExecution.optimizedPlan.stats.sizeInBytes, varOrder.length)
     val out = varOrder.map(v => AttributeReference(v, LongType, nullable = false)())
     GraftSqlBridge.dataFrame(spark,
-      LftjNode(childPlan, patterns, varOrder, cubeSide, out))
+      LftjNode(childPlan, patterns, varOrder, side, out))
   }
 }

@@ -59,15 +59,46 @@ object CqcSql {
    * semicolon-separated statements; every statement but the last runs
    * through stock Spark SQL (CREATE TABLE ... USING parquet LOCATION,
    * CREATE TEMPORARY VIEW, DROP, ...), the final SELECT runs through
-   * [[solve]]. The splitter is line-oriented on ';' and does not parse
-   * string literals containing semicolons — a session-script stub, not
-   * a shell.
+   * [[solve]]. The splitter is quote-aware: a ';' inside a '...' or
+   * "..." literal (with '' / "" / backslash escapes) never splits, and
+   * an unterminated quote fails fast instead of silently misexecuting
+   * corrupted statement halves.
    */
   def script(spark: SparkSession, text: String): DataFrame = {
-    val stmts = text.split(";").map(_.trim).filter(_.nonEmpty)
+    val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
     stmts.init.foreach(spark.sql(_))
     solve(spark, stmts.last)
+  }
+
+  /** Split a SQL script on statement-separating semicolons only: quotes
+    * ('...' and "..."), doubled-quote escapes ('it''s'), and backslash
+    * escapes are scanned, so literals containing ';' survive intact. */
+  private[sql] def splitStatements(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var quote: Char = 0 // 0 = outside any literal
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < text.length) { cur += text.charAt(i + 1); i += 1 }
+        else if (c == quote) {
+          // doubled quote = escaped quote, stay inside
+          if (i + 1 < text.length && text.charAt(i + 1) == quote) {
+            cur += quote; i += 1
+          } else quote = 0
+        }
+      } else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    require(quote == 0,
+      s"unterminated $quote-quoted string literal in script — refusing to split")
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /**

@@ -51,16 +51,12 @@ object Ghd {
             ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
       }
       if (coreRels.size >= 3 && integralBinary && coreVars.size <= 6) {
-        // WCOJ certificate bag over the whole stuck core. cubeSide keeps
-        // the per-tuple replication factor side^(n-2) bounded as the
-        // variable count grows (cells stay executor-sized).
-        val side = coreVars.size match {
-          case 3 => 4
-          case 4 => 3
-          case _ => 2
-        }
+        // WCOJ certificate bag over the whole stuck core. cubeSide = 0:
+        // cost-picked from input stats + parallelism (Lftj.autoSide) —
+        // per-tuple replication side^(n-2) stays minimal while cells
+        // stay executor-sized as the input grows.
         val inputs = coreRels.map(r => (r.df, (r.df.columns(0), r.df.columns(1))))
-        val bindings = Lftj.enumerateMulti(inputs, coreVars, side)
+        val bindings = Lftj.enumerateMulti(inputs, coreVars)
         // LFTJ enumerates in long space; surface each variable in the
         // dtype its member column has, so downstream joins/output schemas
         // are unchanged

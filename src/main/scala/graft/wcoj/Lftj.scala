@@ -2,7 +2,7 @@ package graft.wcoj
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -65,16 +65,36 @@ object Lftj {
    * (u, v) — meaning an edge u->v — exists in `edges(src, dst)`.
    * Returns one column per variable, in `varOrder`.
    */
+  /** Cost-aware hypercube side (cubeSide = 0 selects this): the smallest
+    * side giving (a) at least `defaultParallelism` cells (side^n) so
+    * every core owns work, and (b) per-cell tries bounded — expected
+    * tuples per cell is |input|/side², so side >= sqrt(|input|/cap)
+    * keeps a cell's sorted arrays executor-sized however large the input
+    * grows. Input size comes from Catalyst stats (no extra job).
+    * Replication is side^(n-2) per tuple, so the smallest admissible
+    * side also minimizes shuffle volume — static defaults either
+    * over-replicate small inputs or blow cell memory on large ones. */
+  private[graft] def autoSide(spark: SparkSession, statBytes: BigInt, n: Int): Int = {
+    val cores = spark.sparkContext.defaultParallelism.max(1)
+    // ~32 stat-bytes per binary tuple (two longs + row overhead);
+    // 2M tuples/cell keeps a cell's sorted tries in the tens of MB
+    val tuples = (statBytes / 32).toDouble.max(1.0)
+    val forCores = math.ceil(math.pow(cores.toDouble, 1.0 / n)).toInt
+    val forMemory = math.ceil(math.sqrt(tuples / 2e6)).toInt
+    math.max(2, math.max(forCores, forMemory))
+  }
+
   def enumerate(
       edges: DataFrame,
       patterns: Seq[(String, String)],
       varOrder: Seq[String],
-      cubeSide: Int = 4): DataFrame = {
+      cubeSide: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     validate(patterns, varOrder)
     val n = varOrder.length
-    val side = cubeSide
+    val side = if (cubeSide > 0) cubeSide
+      else autoSide(spark, edges.queryExecution.optimizedPlan.stats.sizeInBytes, n)
     val pats = patInfo(patterns, varOrder, side)
 
     val Array(c1, c2) = edges.columns
@@ -104,13 +124,15 @@ object Lftj {
   def enumerateMulti(
       inputs: Seq[(DataFrame, (String, String))],
       varOrder: Seq[String],
-      cubeSide: Int = 4): DataFrame = {
+      cubeSide: Int = 0): DataFrame = {
     val patterns = inputs.map(_._2)
     validate(patterns, varOrder)
     val spark = inputs.head._1.sparkSession
     import spark.implicits._
     val n = varOrder.length
-    val side = cubeSide
+    val side = if (cubeSide > 0) cubeSide
+      else autoSide(spark,
+        inputs.map(_._1.queryExecution.optimizedPlan.stats.sizeInBytes).sum, n)
     val pats = patInfo(patterns, varOrder, side)
 
     val tagged = inputs.zipWithIndex.map { case ((df, _), r) =>
@@ -200,7 +222,7 @@ object Lftj {
       edges: DataFrame,
       patterns: Seq[(String, String)],
       varOrder: Seq[String],
-      cubeSide: Int = 4): DataFrame =
+      cubeSide: Int = 0): DataFrame =
     enumerate(edges, patterns, varOrder, cubeSide)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
 

@@ -25,4 +25,17 @@ class CliSpec extends SparkSpecBase {
     assert(spark.sql("SELECT COUNT(*) FROM cli_edges").collect().head.getLong(0) > 0)
     spark.sql("DROP TABLE IF EXISTS cli_lineitem")
   }
+
+  test("script splitter keeps ';' inside string literals intact") {
+    val script =
+      """CREATE OR REPLACE TEMPORARY VIEW cli_semi AS
+        |  SELECT 'a;b' AS s, 1 AS k UNION ALL SELECT 'c''d;e', 2;
+        |SELECT s, k FROM cli_semi WHERE s <> 'x;y' ORDER BY k""".stripMargin
+    val got = graft.sql.CqcSql.script(spark, script).collect().map(_.toSeq).toSeq
+    assert(got == Seq(Seq("a;b", 1), Seq("c'd;e", 2)))
+    // an unterminated literal must fail fast, not half-execute
+    intercept[IllegalArgumentException] {
+      graft.sql.CqcSql.script(spark, "SELECT 'oops; FROM t")
+    }
+  }
 }

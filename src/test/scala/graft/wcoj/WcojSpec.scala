@@ -14,6 +14,18 @@ class WcojSpec extends SparkSpecBase {
     (1L, 4L), (2L, 2L), (6L, 1L)) // extra edge, self-loop, dangling
     .toDF("src", "dst")
 
+  test("autoSide: parallelism floor for small inputs, memory bound for huge ones") {
+    val n = 4
+    val cores = spark.sparkContext.defaultParallelism.max(1)
+    val small = Lftj.autoSide(spark, BigInt(1024), n)
+    assert(small == math.max(2, math.ceil(math.pow(cores.toDouble, 1.0 / n)).toInt))
+    // ~1 TiB of edges: the per-cell memory bound (side >= sqrt(|E|/cap))
+    // must dominate — cells stay executor-sized however big the input
+    val huge = Lftj.autoSide(spark, BigInt(1L) << 40, n)
+    assert(huge >= 100, s"per-cell memory bound must drive side up, got $huge")
+    assert(Lftj.autoSide(spark, BigInt(1024), 3) >= 2)
+  }
+
   test("LFTJ triangle enumeration equals the binary-join enumeration") {
     val got = Lftj.enumerate(edges,
         Seq(("a", "b"), ("b", "c"), ("c", "a")), Seq("a", "b", "c"), cubeSide = 2)
