@@ -540,6 +540,21 @@ object SparkEntry {
         |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
+  /** Window OVER a factorizable aggregate (SUM of SUM): the analyzer
+    * stacks Window above Aggregate, so the aggregate block becomes a
+    * nested leaf that recurses through the door — the 4-hop join
+    * beneath routes through the no-enumeration message-passing fast
+    * path, and the window then runs over the tiny per-group frame. */
+  def qSqlCqcWindowFast(s: SparkSession, d: String): DataFrame = {
+    Tables.edgesWide(s, d).createOrReplaceTempView("wfa_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS a, CAST(SUM(g4.dst) AS BIGINT) AS s,
+        |       CAST(SUM(SUM(g4.dst)) OVER (PARTITION BY g1.src % 5) AS BIGINT) AS ws
+        |FROM wfa_edges g1, wfa_edges g2, wfa_edges g3, wfa_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
   /** The sum-of-products semiring from SQL TEXT: Σ of a CROSS-relation
     * product (first-hop rating x last-hop rating) — the door splits the
     * multiplication into per-relation factors and routes to
@@ -1429,6 +1444,7 @@ object SparkEntry {
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
+    "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -2096,6 +2112,12 @@ object SparkEntry {
         |               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend
         |FROM orders o, customer c
         |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
+    "sql_cqc_window_fast" ->
+      s"""SELECT a, s, CAST(SUM(s) OVER (PARTITION BY a % 5) AS BIGINT) AS ws
+         |FROM (SELECT g1.src AS a, CAST(sum(g4.dst) AS BIGINT) AS s
+         |      FROM $EW g1, $EW g2, $EW g3, $EW g4
+         |      WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |      GROUP BY g1.src) t""".stripMargin,
     "sql_cqc_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c.c_custkey AS c_custkey,

@@ -53,6 +53,40 @@ object CqcSql {
   def solve(spark: SparkSession, sql: String): DataFrame =
     solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
 
+  // ---- dry-run tracing (the reference's DryRunHandler/compile artifact
+  // at the semantic level: what plan WOULD run, without running it).
+  // Thread-local so concurrent sessions don't interleave lines.
+  private val tracer = new ThreadLocal[StringBuilder]
+  private def trace(line: => String): Unit = {
+    val sb = tracer.get()
+    if (sb != null) sb.append(line).append('\n')
+  }
+
+  /** Dry-run: plan the query through the door and return the textual
+    * plan dump — the chosen join tree (root, edges, shared variables,
+    * size estimates), comparison bound carriers, and the routed
+    * execution path (fast aggregate / ranked chain / enumeration /
+    * stock fallback). Nothing executes: the door only constructs
+    * lazy frames, and this discards them. */
+  def explain(spark: SparkSession, sql: String): String = {
+    val sb = new StringBuilder
+    tracer.set(sb)
+    try {
+      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      sb.toString
+    } finally tracer.remove()
+  }
+
+  /** [[explain]] over a semicolon-separated script: DDL statements run
+    * (views must exist for the final query to analyze), the final
+    * statement is dry-run-planned instead of executed. */
+  def explainScript(spark: SparkSession, text: String): String = {
+    val stmts = splitStatements(text)
+    require(stmts.nonEmpty, "empty script")
+    stmts.init.foreach(spark.sql(_))
+    explain(spark, stmts.last)
+  }
+
   /**
    * Session-script entry (the reference CLI accepts CREATE TABLE DDL in
    * front of its queries — sqlplus-core parser, SqlPlusParserTest):
@@ -267,8 +301,10 @@ object CqcSql {
     def hasSubquery(e: Expression): Boolean =
       e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
     if ((conjuncts ++ postOuterConjuncts).exists(e => hasSubquery(e) &&
-      e.references.map(a => leafOf(a.exprId.id)).toSet.size != 1))
+      e.references.map(a => leafOf(a.exprId.id)).toSet.size != 1)) {
+      trace("routing: stock fallback (cross-leaf subquery predicate)")
       return GraftSqlBridge.dataFrame(spark, analyzed)
+    }
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(id: Long): Long = {
       val p = parent.getOrElse(id, id)
@@ -420,6 +456,17 @@ object CqcSql {
       }
       Rel(s"r$i", df)
     }.toSeq
+
+    trace {
+      val desc =
+        if (graft.cqc.Hypergraph.isAcyclic(rels))
+          graft.cqc.Hypergraph.joinTree(rels).describe
+        else rels.map(r => s"${r.name} [${r.vars.toSeq.sorted.mkString(",")}]")
+          .mkString("(cyclic body -> GHD certificate bags over: ", "; ", ")")
+      s"join tree (cost-picked):\n$desc" +
+        (if (cmps.isEmpty) ""
+         else "\nbound carriers:\n" + cmps.map(c => s"  $c").mkString("\n"))
+    }
 
     // ---- CQC-evaluate (GHD decomposes if cyclic; no-op when acyclic).
     // Residuals ride along so they filter at the FIRST join where their
@@ -732,6 +779,8 @@ object CqcSql {
         }).pipe(_.cast(stockTypes(i)))
           .pipe(c0 => aggCasts(i).map(c0.cast).getOrElse(c0)).as(n)
       }
+      trace("routing: eager aggregation under peeled outer join(s) — " +
+        "aggregates below the join, never materialized")
       Some(joined.groupBy(gvars.map(functions.col): _*)
         .agg(aggCols.head, aggCols.tail: _*))
     }
@@ -916,6 +965,9 @@ object CqcSql {
           agg.join(pfr, cond, "inner").drop(gvars.map(g => s"__pg_$g"): _*)
         }
       }
+      trace("routing: factorized aggregate fast path (FAQ/AJAR message " +
+        "passing; join never enumerated) — kinds: " +
+        kinds.map(_.getClass.getSimpleName.stripSuffix("$")).mkString(", "))
       // global COUNT over an empty join is 0, not null
       def cnt = if (gvars.isEmpty)
         functions.coalesce(functions.col("cnt"), functions.lit(0L))
@@ -1016,6 +1068,8 @@ object CqcSql {
     }
 
     val rankedChain = tryRankedChain()
+    if (rankedChain.isDefined)
+      trace("routing: ranked chain top-k (per-key cum-rank prune; no full enumeration)")
 
     val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
       case Some((groupExprs, aggExprs)) =>
@@ -1032,6 +1086,7 @@ object CqcSql {
         require(aggAliases.nonEmpty,
           "GROUP BY without aggregate functions — use SELECT DISTINCT instead")
         var agg = tryFastAgg(groupExprs, aggAliases).getOrElse {
+          trace("routing: semijoin-reduced enumeration + hash aggregate")
           val acols = aggAliases.map { case (al, n) =>
             GraftSqlBridge.column(toVarNames(al.child)).as(n)
           }
@@ -1171,8 +1226,11 @@ object CqcSql {
             case other => GraftSqlBridge.column(toVarNames(other)).as(name)
           }
         } catch {
-          case _: UnsupportedFrame => return GraftSqlBridge.dataFrame(spark, analyzed)
+          case _: UnsupportedFrame =>
+            trace("routing: stock fallback (unsupported window frame)")
+            return GraftSqlBridge.dataFrame(spark, analyzed)
         }
+        trace("routing: semijoin-reduced enumeration (Yannakakis pass 1 + output-sensitive pass 2)")
         (enumerated.select(cols: _*), projectList)
     }
 
@@ -1182,8 +1240,10 @@ object CqcSql {
     // query (correct, not CQC-accelerated) instead of failing.
     val (sortOrders, limitN, offsetN) = sortLimit
     if (sortOrders.exists(_.references.exists(a =>
-      !finalNamed.exists(_.exprId == a.exprId))))
+      !finalNamed.exists(_.exprId == a.exprId)))) {
+      trace("routing: stock fallback (ORDER BY references non-selected column)")
       return GraftSqlBridge.dataFrame(spark, analyzed)
+    }
     var res = if (isDistinct) resBase.distinct() else resBase
     if (sortOrders.nonEmpty) {
       val finalNames = finalNamed.map(ne => ne.exprId.id -> ne.name).toMap

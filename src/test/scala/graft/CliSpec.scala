@@ -26,6 +26,30 @@ class CliSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS cli_lineitem")
   }
 
+  test("explainScript dry-run names the root, each join edge, and the fast path") {
+    graft.sources.Tables.edges(spark, sfDir).createOrReplaceTempView("dr_edges")
+    // the sql_cqc_agg_fast text (4-hop factorizable aggregate)
+    val dump = graft.sql.CqcSql.explainScript(spark,
+      """SELECT g1.src AS src, COUNT(*) AS cnt, SUM(g4.dst) AS sum_dst,
+        |       MIN(g4.dst) AS min_dst, MAX(g4.dst) AS max_dst
+        |FROM dr_edges g1, dr_edges g2, dr_edges g3, dr_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |GROUP BY g1.src""".stripMargin)
+    assert(dump.contains("(root)"), s"dump must name the root:\n$dump")
+    // all four relations appear; three of them hang off a parent edge
+    // with the shared join variable listed
+    for (r <- Seq("r0", "r1", "r2", "r3")) assert(dump.contains(r), s"missing $r:\n$dump")
+    assert(dump.linesIterator.count(_.contains("<- ")) == 3, s"expected 3 edges:\n$dump")
+    assert(dump.contains("factorized aggregate fast path"), s"fast path not routed:\n$dump")
+    // dry-run over a ranked chain names its routing too
+    graft.sources.Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("dr_rated")
+    val dump2 = graft.sql.CqcSql.explain(spark,
+      """SELECT r.src AS n1, r.dst AS n2, s.dst AS n3, r.rating + s.rating AS total_rank
+        |FROM dr_rated r, dr_rated s WHERE r.dst = s.src
+        |ORDER BY total_rank DESC, n1 ASC, n2 ASC, n3 ASC LIMIT 5""".stripMargin)
+    assert(dump2.contains("ranked chain top-k"), s"rank routing missing:\n$dump2")
+  }
+
   test("script splitter keeps ';' inside string literals intact") {
     val script =
       """CREATE OR REPLACE TEMPORARY VIEW cli_semi AS

@@ -1,0 +1,31 @@
+package graft.sql
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+/** Window OVER a factorizable aggregate: the aggregate block under the
+  * Window recurses through the door, so the join beneath must ride the
+  * message-passing fast path (no enumeration), with the window applied
+  * on the per-group frame. */
+class WindowFastAggSpec extends SparkSpecBase {
+  test("SUM(SUM(x)) OVER (PARTITION BY ...) routes the join through messages") {
+    Tables.edges(spark, sfDir).createOrReplaceTempView("wfa_edges_s")
+    val sql =
+      """SELECT g1.src AS a,
+        |       SUM(g3.dst) AS s,
+        |       SUM(SUM(g3.dst)) OVER (PARTITION BY g1.src % 5) AS ws
+        |FROM wfa_edges_s g1, wfa_edges_s g2, wfa_edges_s g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src""".stripMargin
+    val df = CqcSql.solve(spark, sql)
+    val got = df.collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // the nested aggregate leaf must have taken the factorized path: the
+    // physical tree carries the message columns (__sum/__cnt) and the
+    // semijoin reduction, not one flat enumerate-then-aggregate
+    val ep = df.queryExecution.executedPlan.toString()
+    assert(ep.contains("__sum"), "expected message-passing sum columns in the plan")
+    assert(ep.contains("LeftSemi"), "expected semijoin reduction under the aggregate")
+  }
+}
