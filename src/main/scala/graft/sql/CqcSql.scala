@@ -83,7 +83,7 @@ object CqcSql {
   def explainScript(spark: SparkSession, text: String): String = {
     val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
-    stmts.init.foreach(spark.sql(_))
+    stmts.init.foreach(s => if (!tryRefCreateTable(spark, s)) spark.sql(s))
     explain(spark, stmts.last)
   }
 
@@ -101,8 +101,55 @@ object CqcSql {
   def script(spark: SparkSession, text: String): DataFrame = {
     val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
-    stmts.init.foreach(spark.sql(_))
+    stmts.init.foreach(s => if (!tryRefCreateTable(spark, s)) spark.sql(s))
     solve(spark, stmts.last)
+  }
+
+  /** Reference-style DDL (sqlplus-core parser/ddl/SqlCreateTable.java):
+    * `CREATE TABLE name (col TYPE, ..., [PRIMARY KEY (...)]) WITH
+    * ('path' = 'file')` over comma-separated text data (the reference's
+    * generated readers split rows on ','). Stock Spark SQL rejects the
+    * WITH-properties clause, so the script door translates it: schema
+    * from the column defs (constraint clauses tolerated and recorded as
+    * metadata no-ops — they assert, not enforce), data as a
+    * header-less CSV scan, registered as a temp view. Returns false if
+    * the statement is not this shape (caller runs it as stock SQL). */
+  private[sql] def tryRefCreateTable(spark: SparkSession, stmt: String): Boolean = {
+    val pat = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""".r
+    stmt match {
+      case pat(name, colsRaw, propsRaw) =>
+        // split column defs on top-level commas only (constraint clauses
+        // like PRIMARY KEY (a, b) contain nested commas)
+        val defs = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0; val cur = new StringBuilder
+        colsRaw.foreach {
+          case ',' if depth == 0 => defs += cur.toString; cur.clear()
+          case c =>
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            cur += c
+        }
+        defs += cur.toString
+        val upper = (s: String) => s.trim.toUpperCase
+        val fields = defs.map(_.trim).filter(_.nonEmpty).filterNot(d =>
+          upper(d).startsWith("PRIMARY KEY") || upper(d).startsWith("UNIQUE") ||
+            upper(d).startsWith("CONSTRAINT"))
+          // inline `col INT PRIMARY KEY` — strip the assertion, keep the type
+          .map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "").replaceAll("(?i)\\s+UNIQUE$", ""))
+        val props = """'([^']*)'\s*=\s*'([^']*)'""".r
+          .findAllMatchIn(propsRaw).map(m => m.group(1) -> m.group(2)).toMap
+        props.get("path") match {
+          case Some(path) =>
+            spark.read
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(fields.mkString(", ")))
+              .option("header", "false")
+              .option("delimiter", props.getOrElse("delimiter", ","))
+              .csv(path)
+              .createOrReplaceTempView(name)
+            true
+          case None => false // WITH but no path: not the reference shape
+        }
+      case _ => false
+    }
   }
 
   /** Split a SQL script on statement-separating semicolons only: quotes

@@ -50,6 +50,30 @@ class CliSpec extends SparkSpecBase {
     assert(dump2.contains("ranked chain top-k"), s"rank routing missing:\n$dump2")
   }
 
+  test("reference-style DDL (WITH path properties + constraints) loads verbatim") {
+    // the reference's examples ship `CREATE TABLE t (...) WITH ('path' =
+    // 'x.dat')` over comma-separated text (sqlplus-core parser/ddl);
+    // its parser also accepts PRIMARY KEY constraints — both must load
+    // through the script door unchanged
+    val dat = Files.createTempFile("ref_edges", ".dat")
+    Files.write(dat, "1,2\n2,3\n3,1\n3,4\n".getBytes)
+    val script =
+      s"""CREATE TABLE RefGraph (
+         |    src INT,
+         |    dst INT,
+         |    PRIMARY KEY (src, dst)
+         |) WITH (
+         |    'path' = '$dat'
+         |);
+         |SELECT g1.src AS a, COUNT(*) AS n
+         |FROM RefGraph g1, RefGraph g2
+         |WHERE g1.dst = g2.src
+         |GROUP BY g1.src""".stripMargin
+    val got = graft.sql.CqcSql.script(spark, script).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 1), (2, 2), (3, 1)))
+  }
+
   test("script splitter keeps ';' inside string literals intact") {
     val script =
       """CREATE OR REPLACE TEMPORARY VIEW cli_semi AS

@@ -91,9 +91,18 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     edges.createOrReplaceTempView("propr_edges")
 
     var nonEmpty = 0
-    for (_ <- 1 to 8) {
-      val n = 2 + rnd.nextInt(2)
-      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+    var nCyclic = 0
+    for (i <- 1 to 12) {
+      val n = if (i % 3 == 0) 3 else 2 + rnd.nextInt(2)
+      // every third query (forced n=3) CLOSES the chain into a cycle
+      // (g_n.dst = g1.src): a later relation joining back to an early
+      // column is exactly the shape where pruning by the adjacent key
+      // alone silently drops true top-k rows — the prune must partition
+      // by every future-shared column
+      val cyclic = n >= 3 && i % 3 == 0
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src") ++
+        (if (cyclic) Seq(s"g$n.dst = g1.src") else Nil)
+      if (cyclic) nCyclic += 1
       val filters = (1 to n).filter(_ => rnd.nextInt(4) == 0)
         .map(j => s"g$j.src < ${4 + rnd.nextInt(8)}")
       val k = 1 + rnd.nextInt(15)
@@ -115,5 +124,6 @@ class CqcSqlPropertySpec extends SparkSpecBase {
       if (want.nonEmpty) nonEmpty += 1
     }
     assert(nonEmpty >= 5)
+    assert(nCyclic >= 2, "fuzz must cover cyclic (chain-closing) shapes")
   }
 }
