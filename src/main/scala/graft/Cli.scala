@@ -7,20 +7,30 @@ import org.apache.spark.sql.SparkSession
  * of CREATE TABLE DDL + a query, executed end-to-end). Usage:
  *
  *   runMain graft.Cli <script.sql> [maxRows] [--dry-run]
+ *     [--emit [--object=Name] [--package=pkg]]
  *
  * The script is semicolon-separated; every statement but the last runs
  * as stock Spark SQL (DDL: CREATE TABLE ... USING parquet LOCATION,
- * temp views, ...), the final SELECT goes through the CQC door
- * ([[graft.sql.CqcSql.script]]). Results print to stdout. With
- * `--dry-run` the final query is PLANNED, not run: the chosen join
- * tree, bound carriers, and routed fast path print instead (the
- * reference CLI's dry-run/compile artifact at the semantic level).
+ * temp views, reference-style WITH-path DDL), the final SELECT goes
+ * through the CQC door ([[graft.sql.CqcSql.script]]). Results print to
+ * stdout. With `--dry-run` the final query is PLANNED, not run: the
+ * chosen join tree, bound carriers, and routed fast path print instead.
+ * With `--emit` the CLI prints a GENERATED standalone Scala program for
+ * the final query ([[graft.sql.Emit.program]]) — the reference CLI's
+ * compile artifact, named by `--object`/`--package` exactly as its
+ * options do (sqlplus-cli CliFrontendOptions).
  */
 object Cli {
   def main(args: Array[String]): Unit = {
     val dryRun = args.contains("--dry-run")
-    val rest = args.filterNot(_ == "--dry-run")
-    require(rest.nonEmpty, "usage: graft.Cli <script.sql> [maxRows] [--dry-run]")
+    val emit = args.contains("--emit")
+    val objName = args.collectFirst { case a if a.startsWith("--object=") =>
+      a.stripPrefix("--object=") }.getOrElse("GraftQuery")
+    val pkgName = args.collectFirst { case a if a.startsWith("--package=") =>
+      a.stripPrefix("--package=") }.getOrElse("graft.generated")
+    val rest = args.filterNot(a => a.startsWith("--"))
+    require(rest.nonEmpty,
+      "usage: graft.Cli <script.sql> [maxRows] [--dry-run] [--emit [--object=N] [--package=P]]")
     val text = {
       val src = scala.io.Source.fromFile(rest(0))
       try src.mkString finally src.close()
@@ -38,7 +48,12 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (dryRun) println(graft.sql.CqcSql.explainScript(spark, text))
+    if (emit) {
+      val stmts = graft.sql.CqcSql.splitStatements(text)
+      stmts.init.foreach(s =>
+        if (!graft.sql.CqcSql.tryRefCreateTable(spark, s)) spark.sql(s))
+      println(graft.sql.Emit.program(spark, stmts.last, objName, pkgName))
+    } else if (dryRun) println(graft.sql.CqcSql.explainScript(spark, text))
     else graft.sql.CqcSql.script(spark, text)
       .show(rest.lift(1).map(_.toInt).getOrElse(20), truncate = false)
     if (!preExisting) spark.stop()

@@ -114,7 +114,7 @@ object CqcSql {
     * metadata no-ops — they assert, not enforce), data as a
     * header-less CSV scan, registered as a temp view. Returns false if
     * the statement is not this shape (caller runs it as stock SQL). */
-  private[sql] def tryRefCreateTable(spark: SparkSession, stmt: String): Boolean = {
+  private[graft] def tryRefCreateTable(spark: SparkSession, stmt: String): Boolean = {
     val pat = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""".r
     stmt match {
       case pat(name, colsRaw, propsRaw) =>
@@ -155,7 +155,7 @@ object CqcSql {
   /** Split a SQL script on statement-separating semicolons only: quotes
     * ('...' and "..."), doubled-quote escapes ('it''s'), and backslash
     * escapes are scanned, so literals containing ';' survive intact. */
-  private[sql] def splitStatements(text: String): Seq[String] = {
+  private[graft] def splitStatements(text: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var quote: Char = 0 // 0 = outside any literal
