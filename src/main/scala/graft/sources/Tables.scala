@@ -222,6 +222,18 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Bucketed parquet write: rows hash-bucketed (and sorted) by the join
+    * key into `buckets` buckets, registered in the session catalog. The
+    * co-location contract at 100 TB: two tables bucketed by the same key
+    * into the same bucket count join with NO shuffle exchange on either
+    * side — the scan itself satisfies the join's required distribution,
+    * so the biggest join in a pipeline costs zero network. Hive-style
+    * `partitionBy` (above) PRUNES; `bucketBy` CO-LOCATES — different
+    * problems. (BucketingSpec asserts the exchange-free plan.) */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** CSV loader (the reference reads comma-separated `.dat` files). */
   def csv(spark: SparkSession, path: String, schemaDdl: String, delimiter: String = ","): DataFrame =
     tune(spark).read

@@ -1,44 +1,49 @@
 package graft.sources
 
 import graft.SparkSpecBase
-import org.apache.spark.sql.functions._
 
+/** Co-located joins via bucketing: both sides bucketed by the join key
+  * into the same bucket count must join WITHOUT a shuffle exchange —
+  * the cluster-scale strategy for the pipeline's biggest repeated join
+  * (a partitioned write prunes, a bucketed write co-locates). */
 class BucketingSpec extends SparkSpecBase {
 
-  private def cleanLocation(table: String): Unit = {
-    // in-memory catalog forgets tables across JVMs but the files remain
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val dir = new java.io.File(s"/tmp/graft_spec_warehouse/$table")
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(dir)
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
+    val b = (1 to 800).map(i => (i.toLong % 97, i.toLong * 2)).toDF("k", "vb")
+    Tables.writeBucketed(a, "buck_a", "k", 8)
+    Tables.writeBucketed(b, "buck_b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join: the co-location claim is about the
+    // shuffle a sort-merge/shuffled-hash join would otherwise need
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("buck_a").join(spark.table("buck_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected an exchange-free co-located join:\n$plan")
+      val want = a.join(b, "k").count()
+      assert(j.count() == want && want > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS buck_a")
+      spark.sql("DROP TABLE IF EXISTS buck_b")
     }
   }
 
-  test("same-bucketed tables join with zero shuffle exchanges") {
-    cleanLocation("bk_edges_a")
-    cleanLocation("bk_deg")
-    val e = Tables.edges(spark, sfDir)
-    Tables.writeBucketed(e, "bk_edges_a", 4, Seq("src"))
-    Tables.writeBucketed(e.groupBy("src").agg(count(lit(1)).as("deg")),
-      "bk_deg", 4, Seq("src"))
-
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  test("mismatched bucket counts still join correctly (exchange re-appears)") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => (i.toLong % 31, i.toLong)).toDF("k", "va")
+    val b = (1 to 200).map(i => (i.toLong % 31, i.toLong * 3)).toDF("k", "vb")
+    Tables.writeBucketed(a, "buck_c", "k", 8)
+    Tables.writeBucketed(b, "buck_d", "k", 4)
     try {
-      val j = spark.table("bk_edges_a").join(spark.table("bk_deg"), "src")
-      val plan = j.queryExecution.executedPlan.toString()
-      assert(!plan.contains("Exchange"), s"expected co-located join, got:\n$plan")
-      assert(j.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-  }
-
-  test("bucketed groupBy on the bucket key avoids a shuffle") {
-    val agg = spark.table("bk_edges_a").groupBy("src").agg(count(lit(1)))
-    val plan = agg.queryExecution.executedPlan.toString()
-    assert(!plan.contains("Exchange"), s"expected shuffle-free agg, got:\n$plan")
+      val j = spark.table("buck_c").join(spark.table("buck_d"), "k")
+      assert(j.count() == a.join(b, "k").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS buck_c")
+      spark.sql("DROP TABLE IF EXISTS buck_d")
+    }
   }
 }
