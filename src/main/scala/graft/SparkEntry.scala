@@ -1519,6 +1519,7 @@ object SparkEntry {
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
+    "mm_ann" -> ((s, d) => Multimodal.annOverFeatures(Tables.documents(s, d))),
     "pipe_clean" -> (qPipeClean _),
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
@@ -2019,6 +2020,7 @@ object SparkEntry {
     "pipe_heavy" -> Sketches.heavyHittersSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
+    "mm_ann" -> Multimodal.annOverFeaturesSql,
     "mm_frames" -> Multimodal.frameSampleDocumentsSql,
     "pipe_clean" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

@@ -154,6 +154,34 @@ object Multimodal {
   def documentsAsBinary(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("img"))
 
+  /** Pipeline composition: stub feature-extract over the binary column
+    * feeding exact ANN over the derived embeddings — decode → embed →
+    * search end-to-end. The stub is md5-derived, so the WHOLE pipeline
+    * is oracle-checkable; a real vision encoder swaps into [[features]]
+    * with the Spark-side shape (typed mapPartitions → broadcast
+    * brute-force / bucketed ANN) unchanged. */
+  def annOverFeatures(docs: DataFrame): DataFrame =
+    Ann.bruteForceTopK(
+      features(documentsAsBinary(docs)).toDF()
+        .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
+
+  /** DuckDB rendering of [[features]] + brute-force cosine top-k (the
+    * md5-derived stub reproduces exactly in SQL). */
+  val annOverFeaturesSql: String = {
+    val dims = (0 until featureDim).map { d =>
+      s"(((('0x' || substr(md5(md5(text) || '/$d'), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    }.mkString("[", ", ", "]")
+    val cos = Ann.cosineSql("q.embedding", "e.embedding")
+    s"""WITH f AS (SELECT doc_id AS vec_id, $dims AS embedding FROM documents),
+       |q AS (SELECT vec_id, embedding FROM f WHERE vec_id % ${Ann.queryMod} = 0)
+       |SELECT q.vec_id AS q_id, e.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.vec_id
+       |                               ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS sim
+       |FROM q JOIN f e ON e.vec_id <> q.vec_id
+       |QUALIFY rnk <= ${Ann.topK}""".stripMargin
+  }
+
   def decodeDocuments(docs: DataFrame): DataFrame = decode(documentsAsBinary(docs)).toDF()
 
   def resizeDocuments(docs: DataFrame): DataFrame =
