@@ -23,4 +23,35 @@ class SkewSpec extends SparkSpecBase {
       .select("__salt").distinct().count()
     assert(spread > 1)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime complement to the static salted join: one hot key makes
+    // one shuffle partition dominate; AQE's OptimizeSkewedJoin must split
+    // it into advisory-sized sub-partitions — the 100 TB lever for skew
+    // discovered only at run time
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = ((1 to 60000).map(i => (7L, s"payload_${i}_$i")) ++
+        (1 to 1000).map(i => (i.toLong + 100, "tail"))).toDF("k", "p")
+      val right = ((7L, "hot") +: (1 to 1000).map(i => (i.toLong + 100, "x"))).toDF("k", "tag")
+      val j = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one), so AQE finalizes the plan we then inspect
+      assert(j.collect().length == 61000)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"expected a runtime-split skewed join:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
