@@ -81,6 +81,46 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nonEmpty >= 5)
   }
 
+  test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
+    val rnd = new scala.util.Random(4321)
+    val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("propo_edges")
+    val rated = Seq.fill(120)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(50).toLong))
+      .distinct.toDF("src", "dst", "w")
+    rated.createOrReplaceTempView("propo_rated")
+
+    var nonEmpty = 0
+    for (_ <- 1 to 8) {
+      val twoInner = rnd.nextBoolean()
+      val from = if (twoInner) "propo_edges g1, propo_edges g2" else "propo_edges g1"
+      val where = if (twoInner) "\nWHERE g1.dst = g2.src" else ""
+      val onFilter = if (rnd.nextBoolean()) s" AND r.w > ${10 + rnd.nextInt(25)}" else ""
+      val innerPool = Seq(
+        "COUNT(*) AS cnt", "SUM(g1.dst) AS si", "MIN(g1.dst + g1.src) AS mni",
+        "MAX(g1.dst) AS mxi", "AVG(g1.dst) AS avi",
+        "COUNT(NULLIF(g1.dst, 3)) AS cni",
+        "SUM(CAST(g1.dst AS DECIMAL(10,2))) AS sdi") ++
+        (if (twoInner) Seq("SUM(g2.dst) AS s2", "MIN(g2.dst) AS mn2") else Nil)
+      val outerPool = Seq(
+        "COUNT(r.w) AS co", "SUM(r.w) AS so", "MIN(r.w) AS mno",
+        "MAX(r.w) AS mxo", "AVG(r.w) AS avo", "AVG(NULLIF(r.w, 7)) AS avno")
+      val aggs = rnd.shuffle(innerPool).take(1 + rnd.nextInt(2)) ++
+        rnd.shuffle(outerPool).take(1 + rnd.nextInt(2))
+      val sql =
+        s"""SELECT g1.src AS k, ${aggs.mkString(", ")}
+           |FROM $from LEFT OUTER JOIN propo_rated r
+           |  ON g1.dst = r.src$onFilter$where
+           |GROUP BY g1.src""".stripMargin
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want, s"mismatch for: $sql")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
     val rnd = new scala.util.Random(777)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
