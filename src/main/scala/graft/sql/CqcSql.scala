@@ -1276,6 +1276,14 @@ object CqcSql {
           case _: UnsupportedFrame =>
             trace("routing: stock fallback (unsupported window frame)")
             return GraftSqlBridge.dataFrame(spark, analyzed)
+          case scala.util.control.NonFatal(e)
+              if windowDefs.nonEmpty =>
+            // rank-like window functions eagerly call dataType while an
+            // expression tree is being rebuilt (e.g. RANK() ordered by an
+            // aggregate) — any window re-application failure must mean
+            // stock evaluation of the whole query, never a crash
+            trace(s"routing: stock fallback (window rebuild failed: ${e.getClass.getSimpleName})")
+            return GraftSqlBridge.dataFrame(spark, analyzed)
         }
         trace("routing: semijoin-reduced enumeration (Yannakakis pass 1 + output-sensitive pass 2)")
         (enumerated.select(cols: _*), projectList)
