@@ -1123,7 +1123,18 @@ object CqcSql {
         // ---- GROUP BY / HAVING over the CQC join result. The aggregate
         // itself is a plain Catalyst hash aggregate (partial + final) on
         // top of the reduced, comparison-pruned enumeration.
-        val gcols = groupExprs.map(e => GraftSqlBridge.column(toVarNames(e)))
+        // COMPUTED group keys (GROUP BY src % 5) get a stable internal
+        // name — the SELECT/HAVING cannot re-compute them on the
+        // aggregated frame (the underlying columns are gone)
+        val computedGroup = groupExprs.exists(!_.isInstanceOf[AttributeReference])
+        def groupRef(e: Expression): Option[Column] =
+          if (!computedGroup) None
+          else groupExprs.zipWithIndex.find(_._1.semanticEquals(e))
+            .map { case (_, i) => functions.col(s"__g$i") }
+        val gcols = groupExprs.zipWithIndex.map { case (e, i) =>
+          val c = GraftSqlBridge.column(toVarNames(e))
+          if (computedGroup) c.as(s"__g$i") else c
+        }
         // internal sanitized names: the analyzer's helper aliases can be
         // named `count(1)`, which col()/UnresolvedAttribute cannot parse
         val aggAliases = aggExprs.zipWithIndex.collect {
@@ -1146,9 +1157,18 @@ object CqcSql {
           aggExprs.collect {
             case al @ Alias(c: AttributeReference, _) => al.exprId.id -> varName(c.exprId.id)
           }.toMap
-        def toOutNames(e: Expression): Expression = e.transform {
-          case a: AttributeReference =>
-            UnresolvedAttribute(aliasNames.getOrElse(a.exprId.id, varName(a.exprId.id)))
+        def toOutNames(e: Expression): Expression = {
+          // computed group subtrees first (they only exist as __g$i on
+          // the aggregated frame), then attribute renames
+          val pre = if (!computedGroup) e else e.transformDown {
+            case x if groupExprs.exists(_.semanticEquals(x)) =>
+              val i = groupExprs.indexWhere(_.semanticEquals(x))
+              UnresolvedAttribute(s"__g$i")
+          }
+          pre.transform {
+            case a: AttributeReference =>
+              UnresolvedAttribute(aliasNames.getOrElse(a.exprId.id, varName(a.exprId.id)))
+          }
         }
         havingConds.foreach(c => agg = agg.where(GraftSqlBridge.column(toOutNames(c))))
         val finalList = outerProj.getOrElse(aggExprs)
@@ -1157,6 +1177,8 @@ object CqcSql {
             functions.col(aliasNames.getOrElse(a.exprId.id, varName(a.exprId.id))).as(a.name)
           case Alias(c: AttributeReference, name) =>
             functions.col(aliasNames.getOrElse(c.exprId.id, varName(c.exprId.id))).as(name)
+          case al: Alias if groupRef(al.child).isDefined =>
+            groupRef(al.child).get.as(al.name)
           case al: Alias if aliasNames.contains(al.exprId.id) =>
             functions.col(aliasNames(al.exprId.id)).as(al.name)
           case other => GraftSqlBridge.column(toOutNames(other))
@@ -1305,7 +1327,10 @@ object CqcSql {
       val scols = sortOrders.map { so =>
         GraftSqlBridge.column(so.transform {
           case a: AttributeReference =>
-            UnresolvedAttribute(finalNames.getOrElse(a.exprId.id,
+            // quoted: an analyzer helper name like `sum(g2.dst)` contains
+            // dots/parens — the parsing form would read it as a nested
+            // multi-part identifier
+            UnresolvedAttribute.quoted(finalNames.getOrElse(a.exprId.id,
               throw new IllegalArgumentException(
                 "ORDER BY must reference selected columns")))
         })
