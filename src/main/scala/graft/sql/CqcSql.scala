@@ -327,6 +327,13 @@ object CqcSql {
     }
     flatten(innerRoot)
     require(leaves.nonEmpty, "no relations found")
+    // a leaf whose plan outputs DUPLICATE column names (e.g. a Generate
+    // node spanning a self-join: LATERAL VIEW explode over g1, g2) cannot
+    // be variable-renamed by name — stock evaluation, never a crash
+    if (leaves.exists(l => l.output.map(_.name).distinct.size != l.output.size)) {
+      trace("routing: stock fallback (leaf with duplicate output column names)")
+      return GraftSqlBridge.dataFrame(spark, analyzed)
+    }
     val (postOuterConjuncts, conjuncts) = (topConjuncts ++ joinConds).partition(
       _.references.exists(a => outerNames.contains(a.exprId.id)))
 
