@@ -555,6 +555,19 @@ object SparkEntry {
         |GROUP BY g1.src""".stripMargin)
   }
 
+  /** COMPUTED GROUP BY key on the no-enumeration fast path: the key
+    * expression (g1.src % 5) lives in one relation, so the door derives
+    * it onto that leaf and the whole 4-hop aggregate message-passes —
+    * grouped by an expression, the join still never enumerates. */
+  def qSqlCqcGbComputed(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqgb_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src % 5 AS k, COUNT(*) AS cnt, CAST(SUM(g4.dst) AS BIGINT) AS s
+        |FROM cqgb_edges g1, cqgb_edges g2, cqgb_edges g3, cqgb_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |GROUP BY g1.src % 5""".stripMargin)
+  }
+
   /** The sum-of-products semiring from SQL TEXT: Σ of a CROSS-relation
     * product (first-hop rating x last-hop rating) — the door splits the
     * multiplication into per-relation factors and routes to
@@ -1445,6 +1458,7 @@ object SparkEntry {
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
+    "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -2114,6 +2128,12 @@ object SparkEntry {
         |               ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend
         |FROM orders o, customer c
         |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
+    "sql_cqc_gb_computed" ->
+      s"""SELECT g1.src % 5 AS k, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(g4.dst) AS BIGINT) AS s
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY g1.src % 5""".stripMargin,
     "sql_cqc_window_fast" ->
       s"""SELECT a, s, CAST(SUM(s) OVER (PARTITION BY a % 5) AS BIGINT) AS ws
          |FROM (SELECT g1.src AS a, CAST(sum(g4.dst) AS BIGINT) AS s

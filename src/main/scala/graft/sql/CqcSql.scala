@@ -846,11 +846,26 @@ object CqcSql {
         return tryOuterFastAgg(groupExprs, aggAliases)
       if (cmps.nonEmpty || residual.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
-      val gvars = groupExprs.map {
-        case a: AttributeReference => varName(a.exprId.id)
-        case _ => return None // computed group key: generic path
+      val derivedG = scala.collection.mutable.Map[Int, List[(String, Expression)]]()
+        .withDefaultValue(Nil)
+      val gvars = groupExprs.zipWithIndex.map {
+        case (a: AttributeReference, _) => varName(a.exprId.id)
+        case (e, i) =>
+          // COMPUTED key living in ONE relation: derive it there and
+          // group by the derived column — named __g$i, the same name the
+          // generic path and the SELECT/HAVING resolution use
+          val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
+          if (ls.size != 1 || ls.contains(-1)) return None
+          derivedG(ls.head) = (s"__g$i", e) :: derivedG(ls.head)
+          s"__g$i"
       }
-      if (!rels.exists(r => gvars.toSet.subsetOf(r.vars))) return None
+      val plainG = groupExprs.collect {
+        case a: AttributeReference => varName(a.exprId.id)
+      }.toSet
+      // all group keys (plain + derived homes) must sit on ONE relation
+      if (!rels.zipWithIndex.exists { case (r, i) =>
+        plainG.subsetOf(r.vars) && derivedG.keys.forall(_ == i)
+      }) return None
 
       sealed trait Kind
       case object CntK extends Kind
@@ -980,7 +995,7 @@ object CqcSql {
       val rels2 = rels.zipWithIndex.map { case (r, i) =>
         // deRuntime first: a RuntimeReplaceable (NULLIF, ...) analyzes to
         // a With node whose defs break on attr renaming
-        Rel(r.name, derived(i).foldLeft(r.df) { case (df, (n, e)) =>
+        Rel(r.name, (derived(i) ++ derivedG(i)).foldLeft(r.df) { case (df, (n, e)) =>
           df.withColumn(n, GraftSqlBridge.column(toVarNames(deRuntime(e))))
         })
       }
@@ -1140,7 +1155,9 @@ object CqcSql {
             .map { case (_, i) => functions.col(s"__g$i") }
         val gcols = groupExprs.zipWithIndex.map { case (e, i) =>
           val c = GraftSqlBridge.column(toVarNames(e))
-          if (computedGroup) c.as(s"__g$i") else c
+          // rename COMPUTED keys only: plain attribute keys keep their
+          // variable names, which the SELECT resolution expects
+          if (e.isInstanceOf[AttributeReference]) c else c.as(s"__g$i")
         }
         // internal sanitized names: the analyzer's helper aliases can be
         // named `count(1)`, which col()/UnresolvedAttribute cannot parse
@@ -1163,7 +1180,15 @@ object CqcSql {
         val aliasNames = aggAliases.map { case (al, n) => al.exprId.id -> n }.toMap ++
           aggExprs.collect {
             case al @ Alias(c: AttributeReference, _) => al.exprId.id -> varName(c.exprId.id)
-          }.toMap
+          }.toMap ++
+          // a HAVING/ORDER BY referencing a COMPUTED group key does so
+          // through the Aggregate's output attribute — map it to the
+          // derived __g$i column, not through the (absent) leaf vars
+          (if (!computedGroup) Map.empty[Long, String]
+          else aggExprs.collect {
+            case al: Alias if groupExprs.exists(_.semanticEquals(al.child)) =>
+              al.exprId.id -> s"__g${groupExprs.indexWhere(_.semanticEquals(al.child))}"
+          }.toMap)
         def toOutNames(e: Expression): Expression = {
           // computed group subtrees first (they only exist as __g$i on
           // the aggregated frame), then attribute renames
