@@ -474,6 +474,26 @@ object SparkEntry {
     * no comparisons) and routes to the FAQ/AJAR message passing
     * ([[Yannakakis.aggOverJoin]]/[[Yannakakis.extremaOverJoin]]) — the
     * join result never exists anywhere, from plain SQL in. */
+  /** Set operation through the door: three branches — two factorized
+    * aggregates (3-hop count, 2-hop sum) under UNION ALL, a filtered
+    * scan under a deduplicating UNION — each routed independently, the
+    * combination positional (CqcSql set-op routing; spec: SetOpSpec). */
+  def qSqlCqcUnion(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqcu_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS src, COUNT(*) AS m
+        |FROM cqcu_edges g1, cqcu_edges g2, cqcu_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src
+        |UNION ALL
+        |SELECT g1.src AS src, SUM(g2.dst) AS m
+        |FROM cqcu_edges g1, cqcu_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src
+        |UNION
+        |SELECT src, CAST(dst AS BIGINT) AS m FROM cqcu_edges WHERE src < 100""".stripMargin)
+  }
+
   def qSqlCqcAggFast(s: SparkSession, d: String): DataFrame = {
     Tables.edges(s, d).createOrReplaceTempView("cqcf_edges")
     graft.sql.CqcSql.solve(s,
@@ -1451,6 +1471,7 @@ object SparkEntry {
     "sql_cqc" -> (qSqlCqc _),
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
+    "sql_cqc_union" -> (qSqlCqcUnion _),
     "sql_cqc_prod_fast" -> (qSqlCqcProdFast _),
     "sql_cqc_rankjoin" -> (qSqlCqcRankjoin _),
     "sql_cqc_anyk" -> (qSqlCqcAnyk _),
@@ -1512,6 +1533,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
     "dedup_embed_mp" -> ((s, d) => Ann.embedNearDupMultiprobe(Tables.embeddings(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
@@ -2017,6 +2039,7 @@ object SparkEntry {
     "dedup_ngram" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashNearDupSql,
+    "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,
     "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
@@ -2106,6 +2129,18 @@ object SparkEntry {
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY 1""".stripMargin,
+    "sql_cqc_union" ->
+      s"""SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS m
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
+         |GROUP BY g1.src
+         |UNION ALL
+         |SELECT g1.src AS src, CAST(SUM(g2.dst) AS BIGINT) AS m
+         |FROM $E g1, $E g2
+         |WHERE g1.dst = g2.src
+         |GROUP BY g1.src
+         |UNION
+         |SELECT src, CAST(dst AS BIGINT) AS m FROM $E WHERE src < 100""".stripMargin,
     "sql_cqc_prod_fast" ->
       s"""SELECT g1.src AS src,
          |       CAST(sum(CAST(g1.rating AS BIGINT) * CAST(g3.rating AS BIGINT)) AS BIGINT) AS sum_product

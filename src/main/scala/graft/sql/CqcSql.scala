@@ -224,6 +224,52 @@ object CqcSql {
       case other => (false, other)
     }
 
+    // ---- set operations (UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL]):
+    // each branch runs through the door INDEPENDENTLY (semijoin
+    // reduction, fast aggregates, ranked chains — whatever each branch's
+    // shape routes to), then the branches combine positionally with
+    // Spark's own set-op operators. UNION's dedup is exactly the
+    // isDistinct peel above (the analyzer plans UNION as
+    // Distinct(Union)). by-name unions never come from SQL text — they
+    // (and any other exotic variant) fall back to stock.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion, Intersect => LIntersect, Except => LExcept}
+      val setOp: Option[DataFrame] = afterDistinct match {
+        case u: LUnion if !u.byName =>
+          trace(s"routing: UNION${if (isDistinct) "" else " ALL"} — ${u.children.size} branches, each through the door")
+          Some(u.children.map(c => solvePlan(spark, c)).reduce(_ union _))
+        case LIntersect(l, r, isAll) =>
+          trace(s"routing: INTERSECT${if (isAll) " ALL" else ""} — both branches through the door")
+          val (lf, rf) = (solvePlan(spark, l), solvePlan(spark, r))
+          Some(if (isAll) lf intersectAll rf else lf intersect rf)
+        case LExcept(l, r, isAll) =>
+          trace(s"routing: EXCEPT${if (isAll) " ALL" else ""} — both branches through the door")
+          val (lf, rf) = (solvePlan(spark, l), solvePlan(spark, r))
+          Some(if (isAll) lf exceptAll rf else lf except rf)
+        case _ => None
+      }
+      setOp.foreach { combined =>
+        val (sortOrders, limitN, offsetN) = sortLimit
+        val names = afterDistinct.output.map(a => a.exprId.id -> a.name).toMap
+        if (sortOrders.exists(_.references.exists(a => !names.contains(a.exprId.id)))) {
+          trace("routing: stock fallback (ORDER BY over a set operation references a non-output column)")
+          return GraftSqlBridge.dataFrame(spark, analyzed)
+        }
+        var res = if (isDistinct) combined.distinct() else combined
+        if (sortOrders.nonEmpty) {
+          val scols = sortOrders.map { so =>
+            GraftSqlBridge.column(so.transform {
+              case a: AttributeReference => UnresolvedAttribute.quoted(names(a.exprId.id))
+            })
+          }
+          res = res.orderBy(scols: _*)
+        }
+        if (offsetN > 0) res = res.offset(offsetN)
+        limitN.foreach(n => res = res.limit(n))
+        return res
+      }
+    }
+
     val (outerProj, havingConds, aggInfo, afterAgg) = afterDistinct match {
       // HAVING on a non-selected aggregate: the analyzer widens the
       // Aggregate with a helper column and strips it with a Project

@@ -92,6 +92,35 @@ class DedupSpec extends SparkSpecBase {
     assert(Ann.lshPlanesFor(Long.MaxValue) <= 62) // packing stays in one long
   }
 
+  test("clusters: min-reachable labels, exact sizes, one keeper per component") {
+    // a 5-path (diameter 4 -> forces multi-round propagation), a pair,
+    // and a star, all in one pair list
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // path 1-2-3-4-5
+      (10L, 11L),                             // isolated pair
+      (20L, 21L), (20L, 22L), (20L, 23L)      // star around 20
+    ).toDF("d1", "d2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L), (5L, 1L, 5L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L))
+    assert(got == want)
+    // the dedup DECISION: exactly one canonical keeper per component
+    val keep = Dedup.clusters(pairs)
+      .where(col("doc_id") === col("cluster_id")).count()
+    assert(keep == 3)
+  }
+
+  test("clusters composes with a real pair source (ngram Jaccard)") {
+    val out = Dedup.clusters(Dedup.ngramJaccard(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // docs 1,2,3 are one near-dup component labeled by min id 1;
+    // 4 and 5 share no shingles -> absent from the pair graph entirely
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("signature columns are stable across runs (deterministic hashing)") {
     val s1 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
     val s2 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
