@@ -75,6 +75,22 @@ class SetOpSpec extends SparkSpecBase {
     assert(got == want && want.length == 25)
   }
 
+  test("aggregate OVER a union leaf: the set op recurses as a nested block") {
+    prep()
+    val sql =
+      """SELECT u.src AS src, COUNT(*) AS n, SUM(u.dst) AS s
+        |FROM (SELECT g1.src AS src, g2.dst AS dst
+        |      FROM setop_edges g1, setop_edges g2 WHERE g1.dst = g2.src
+        |      UNION ALL
+        |      SELECT src, dst FROM setop_edges WHERE src < 40) u
+        |GROUP BY u.src""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // the union leaf routes through the set-op door, not stock fallback
+    assert(CqcSql.explain(spark, sql).contains("UNION ALL — 2 branches"))
+  }
+
   test("nested unions (three branches) combine positionally") {
     prep()
     val sql =
