@@ -474,6 +474,22 @@ object SparkEntry {
     * no comparisons) and routes to the FAQ/AJAR message passing
     * ([[Yannakakis.aggOverJoin]]/[[Yannakakis.extremaOverJoin]]) — the
     * join result never exists anywhere, from plain SQL in. */
+  /** ROLLUP over a 4-hop ~10^9-path join from SQL text: the door solves
+    * ONE finest-granularity aggregate through the factorized fast path
+    * (the join never enumerates) and rolls the partials up per grouping
+    * set on the tiny pre-aggregated result (CqcSql.tryRollupFast; spec:
+    * RollupFastSpec). */
+  def qSqlCqcRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqcr_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS a, g1.dst AS b, COUNT(*) AS n, SUM(g4.dst) AS s,
+        |       MIN(g4.dst) AS lo,
+        |       CAST(GROUPING(g1.src) AS INT) + CAST(GROUPING(g1.dst) AS INT) AS glvl
+        |FROM cqcr_edges g1, cqcr_edges g2, cqcr_edges g3, cqcr_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+        |GROUP BY ROLLUP(g1.src, g1.dst)""".stripMargin)
+  }
+
   /** Set operation through the door: three branches — two factorized
     * aggregates (3-hop count, 2-hop sum) under UNION ALL, a filtered
     * scan under a deduplicating UNION — each routed independently, the
@@ -1472,6 +1488,7 @@ object SparkEntry {
     "sql_cqc_agg" -> (qSqlCqcAgg _),
     "sql_cqc_agg_fast" -> (qSqlCqcAggFast _),
     "sql_cqc_union" -> (qSqlCqcUnion _),
+    "sql_cqc_rollup" -> (qSqlCqcRollup _),
     "sql_cqc_prod_fast" -> (qSqlCqcProdFast _),
     "sql_cqc_rankjoin" -> (qSqlCqcRankjoin _),
     "sql_cqc_anyk" -> (qSqlCqcAnyk _),
@@ -2129,6 +2146,13 @@ object SparkEntry {
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY 1""".stripMargin,
+    "sql_cqc_rollup" ->
+      s"""SELECT g1.src AS a, g1.dst AS b, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(g4.dst) AS BIGINT) AS s, MIN(g4.dst) AS lo,
+         |       CAST(GROUPING(g1.src) AS INT) + CAST(GROUPING(g1.dst) AS INT) AS glvl
+         |FROM $E g1, $E g2, $E g3, $E g4
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
+         |GROUP BY ROLLUP(g1.src, g1.dst)""".stripMargin,
     "sql_cqc_union" ->
       s"""SELECT g1.src AS src, CAST(COUNT(*) AS BIGINT) AS m
          |FROM $E g1, $E g2, $E g3

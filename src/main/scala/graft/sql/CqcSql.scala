@@ -249,24 +249,38 @@ object CqcSql {
         case _ => None
       }
       setOp.foreach { combined =>
-        val (sortOrders, limitN, offsetN) = sortLimit
-        val names = afterDistinct.output.map(a => a.exprId.id -> a.name).toMap
-        if (sortOrders.exists(_.references.exists(a => !names.contains(a.exprId.id)))) {
-          trace("routing: stock fallback (ORDER BY over a set operation references a non-output column)")
-          return GraftSqlBridge.dataFrame(spark, analyzed)
+        finishTop(combined, afterDistinct.output, sortLimit, isDistinct) match {
+          case Some(res) => return res
+          case None =>
+            trace("routing: stock fallback (ORDER BY over a set operation references a non-output column)")
+            return GraftSqlBridge.dataFrame(spark, analyzed)
         }
-        var res = if (isDistinct) combined.distinct() else combined
-        if (sortOrders.nonEmpty) {
-          val scols = sortOrders.map { so =>
-            GraftSqlBridge.column(so.transform {
-              case a: AttributeReference => UnresolvedAttribute.quoted(names(a.exprId.id))
-            })
+      }
+    }
+
+    // ---- ROLLUP / CUBE / GROUPING SETS over a join (the analyzer plans
+    // them as Aggregate over Expand, which would otherwise swallow the
+    // whole join into one stock-evaluated leaf — no CQC reduction, and
+    // Expand MULTIPLIES the join output by the number of grouping sets
+    // before aggregating): solve ONE inner aggregate at the finest
+    // grouping through the door (it rides the factorized fast path when
+    // the shape allows — the join never enumerates), then roll the
+    // decomposable partials up per grouping set on the small
+    // pre-aggregated result. Unsupported aggregates (DISTINCT, FILTER,
+    // double sums, decimal averages) decline to the generic path.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.{Expand => LExpand}
+      afterDistinct match {
+        case agg @ Aggregate(_, _, exp: LExpand, _) =>
+          tryRollupFast(spark, agg, exp).foreach { combined =>
+            finishTop(combined, afterDistinct.output, sortLimit, isDistinct) match {
+              case Some(res) => return res
+              case None =>
+                trace("routing: stock fallback (ORDER BY over grouping sets references a non-output column)")
+                return GraftSqlBridge.dataFrame(spark, analyzed)
+            }
           }
-          res = res.orderBy(scols: _*)
-        }
-        if (offsetN > 0) res = res.offset(offsetN)
-        limitN.foreach(n => res = res.limit(n))
-        return res
+        case _ => ()
       }
     }
 
@@ -1418,6 +1432,184 @@ object CqcSql {
     if (offsetN > 0) res = res.offset(offsetN)
     limitN.foreach(n => res = res.limit(n))
     res
+  }
+
+  /** Re-apply the peeled DISTINCT / ORDER BY / LIMIT / OFFSET on a frame
+    * whose columns carry `outAttrs`' names (set-op and grouping-set
+    * routes). None = a sort reference is not among the output attrs —
+    * the caller falls back to stock evaluation. */
+  private def finishTop(
+      combined: DataFrame,
+      outAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      sortLimit: (Seq[SortOrder], Option[Int], Int),
+      isDistinct: Boolean): Option[DataFrame] = {
+    val (sortOrders, limitN, offsetN) = sortLimit
+    val names = outAttrs.map(a => a.exprId.id -> a.name).toMap
+    if (sortOrders.exists(_.references.exists(a => !names.contains(a.exprId.id))))
+      return None
+    var res = if (isDistinct) combined.distinct() else combined
+    if (sortOrders.nonEmpty) {
+      val scols = sortOrders.map { so =>
+        GraftSqlBridge.column(so.transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(names(a.exprId.id))
+        })
+      }
+      res = res.orderBy(scols: _*)
+    }
+    if (offsetN > 0) res = res.offset(offsetN)
+    limitN.foreach(n => res = res.limit(n))
+    Some(res)
+  }
+
+  /** Grouping-sets fast path: compute the finest-granularity aggregate
+    * through the door (factorized when the shape allows), then
+    * re-aggregate the decomposable partials per grouping set. Exact for
+    * COUNT / SUM (integral + decimal p≤18) / MIN / MAX / AVG (integral,
+    * |sum| < 2^53 — the same double-integer-exactness stock Spark's own
+    * average buffer relies on). None = shape not covered (DISTINCT /
+    * FILTER aggregates, double sums, decimal averages, no full grouping
+    * set in the Expand) — caller continues to the generic path. */
+  private def tryRollupFast(
+      spark: SparkSession,
+      agg: Aggregate,
+      exp: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val ge = agg.groupingExpressions
+    val ae = agg.aggregateExpressions
+
+    val gidAttr = ge.collectFirst {
+      case a: AttributeReference if a.name == "spark_grouping_id" => a
+    }.getOrElse(return None)
+    if (!ge.forall(_.isInstanceOf[AttributeReference])) return None
+    val keyAttrs = ge.collect {
+      case a: AttributeReference if a.exprId != gidAttr.exprId => a
+    }
+
+    val outIds = exp.output.map(_.exprId)
+    val keyPos = keyAttrs.map(a => outIds.indexOf(a.exprId))
+    val gidPos = outIds.indexOf(gidAttr.exprId)
+    if (keyPos.exists(_ < 0) || gidPos < 0) return None
+
+    // grouping sets: (grouping id literal, which keys are kept)
+    val sets: Seq[(Literal, Seq[Boolean])] = exp.projections.map { proj =>
+      val gid = proj(gidPos) match {
+        case l @ Literal(v, _) if v != null => l
+        case _ => return None
+      }
+      (gid, keyPos.map(p => proj(p) match {
+        case Literal(null, _) => false
+        case _ => true
+      }))
+    }
+    val fullProj = sets.indexWhere(_._2.forall(identity)) match {
+      case -1 => return None // no finest set to decompose from
+      case i => exp.projections(i)
+    }
+
+    // strip the helper Project the analyzer puts under Expand (child
+    // cols pass through; grouping exprs are aliased) so the inner
+    // aggregate sits directly on the join and the door can flatten it
+    val (innerChild, substMap) = exp.child match {
+      case Project(pl, c) =>
+        (c, pl.collect { case al: Alias => al.exprId -> al.child }.toMap)
+      case other =>
+        (other, Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+    }
+    def subst(e: Expression): Expression = e.transform {
+      case a: AttributeReference if substMap.contains(a.exprId) => substMap(a.exprId)
+    }
+    val srcKeyExprs = keyPos.map(p => subst(fullProj(p)))
+
+    // distinct aggregate calls in SELECT order; each maps to partial
+    // column(s) in the inner aggregate and one re-aggregated "__r" column
+    val aggCalls = scala.collection.mutable.ArrayBuffer[AggregateExpression]()
+    ae.foreach(_.foreach {
+      case x: AggregateExpression =>
+        if (!aggCalls.exists(_.canonicalized == x.canonicalized)) aggCalls += x
+      case _ => ()
+    })
+    if (aggCalls.isEmpty ||
+      aggCalls.exists(x => x.isDistinct || x.filter.isDefined)) return None
+    val integral = Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+
+    val innerPartials = scala.collection.mutable.ArrayBuffer[NamedExpression]()
+    // per aggregate call: re-agg Column over the per-set groupBy
+    val reaggs = scala.collection.mutable.ArrayBuffer[Column]()
+    aggCalls.zipWithIndex.foreach { case (x, j) =>
+      // fresh resultIds — the avg case derives TWO partials from one call
+      def partial(name: String,
+          fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Unit =
+        innerPartials += Alias(AggregateExpression(fn, x.mode, isDistinct = false, filter = None), name)()
+      x.aggregateFunction match {
+        case c: Count =>
+          partial(s"__p$j", c)
+          reaggs += functions.sum(functions.col(s"__p$j")).cast(x.dataType).as(s"__r$j")
+        case s: Sum if integral.contains(s.child.dataType) ||
+            (s.child.dataType match {
+              case d: DecimalType => d.precision <= 18
+              case _ => false
+            }) =>
+          partial(s"__p$j", s)
+          reaggs += functions.sum(functions.col(s"__p$j")).cast(x.dataType).as(s"__r$j")
+        case m: Min =>
+          partial(s"__p$j", m)
+          reaggs += functions.min(functions.col(s"__p$j")).as(s"__r$j")
+        case m: Max =>
+          partial(s"__p$j", m)
+          reaggs += functions.max(functions.col(s"__p$j")).as(s"__r$j")
+        case a: Average if integral.contains(a.child.dataType) =>
+          // Spark's own integral average accumulates an integer-valued
+          // double sum — exact below 2^53, so sum-of-longs ÷ count
+          // reproduces it bit-for-bit in that range
+          partial(s"__p${j}s", Sum(a.child))
+          partial(s"__p${j}c", Count(Seq(a.child)))
+          reaggs += (functions.sum(functions.col(s"__p${j}s")).cast("double") /
+            functions.sum(functions.col(s"__p${j}c")).cast("double")).as(s"__r$j")
+        case _ => return None
+      }
+    }
+
+    trace("routing: grouping-sets rollup over pre-aggregated partials " +
+      s"(${sets.size} sets; inner aggregate through the door)")
+    val keyAliases = srcKeyExprs.zipWithIndex.map { case (e, i) => Alias(e, s"__k$i")() }
+    val innerAgg = agg.copy(groupingExpressions = srcKeyExprs,
+      aggregateExpressions = keyAliases ++ innerPartials, child = innerChild)
+    val baseDf = solvePlan(spark, innerAgg)
+
+    val perSet = sets.map { case (gid, kept) =>
+      // __gid rides inside the groupBy so an EMPTY input yields zero
+      // rows for every set — including the global one — exactly as the
+      // keyed-by-gid stock aggregate does
+      var df = baseDf.withColumn("__gid", GraftSqlBridge.column(gid))
+      val keptCols = kept.zipWithIndex.collect { case (true, i) => functions.col(s"__k$i") }
+      df = df.groupBy(keptCols :+ functions.col("__gid"): _*)
+        .agg(reaggs.head, reaggs.tail.toSeq: _*)
+      kept.zipWithIndex.foreach { case (k, i) =>
+        if (!k) df = df.withColumn(s"__k$i", functions.lit(null).cast(keyAttrs(i).dataType))
+      }
+      df.select((keyAttrs.indices.map(i => functions.col(s"__k$i")) :+
+        functions.col("__gid")) ++ reaggs.indices.map(j => functions.col(s"__r$j")): _*)
+    }
+    val combined = perSet.reduce(_ unionByName _)
+
+    // final SELECT: aggregate calls → their re-aggregated columns, key /
+    // grouping-id refs → the per-set columns (GROUPING()/GROUPING_ID()
+    // are plain expressions over the gid attr and transform through)
+    val keyName = keyAttrs.zipWithIndex.map { case (a, i) => a.exprId.id -> s"__k$i" }.toMap
+    val outCols = ae.map { ne =>
+      val e2 = ne.transformUp {
+        case x: AggregateExpression =>
+          val j = aggCalls.indexWhere(_.canonicalized == x.canonicalized)
+          UnresolvedAttribute.quoted(s"__r$j")
+        case a: AttributeReference if a.exprId == gidAttr.exprId =>
+          UnresolvedAttribute.quoted("__gid")
+        case a: AttributeReference if keyName.contains(a.exprId.id) =>
+          UnresolvedAttribute.quoted(keyName(a.exprId.id))
+      }
+      GraftSqlBridge.column(e2).as(ne.name)
+    }
+    Some(combined.select(outCols: _*))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
