@@ -270,17 +270,45 @@ object CqcSql {
     // double sums, decimal averages) decline to the generic path.
     locally {
       import org.apache.spark.sql.catalyst.plans.logical.{Expand => LExpand}
-      afterDistinct match {
+      // HAVING plans as a Filter above the Aggregate (plus a helper
+      // Project when it references a non-selected aggregate): peel both,
+      // apply the conditions on the rolled-up frame by output name,
+      // strip helper columns last
+      val (rollupProj, rollupConds, aggOpt) = afterDistinct match {
+        case Project(pl, Filter(cond, agg @ Aggregate(_, _, exp: LExpand, _))) =>
+          (Some(pl), splitConjuncts(cond), Some((agg, exp)))
+        case Filter(cond, agg @ Aggregate(_, _, exp: LExpand, _)) =>
+          (None, splitConjuncts(cond), Some((agg, exp)))
         case agg @ Aggregate(_, _, exp: LExpand, _) =>
-          tryRollupFast(spark, agg, exp).foreach { combined =>
-            finishTop(combined, afterDistinct.output, sortLimit, isDistinct) match {
-              case Some(res) => return res
-              case None =>
-                trace("routing: stock fallback (ORDER BY over grouping sets references a non-output column)")
-                return GraftSqlBridge.dataFrame(spark, analyzed)
-            }
+          (None, Seq.empty[Expression], Some((agg, exp)))
+        case _ => (None, Seq.empty[Expression], None)
+      }
+      val supported = aggOpt.exists { case (agg, _) =>
+        val names = agg.output.map(a => a.exprId.id -> a.name).toMap
+        names.values.toSeq.distinct.size == names.size && // by-name rebinding needs unique names
+          rollupConds.forall(_.references.forall(a => names.contains(a.exprId.id))) &&
+          rollupProj.forall(_.forall(_.isInstanceOf[AttributeReference]))
+      }
+      if (supported) aggOpt.foreach { case (agg, exp) =>
+        tryRollupFast(spark, agg, exp).foreach { combined0 =>
+          val names = agg.output.map(a => a.exprId.id -> a.name).toMap
+          var combined = combined0
+          rollupConds.foreach { c =>
+            combined = combined.where(GraftSqlBridge.column(c.transform {
+              case a: AttributeReference => UnresolvedAttribute.quoted(names(a.exprId.id))
+            }))
           }
-        case _ => ()
+          rollupProj.foreach { pl =>
+            combined = combined.select(pl.map(a =>
+              GraftSqlBridge.column(UnresolvedAttribute.quoted(names(a.exprId.id)))): _*)
+          }
+          finishTop(combined, afterDistinct.output, sortLimit, isDistinct) match {
+            case Some(res) => return res
+            case None =>
+              trace("routing: stock fallback (ORDER BY over grouping sets references a non-output column)")
+              return GraftSqlBridge.dataFrame(spark, analyzed)
+          }
+        }
       }
     }
 

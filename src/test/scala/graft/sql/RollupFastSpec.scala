@@ -101,6 +101,73 @@ class RollupFastSpec extends SparkSpecBase {
     assert(got.isEmpty && want.isEmpty)
   }
 
+  test("decimal SUM partials (p<=18) roll up exactly") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("ru_rated")
+    check(
+      """SELECT r1.src AS a, r1.dst AS b,
+        |       SUM(CAST(r2.rating AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+        |FROM ru_rated r1, ru_rated r2
+        |WHERE r1.dst = r2.src
+        |GROUP BY ROLLUP(r1.src, r1.dst)""".stripMargin)
+  }
+
+  test("double SUM declines the rollup fast path but stays correct") {
+    prep()
+    Tables.ratedEdges(spark, sfDir).createOrReplaceTempView("ru_ratedD")
+    check(
+      """SELECT r1.src AS a, SUM(r2.rating) AS s
+        |FROM ru_ratedD r1, ru_ratedD r2
+        |WHERE r1.dst = r2.src
+        |GROUP BY ROLLUP(r1.src)""".stripMargin, expectFast = false)
+  }
+
+  test("seeded fuzz: random grouping-set shapes vs stock") {
+    prep()
+    val rnd = new scala.util.Random(20260813L)
+    val aggPool = Seq("COUNT(*)", "SUM(g2.dst)", "MIN(g2.dst)", "MAX(g1.dst)", "AVG(g2.dst)")
+    for (i <- 1 to 12) {
+      val keys = rnd.nextInt(3) match {
+        case 0 => Seq("g1.src")
+        case 1 => Seq("g1.src", "g1.dst")   // same-relation pair (factorizable)
+        case 2 => Seq("g1.src", "g2.dst")   // cross-relation pair
+      }
+      val form = Seq("ROLLUP", "CUBE")(rnd.nextInt(2))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+      val keySel = keys.zipWithIndex.map { case (k, j) => s"$k AS k$j" }.mkString(", ")
+      val aggSel = aggs.zipWithIndex.map { case (a, j) => s"$a AS v$j" }.mkString(", ")
+      val sql =
+        s"""SELECT $keySel, $aggSel, GROUPING_ID() AS gid
+           |FROM ru_edges g1, ru_edges g2
+           |WHERE g1.dst = g2.src
+           |GROUP BY $form(${keys.mkString(", ")})""".stripMargin
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).groupBy(identity)
+      val want = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      assert(got.view.mapValues(_.length).toMap == want.view.mapValues(_.length).toMap,
+        s"fuzz shape $i mismatch:\n$sql")
+    }
+  }
+
+  test("HAVING over ROLLUP applies on the rolled-up frame") {
+    prep()
+    check(
+      """SELECT g1.src AS a, g1.dst AS b, COUNT(*) AS n
+        |FROM ru_edges g1, ru_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY ROLLUP(g1.src, g1.dst)
+        |HAVING COUNT(*) > 3""".stripMargin)
+  }
+
+  test("HAVING on a non-selected aggregate (helper Project) over CUBE") {
+    prep()
+    check(
+      """SELECT g1.src AS a, COUNT(*) AS n
+        |FROM ru_edges g1, ru_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY CUBE(g1.src)
+        |HAVING SUM(g2.dst) > 500 AND MIN(g2.dst) >= 0""".stripMargin)
+  }
+
   test("DISTINCT aggregate over grouping sets declines but stays correct") {
     prep()
     check(
