@@ -1229,7 +1229,7 @@ object CqcSql {
       trace("routing: ranked chain top-k (per-key cum-rank prune; no full enumeration)")
 
     val (resBase, finalNamed): (DataFrame, Seq[NamedExpression]) = aggInfo match {
-      case Some((groupExprs, aggExprs)) =>
+      case Some((groupExprs, aggExprs)) => try {
         // ---- GROUP BY / HAVING over the CQC join result. The aggregate
         // itself is a plain Catalyst hash aggregate (partial + final) on
         // top of the reduced, comparison-pruned enumeration.
@@ -1304,6 +1304,15 @@ object CqcSql {
           case other => GraftSqlBridge.column(toOutNames(other))
         }
         (agg.select(cols: _*), finalList)
+      } catch {
+        // an aggregate whose expressions cannot be rebuilt over the
+        // renamed frame (e.g. PIVOT's pivotfirst calls dataType on its
+        // children DURING transform, so attr renaming itself throws) —
+        // stock evaluation, never a crash
+        case scala.util.control.NonFatal(e) =>
+          trace(s"routing: stock fallback (aggregate rebuild failed: ${e.getClass.getSimpleName})")
+          return GraftSqlBridge.dataFrame(spark, analyzed)
+      }
 
       case None if rankedChain.isDefined =>
         (rankedChain.get, projectList)

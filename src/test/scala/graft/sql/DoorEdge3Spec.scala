@@ -77,4 +77,19 @@ class DoorEdge3Spec extends SparkSpecBase {
     }
     assert(bad == 0, s"$bad type shapes failed")
   }
+
+  test("PIVOT over a join: pivotfirst rebuild fails safe to stock, result correct") {
+    Tables.edges(spark, sfDir).createOrReplaceTempView("dt_edges")
+    // pivotfirst calls dataType on its children DURING transform, so the
+    // door's attr renaming cannot rebuild it — guarded stock fallback
+    val sql =
+      """SELECT * FROM (
+        |  SELECT g1.src AS a, g2.dst % 2 AS par, g2.dst AS v
+        |  FROM dt_edges g1, dt_edges g2 WHERE g1.dst = g2.src)
+        |PIVOT (SUM(v) AS s, COUNT(*) AS c FOR par IN (0 AS even, 1 AS odd))""".stripMargin
+    val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+    val want = spark.sql(sql).collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    assert(CqcSql.explain(spark, sql).contains("aggregate rebuild failed"))
+  }
 }
