@@ -604,6 +604,39 @@ object SparkEntry {
         |GROUP BY g1.src % 5""".stripMargin)
   }
 
+  /** NULL-safe equality (`<=>`) as a first-class join EDGE: the door
+    * derives a one-field-struct join key on each side (struct equality
+    * matches NULL fields), so the null-safe join is a hash join — and
+    * here the whole aggregate rides the factorized fast path — instead
+    * of a cross join + residual filter. The NULL key group survives
+    * end-to-end (DuckDB oracle: IS NOT DISTINCT FROM). */
+  def qSqlCqcNullsafe(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("cqns_lineitem")
+    s.sql(
+      """SELECT CASE WHEN src % 7 = 0 THEN NULL ELSE src END AS src, dst
+        |FROM (SELECT DISTINCT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+        |      FROM cqns_lineitem WHERE l_linenumber = 1)""".stripMargin)
+      .createOrReplaceTempView("cqns_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(g2.dst) AS BIGINT) AS s
+        |FROM cqns_edges g1, cqns_edges g2
+        |WHERE g1.src <=> g2.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
+  /** COMPUTED-side equality (`g1.dst + 1 = g2.src`) lifted to a join
+    * edge: each side derives onto its home leaf as a `__vj` column, the
+    * hypergraph gets a real edge, and the 3-hop aggregate message-passes
+    * — these shapes used to be a cross join with a residual filter. */
+  def qSqlCqcEqexpr(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqee_edges")
+    graft.sql.CqcSql.solve(s,
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
+        |FROM cqee_edges g1, cqee_edges g2, cqee_edges g3
+        |WHERE g1.dst + 1 = g2.src AND g2.dst = g3.src""".stripMargin)
+  }
+
   /** The sum-of-products semiring from SQL TEXT: Σ of a CROSS-relation
     * product (first-hop rating x last-hop rating) — the door splits the
     * multiplication into per-relation factors and routes to
@@ -1497,6 +1530,8 @@ object SparkEntry {
     "sql_cqc_window" -> (qSqlCqcWindow _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
+    "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
+    "sql_cqc_eqexpr" -> (qSqlCqcEqexpr _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -1585,6 +1620,12 @@ object SparkEntry {
   )
 
   private val E = s"(${Tables.edgesSql})"
+  // null-bearing edges (src NULLed on multiples of 7) for the null-safe
+  // join entry — same derivation on the Spark side in qSqlCqcNullsafe
+  private val NE =
+    """(SELECT CASE WHEN src % 7 = 0 THEN NULL ELSE src END AS src, dst
+      | FROM (SELECT DISTINCT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+      |       FROM lineitem WHERE l_linenumber = 1))""".stripMargin
   private val EW = s"(${Tables.edgesWideSql})"
   private val RE = s"(${Tables.ratedEdgesSql})"
   private val PS = s"(${Tables.partsuppSql})"
@@ -2193,6 +2234,16 @@ object SparkEntry {
          |FROM $E g1, $E g2, $E g3, $E g4
          |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src
          |GROUP BY g1.src % 5""".stripMargin,
+    "sql_cqc_nullsafe" ->
+      s"""SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(g2.dst) AS BIGINT) AS s
+         |FROM $NE g1, $NE g2
+         |WHERE g1.src IS NOT DISTINCT FROM g2.src
+         |GROUP BY g1.src""".stripMargin,
+    "sql_cqc_eqexpr" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
+         |FROM $E g1, $E g2, $E g3
+         |WHERE g1.dst + 1 = g2.src AND g2.dst = g3.src""".stripMargin,
     "sql_cqc_window_fast" ->
       s"""SELECT a, s, CAST(SUM(s) OVER (PARTITION BY a % 5) AS BIGINT) AS ws
          |FROM (SELECT g1.src AS a, CAST(sum(g4.dst) AS BIGINT) AS s

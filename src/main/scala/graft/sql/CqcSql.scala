@@ -461,6 +461,49 @@ object CqcSql {
       parent(find(a.exprId.id)) = find(b.exprId.id)
     }
 
+    // ---- lift COMPUTED-side and null-safe equalities into join EDGES:
+    // `f(a) = g(b)` with each side confined to one leaf (different
+    // leaves) is a genuine equi-join — derive each side as a join-key
+    // column (`__vj$i`) on its home leaf, so the hypergraph gets a real
+    // edge (a hash join at scale, not the cross join + residual filter
+    // these shapes used to get). `a <=> b` lifts the same way with both
+    // sides wrapped in a one-field struct: Spark's struct equality
+    // matches NULL fields (probed: `struct(NULL) = struct(NULL)` is
+    // true), so the derived key is hash-joinable with exactly the
+    // null-safe semantics.
+    val liftedJoinKeys =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, Expression, Expression, Boolean)]()
+    val othersKept = others.filter { e =>
+      def sidesOf(l: Expression, r: Expression): Option[(Int, Int)] = {
+        val ll = l.references.map(a => leafOf(a.exprId.id)).toSet
+        val rl = r.references.map(a => leafOf(a.exprId.id)).toSet
+        if (ll.size == 1 && rl.size == 1 && ll != rl) Some((ll.head, rl.head)) else None
+      }
+      e match {
+        case _ if hasSubquery(e) || !e.deterministic => true
+        case EqualTo(l, r) => // attr=attr cross-leaf pairs are already in `equalities`
+          sidesOf(l, r) match {
+            case Some((li, ri)) => liftedJoinKeys += ((li, ri, l, r, false)); false
+            case None => true
+          }
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r) =>
+          sidesOf(l, r) match {
+            case Some((li, ri)) => liftedJoinKeys += ((li, ri, l, r, true)); false
+            case None => true
+          }
+        case _ => true
+      }
+    }
+    val derivedJ = scala.collection.mutable.Map[Int, List[(String, Expression, Boolean)]]()
+      .withDefaultValue(Nil)
+    liftedJoinKeys.zipWithIndex.foreach { case ((li, ri, l, r, ns), i) =>
+      derivedJ(li) = (s"__vj$i", l, ns) :: derivedJ(li)
+      derivedJ(ri) = (s"__vj$i", r, ns) :: derivedJ(ri)
+    }
+    if (liftedJoinKeys.nonEmpty)
+      trace(s"lifted ${liftedJoinKeys.size} computed/null-safe equalit" +
+        s"${if (liftedJoinKeys.size == 1) "y" else "ies"} to derived join keys (__vj)")
+
     // ---- variable naming: join classes share a name, the rest stay unique
     val classMembers = (leafAttrIds.flatten.map(id => find(id) -> id))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -510,7 +553,7 @@ object CqcSql {
       cur
     }
     def varSql(e: Expression): String = toVarNamesEarly(deRuntime(e)).sql
-    others.foreach { e =>
+    othersKept.foreach { e =>
       val refLeaves = e.references.map(a => leafOf(a.exprId.id)).toSet
       e match {
         case _ if refLeaves.size == 1 =>
@@ -595,6 +638,14 @@ object CqcSql {
             seen(vn) = a.name
             df = df.withColumnRenamed(a.name, vn)
         }
+      }
+      // derived join keys from lifted computed/null-safe equalities:
+      // the expression is rebound to variable names (resolves by name on
+      // both plain and nested frames); the <=> struct wrap names its
+      // field "k" on both sides so the struct types match exactly
+      derivedJ(i).foreach { case (n, e, ns) =>
+        val c = GraftSqlBridge.column(toVarNamesEarly(deRuntime(e)))
+        df = df.withColumn(n, if (ns) functions.struct(c.as("k")) else c)
       }
       Rel(s"r$i", df)
     }.toSeq

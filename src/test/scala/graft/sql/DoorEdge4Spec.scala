@@ -78,4 +78,31 @@ class DoorEdge4Spec extends SparkSpecBase {
     }
     assert(bad == 0, s"$bad null-semantics shapes failed")
   }
+
+  test("computed/null-safe equalities lift to derived join edges, not cross joins") {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("d4_lineitem")
+    spark.sql(
+      """SELECT CASE WHEN src % 7 = 0 THEN NULL ELSE src END AS src, dst
+        |FROM (SELECT DISTINCT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+        |      FROM d4_lineitem WHERE l_linenumber = 1)""".stripMargin)
+      .createOrReplaceTempView("d4_nulledges")
+    // <=>-only join: a real edge on the struct-wrapped key + fast path
+    val t1 = CqcSql.explain(spark,
+      """SELECT g1.src AS k, COUNT(*) AS n FROM d4_nulledges g1, d4_nulledges g2
+        |WHERE g1.src <=> g2.src GROUP BY g1.src""".stripMargin)
+    assert(t1.contains("lifted 1 computed/null-safe equality"), t1)
+    assert(t1.contains("on [__vj0]"), t1)
+    assert(t1.contains("factorized aggregate fast path"), t1)
+    // computed-side equality: same lift, no cross join
+    val t2 = CqcSql.explain(spark,
+      """SELECT COUNT(*) AS n FROM d4_nulledges g1, d4_nulledges g2
+        |WHERE g1.dst + 1 = g2.src""".stripMargin)
+    assert(t2.contains("on [__vj0]"), t2)
+    // and the physical plan of the <=> join has no cartesian product
+    val df = CqcSql.solve(spark,
+      """SELECT g1.src AS k, COUNT(*) AS n FROM d4_nulledges g1, d4_nulledges g2
+        |WHERE g1.src <=> g2.src GROUP BY g1.src""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys.take(2000))
+  }
 }
