@@ -637,6 +637,22 @@ object SparkEntry {
         |WHERE g1.dst + 1 = g2.src AND g2.dst = g3.src""".stripMargin)
   }
 
+  /** WITH-clause (CTE) bodies inline before decomposition: the join
+    * structure inside the CTE becomes visible to the door, so a
+    * CTE-bodied multi-hop aggregate rides the factorized fast path
+    * (without inlining the whole WITH collapses into ONE opaque leaf —
+    * correct but unaccelerated). The CTE here is referenced three times
+    * (self-join), exercising the per-reference attribute remapping. */
+  def qSqlCqcCte(s: SparkSession, d: String): DataFrame = {
+    Tables.edges(s, d).createOrReplaceTempView("cqcte_edges")
+    graft.sql.CqcSql.solve(s,
+      """WITH e AS (SELECT src, dst FROM cqcte_edges WHERE src <> dst)
+        |SELECT g1.src AS k, COUNT(*) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
+        |FROM e g1, e g2, e g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |GROUP BY g1.src""".stripMargin)
+  }
+
   /** The sum-of-products semiring from SQL TEXT: Σ of a CROSS-relation
     * product (first-hop rating x last-hop rating) — the door splits the
     * multiplication into per-relation factors and routes to
@@ -1532,6 +1548,7 @@ object SparkEntry {
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
     "sql_cqc_eqexpr" -> (qSqlCqcEqexpr _),
+    "sql_cqc_cte" -> (qSqlCqcCte _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
@@ -2244,6 +2261,12 @@ object SparkEntry {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst + 1 = g2.src AND g2.dst = g3.src""".stripMargin,
+    "sql_cqc_cte" ->
+      s"""WITH e AS (SELECT src, dst FROM $E base WHERE src <> dst)
+         |SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
+         |FROM e g1, e g2, e g3
+         |WHERE g1.dst = g2.src AND g2.dst = g3.src
+         |GROUP BY g1.src""".stripMargin,
     "sql_cqc_window_fast" ->
       s"""SELECT a, s, CAST(SUM(s) OVER (PARTITION BY a % 5) AS BIGINT) AS ws
          |FROM (SELECT g1.src AS a, CAST(sum(g4.dst) AS BIGINT) AS s

@@ -191,7 +191,34 @@ object CqcSql {
    * two-level TPC-H Q13 text gets CQC treatment at BOTH levels instead
    * of evaluating the inner block as an opaque stock-Spark leaf.
    */
-  def solvePlan(spark: SparkSession, analyzed: LogicalPlan): DataFrame = {
+  /** Inline WITH-clause (CTE) definitions so the join structure inside
+    * them is visible to the decomposition — without this a CTE-bodied
+    * join collapses into ONE opaque leaf and gets no semijoin reduction
+    * or factorized aggregate. Spark's own `InlineCTE(alwaysInline)`
+    * does the ref-site attribute remapping (multi-referenced defs
+    * inline once per ref with fresh exprIds, exactly what a self-join
+    * over a CTE needs). Guarded: non-deterministic defs keep their
+    * WithCTE (inlining would re-evaluate e.g. rand() per reference —
+    * stock fallback handles those), and any inliner failure returns
+    * the original plan. */
+  private def inlineCtes(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: org.apache.spark.sql.catalyst.plans.logical.WithCTE =>
+      val allDet = w.cteDefs.forall(_.deterministic)
+      if (!allDet) plan
+      else try {
+        val inlined =
+          org.apache.spark.sql.catalyst.optimizer.InlineCTE(alwaysInline = true)(plan)
+        val clean = inlined.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.WithCTE => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.CTERelationRef => ()
+        }.isEmpty
+        if (clean) { trace("inlined WITH-clause (CTE) definitions"); inlined } else plan
+      } catch { case scala.util.control.NonFatal(_) => plan }
+    case _ => plan
+  }
+
+  def solvePlan(spark: SparkSession, analyzed0: LogicalPlan): DataFrame = {
+    val analyzed = inlineCtes(analyzed0)
 
     // ---- peel ORDER BY / LIMIT off the top (the reference's ranked
     // SQL form). Sort refs must point at SELECTed output columns; they
