@@ -157,7 +157,22 @@ object Hypergraph {
     val byName = rels.map(r => r.name -> r).toMap
     val size: Map[String, BigInt] = rels.map(r => r.name -> estSize(r)).toMap
     val tree = new JoinTree(byName, alive.head._1, parent)
-    tree.rerooted(rels.maxBy(r => (size(r.name), r.name)).name)
+    val pick = Option(rootHintTL.get).filter(byName.contains)
+      .getOrElse(rels.maxBy(r => (size(r.name), r.name)).name)
+    tree.rerooted(pick)
+  }
+
+  /** Candidate-pick surface for callers that cannot pass a [[JoinTree]]
+    * (the SQL door / web API): while `f` runs on this thread, [[joinTree]]
+    * roots its ENUMERATION tree at `root` instead of the cost pick.
+    * Tree choice never changes results (rerooting preserves the
+    * running-intersection property); the fast aggregate paths reroot by
+    * their own semantics and ignore the hint. Reference: sqlplus-web's
+    * candidate-tree pick feeding convert/HintHandler.scala:9. */
+  private val rootHintTL = new ThreadLocal[String]
+  def withRootHint[T](root: String)(f: => T): T = {
+    rootHintTL.set(root)
+    try f finally rootHintTL.remove()
   }
 
   /** Every valid join tree the cost model chooses among: the GYO tree

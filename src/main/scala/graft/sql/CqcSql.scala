@@ -77,6 +77,56 @@ object CqcSql {
     } finally tracer.remove()
   }
 
+  // ---- inspection surfaces over the decomposed body (dry-run: plans
+  // are BUILT, no job runs) — the web/CLI parity layer reads these.
+  private val relsHook = new ThreadLocal[Seq[graft.cqc.Rel] => Unit]
+
+  /** The decomposed conjunctive body (hyperedges) of the OUTERMOST query
+    * block, without executing anything. Empty when the text falls back
+    * to stock before decomposition (e.g. an unsupported top shape). */
+  def relations(spark: SparkSession, sql: String): Seq[graft.cqc.Rel] = {
+    val last = scala.collection.mutable.ArrayBuffer[graft.cqc.Rel]()
+    relsHook.set { rels => last.clear(); last ++= rels }
+    try {
+      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      last.toSeq
+    } finally relsHook.remove()
+  }
+
+  /** Every candidate join tree for an acyclic body — (root name,
+    * describe dump) per candidate; empty for cyclic bodies (GHD picks
+    * bags by coverage, there is no rerooting choice to offer).
+    * Reference: sqlplus-web's candidate list feeding its tree pick. */
+  def candidates(spark: SparkSession, sql: String): Seq[(String, String)] = {
+    val rels = relations(spark, sql)
+    if (rels.size < 2 || !graft.cqc.Hypergraph.isAcyclic(rels)) Seq.empty
+    else graft.cqc.Hypergraph.candidateTrees(rels).map(t => t.root -> t.describe)
+  }
+
+  /** [[solve]] with the enumeration join tree rooted at `root` (a name
+    * from [[candidates]]) — the candidate-pick execution path. */
+  def solveWithRoot(spark: SparkSession, sql: String, root: String): DataFrame =
+    graft.cqc.Hypergraph.withRootHint(root)(solve(spark, sql))
+
+  /** Graphviz DOT dump of the query hypergraph (bipartite form:
+    * box = relation hyperedge, ellipse = variable) — the textual
+    * equivalent of sqlplus-web's hypergraph visualization. */
+  def hypergraphDot(spark: SparkSession, sql: String): String = {
+    val rels = relations(spark, sql)
+    val vars = rels.flatMap(_.vars).distinct.sorted
+    val sb = new StringBuilder("graph hypergraph {\n")
+    sb.append("  node [shape=box, style=filled, fillcolor=lightblue];\n")
+    rels.foreach { r =>
+      sb.append(s"""  "${r.name}" [label="${r.name}\\n~${graft.cqc.Hypergraph.estSize(r)}B"];\n""")
+    }
+    sb.append("  node [shape=ellipse, style=solid];\n")
+    vars.foreach(v => sb.append(s"""  "v_$v" [label="$v"];\n"""))
+    rels.foreach { r =>
+      r.vars.toSeq.sorted.foreach(v => sb.append(s"""  "${r.name}" -- "v_$v";\n"""))
+    }
+    sb.append("}\n").toString
+  }
+
   /** [[explain]] over a semicolon-separated script: DDL statements run
     * (views must exist for the final query to analyze), the final
     * statement is dry-run-planned instead of executed. */
@@ -676,6 +726,10 @@ object CqcSql {
       }
       Rel(s"r$i", df)
     }.toSeq
+
+    // inspection hook (candidates / hypergraph dump): nested blocks fire
+    // inner-first, the OUTERMOST body fires last — callers keep the last
+    locally { val h = relsHook.get(); if (h != null) h(rels) }
 
     trace {
       val desc =

@@ -1,0 +1,107 @@
+package graft.web
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+
+/** End-to-end over real HTTP: ephemeral-port server wrapping the shared
+  * spec session; asserts the three reference-web capabilities
+  * (hypergraph dump, candidate list + pick, experiment run) plus the
+  * query/plan/emit doors. */
+class GraftServerSpec extends SparkSpecBase {
+
+  private lazy val server = new GraftServer(spark, 0).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .GET().build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private val joinSql =
+    """SELECT g1.src AS a, g3.dst AS b
+      |FROM web_edges g1, web_edges g2, web_edges g3
+      |WHERE g1.dst = g2.src AND g2.dst = g3.src""".stripMargin
+
+  private def view(): Unit =
+    Tables.edges(spark, sfDir).createOrReplaceTempView("web_edges")
+
+  test("health + index page") {
+    assert(get("/health") == (200, """{"status":"ok"}"""))
+    val (c, html) = get("/")
+    assert(c == 200 && html.contains("graft console"))
+  }
+
+  test("query door returns rows as JSON") {
+    view()
+    val (c, b) = post("/api/query?limit=5", joinSql)
+    assert(c == 200, b)
+    assert(b.contains(""""columns":["a","b"]"""), b)
+    assert(b.contains(""""capped":true"""), b)
+  }
+
+  test("plan endpoint returns the dry-run dump") {
+    view()
+    val (c, b) = post("/api/plan", joinSql)
+    assert(c == 200 && b.contains("join tree (cost-picked)"), b)
+  }
+
+  test("candidates lists every rerooting; picked root changes the tree, not the result") {
+    view()
+    val (c, b) = post("/api/candidates", joinSql)
+    assert(c == 200, b)
+    // 3-relation acyclic chain: 3 candidate roots
+    assert(Seq("r0", "r1", "r2").forall(r => b.contains(s""""root":"$r"""")), b)
+    // every pick returns the same rows as the automatic cost choice
+    val auto = graft.sql.CqcSql.solve(spark, joinSql)
+      .orderBy("a", "b").collect().toSeq
+    Seq("r0", "r1", "r2").foreach { root =>
+      val pinned = graft.sql.CqcSql.solveWithRoot(spark, joinSql, root)
+        .orderBy("a", "b").collect().toSeq
+      assert(pinned == auto, s"root $root changed the result")
+    }
+    // and the HTTP pick path works end-to-end
+    val (cq, bq) = post("/api/query?root=r1&limit=3", joinSql)
+    assert(cq == 200 && bq.contains(""""columns":["a","b"]"""), bq)
+  }
+
+  test("hypergraph endpoint emits bipartite DOT") {
+    view()
+    val (c, dot) = post("/api/hypergraph", joinSql)
+    assert(c == 200, dot)
+    assert(dot.startsWith("graph hypergraph {"), dot)
+    assert(dot.contains("\"r0\"") && dot.contains("\"r1\"") && dot.contains("\"r2\""), dot)
+    assert(dot.contains(" -- "), dot) // relation—variable incidence edges
+  }
+
+  test("emit endpoint returns a compilable-looking program") {
+    view()
+    val (c, src) = post("/api/emit?object=WebQ", joinSql)
+    assert(c == 200, src)
+    assert(src.contains("object WebQ") && src.contains("def run(spark: SparkSession)"), src)
+  }
+
+  test("experiment runner times a registered entry") {
+    val (c, b) = get("/api/queries")
+    assert(c == 200 && b.contains("\"q1_agg\""), b)
+    val (c2, b2) = post(s"/api/experiment?name=q1_agg&sf=$sfDir", "")
+    assert(c2 == 200, b2)
+    assert(b2.contains("\"rows\":") && b2.contains("\"sec\":"), b2)
+  }
+
+  test("bad SQL returns a JSON error, not a 500 stack") {
+    val (c, b) = post("/api/query", "SELEC nonsense")
+    assert(c == 400 && b.startsWith("""{"error":"""), (c, b))
+  }
+}
