@@ -81,6 +81,43 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nonEmpty >= 5)
   }
 
+  test("random CTE-wrapped aggregate queries inline and match stock Spark") {
+    val rnd = new scala.util.Random(4242)
+    val edges = Seq.fill(200)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("propc_edges")
+
+    var inlined = 0
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(3)
+      val joins = (1 until n).map(j => s"e$j.dst = e${j + 1}.src")
+      // the CTE body carries its own filter; sometimes a second CTE
+      // layered on the first (CTE-of-CTE recursion)
+      val cteFilter = if (rnd.nextBoolean()) s"WHERE src < ${5 + rnd.nextInt(6)}" else ""
+      val secondCte = rnd.nextInt(3) == 0
+      val withClause =
+        if (secondCte)
+          s"""WITH b AS (SELECT src, dst FROM propc_edges $cteFilter),
+             |     e AS (SELECT src, dst FROM b WHERE dst >= ${rnd.nextInt(3)})""".stripMargin
+        else s"WITH e AS (SELECT src, dst FROM propc_edges $cteFilter)"
+      val aggs = Seq(s"COUNT(*) AS cnt", s"SUM(e$n.dst) AS s1",
+        s"MIN(e1.dst) AS mn").take(1 + rnd.nextInt(3))
+      val sql =
+        s"""$withClause
+           |SELECT e1.src AS k, ${aggs.mkString(", ")}
+           |FROM ${(1 to n).map(j => s"e e$j").mkString(", ")}
+           |WHERE ${joins.mkString(" AND ")}
+           |GROUP BY e1.src""".stripMargin
+
+      val t = CqcSql.explain(spark, sql)
+      if (t.contains("inlined WITH-clause")) inlined += 1
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want, s"mismatch for: $sql")
+    }
+    assert(inlined == 8, s"only $inlined/8 inlined")
+  }
+
   test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
     val rnd = new scala.util.Random(4321)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
