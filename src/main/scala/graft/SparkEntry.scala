@@ -1319,10 +1319,32 @@ object SparkEntry {
   // independent of the corpus scale factor. Trade maps to
   // [[Tables.trade]]; R/S/T to the cqc_rst relations.
 
+  // The example graphs are small FIXED-SIZE dimensions (like the
+  // reference's example datasets, loaded once per engine context, not
+  // per query). Re-deriving them per call rebuilds the InMemoryRelation,
+  // which invalidates every generated codegen unit referencing it — the
+  // 7–9-leaf example plans carry ~80 stages, so that recompile dominates
+  // their wall time. Process-level memo, deliberately NOT registered
+  // with CacheRegistry: per-query cache hygiene must not evict a
+  // dimension that is constant across the whole run.
+  private val refGraphMemo =
+    scala.collection.concurrent.TrieMap[(String, Boolean), DataFrame]()
+
+  private def refGraph(s: SparkSession, d: String, dense: Boolean): DataFrame = {
+    val df = refGraphMemo.getOrElseUpdate((d, dense),
+      if (dense) Tables.edgesRefDense(s, d) else Tables.edgesRef(s, d))
+    // (re-)materialize if a blanket clearCache evicted the storage —
+    // same Dataset object, so exprIds and generated code stay stable
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist()
+      df.count()
+    }
+    df
+  }
+
   private def solveOnRefGraph(s: SparkSession, d: String, dense: Boolean,
       sql: String): DataFrame = {
-    (if (dense) Tables.edgesRefDense(s, d) else Tables.edgesRef(s, d))
-      .createOrReplaceTempView("Graph")
+    refGraph(s, d, dense).createOrReplaceTempView("Graph")
     graft.sql.CqcSql.solve(s, sql)
   }
 
