@@ -35,9 +35,30 @@ object Yannakakis {
    * Remove all dangling tuples: bottom-up then top-down semijoin passes
    * (the classic full reducer). Returns the reduced DataFrame per relation.
    */
+  /** Cache policy for leaf INPUTS: base-table scans stay lazy (pushdown-
+    * pruned columnar reads are the cheap path, and at 100 TB raw inputs
+    * don't fit in any cache) — but a DERIVED leaf (aggregate / join /
+    * distinct / window subquery) re-runs its whole shuffle every time a
+    * reducer pass references it, and by construction it has already
+    * shrunk. Persist those (tracked). A welcome side effect: duplicated
+    * derived leaves (e.g. ref q3's three identical degree subqueries)
+    * canonically dedup in the CacheManager — one materialization serves
+    * every copy. */
+  private def cacheDerivedLeaf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val derived = df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+      case j: Join => j
+      case d: Distinct => d
+      case d: Deduplicate => d
+      case w: Window => w
+    }.isDefined
+    if (derived) graft.CacheRegistry.persistTracked(df) else df
+  }
+
   def fullReduce(tree: JoinTree): Map[String, DataFrame] = {
     val reduced = scala.collection.mutable.Map[String, DataFrame]()
-    tree.rels.foreach { case (n, r) => reduced(n) = r.df }
+    tree.rels.foreach { case (n, r) => reduced(n) = cacheDerivedLeaf(r.df) }
 
     // bottom-up: parent := parent ⋉ child
     for (n <- tree.bottomUp; p <- tree.parentOf.get(n)) {
