@@ -391,9 +391,13 @@ object Dedup {
    * O(log n)-round large-star/small-star variant instead.
    */
   def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // persist the pair set BEFORE the symmetrizing union: both union arms
+    // reference it, and left lazy the (expensive) pair derivation would
+    // run once per arm
+    val p = graft.CacheRegistry.persistTracked(pairs)
     val edges = graft.CacheRegistry.persistTracked(
-      pairs.select(col("d1").as("v"), col("d2").as("u"))
-        .union(pairs.select(col("d2").as("v"), col("d1").as("u"))))
+      p.select(col("d1").as("v"), col("d2").as("u"))
+        .union(p.select(col("d2").as("v"), col("d1").as("u"))))
     var persisted = graft.CacheRegistry.persistTracked(
       edges.select(col("v")).distinct().withColumn("lbl", col("v")))
     var lbl = persisted
