@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
  * of CREATE TABLE DDL + a query, executed end-to-end). Usage:
  *
  *   runMain graft.Cli <script.sql> [maxRows] [--dry-run]
- *     [--emit [--object=Name] [--package=pkg]]
+ *     [--emit [--object=Name] [--package=pkg]] [--serve[=port]]
  *
  * The script is semicolon-separated; every statement but the last runs
  * as stock Spark SQL (DDL: CREATE TABLE ... USING parquet LOCATION,
@@ -18,9 +18,21 @@ import org.apache.spark.sql.SparkSession
  * With `--emit` the CLI prints a GENERATED standalone Scala program for
  * the final query ([[graft.sql.Emit.program]]) — the reference CLI's
  * compile artifact, named by `--object`/`--package` exactly as its
- * options do (sqlplus-cli CliFrontendOptions).
+ * options do (sqlplus-cli CliFrontendOptions). With `--serve[=port]`
+ * the CLI runs the script's DDL, then serves the web console
+ * ([[graft.web.GraftServer]]) over the loaded session instead of
+ * executing the final statement — the sqlplus-web workflow from the
+ * same entry point.
  */
 object Cli {
+
+  /** `--serve` → default port 8090; `--serve=N` → N; absent → None. */
+  private[graft] def parseServePort(args: Array[String]): Option[Int] =
+    args.collectFirst {
+      case "--serve" => 8090
+      case a if a.startsWith("--serve=") => a.stripPrefix("--serve=").toInt
+    }
+
   def main(args: Array[String]): Unit = {
     val dryRun = args.contains("--dry-run")
     val emit = args.contains("--emit")
@@ -48,7 +60,17 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (emit) {
+    val serve = parseServePort(args)
+    if (serve.isDefined) {
+      val port = serve.get
+      // run the DDL so the console's session has the script's tables
+      val stmts = graft.sql.CqcSql.splitStatements(text)
+      stmts.init.foreach(s =>
+        if (!graft.sql.CqcSql.tryRefCreateTable(spark, s)) spark.sql(s))
+      val server = new graft.web.GraftServer(spark, port).start()
+      println(s"graft console at http://127.0.0.1:${server.boundPort}/ (Ctrl-C to stop)")
+      Thread.currentThread.join()
+    } else if (emit) {
       val stmts = graft.sql.CqcSql.splitStatements(text)
       stmts.init.foreach(s =>
         if (!graft.sql.CqcSql.tryRefCreateTable(spark, s)) spark.sql(s))

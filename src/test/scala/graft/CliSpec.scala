@@ -86,4 +86,10 @@ class CliSpec extends SparkSpecBase {
       graft.sql.CqcSql.script(spark, "SELECT 'oops; FROM t")
     }
   }
+
+  test("--serve flag parsing: bare, =port, absent") {
+    assert(Cli.parseServePort(Array("s.sql", "--serve")) == Some(8090))
+    assert(Cli.parseServePort(Array("--serve=7070", "s.sql")) == Some(7070))
+    assert(Cli.parseServePort(Array("s.sql", "--dry-run")) == None)
+  }
 }
