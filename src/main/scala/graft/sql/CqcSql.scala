@@ -447,6 +447,25 @@ object CqcSql {
         afterWindow = c
       case _ => ()
     }
+    // ---- CORRELATED subqueries in the output surface (SELECT list,
+    // aggregate expressions, window definitions) reference the join body
+    // from inside their own subplan; after CQC variable renaming those
+    // outer refs cannot re-resolve (probed: INTERNAL_ERROR_ATTRIBUTE_NOT_
+    // FOUND at execution). Route the whole query to stock — correct,
+    // just not CQC-accelerated. UNcorrelated scalar subqueries are
+    // independently evaluable and ride every path unchanged; correlated
+    // subqueries in WHERE stay handled as leaf filters elsewhere.
+    {
+      import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      val outputExprs: Seq[Expression] =
+        projectList ++ aggInfo.map(_._2).getOrElse(Nil) ++ windowDefs ++
+          outerProj.getOrElse(Nil) ++ havingConds
+      if (outputExprs.exists(SubqueryExpression.hasCorrelatedSubquery)) {
+        trace("stock fallback: correlated subquery in the SELECT list")
+        return GraftSqlBridge.dataFrame(spark, analyzed)
+      }
+    }
+
     val (topConjuncts, joinRoot) = afterWindow match {
       case Filter(cond, child) => (splitConjuncts(cond), child)
       case other => (Nil, other)

@@ -83,4 +83,26 @@ class DoorEdge5Spec extends SparkSpecBase {
     }
     assert(bad == 0, s"$bad WITH-interaction shapes failed")
   }
+
+  test("scalar subqueries in the SELECT list: uncorrelated rides, correlated falls back") {
+    views()
+    // uncorrelated: independently evaluable — keeps the fast path
+    val q1 =
+      """SELECT g1.src AS a, (SELECT MAX(dst) FROM d5_edges) AS mx, COUNT(*) AS n
+        |FROM d5_edges g1, d5_edges g2 WHERE g1.dst = g2.src GROUP BY g1.src""".stripMargin
+    val t1 = CqcSql.explain(spark, q1)
+    assert(t1.contains("factorized aggregate fast path"), t1)
+    assert(CqcSql.solve(spark, q1).orderBy("a").collect().toSeq ==
+      spark.sql(q1).orderBy("a").collect().toSeq)
+    // correlated in SELECT: outer refs cannot survive CQC renaming —
+    // must fall back to stock (this crashed with an internal error
+    // before the guard), and must still be CORRECT
+    val q2 =
+      """SELECT g1.src AS a, (SELECT COUNT(*) FROM d5_edges e WHERE e.src = g1.src) AS c
+        |FROM d5_edges g1, d5_edges g2 WHERE g1.dst = g2.src""".stripMargin
+    val t2 = CqcSql.explain(spark, q2)
+    assert(t2.contains("stock fallback: correlated subquery in the SELECT list"), t2)
+    assert(CqcSql.solve(spark, q2).orderBy("a", "c").collect().toSeq ==
+      spark.sql(q2).orderBy("a", "c").collect().toSeq)
+  }
 }
