@@ -84,6 +84,54 @@ class DoorEdge5Spec extends SparkSpecBase {
     assert(bad == 0, s"$bad WITH-interaction shapes failed")
   }
 
+  test("exotic top shapes match stock (generators, LATERAL, VALUES, ALL, UNPIVOT)") {
+    views()
+    val shapes = Seq(
+      "exists_in_select" ->
+        """SELECT g1.src AS a, EXISTS(SELECT 1 FROM d5_edges e WHERE e.src = g1.dst) AS h
+          |FROM d5_edges g1, d5_edges g2 WHERE g1.dst = g2.src""".stripMargin,
+      "in_pred_in_select" ->
+        """SELECT g1.src AS a, g1.dst IN (SELECT src FROM d5_edges WHERE dst < 10) AS h
+          |FROM d5_edges g1, d5_edges g2 WHERE g1.dst = g2.src""".stripMargin,
+      "explode_over_join" ->
+        """SELECT a, x FROM (SELECT g1.src AS a, array(g1.dst, g2.dst) AS arr
+          |  FROM d5_edges g1, d5_edges g2 WHERE g1.dst = g2.src)
+          |LATERAL VIEW explode(arr) t AS x""".stripMargin,
+      "lateral_subquery" ->
+        """SELECT g1.src, l.m FROM d5_edges g1,
+          |LATERAL (SELECT MAX(dst) AS m FROM d5_edges e WHERE e.src = g1.dst) l""".stripMargin,
+      "values_leaf" ->
+        """SELECT v.k, COUNT(*) AS n FROM (VALUES (1), (2), (3)) AS v(k), d5_edges g
+          |WHERE g.src % 4 = v.k GROUP BY v.k""".stripMargin,
+      "group_by_all" ->
+        """SELECT g1.src AS a, COUNT(*) AS n FROM d5_edges g1, d5_edges g2
+          |WHERE g1.dst = g2.src GROUP BY ALL""".stripMargin,
+      "order_by_all" ->
+        """SELECT g1.src AS a, g2.dst AS b FROM d5_edges g1, d5_edges g2
+          |WHERE g1.dst = g2.src ORDER BY ALL LIMIT 5""".stripMargin,
+      "distribute_by" ->
+        """SELECT g1.src AS a, g2.dst AS b FROM d5_edges g1, d5_edges g2
+          |WHERE g1.dst = g2.src DISTRIBUTE BY a""".stripMargin,
+      "tablesample_full" ->
+        """SELECT COUNT(*) AS n FROM d5_edges TABLESAMPLE (100 PERCENT) g1, d5_edges g2
+          |WHERE g1.dst = g2.src""".stripMargin,
+      "unpivot" ->
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM d5_edges UNPIVOT (v FOR c IN (src, dst)))")
+    var bad = 0
+    shapes.foreach { case (name, sql) =>
+      try {
+        val got = CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+        val want = spark.sql(sql).collect().map(_.toSeq).toSet
+        if (got != want) { System.err.println(s"[$name] MISMATCH"); bad += 1 }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[$name] THREW ${e.getClass.getSimpleName}: ${e.getMessage}")
+          bad += 1
+      }
+    }
+    assert(bad == 0, s"$bad exotic top shapes failed")
+  }
+
   test("scalar subqueries in the SELECT list: uncorrelated rides, correlated falls back") {
     views()
     // uncorrelated: independently evaluable — keeps the fast path
