@@ -1653,6 +1653,7 @@ object SparkEntry {
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
+    "stream_topk" -> ((s, d) => EventStreams.topkPerWindow(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d))),
     "stream_enrich" -> ((s, d) =>
       EventStreams.enrichedSegmentAgg(Tables.events(s, d), Tables.customer(s, d)))
@@ -2197,6 +2198,7 @@ object SparkEntry {
          |                           ORDER BY q.score DESC, q.doc_id) <= 3""".stripMargin,
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
+    "stream_topk" -> EventStreams.topkPerWindowSql(),
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
     "stream_enrich" -> EventStreams.enrichedSegmentAggSql,
     "sql_cqc_topk" ->

@@ -177,4 +177,64 @@ object EventStreams {
           closed.iterator
       }
   }
+
+  /** Top-k events by value per (hour window, event type) — batch form
+    * (the driver's oracle-checked shape): rank inside each group, keep
+    * the k best. Ties break on event_id so the result is deterministic. */
+  def topkPerWindow(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws_ms"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .select(unix_millis(date_trunc("hour", col("ts"))).as("ws_ms"),
+        col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("ws_ms"), col("event_type"), col("event_id"), col("value"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  def topkPerWindowSql(k: Int = 3): String =
+    s"""SELECT ws_ms, event_type, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT epoch_ms(date_trunc('hour', ts)) AS ws_ms, event_type, event_id, value,
+       |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |                            ORDER BY value DESC, event_id ASC) AS rk
+       |  FROM events)
+       |WHERE rk <= $k""".stripMargin
+
+  /** One event in the typed streaming top-k path. */
+  case class KeyedEvent(ws_ms: Long, event_type: String, event_id: Long, value: Double)
+
+  /** Bounded per-group state: the current top-k (at most k entries). */
+  case class TopkState(best: Seq[(Double, Long)])
+
+  /**
+   * STREAMING top-k per (window, event type) with BOUNDED state: each
+   * group's state is its current top-k only — k small records per active
+   * (window, type), never the event backlog. Every micro-batch emits the
+   * group's refreshed top-k (Update mode semantics, like a live
+   * leaderboard); late events below the current k-th value leave state
+   * untouched. At 100 TB/day the state size is (active windows x types
+   * x k), independent of event volume.
+   */
+  def topkStateful(events: Dataset[KeyedEvent], k: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.ws_ms, e.event_type))
+      .flatMapGroupsWithState[TopkState, (Long, String, Long, Double, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), evs: Iterator[KeyedEvent], state: GroupState[TopkState]) =>
+          // merge incoming events into the bounded best-k (value desc,
+          // event_id asc for deterministic ties)
+          val merged = (state.getOption.map(_.best).getOrElse(Seq.empty) ++
+            evs.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(TopkState(merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            (key._1, key._2, id, v, i + 1)
+          }
+      }
+      .toDF("ws_ms", "event_type", "event_id", "value", "rk")
+  }
 }

@@ -146,4 +146,41 @@ class EventStreamsSpec extends SparkSpecBase {
       .toSet
     assert(out == Set((1L, 0L, 2L), (2L, 0L, 1L), (2L, EventStreams.sessionGapMs + 1, 1L)))
   }
+
+  test("streaming bounded-state top-k converges to the batch top-k") {
+    implicit val ctx = spark.sqlContext
+    import EventStreams.KeyedEvent
+    val k = 2
+    val events = Seq(
+      KeyedEvent(0L, "view", 1L, 5.0),
+      KeyedEvent(0L, "view", 2L, 9.0),
+      KeyedEvent(0L, "view", 3L, 7.0),   // evicts id=1 from top-2
+      KeyedEvent(0L, "purchase", 4L, 1.0),
+      KeyedEvent(hour, "view", 5L, 3.0),
+      KeyedEvent(0L, "view", 6L, 9.0))   // tie with id=2: id asc keeps 2 then 6
+    val input = MemoryStream[KeyedEvent]
+    val q = EventStreams.topkStateful(input.toDS(), k)
+      .writeStream.format("memory").queryName("topk_out").outputMode("update").start()
+    try {
+      input.addData(events.take(4)); q.processAllAvailable()
+      input.addData(events.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    // LAST refreshed top-k per group (update mode re-emits on change):
+    // reconstruct the final leaderboard from each group's latest emission
+    val latest = spark.table("topk_out").collect()
+      .map(r => (r.getAs[Long]("ws_ms"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value"), r.getAs[Int]("rk")))
+    // the leaderboard only improves over time, so each slot's final
+    // occupant is its max-value emission (ties: lowest id)
+    val finalBoard = latest.groupBy(t => (t._1, t._2, t._5))
+      .map { case (_, vs) => vs.maxBy(t => (t._4, -t._3)) }.toSet
+    val expect = Set(
+      (0L, "view", 2L, 9.0, 1), (0L, "view", 6L, 9.0, 2),
+      (0L, "purchase", 4L, 1.0, 1),
+      (hour, "view", 5L, 3.0, 1))
+    assert(finalBoard == expect, finalBoard.toSeq.sortBy(t => (t._1, t._2, t._5)).mkString("\n"))
+    // and the state is bounded: each group's emission is at most k rows
+    val perGroup = latest.groupBy(t => (t._1, t._2)).map(_._2.map(_._5).max)
+    assert(perGroup.forall(_ <= k))
+  }
 }
