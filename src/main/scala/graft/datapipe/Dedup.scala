@@ -125,7 +125,9 @@ object Dedup {
    * computed over the capped shingle sets on both engines.
    */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    // the shingle explode feeds both the df-cap aggregate and the capped
+    // join below — persist it or the explode runs twice (tracked)
+    val sh = graft.CacheRegistry.persistTracked(shingles(docs))
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= ngramDfCap).select(col("sh"))
     val capped = graft.CacheRegistry.persistTracked(
