@@ -281,8 +281,11 @@ object TextOps {
    */
   def tfidfTopTerms(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .where(length(col("term")) > 0)
+    // the term explode feeds both the tf aggregate and the df distinct —
+    // persist it or the explode over every document runs twice (tracked)
+    val terms = graft.CacheRegistry.persistTracked(
+      docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .where(length(col("term")) > 0))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
