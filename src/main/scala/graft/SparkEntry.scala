@@ -1641,6 +1641,7 @@ object SparkEntry {
     // deterministic in-query accuracy flags (the raw estimates are
     // implementation-defined; SketchesSpec pins them separately)
     "pipe_cardinality" -> ((s, d) => Sketches.tokenCardinalityChecked(Tables.documents(s, d))),
+    "pipe_sketch_union" -> ((s, d) => Sketches.shardedCardinalityChecked(Tables.documents(s, d))),
     "pipe_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(Tables.events(s, d))),
     "pipe_heavy" -> ((s, d) => Sketches.heavyHitters(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
@@ -2151,6 +2152,7 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintsSql,
     "text_tfidf" -> TextOps.tfidfTopTermsSql,
     "pipe_cardinality" -> Sketches.tokenCardinalityCheckedSql,
+    "pipe_sketch_union" -> Sketches.shardedCardinalityCheckedSql,
     "pipe_quantiles" -> Sketches.valueQuantilesCheckedSql,
     "pipe_heavy" -> Sketches.heavyHittersSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,

@@ -61,6 +61,49 @@ object Sketches {
       |WHERE len(term) > 0
       |GROUP BY lang""".stripMargin
 
+  /** lgConfigK for the Datasketches HLL union path: 2^12 registers →
+    * rsd ≈ 1.04 / sqrt(4096) ≈ 1.63%. */
+  val hllLgK = 12
+  private val hllUnionRsd = 1.04 / math.sqrt((1 << hllLgK).toDouble)
+
+  /** The MERGEABLE-sketch pattern made explicit (the 100 TB profiling
+    * shape): each shard builds its own HLL sketch of the per-language
+    * term set independently (`hll_sketch_agg` — here shards are doc_id
+    * parity; on a cluster they are partitions or ingest days), and only
+    * the fixed-size sketches meet in the merge (`hll_union_agg`). The
+    * raw term sets never co-shuffle — the merge payload is
+    * shards x 2^lgK bytes, independent of corpus size. */
+  def shardedCardinality(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("lang"), (col("doc_id") % 2).as("shard"),
+        explode(TextOps.words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val perShard = terms.groupBy(col("lang"), col("shard"))
+      .agg(hll_sketch_agg(col("term"), lit(hllLgK)).as("sk"))
+    perShard.groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_terms"))
+  }
+
+  /** Driver-gate form: merged-sketch estimate next to the exact distinct
+    * count and a 3-sigma within-bounds flag (same contract style as
+    * [[tokenCardinalityChecked]]). */
+  def shardedCardinalityChecked(docs: DataFrame): DataFrame = {
+    val exact = docs.select(col("lang"), explode(TextOps.words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("exact_terms"))
+    shardedCardinality(docs).join(exact, "lang")
+      .select(col("lang"), col("exact_terms"),
+        (abs(col("approx_terms").cast("double") - col("exact_terms")) <=
+          lit(3 * hllUnionRsd) * col("exact_terms")).as("hll_union_ok"))
+  }
+
+  val shardedCardinalityCheckedSql: String =
+    """SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_terms,
+      |       true AS hll_union_ok
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |WHERE len(term) > 0
+      |GROUP BY lang""".stripMargin
+
   /** GK summary accuracy: rank error is bounded by n/accuracy. */
   val gkAccuracy = 10000
 

@@ -61,4 +61,27 @@ class SketchesSpec extends SparkSpecBase {
       r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok") &&
         r.getAs[Boolean]("p99_ok")))
   }
+
+  test("sharded HLL sketches union to a within-contract estimate") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.shardedCardinalityChecked(docs).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("hll_union_ok")))
+    // merge is shard-order-invariant: a different shard split gives the
+    // same estimate only if the sketch is truly mergeable — compare the
+    // 2-shard union against a 4-shard union of the same data
+    import org.apache.spark.sql.functions._
+    val terms4 = docs.select(col("lang"), (col("doc_id") % 4).as("shard"),
+        explode(graft.datapipe.TextOps.words(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+    val merged4 = terms4.groupBy(col("lang"), col("shard"))
+      .agg(hll_sketch_agg(col("term"), lit(Sketches.hllLgK)).as("sk"))
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e4"))
+    val e2 = Sketches.shardedCardinality(docs)
+      .select(col("lang"), col("approx_terms").as("e2"))
+    val joined = e2.join(merged4, "lang").collect()
+    assert(joined.nonEmpty && joined.forall(r =>
+      r.getAs[Long]("e2") == r.getAs[Long]("e4")),
+      joined.map(r => (r.getString(0), r.getAs[Long]("e2"), r.getAs[Long]("e4"))).mkString(","))
+  }
 }
