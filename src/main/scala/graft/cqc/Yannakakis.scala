@@ -46,11 +46,13 @@ object Yannakakis {
     * every copy. */
   private def cacheDerivedLeaf(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Aggregate/Window leaves only: those re-run a full shuffle per
+    // reference and have shrunk by construction. Distinct-projection
+    // leaves (the derived edge lists) measured ~break-even-to-negative
+    // under caching — their re-derivation is a pushdown-pruned scan +
+    // one exchange, cheaper than a materialize-and-read-back.
     val derived = df.queryExecution.analyzed.collectFirst {
       case a: Aggregate => a
-      case j: Join => j
-      case d: Distinct => d
-      case d: Deduplicate => d
       case w: Window => w
     }.isDefined
     if (derived) graft.CacheRegistry.persistTracked(df) else df
