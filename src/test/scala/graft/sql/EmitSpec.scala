@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkSpecBase
 import graft.sources.Tables
+import scala.tools.reflect.ToolBox
 
 /** Compile-to-source parity: [[Emit.program]] must produce a runnable
   * standalone program text carrying the source readers, the dry-run
@@ -61,5 +62,20 @@ class EmitSpec extends SparkSpecBase {
     // Tables.orders is a plain parquet read -> a parquet reader line
     assert(prog.contains(""".format("parquet")""") || prog.contains("must pre-exist"),
       s"unexpected source handling:\n$prog")
+  }
+
+  test("emitted program COMPILES (scala.tools.reflect ToolBox)") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("emit_corders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("emit_ccust")
+    val prog = Emit.program(spark,
+      """SELECT c.c_mktsegment AS seg, COUNT(*) AS n
+        |FROM emit_corders o, emit_ccust c
+        |WHERE o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin, "EmitCompileCheck")
+    // ToolBox cannot compile a package declaration — strip it, keep the
+    // imports and the object; a parse or type error fails the test
+    val src = prog.linesIterator.filterNot(_.startsWith("package ")).mkString("\n")
+    val tb = scala.reflect.runtime.currentMirror.mkToolBox()
+    tb.compile(tb.parse(src))
   }
 }
