@@ -121,7 +121,7 @@ object TextOps {
    * alphabetical tie-break, 'und' when nothing hits. One narrow scan, no
    * shuffle; the stopword lists are query literals (broadcast-free).
    */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val w = words(col("text"))
     val hitCols = stopwords.map { case (lang, ws) =>
       lang -> size(filter(w, t => t.isin(ws: _*))).cast(LongType)
@@ -132,8 +132,8 @@ object TextOps {
       case (els, (lang, h)) => when(best > 0 && h === best, lit(lang)).otherwise(els)
     }
     docs.select(
-      (col("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }) :+
-        predOrdered.as("pred_lang"): _*)
+      ((col("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }) :+
+        predOrdered.as("pred_lang")) ++ carry.map(col): _*)
   }
 
   val langIdSql: String = {
@@ -316,4 +316,71 @@ object TextOps {
        |       round(tt.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS w
        |FROM tt JOIN dfreq ON tt.term = dfreq.term, n
        |QUALIFY rnk <= $tfidfK""".stripMargin
+
+  // ------------------------------------------------- composed corpus clean
+
+  /** Corpus-cleaning gates shared by the Spark form and the oracle. */
+  val cleanMinScore = 0.45
+  val cleanMinTok = 10L
+  val cleanMaxTok = 5000L
+  val cleanLang = "en"
+
+  /**
+   * The COMPOSED cleaning pass a training-corpus pipeline actually runs:
+   * language gate + quality gate + length gate + exact dedup, fused.
+   * [[quality]] and [[langId]] are stacked projections over one scan
+   * (Catalyst collapses them — CleanCorpusSpec pins a single documents
+   * FileScan), the gates filter BEFORE the dedup shuffle, and the only
+   * shuffle is the content-hash groupBy over survivors. Keeps the
+   * lowest surviving doc_id per distinct content. */
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    val scored = langId(quality(docs, carry = Seq("text")),
+      carry = Seq("n_tokens", "score", "text"))
+    val kept = scored.where(col("pred_lang") === cleanLang &&
+      col("score") >= cleanMinScore &&
+      col("n_tokens").between(cleanMinTok, cleanMaxTok))
+    kept.select(col("doc_id"), Dedup.normText.as("norm"), col("score"))
+      .groupBy(md5(col("norm")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        round(max(col("score")), 6).as("score"))
+  }
+
+  val cleanCorpusSql: String = {
+    val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
+    val hits = stopwords.map { case (lang, ws) =>
+      val l = ws.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(w, t -> t IN ($l))) AS BIGINT) AS hits_$lang"
+    }.mkString(",\n         ")
+    val hitNames = stopwords.map { case (l, _) => s"hits_$l" }
+    val best = s"greatest(${hitNames.mkString(", ")})"
+    val caseExpr = stopwords.map { case (lang, _) =>
+      s"WHEN hits_$lang = $best THEN '$lang'"
+    }.mkString("\n           ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(w) AS BIGINT) AS n_tokens,
+       |         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+       |         len(list_filter(w, t -> t IN ($stopList)))
+       |           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |         least(1.0, CAST(len(w) AS DOUBLE) / 100.0) AS len_prior,
+       |         $hits,
+       |         CASE WHEN $best = 0 THEN 'und'
+       |             $caseExpr
+       |             ELSE 'und' END AS pred_lang
+       |  FROM t
+       |),
+       |s AS (
+       |  SELECT doc_id, text, n_tokens, pred_lang,
+       |         round(0.3 * len_prior + 0.4 * ttr + 0.3 * (1.0 - stop_ratio), 6) AS score
+       |  FROM m
+       |)
+       |SELECT md5(${Dedup.normTextSql}) AS h, min(doc_id) AS keep_id,
+       |       CAST(count(*) AS BIGINT) AS n_copies, round(max(score), 6) AS score
+       |FROM s
+       |WHERE pred_lang = '$cleanLang' AND score >= $cleanMinScore
+       |  AND n_tokens BETWEEN $cleanMinTok AND $cleanMaxTok
+       |GROUP BY 1""".stripMargin
+  }
 }
