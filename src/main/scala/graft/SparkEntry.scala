@@ -1633,7 +1633,7 @@ object SparkEntry {
     "ann_multiprobe" -> ((s, d) => Ann.lshMultiprobeTopK(Tables.embeddings(s, d))),
     "ann_ivf2" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), rounds = 2)),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
-    "pipe_clean" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
+    "pipe_clean_lang" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
@@ -2148,7 +2148,7 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "text_langid" -> TextOps.langIdSql,
-    "pipe_clean" -> TextOps.cleanCorpusSql,
+    "pipe_clean_lang" -> TextOps.cleanCorpusSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,
     "text_fingerprint" -> TextOps.fingerprintsSql,
