@@ -41,17 +41,28 @@ object Tables {
 
   /**
    * Events with `ts` normalized to a millisecond-precision timestamp.
-   * The raw column is TIMESTAMP(NANOS); we read it as nanos-since-epoch
-   * (LongType) and truncate to ms so comparisons agree across engines.
+   * The raw column has been generated as TIMESTAMP(NANOS) (read as
+   * nanos-since-epoch LongType), timezone-adjusted micros (TimestampType),
+   * or naive micros (TimestampNTZType, what pyarrow `timestamp[us]`
+   * becomes under Spark's parquet NTZ inference) across testdata
+   * generations; all three truncate to the same ms-precision TIMESTAMP so
+   * comparisons agree across engines. The session timezone is pinned to
+   * UTC (see [[table]]), so the NTZ→TIMESTAMP cast is epoch-identity —
+   * naive wall-clock values mean UTC, exactly how DuckDB reads the file.
    */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     // integer `div`, NOT floor(x / N): ns-since-epoch exceeds 2^53, so a
     // double division can round the quotient up a full millisecond
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-    else
-      df.withColumn("ts", timestamp_millis(expr("unix_micros(ts) div 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          timestamp_millis(expr("unix_micros(cast(ts as timestamp)) div 1000")))
+      case _ =>
+        df.withColumn("ts", timestamp_millis(expr("unix_micros(ts) div 1000")))
+    }
   }
 
   /**
