@@ -1651,6 +1651,7 @@ object SparkEntry {
     "mm_ann" -> ((s, d) => Multimodal.annOverFeatures(Tables.documents(s, d))),
     "pipe_clean" -> (qPipeClean _),
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
+    "pipe_mix" -> ((s, d) => TextOps.mixSummary(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2189,6 +2190,7 @@ object SparkEntry {
         |                     x -> (len(x) + 3) // 4)) AS BIGINT) AS n_bpe
         |FROM surv""".stripMargin,
     "pipe_pack" -> TextOps.packShardsSql,
+    "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

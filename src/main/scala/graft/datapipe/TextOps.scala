@@ -383,4 +383,82 @@ object TextOps {
        |  AND n_tokens BETWEEN $cleanMinTok AND $cleanMaxTok
        |GROUP BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------- mixing
+
+  /**
+   * Weighted multi-source corpus mixing — the data-mixing step of an LLM
+   * training pipeline: each source is re-sampled to a target weight
+   * (epochs). Weight w means floor(w) guaranteed full copies of every
+   * document plus one extra copy admitted by a deterministic content-hash
+   * gate with probability frac(w) — so w < 1 is a down-sample, w = 1 a
+   * pass-through, and w > 1 an up-sample with fractional epochs.
+   *
+   * The gate is CONTENT-keyed (md5 of text + copy index, [[h60]]), not
+   * id-keyed: re-ingesting the same corpus under different doc_ids keeps
+   * the identical sample, and both engines (Spark / DuckDB oracle)
+   * compute the identical decision. Fully distributed: one projection +
+   * one explode, no shuffle until the caller aggregates; at 100 TB each
+   * task emits its own copies locally and the per-source weights are a
+   * four-entry literal array, not a joined table.
+   *
+   * Weights cycle by the numeric source suffix: src(4k)=0.3,
+   * src(4k+1)=1.0, src(4k+2)=1.5, src(4k+3)=2.25.
+   */
+  val mixWeights: Seq[Double] = Seq(0.3, 1.0, 1.5, 2.25)
+
+  /** The mixed corpus: every emitted copy as a row, `rep` = copy index,
+    * `w` = the source's target weight carried through for auditing. */
+  def mixEpochs(docs: DataFrame): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int") % mixWeights.size
+    val w = element_at(array(mixWeights.map(lit): _*), idx + 1)
+    val nFull = floor(col("w")).cast("int")
+    val frac1000 = round((col("w") - floor(col("w"))) * 1000).cast("int")
+    docs
+      .withColumn("w", w)
+      .withColumn("__full", nFull)
+      .withColumn("__frac", frac1000)
+      .withColumn("rep", explode(sequence(lit(0), col("__full"))))
+      .where(col("rep") < col("__full") ||
+        pmod(h60(concat(col("text"), lit(":"), col("rep").cast("string"))),
+          lit(1000)) < col("__frac"))
+      .drop("__full", "__frac")
+  }
+
+  /** Per-source audit of [[mixEpochs]]: target weight, emitted copies,
+    * emitted character mass (the driver's oracle-checked aggregate). */
+  def mixSummary(docs: DataFrame): DataFrame =
+    mixEpochs(docs)
+      .groupBy(col("source"), col("w").cast("double").as("w"))
+      .agg(count(lit(1)).as("docs_out"), sum(col("n_chars")).as("chars_out"))
+
+  val mixSummarySql: String = {
+    val n = mixWeights.size
+    def byIdx(f: Double => String): String =
+      "CASE idx " + mixWeights.zipWithIndex.map { case (wv, i) =>
+        s"WHEN $i THEN ${f(wv)}"
+      }.mkString(" ") + " END"
+    val w = byIdx(_.toString)
+    val nFull = byIdx(wv => wv.toInt.toString)
+    val frac = byIdx(wv => math.round((wv - wv.toInt) * 1000).toString)
+    val copies = byIdx(wv => (wv.toInt + 1).toString)
+    s"""WITH wdoc AS (
+       |  SELECT source, text, n_chars,
+       |         CAST(substr(source, 4) AS INT) % $n AS idx
+       |  FROM documents
+       |),
+       |e AS (
+       |  SELECT source, text, n_chars,
+       |         $w AS w, $nFull AS nfull, $frac AS frac,
+       |         unnest(range(0, $copies)) AS rep
+       |  FROM wdoc
+       |)
+       |SELECT source, CAST(w AS DOUBLE) AS w,
+       |       CAST(count(*) AS BIGINT) AS docs_out,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_out
+       |FROM e
+       |WHERE rep < nfull
+       |   OR (${h60Sql("text || ':' || rep::VARCHAR")}) % 1000 < frac
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
