@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cqc.{Cmp, Rel, Yannakakis}
-import graft.datapipe.{Ann, Dedup, Multimodal, Sketches, TextOps}
+import graft.datapipe.{Ann, Decontam, Dedup, Multimodal, Sketches, TextOps}
 import graft.sources.Tables
 import graft.streaming.EventStreams
 import graft.topk.RankJoin
@@ -1652,6 +1652,7 @@ object SparkEntry {
     "pipe_clean" -> (qPipeClean _),
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "pipe_mix" -> ((s, d) => TextOps.mixSummary(Tables.documents(s, d))),
+    "pipe_decontam" -> ((s, d) => Decontam.flagDocuments(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2191,6 +2192,7 @@ object SparkEntry {
         |FROM surv""".stripMargin,
     "pipe_pack" -> TextOps.packShardsSql,
     "pipe_mix" -> TextOps.mixSummarySql,
+    "pipe_decontam" -> Decontam.flagSql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

@@ -1,0 +1,91 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination — the LLM-corpus step that REMOVES training
+ * documents overlapping an evaluation set. Distinct from near-dup
+ * detection: the comparison is ASYMMETRIC (a huge corpus vs a small,
+ * fixed probe set) and the criterion is containment of any probe n-gram,
+ * not document-level similarity.
+ *
+ * Scale shape: the probe set (a benchmark suite) is tiny and fixed, so
+ * its distinct n-gram index is built once and BROADCAST — the 100 TB
+ * corpus side is one scan + explode + map-side hash-semijoin; no shuffle
+ * of corpus n-grams ever happens, and the output is per-doc aggregates
+ * only. N-gram identity is the shared 60-bit md5 hash ([[TextOps.h60]]),
+ * so the broadcast payload is 8 bytes per probe gram and the decision is
+ * engine-portable (the DuckDB oracle computes the identical flags).
+ *
+ * The driver entry derives its probe set from the corpus itself
+ * (doc_id % [[probeMod]] == 0) — deterministic and self-contained; a real
+ * benchmark file drops into [[flag]] unchanged.
+ */
+object Decontam {
+
+  /** Word n-gram size for the containment test (eval-overlap scanners
+    * conventionally use 8–13-gram windows; the synthetic corpus' docs are
+    * short, so 5 keeps probes informative while staying non-degenerate). */
+  val probeN = 5
+
+  /** Driver-entry probe set: every doc_id divisible by this. */
+  val probeMod = 97
+
+  /** The derived probe set (probe_id, text). */
+  def probes(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % probeMod === 0)
+      .select(col("doc_id").as("probe_id"), col("text"))
+
+  /** Distinct (probe_id, gram-hash) pairs — the broadcastable index. */
+  def probeIndex(probes: DataFrame): DataFrame =
+    probes.select(col("probe_id"),
+        explode(transform(TextOps.shingleArray(col("text"), probeN),
+          s => TextOps.h60(s))).as("g"))
+      .distinct()
+
+  /**
+   * Per-document contamination flags: docs sharing any n-gram with any
+   * probe, with how many probes hit and the first (min) offending probe.
+   * Documents with no hit do not appear (the keep-set is the anti-join).
+   */
+  def flag(docs: DataFrame, probeIdx: DataFrame): DataFrame = {
+    val dg = docs.select(col("doc_id"),
+        explode(transform(TextOps.shingleArray(col("text"), probeN),
+          s => TextOps.h60(s))).as("g"))
+      .distinct()
+    dg.join(broadcast(probeIdx), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        min(col("probe_id")).as("first_probe"))
+  }
+
+  /** The composed driver entry: corpus-derived probes → broadcast index →
+    * flags. */
+  def flagDocuments(docs: DataFrame): DataFrame =
+    flag(docs, probeIndex(probes(docs)))
+
+  val flagSql: String = {
+    val k = probeN
+    def gramCte(src: String, idCol: String): String =
+      s"""${src}pos AS (
+         |  SELECT $idCol, w, unnest(range(0, greatest(len(w) - ${k - 1}, 0))) AS i
+         |  FROM ${src}t
+         |),
+         |${src}g AS (
+         |  SELECT DISTINCT $idCol,
+         |         ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $k)], ' ')")} AS g
+         |  FROM ${src}pos
+         |)""".stripMargin
+    s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |${gramCte("d", "doc_id")},
+       |pt AS (SELECT doc_id AS probe_id, string_split(text, ' ') AS w
+       |       FROM documents WHERE doc_id % $probeMod = 0),
+       |${gramCte("p", "probe_id")}
+       |SELECT doc_id,
+       |       CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       |       min(probe_id) AS first_probe
+       |FROM dg JOIN pg USING (g)
+       |GROUP BY 1""".stripMargin
+  }
+}

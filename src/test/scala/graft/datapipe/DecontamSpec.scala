@@ -1,0 +1,50 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: asymmetric probe-containment flags over a
+  * broadcast probe n-gram index. */
+class DecontamSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("every probe document with >= probeN words flags itself") {
+    val flagged = Decontam.flagDocuments(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val longProbes = docs
+      .where(col("doc_id") % Decontam.probeMod === 0 &&
+        size(split(col("text"), " ")) >= Decontam.probeN)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(longProbes.nonEmpty && longProbes.subsetOf(flagged))
+  }
+
+  test("a planted verbatim overlap is caught, disjoint text is not") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg"),          // contains the probe 5-gram
+      (2L, "zz yy xx wv uu tt ss"),          // disjoint
+      (3L, "xx aa bb cc dd ee zz")           // contains it shifted
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "aa bb cc dd ee")).toDF("probe_id", "text")
+    val got = Decontam.flag(corpus, Decontam.probeIndex(probe))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 100L), (3L, 1L, 100L)))
+  }
+
+  test("the probe index joins via broadcast, corpus grams never shuffle") {
+    val plan = Decontam.flagDocuments(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast probe join in:\n$plan")
+  }
+
+  test("short documents (< probeN words) produce no grams and never flag") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val probe = Seq((9L, "aa bb cc dd ee")).toDF("probe_id", "text")
+    val got = Decontam.flag(corpus, Decontam.probeIndex(probe))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+}
