@@ -1637,6 +1637,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
     // sketch estimates, oracle-checkable form: exact companion columns +
     // deterministic in-query accuracy flags (the raw estimates are
@@ -2193,6 +2194,7 @@ object SparkEntry {
     "pipe_pack" -> TextOps.packShardsSql,
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
+    "text_repetition" -> TextOps.repetitionSql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

@@ -384,6 +384,55 @@ object TextOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ repetition
+
+  /** Duplicate-n-gram threshold above which a doc is gated as
+    * repetitious (Gopher-rule family: high duplicate 2-/3-gram mass is
+    * the signature of boilerplate and looping generations). */
+  val repDupThreshold = 0.10
+
+  /**
+   * Intra-document repetition signals — duplicate bigram / trigram
+   * fractions (1 − distinct/total) plus the gate flag. Entirely
+   * array-native (split / shingle / array_distinct inside one
+   * projection): zero shuffles, linear in corpus size, the same shape as
+   * [[quality]] so both gates fuse into a single scan under
+   * [[cleanCorpus]]-style composition.
+   */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def dupFrac(k: Int) = {
+      val g = shinglesOf(w, k)
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val d2 = dupFrac(2); val d3 = dupFrac(3)
+    docs.select(
+      col("doc_id"),
+      size(shinglesOf(w, 2)).cast(LongType).as("n2"),
+      round(d2, 6).as("dup2_frac"),
+      size(shinglesOf(w, 3)).cast(LongType).as("n3"),
+      round(d3, 6).as("dup3_frac"),
+      (d2 > repDupThreshold || d3 > repDupThreshold).as("repetitious"))
+  }
+
+  val repetitionSql: String = {
+    def gram(k: Int): String =
+      s"list_transform(range(0, greatest(len(w) - ${k - 1}, 0)), i -> array_to_string(w[(i + 1):(i + $k)], ' '))"
+    def dup(k: Int): String =
+      s"CASE WHEN len(g$k) > 0 THEN 1.0 - len(list_distinct(g$k)) / CAST(len(g$k) AS DOUBLE) ELSE 0.0 END"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, ${gram(2)} AS g2, ${gram(3)} AS g3 FROM t)
+       |SELECT doc_id,
+       |       CAST(len(g2) AS BIGINT) AS n2,
+       |       round(${dup(2)}, 6) AS dup2_frac,
+       |       CAST(len(g3) AS BIGINT) AS n3,
+       |       round(${dup(3)}, 6) AS dup3_frac,
+       |       (${dup(2)}) > $repDupThreshold OR (${dup(3)}) > $repDupThreshold AS repetitious
+       |FROM g""".stripMargin
+  }
+
   // ---------------------------------------------------------------- mixing
 
   /**
