@@ -1654,6 +1654,7 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "pipe_mix" -> ((s, d) => TextOps.mixSummary(Tables.documents(s, d))),
     "pipe_decontam" -> ((s, d) => Decontam.flagDocuments(Tables.documents(s, d))),
+    "pipe_prep" -> ((s, d) => graft.datapipe.Prep.prepare(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2195,6 +2196,7 @@ object SparkEntry {
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
     "text_repetition" -> TextOps.repetitionSql,
+    "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

@@ -1,0 +1,165 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The END-TO-END corpus preparation pipeline a training run actually
+ * executes, composed from the individual operators and fused where
+ * fusion is free:
+ *
+ *  1. GATES — language (stopword vote), quality score, length band,
+ *     repetition (duplicate-n-gram fractions): all pure projections, so
+ *     they fuse into ONE corpus scan with zero exchanges; survivors are
+ *     filtered before anything shuffles.
+ *  2. DECONTAMINATION — gate survivors are checked against the broadcast
+ *     probe n-gram index ([[Decontam]]); the flagged set (small by
+ *     construction: eval-overlapping docs) anti-joins out, also broadcast.
+ *  3. EXACT DEDUP — one shuffle on the normalized-text hash; the keeper
+ *     (min doc_id) row survives WITH its payload columns via per-key rank
+ *     pruning, so no join-back to the corpus is needed.
+ *  4. MIXING — per-source fractional-epoch weighting ([[TextOps
+ *     .mixEpochs]]), a projection + explode, shuffle-free.
+ *  5. AUDIT — the per-source summary (what survived, what was emitted),
+ *     the only terminal aggregate.
+ *
+ * Exchanges for the whole pipeline: the dedup hash shuffle, the final
+ * audit aggregate, and the decontam flag aggregate — which shuffles only
+ * PROBE-MATCHED grams (post-broadcast-semijoin, negligible by
+ * construction). Corpus payload bytes cross the network exactly once,
+ * at the dedup shuffle; both joins are broadcast.
+ */
+object Prep {
+
+  /** Kept corpus after gates → decontam → dedup, with payload columns
+    * (doc_id, source, text, n_chars) intact. */
+  def keptCorpus(docs: DataFrame): DataFrame = {
+    import TextOps._
+    // one fused scan: quality + language projections, then every gate
+    val scored = langId(
+      quality(docs, carry = Seq("text", "source", "n_chars")),
+      carry = Seq("n_tokens", "score", "text", "source", "n_chars"))
+    // persistTracked: a materialization BARRIER as much as a reuse cache.
+    // Filtering directly on the gate expressions would push the predicate
+    // through the projections and re-inline the gram lambdas (re-splitting
+    // text per gram, O(n²)/doc); materializing the staged columns once
+    // makes the gate a cheap attribute filter over an InMemoryRelation —
+    // and both downstream consumers (decontam flag build + anti-join left
+    // side) read the same materialization instead of re-running the scan.
+    val staged = graft.CacheRegistry.persistTracked(
+      repetitionOver(scored).select(col("doc_id"), col("source"), col("text"),
+        col("n_chars"), col("score"), col("n_tokens"), col("pred_lang"),
+        col("repetitious")))
+    val gated = staged.where(
+        col("pred_lang") === cleanLang &&
+        col("score") >= cleanMinScore &&
+        col("n_tokens").between(cleanMinTok, cleanMaxTok) &&
+        !col("repetitious"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    // decontam on survivors only; flagged set is small -> broadcast anti
+    val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(docs)))
+      .select(col("doc_id"))
+    val clean = gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    // exact dedup keeping the whole keeper row: rank-prune per text hash
+    graft.topk.RankJoin.prunePerKey(
+        clean.withColumn("h", md5(Dedup.normText)),
+        Seq("h"), Seq(col("doc_id").asc), 1)
+      .drop("h")
+  }
+
+  /** The driver entry: prepared-corpus audit per source — surviving
+    * distinct docs, emitted copies after mixing, emitted char mass. */
+  def prepare(docs: DataFrame): DataFrame =
+    TextOps.mixEpochs(keptCorpus(docs))
+      .groupBy(col("source"), col("w").cast("double").as("w"))
+      .agg(countDistinct(col("doc_id")).as("survivors"),
+        count(lit(1)).as("copies_out"),
+        sum(col("n_chars")).as("chars_out"))
+
+  val prepareSql: String = {
+    import TextOps._
+    val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
+    val hits = stopwords.map { case (lang, ws) =>
+      val l = ws.map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(w, t -> t IN ($l))) AS hits_$lang"
+    }.mkString(",\n         ")
+    val hitNames = stopwords.map { case (l, _) => s"hits_$l" }
+    val best = s"greatest(${hitNames.mkString(", ")})"
+    val langCase = stopwords.map { case (lang, _) =>
+      s"WHEN hits_$lang = $best THEN '$lang'"
+    }.mkString(" ")
+    def gram(k: Int): String =
+      s"list_transform(range(0, greatest(len(w) - ${k - 1}, 0)), i -> array_to_string(w[(i + 1):(i + $k)], ' '))"
+    def dup(k: Int): String =
+      s"CASE WHEN len(g$k) > 0 THEN 1.0 - len(list_distinct(g$k)) / CAST(len(g$k) AS DOUBLE) ELSE 0.0 END"
+    val pn = Decontam.probeN
+    val n = mixWeights.size
+    def byIdx(f: Double => String): String =
+      "CASE idx " + mixWeights.zipWithIndex.map { case (wv, i) =>
+        s"WHEN $i THEN ${f(wv)}"
+      }.mkString(" ") + " END"
+    s"""WITH t AS (SELECT doc_id, source, text, n_chars,
+       |                  string_split(text, ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT *, CAST(len(w) AS BIGINT) AS n_tokens,
+       |         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+       |         len(list_filter(w, t -> t IN ($stopList)))
+       |           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+       |         least(1.0, CAST(len(w) AS DOUBLE) / 100.0) AS len_prior,
+       |         ${gram(2)} AS g2, ${gram(3)} AS g3,
+       |         $hits
+       |  FROM t
+       |),
+       |gated AS (
+       |  SELECT doc_id, source, text, n_chars, w FROM m
+       |  WHERE (CASE WHEN $best = 0 THEN 'und' $langCase ELSE 'und' END) = '$cleanLang'
+       |    AND round(0.3 * len_prior + 0.4 * ttr + 0.3 * (1.0 - stop_ratio), 6) >= $cleanMinScore
+       |    AND n_tokens BETWEEN $cleanMinTok AND $cleanMaxTok
+       |    AND (${dup(2)}) <= $repDupThreshold AND (${dup(3)}) <= $repDupThreshold
+       |),
+       |ppos AS (
+       |  SELECT w, unnest(range(0, greatest(len(w) - ${pn - 1}, 0))) AS i
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id % ${Decontam.probeMod} = 0)
+       |),
+       |pg AS (
+       |  SELECT DISTINCT ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $pn)], ' ')")} AS g
+       |  FROM ppos
+       |),
+       |gpos AS (
+       |  SELECT doc_id, w, unnest(range(0, greatest(len(w) - ${pn - 1}, 0))) AS i
+       |  FROM gated
+       |),
+       |flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $pn)], ' ')")} AS g
+       |    FROM gpos)
+       |  WHERE g IN (SELECT g FROM pg)
+       |),
+       |clean AS (
+       |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+       |),
+       |kept AS (
+       |  SELECT doc_id, source, text, n_chars FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(${Dedup.normTextSql})
+       |                                 ORDER BY doc_id) AS rn
+       |    FROM clean)
+       |  WHERE rn = 1
+       |),
+       |mixed AS (
+       |  SELECT source, doc_id, n_chars, text,
+       |         ${byIdx(_.toString)} AS w, ${byIdx(wv => wv.toInt.toString)} AS nfull,
+       |         ${byIdx(wv => math.round((wv - wv.toInt) * 1000).toString)} AS frac,
+       |         unnest(range(0, ${byIdx(wv => (wv.toInt + 1).toString)})) AS rep
+       |  FROM (SELECT *, CAST(substr(source, 4) AS INT) % $n AS idx FROM kept)
+       |)
+       |SELECT source, CAST(w AS DOUBLE) AS w,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS survivors,
+       |       CAST(count(*) AS BIGINT) AS copies_out,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_out
+       |FROM mixed
+       |WHERE rep < nfull
+       |   OR (${TextOps.h60Sql("text || ':' || rep::VARCHAR")}) % 1000 < frac
+       |GROUP BY 1, 2""".stripMargin
+  }
+}

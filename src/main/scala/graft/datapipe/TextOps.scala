@@ -392,29 +392,77 @@ object TextOps {
   val repDupThreshold = 0.10
 
   /**
+   * Distinct-element count of an array via sorted-run counting:
+   * `array_distinct` evaluates interpreted (higher-order functions skip
+   * codegen) as O(n²) pairwise STRING compares — ~10k compares per
+   * 100-gram doc, the dominant corpus-gate cost. Sorting first
+   * (O(n log n)) and counting adjacent equal positions gives the same
+   * count ~14× cheaper. Callers must keep the downstream FORMULA as
+   * `1.0 - distinct/n` (the oracle's shape): algebraically equal
+   * rewrites like `dups/n` land on different ulps and can flip a
+   * threshold comparison.
+   */
+  def distinctCount(g: Column): Column = {
+    // single-pass fold over the sorted array: `aggregate` evaluates its
+    // input expression ONCE per row — an index-lambda formulation
+    // (element_at(sorted, i)) would re-sort per ELEMENT, since lambda
+    // bodies inline their free expressions
+    val s = array_sort(g)
+    val z = struct(lit(null).cast("string").as("prev"), lit(0).as("c"))
+    aggregate(s, z,
+      (acc, x) => struct(
+        x.as("prev"),
+        (acc.getField("c") +
+          when(acc.getField("prev").isNotNull && acc.getField("prev") === x, 0)
+            .otherwise(1)).as("c")),
+      acc => acc.getField("c"))
+  }
+
+  /** Duplicate fraction `1.0 - distinct/n` (0 for empty `g`) — the exact
+    * expression the DuckDB oracle computes, via [[distinctCount]]. */
+  def dupFracOf(g: Column): Column =
+    when(size(g) > 0,
+      lit(1.0) - distinctCount(g).cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+
+  /**
    * Intra-document repetition signals — duplicate bigram / trigram
    * fractions (1 − distinct/total) plus the gate flag. Entirely
-   * array-native (split / shingle / array_distinct inside one
+   * array-native (split / shingle / sorted-run distinct inside one
    * projection): zero shuffles, linear in corpus size, the same shape as
    * [[quality]] so both gates fuse into a single scan under
    * [[cleanCorpus]]-style composition.
    */
-  def repetition(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    def dupFrac(k: Int) = {
-      val g = shinglesOf(w, k)
-      when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
-        .otherwise(lit(0.0))
-    }
-    val d2 = dupFrac(2); val d3 = dupFrac(3)
-    docs.select(
-      col("doc_id"),
-      size(shinglesOf(w, 2)).cast(LongType).as("n2"),
-      round(d2, 6).as("dup2_frac"),
-      size(shinglesOf(w, 3)).cast(LongType).as("n3"),
-      round(d3, 6).as("dup3_frac"),
-      (d2 > repDupThreshold || d3 > repDupThreshold).as("repetitious"))
+  def repetition(docs: DataFrame): DataFrame =
+    repetitionOver(docs).select("doc_id", "n2", "dup2_frac", "n3", "dup3_frac",
+      "repetitious")
+
+  /** [[repetition]] keeping every input column (for gate composition).
+    * Words and gram arrays materialize in their own projections
+    * (fingerprints()-style): inlining them into the consuming lambdas /
+    * multiple consumers would re-split the text PER GRAM — O(n²) per doc
+    * and the dominant corpus-gate cost. Multi-referenced non-cheap
+    * aliases survive CollapseProject, so each evaluates once per row. */
+  def repetitionOver(docs: DataFrame): DataFrame = {
+    val withW = docs.select(col("*"), words(col("text")).as("__w"))
+    val withG = withW.select(col("*"),
+        shinglesOf(col("__w"), 2).as("__g2"),
+        shinglesOf(col("__w"), 3).as("__g3"))
+      .drop("__w")
+    // fracs in their own projection too: round() and the flag both read
+    // them, and each dupFracOf is a sort + fold worth evaluating once
+    val withD = withG.select(col("*"),
+        size(col("__g2")).cast(LongType).as("n2"),
+        size(col("__g3")).cast(LongType).as("n3"),
+        dupFracOf(col("__g2")).as("__d2"),
+        dupFracOf(col("__g3")).as("__d3"))
+      .drop("__g2", "__g3")
+    withD.select(col("*"),
+        round(col("__d2"), 6).as("dup2_frac"),
+        round(col("__d3"), 6).as("dup3_frac"),
+        (col("__d2") > repDupThreshold || col("__d3") > repDupThreshold)
+          .as("repetitious"))
+      .drop("__d2", "__d3")
   }
 
   val repetitionSql: String = {
