@@ -76,6 +76,47 @@ object Prep {
         count(lit(1)).as("copies_out"),
         sum(col("n_chars")).as("chars_out"))
 
+  /**
+   * Streaming form of the prep FRONT-END — the per-document decisions
+   * (gates, decontamination, exact dedup) run on an ingest stream:
+   *
+   *  - gates are pure projections, so they stream stateless;
+   *  - the probe gram set is DRIVER-SIZED by construction (a benchmark
+   *    suite, same legitimacy class as IVF centroids) and inlines as a
+   *    literal array — `arrays_overlap` per doc, no stream-static join
+   *    state at all;
+   *  - exact dedup is `dropDuplicatesWithinWatermark` — state bounded by
+   *    the horizon ([[Dedup.exactStreaming]]).
+   *
+   * Mixing and the audit stay batch: they are corpus-level decisions
+   * (weights against a full census), not per-arrival ones.
+   * Input needs (doc_id, text, ts); emits gated+clean+unique arrivals.
+   */
+  def prepareStream(stream: DataFrame, probes: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import TextOps._
+    val probeGrams: Array[Long] =
+      Decontam.probeIndex(probes).select(col("g")).collect().map(_.getLong(0))
+    val scored = langId(
+      quality(stream, carry = Seq("text", "ts")),
+      carry = Seq("n_tokens", "score", "text", "ts"))
+    val gated = repetitionOver(scored).where(
+        col("pred_lang") === cleanLang &&
+        col("score") >= cleanMinScore &&
+        col("n_tokens").between(cleanMinTok, cleanMaxTok) &&
+        !col("repetitious"))
+      .select(col("doc_id"), col("text"), col("ts"))
+    val withG = gated
+      .withColumn("__w", words(col("text")))
+      .withColumn("__g", transform(
+        shinglesOf(col("__w"), Decontam.probeN), s => h60(s)))
+      .drop("__w")
+    val clean = withG
+      .where(!arrays_overlap(col("__g"), typedLit(probeGrams.toSeq)))
+      .drop("__g")
+    Dedup.exactStreaming(clean, watermark).drop("h")
+  }
+
   val prepareSql: String = {
     import TextOps._
     val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
