@@ -84,6 +84,56 @@ class DatapipePropertySpec extends SparkSpecBase {
     assert(got == want && want.nonEmpty)
   }
 
+  test("keptCorpus equals the componentwise pipeline on random planted corpora") {
+    val rnd = new scala.util.Random(90210)
+    // en-stopword-bearing vocab so the language/quality gates pass a
+    // realistic subset; distinct fillers keep repetition fractions low
+    val fillers = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia", "kilo", "lima", "mike", "nov")
+    def enText(n: Int) = {
+      val words = Seq("the", "a", "of") ++ Seq.fill(n)(fillers(rnd.nextInt(fillers.size)))
+      rnd.shuffle(words).mkString(" ")
+    }
+    for (trial <- 1 to 3) {
+      val base = (0 until 50).map { i =>
+        val text = i % 10 match {
+          case 7 => "the " + Seq.fill(14)("spam").mkString(" ")    // repetitious
+          case 8 => "short one"                                    // too short
+          case _ => enText(9 + rnd.nextInt(8))
+        }
+        (i.toLong, text)
+      }
+      // plant duplicates of earlier docs under new ids
+      val docs = (base ++ (0 until 6).map { j =>
+        (100L + j, base(rnd.nextInt(base.size))._2)
+      }).map { case (id, t) => (id, t, s"src${rnd.nextInt(8)}", t.length.toLong) }
+      val df = docs.toDF("doc_id", "text", "source", "n_chars")
+
+      val got = Prep.keptCorpus(df).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+      import org.apache.spark.sql.functions.{col, md5, min => fmin}
+      val q = TextOps.quality(df)
+      val l = TextOps.langId(df).select(col("doc_id"), col("pred_lang"))
+      val r = TextOps.repetition(df).select(col("doc_id"), col("repetitious"))
+      val gatedIds = q.join(l, "doc_id").join(r, "doc_id")
+        .where(col("pred_lang") === TextOps.cleanLang &&
+          col("score") >= TextOps.cleanMinScore &&
+          col("n_tokens").between(TextOps.cleanMinTok, TextOps.cleanMaxTok) &&
+          !col("repetitious"))
+        .select("doc_id")
+      val gated = df.join(gatedIds, "doc_id")
+      val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(df)))
+      val clean = gated.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      val want = clean.withColumn("h", md5(Dedup.normText))
+        .groupBy("h").agg(fmin("doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+      assert(got == want && want.nonEmpty, s"trial $trial")
+      graft.CacheRegistry.unpersistAll()
+    }
+  }
+
   test("repetition fractions equal brute-force distinct counts on random docs") {
     val rnd = new scala.util.Random(31337)
     val vocab = Vector("x", "y", "z")   // tiny vocab forces heavy repetition
