@@ -48,12 +48,17 @@ object Decontam {
    * Per-document contamination flags: docs sharing any n-gram with any
    * probe, with how many probes hit and the first (min) offending probe.
    * Documents with no hit do not appear (the keep-set is the anti-join).
+   *
+   * Deliberately NO distinct on the corpus gram side: the downstream
+   * aggregate (countDistinct / min over probe_id) is duplicate-
+   * insensitive, and a pre-join distinct would shuffle EVERY corpus gram
+   * — the one thing this operator's scale contract forbids. As written,
+   * the only exchange is the per-doc aggregate of probe-MATCHED rows.
    */
   def flag(docs: DataFrame, probeIdx: DataFrame): DataFrame = {
     val dg = docs.select(col("doc_id"),
         explode(transform(TextOps.shingleArray(col("text"), probeN),
           s => TextOps.h60(s))).as("g"))
-      .distinct()
     dg.join(broadcast(probeIdx), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("probe_id")).as("n_probes"),
@@ -65,16 +70,25 @@ object Decontam {
   def flagDocuments(docs: DataFrame): DataFrame =
     flag(docs, probeIndex(probes(docs)))
 
+  /** DuckDB unnest of probe-n-gram start positions over a `w` column —
+    * shared by [[flagSql]] and Prep.prepareSql. */
+  val gramPosSql: String =
+    s"unnest(range(0, greatest(len(w) - ${probeN - 1}, 0))) AS i"
+
+  /** DuckDB h60 hash of the probe n-gram at position `i` — shared by
+    * [[flagSql]] and Prep.prepareSql. */
+  val gramHashSql: String =
+    TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $probeN)], ' ')")
+
   val flagSql: String = {
-    val k = probeN
     def gramCte(src: String, idCol: String): String =
       s"""${src}pos AS (
-         |  SELECT $idCol, w, unnest(range(0, greatest(len(w) - ${k - 1}, 0))) AS i
+         |  SELECT $idCol, w, $gramPosSql
          |  FROM ${src}t
          |),
          |${src}g AS (
          |  SELECT DISTINCT $idCol,
-         |         ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $k)], ' ')")} AS g
+         |         $gramHashSql AS g
          |  FROM ${src}pos
          |)""".stripMargin
     s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

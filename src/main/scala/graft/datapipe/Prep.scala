@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
  *     the only terminal aggregate.
  *
  * Exchanges for the whole pipeline: the dedup hash shuffle, the final
- * audit aggregate, and the decontam flag aggregate — which shuffles only
+ * audit aggregate, the decontam flag aggregates — which shuffle only
  * PROBE-MATCHED grams (post-broadcast-semijoin, negligible by
- * construction). Corpus payload bytes cross the network exactly once,
- * at the dedup shuffle; both joins are broadcast.
+ * construction; two exchanges, since the distinct count is two-phase) —
+ * and the benchmark-sized probe-index distinct. Corpus payload bytes
+ * cross the network exactly once, at the dedup shuffle; both joins are
+ * broadcast, and no exchange is ever keyed on raw corpus grams
+ * (DecontamSpec pins that shape).
  */
 object Prep {
 
@@ -56,8 +59,10 @@ object Prep {
         col("n_tokens").between(cleanMinTok, cleanMaxTok) &&
         !col("repetitious"))
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
-    // decontam on survivors only; flagged set is small -> broadcast anti
-    val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(docs)))
+    // decontam on survivors only; flagged set is small -> broadcast anti.
+    // Probes come from the persisted staged frame, NOT a second corpus
+    // scan — it already materializes (doc_id, text) for every document
+    val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(staged)))
       .select(col("doc_id"))
     val clean = gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
     // exact dedup keeping the whole keeper row: rank-prune per text hash
@@ -67,8 +72,12 @@ object Prep {
       .drop("h")
   }
 
-  /** The driver entry: prepared-corpus audit per source — surviving
-    * distinct docs, emitted copies after mixing, emitted char mass. */
+  /** The driver entry: prepared-corpus audit per source. All three
+    * measures are POST-MIX: `survivors` = distinct docs that emitted at
+    * least one copy (for a down-sampled source, w<1, this is the
+    * hash-gated subset of the kept corpus, not the full gates+dedup
+    * census — use [[keptCorpus]] for that), `copies_out` = emitted
+    * copies, `chars_out` = emitted char mass. */
   def prepare(docs: DataFrame): DataFrame =
     TextOps.mixEpochs(keptCorpus(docs))
       .groupBy(col("source"), col("w").cast("double").as("w"))
@@ -129,16 +138,12 @@ object Prep {
     val langCase = stopwords.map { case (lang, _) =>
       s"WHEN hits_$lang = $best THEN '$lang'"
     }.mkString(" ")
-    def gram(k: Int): String =
-      s"list_transform(range(0, greatest(len(w) - ${k - 1}, 0)), i -> array_to_string(w[(i + 1):(i + $k)], ' '))"
-    def dup(k: Int): String =
-      s"CASE WHEN len(g$k) > 0 THEN 1.0 - len(list_distinct(g$k)) / CAST(len(g$k) AS DOUBLE) ELSE 0.0 END"
-    val pn = Decontam.probeN
+    // shared builders (TextOps.gramListSql / dupFracSql / mixCaseSql):
+    // the composed oracle can never diverge from the component oracles
+    def gram(k: Int): String = gramListSql(k)
+    def dup(k: Int): String = dupFracSql(s"g$k")
     val n = mixWeights.size
-    def byIdx(f: Double => String): String =
-      "CASE idx " + mixWeights.zipWithIndex.map { case (wv, i) =>
-        s"WHEN $i THEN ${f(wv)}"
-      }.mkString(" ") + " END"
+    def byIdx(f: Double => String): String = mixCaseSql(f)
     s"""WITH t AS (SELECT doc_id, source, text, n_chars,
        |                  string_split(text, ' ') AS w FROM documents),
        |m AS (
@@ -159,21 +164,21 @@ object Prep {
        |    AND (${dup(2)}) <= $repDupThreshold AND (${dup(3)}) <= $repDupThreshold
        |),
        |ppos AS (
-       |  SELECT w, unnest(range(0, greatest(len(w) - ${pn - 1}, 0))) AS i
+       |  SELECT w, ${Decontam.gramPosSql}
        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
        |        WHERE doc_id % ${Decontam.probeMod} = 0)
        |),
        |pg AS (
-       |  SELECT DISTINCT ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $pn)], ' ')")} AS g
+       |  SELECT DISTINCT ${Decontam.gramHashSql} AS g
        |  FROM ppos
        |),
        |gpos AS (
-       |  SELECT doc_id, w, unnest(range(0, greatest(len(w) - ${pn - 1}, 0))) AS i
+       |  SELECT doc_id, w, ${Decontam.gramPosSql}
        |  FROM gated
        |),
        |flagged AS (
        |  SELECT DISTINCT doc_id FROM (
-       |    SELECT doc_id, ${TextOps.h60Sql(s"array_to_string(w[(i + 1):(i + $pn)], ' ')")} AS g
+       |    SELECT doc_id, ${Decontam.gramHashSql} AS g
        |    FROM gpos)
        |  WHERE g IN (SELECT g FROM pg)
        |),

@@ -465,11 +465,22 @@ object TextOps {
       .drop("__d2", "__d3")
   }
 
+  /** DuckDB rendering of a word k-gram list over a `w` array column —
+    * shared by repetitionSql, Decontam.flagSql, and Prep.prepareSql so
+    * the shingle window can never diverge between the component oracles
+    * and the composed one. */
+  def gramListSql(k: Int): String =
+    s"list_transform(range(0, greatest(len(w) - ${k - 1}, 0)), i -> array_to_string(w[(i + 1):(i + $k)], ' '))"
+
+  /** DuckDB rendering of the duplicate fraction over a gram-list column
+    * (the exact formula [[dupFracOf]] computes) — shared for the same
+    * reason as [[gramListSql]]. */
+  def dupFracSql(col: String): String =
+    s"CASE WHEN len($col) > 0 THEN 1.0 - len(list_distinct($col)) / CAST(len($col) AS DOUBLE) ELSE 0.0 END"
+
   val repetitionSql: String = {
-    def gram(k: Int): String =
-      s"list_transform(range(0, greatest(len(w) - ${k - 1}, 0)), i -> array_to_string(w[(i + 1):(i + $k)], ' '))"
-    def dup(k: Int): String =
-      s"CASE WHEN len(g$k) > 0 THEN 1.0 - len(list_distinct(g$k)) / CAST(len(g$k) AS DOUBLE) ELSE 0.0 END"
+    def gram(k: Int): String = gramListSql(k)
+    def dup(k: Int): String = dupFracSql(s"g$k")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g AS (SELECT doc_id, ${gram(2)} AS g2, ${gram(3)} AS g3 FROM t)
        |SELECT doc_id,
@@ -529,12 +540,16 @@ object TextOps {
       .groupBy(col("source"), col("w").cast("double").as("w"))
       .agg(count(lit(1)).as("docs_out"), sum(col("n_chars")).as("chars_out"))
 
+  /** DuckDB CASE over the source-suffix index rendering a per-weight
+    * constant — shared by mixSummarySql and Prep.prepareSql. */
+  def mixCaseSql(f: Double => String): String =
+    "CASE idx " + mixWeights.zipWithIndex.map { case (wv, i) =>
+      s"WHEN $i THEN ${f(wv)}"
+    }.mkString(" ") + " END"
+
   val mixSummarySql: String = {
     val n = mixWeights.size
-    def byIdx(f: Double => String): String =
-      "CASE idx " + mixWeights.zipWithIndex.map { case (wv, i) =>
-        s"WHEN $i THEN ${f(wv)}"
-      }.mkString(" ") + " END"
+    def byIdx(f: Double => String): String = mixCaseSql(f)
     val w = byIdx(_.toString)
     val nFull = byIdx(wv => wv.toInt.toString)
     val frac = byIdx(wv => math.round((wv - wv.toInt) * 1000).toString)

@@ -37,6 +37,16 @@ class DecontamSpec extends SparkSpecBase {
     val plan = Decontam.flagDocuments(docs).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast probe join in:\n$plan")
+    // allowed exchanges: the probe-side gram distinct (probe_id, g) and
+    // the post-join matched-row aggregates (doc_id[, probe_id]). A
+    // corpus-gram shuffle — hashpartitioning on (doc_id, g) — is the one
+    // shape the operator's scale contract forbids (it would move every
+    // corpus gram over the network before the broadcast semijoin)
+    val corpusGramShuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+      l.contains("doc_id") && l.matches(""".*\bg#\d+.*"""))
+    assert(corpusGramShuffles.isEmpty,
+      s"corpus grams shuffle before the semijoin:\n${corpusGramShuffles.mkString("\n")}\nin:\n$plan")
   }
 
   test("short documents (< probeN words) produce no grams and never flag") {
