@@ -174,6 +174,9 @@ object Hypergraph {
     rootHintTL.set(root)
     try f finally rootHintTL.remove()
   }
+  /** Whether a caller pinned a root on this thread — leaf-merging
+    * rewrites are disabled under a pin so the named rel can't vanish. */
+  private[graft] def activeRootHint: Option[String] = Option(rootHintTL.get)
 
   /** Every valid join tree the cost model chooses among: the GYO tree
     * rerooted at each relation (rerooting preserves the running-

@@ -51,11 +51,20 @@ object Yannakakis {
     // leaves (the derived edge lists) measured ~break-even-to-negative
     // under caching — their re-derivation is a pushdown-pruned scan +
     // one exchange, cheaper than a materialize-and-read-back.
-    val derived = df.queryExecution.analyzed.collectFirst {
-      case a: Aggregate => a
-      case w: Window => w
-    }.isDefined
-    if (derived) graft.CacheRegistry.persistTracked(df) else df
+    // TOP operator only (descending through unary wrappers): a leaf whose
+    // ROOT is a join (e.g. an edge enriched with a folded keyed aggregate)
+    // is fact-sized at scale — persisting it would materialize the fact
+    // side; the tiny aggregate beneath it is persisted separately by the
+    // fold itself and shared via the CacheManager's canonical match.
+    @annotation.tailrec
+    def topAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Window => true
+      case _: Join => false
+      case u: UnaryNode => topAgg(u.child)
+      case _ => false
+    }
+    if (topAgg(df.queryExecution.analyzed)) graft.CacheRegistry.persistTracked(df)
+    else df
   }
 
   def fullReduce(tree: JoinTree): Map[String, DataFrame] = {

@@ -746,15 +746,67 @@ object CqcSql {
       Rel(s"r$i", df)
     }.toSeq
 
+    // ---- fold KEYED aggregate subquery leaves into a host relation
+    // ("joint-groupBy degree subqueries"): an Aggregate leaf joined on
+    // EXACTLY its full grouping key matches at most one row per host
+    // tuple, so inner-joining it onto any relation carrying those
+    // variables is multiplicity-neutral and result-identical — the leaf
+    // leaves the hypergraph, dropping its two reducer semijoins and its
+    // enumeration join (the reference examples q3–q7 carry 2–4 degree
+    // subqueries each; at scale the keyed aggregate becomes a broadcast
+    // enrichment of the edge it filters instead of a join-tree node).
+    // The aggregate side is persisted first, so identical-shaped degree
+    // subqueries canonically dedup in the CacheManager and one
+    // materialization serves every host. Used by the ENUMERATION path
+    // only (the fast aggregate paths index rels positionally); skipped
+    // under an explicit root pin so the pinned name can't vanish.
+    val foldedRels: Seq[Rel] = {
+      val keyOf: Map[Int, Set[String]] =
+        if (graft.cqc.Hypergraph.activeRootHint.isDefined) Map.empty
+        else leaves.zipWithIndex.flatMap { case (leaf0, i) =>
+          @annotation.tailrec
+          def strip(p: LogicalPlan): LogicalPlan = p match {
+            case SubqueryAlias(_, c) => strip(c)
+            case c => c
+          }
+          strip(leaf0) match {
+            case org.apache.spark.sql.catalyst.plans.logical.Aggregate(ge, _, _, _)
+                if ge.nonEmpty && ge.forall(_.isInstanceOf[AttributeReference]) &&
+                  ge.forall(g => leafAttrIds(i).contains(
+                    g.asInstanceOf[AttributeReference].exprId.id)) =>
+              Some(i -> ge.map(g =>
+                varName(g.asInstanceOf[AttributeReference].exprId.id)).toSet)
+            case _ => None
+          }
+        }.toMap
+      val arr = rels.toArray
+      val gone = scala.collection.mutable.Set[Int]()
+      def shared(i: Int): Set[String] =
+        arr(i).vars.filter(v =>
+          arr.indices.exists(j => j != i && !gone(j) && arr(j).vars(v)))
+      for ((i, keys) <- keyOf.toSeq.sortBy(_._1)) {
+        if (!gone(i) && shared(i) == keys)
+          arr.indices.find(j => j != i && !gone(j) && !keyOf.contains(j) &&
+              keys.subsetOf(arr(j).vars)).foreach { j =>
+            arr(j) = Rel(arr(j).name, arr(j).df.join(
+              graft.CacheRegistry.persistTracked(arr(i).df), keys.toSeq, "inner"))
+            gone += i
+          }
+      }
+      if (gone.nonEmpty)
+        trace(s"folded keyed aggregate leaves: ${gone.toSeq.sorted.map(i => s"r$i").mkString(", ")}")
+      arr.indices.filterNot(gone).map(arr(_)).toSeq
+    }
+
     // inspection hook (candidates / hypergraph dump): nested blocks fire
     // inner-first, the OUTERMOST body fires last — callers keep the last
-    locally { val h = relsHook.get(); if (h != null) h(rels) }
+    locally { val h = relsHook.get(); if (h != null) h(foldedRels) }
 
     trace {
       val desc =
-        if (graft.cqc.Hypergraph.isAcyclic(rels))
-          graft.cqc.Hypergraph.joinTree(rels).describe
-        else rels.map(r => s"${r.name} [${r.vars.toSeq.sorted.mkString(",")}]")
+        if (graft.cqc.Hypergraph.isAcyclic(foldedRels))
+          graft.cqc.Hypergraph.joinTree(foldedRels).describe
+        else foldedRels.map(r => s"${r.name} [${r.vars.toSeq.sorted.mkString(",")}]")
           .mkString("(cyclic body -> GHD certificate bags over: ", "; ", ")")
       s"join tree (cost-picked):\n$desc" +
         (if (cmps.isEmpty) ""
@@ -766,7 +818,7 @@ object CqcSql {
     // variables are bound (a cross-relation OR never waits for the full
     // enumeration). Lazy: the aggregate fast path below never builds it.
     lazy val enumerated: DataFrame = {
-      var out = Ghd.solve(rels, cmps.toSeq, residual.map(varSql).toSeq)
+      var out = Ghd.solve(foldedRels, cmps.toSeq, residual.map(varSql).toSeq)
 
       // ---- re-apply the peeled outer joins on the CQC result (a
       // join-bearing peeled side is itself a nested block: recurse)
