@@ -1057,6 +1057,64 @@ object SparkEntry {
       .select(col("o_year"), round(col("share_d") / col("total_d"), 6).as("mkt_share"))
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting — the multi-
+    * EXISTS/NOT-EXISTS anti-join family; the reference's TpchQueriesTest
+    * stops at Q20 so this is beyond its own surface). Adapted to this
+    * schema: "late" = l_returnflag = 'R'. The API form rewrites both
+    * correlated EXISTS into per-orderkey DISTINCT-supplier aggregates —
+    * EXISTS(other supp) ⇔ nsupp ≥ 2, NOT EXISTS(other late supp) ⇔
+    * nlate = 1 (l1 itself is late, so its supplier is always counted) —
+    * which is the scale plan: two map-side-combinable aggregates
+    * sharing the l_orderkey shuffle instead of two self-join fanouts
+    * over lineitem. */
+  def qQ21Waiting(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val late = l.where(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+    val nsupp = l.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+      .where(col("nsupp") >= 2).select("l_orderkey")
+    val nlate = late.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nlate"))
+      .where(col("nlate") === 1).select(col("l_orderkey").as("lo"))
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "F").select("o_orderkey")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    late
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(nsupp, Seq("l_orderkey"))
+      .join(nlate, col("l_orderkey") === col("lo"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q21 as SQL TEXT through the door: the literal correlated
+    * EXISTS / NOT EXISTS text — both subqueries reference only the l1
+    * leaf, so they apply as leaf filters with the subqueries embedded
+    * (the q17/q22 routing) and the remaining 4-relation join rides CQC. */
+  def qSqlCqcQ21(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("q21_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("q21_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("q21_orders")
+    Tables.nation(s, d).createOrReplaceTempView("q21_nation")
+    graft.sql.CqcSql.solve(s,
+      """SELECT s.s_name AS s_name, COUNT(*) AS numwait
+        |FROM q21_supplier s, q21_lineitem l1, q21_orders o, q21_nation n
+        |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |GROUP BY s.s_name""".stripMargin)
+  }
+
   /** TPC-H Q9 as SQL TEXT through the door: the reference's derived-
     * table-then-aggregate structure — [[graft.sql.CqcSql.solvePlan]]
     * recurses into the 6-relation profit block (CQC reduction applies
@@ -1617,6 +1675,8 @@ object SparkEntry {
     "sql_cqc_q11" -> (qSqlCqcQ11 _),
     "sql_cqc_q15" -> (qSqlCqcQ15 _),
     "sql_cqc_q20" -> (qSqlCqcQ20 _),
+    "q21_waiting" -> (qQ21Waiting _),
+    "sql_cqc_q21" -> (qSqlCqcQ21 _),
     "q_window" -> (qWindowFns _),
     "q_rollup" -> (qRollup _),
     "anyk_page" -> (qAnykPage _),
@@ -1740,6 +1800,23 @@ object SparkEntry {
        |              WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
        |                AND l_shipdate >= TIMESTAMP '1996-01-01'
        |                AND l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin
+
+  /** TPC-H Q21 oracle body (literal EXISTS/NOT-EXISTS form — also
+    * exercises the API entry's aggregate rewrite for equivalence). */
+  private def q21OracleSql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier s, lineitem l1, orders o, nation n
+      |WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+      |GROUP BY s_name""".stripMargin
 
   /** TPC-H Q8 oracle body — shared by the API and SQL-door entries. */
   private def q8OracleSql: String =
@@ -2082,6 +2159,8 @@ object SparkEntry {
     "sql_cqc_q15" -> q15OracleSql,
     "q20_nested" -> q20OracleSql,
     "sql_cqc_q20" -> q20OracleSql,
+    "q21_waiting" -> q21OracleSql,
+    "sql_cqc_q21" -> q21OracleSql,
     "q_window" ->
       """SELECT o_custkey, o_orderkey,
         |       row_number() OVER w AS rn,

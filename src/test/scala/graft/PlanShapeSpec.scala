@@ -143,4 +143,26 @@ class PlanShapeSpec extends SparkSpecBase {
         s"$name: no CQC variable renames in plan — door fell back to stock")
     }
   }
+
+  test("q21_waiting: EXISTS rewrite as aggregates, no lineitem self-join fanout") {
+    // the API form replaces both correlated EXISTS with per-orderkey
+    // DISTINCT-supplier aggregates; the plan must contain aggregates but
+    // NO join whose both sides scan lineitem row-for-row (the self-join
+    // formulation) — the joins against the two aggregates are fine.
+    // Equivalence with the literal EXISTS semantics is the DuckDB
+    // oracle's job (same oracle text as sql_cqc_q21).
+    val df = SparkEntry.queries("q21_waiting")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in q21 plan")
+    // door form routes through CQC (variable renames), not stock fallback
+    val door = SparkEntry.queries("sql_cqc_q21")(spark, sfDir)
+    val analyzed = door.queryExecution.analyzed.toString()
+    assert(analyzed.matches("(?s).* AS v\\d+.*"),
+      "sql_cqc_q21: no CQC variable renames — door fell back to stock")
+    // and both forms agree with each other on the data
+    val a = df.orderBy("s_name").collect().toSeq
+    val b = door.orderBy("s_name").collect().toSeq
+    assert(a == b)
+  }
 }
