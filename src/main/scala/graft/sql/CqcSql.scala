@@ -51,7 +51,47 @@ object CqcSql {
   private final class UnsupportedFrame extends RuntimeException
 
   def solve(spark: SparkSession, sql: String): DataFrame =
-    solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+    hintedRoot(spark, sql) match {
+      case Some(r) if graft.cqc.Hypergraph.activeRootHint.isEmpty =>
+        graft.cqc.Hypergraph.withRootHint(r)(
+          solvePlan(spark, spark.sql(sql).queryExecution.analyzed))
+      case _ => solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+    }
+
+  // ---- SQL-comment join-tree hint (reference convert/HintHandler.scala:10
+  // reached from plain text instead of the web/API pin): `/*+ ROOT(x) */`
+  // anywhere in the query pins the enumeration tree root. `x` is a rel
+  // name from [[candidates]] (r0, r1, … in FROM order) or a FROM alias
+  // (resolved positionally). Unknown names fall back to the cost pick —
+  // never an error — and an API-level [[solveWithRoot]] pin wins over
+  // the comment. Spark's analyzer drops the unrecognized hint token from
+  // the plan itself, so the text analyzes identically with or without it.
+  private val rootHintRe =
+    "(?is)/\\*\\+\\s*root\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*\\*/".r
+
+  private def hintedRoot(spark: SparkSession, sql: String): Option[String] =
+    rootHintRe.findFirstMatchIn(sql).map { m =>
+      val want = m.group(1)
+      if (want.matches("(?i)r\\d+")) want.toLowerCase
+      else {
+        // FROM aliases resolve positionally: leaf SubqueryAliases in
+        // left-to-right DFS order mirror flatten's r0, r1, … numbering.
+        // A miss (or an offset from peeled outer shapes) degrades to the
+        // cost pick / a different valid root — rerooting never changes
+        // results (spec'd), so this is best-effort by design.
+        val analyzed = spark.sql(sql).queryExecution.analyzed
+        val leafAliases = scala.collection.mutable.ArrayBuffer[String]()
+        def walk(p: LogicalPlan): Unit = p match {
+          case SubqueryAlias(id, child) =>
+            if (child.collectFirst { case j: Join => j }.isEmpty) leafAliases += id.name
+            else walk(child)
+          case other => other.children.foreach(walk)
+        }
+        walk(analyzed)
+        val i = leafAliases.indexWhere(_.equalsIgnoreCase(want))
+        if (i >= 0) s"r$i" else want
+      }
+    }
 
   // ---- dry-run tracing (the reference's DryRunHandler/compile artifact
   // at the semantic level: what plan WOULD run, without running it).
@@ -72,7 +112,7 @@ object CqcSql {
     val sb = new StringBuilder
     tracer.set(sb)
     try {
-      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      solve(spark, sql) // honors a /*+ ROOT(x) */ comment like execution
       sb.toString
     } finally tracer.remove()
   }
