@@ -66,7 +66,16 @@ object Decontam {
   }
 
   /** The composed driver entry: corpus-derived probes → broadcast index →
-    * flags. */
+    * flags.
+    *
+    * AUDIT-READING NOTE: because the probe set is derived FROM the corpus
+    * (doc_id % [[probeMod]] == 0), every probe document with ≥ [[probeN]]
+    * words flags ITSELF — so the flagged set includes ~1/[[probeMod]] of
+    * the corpus by construction, on top of any genuine overlap. That is
+    * the correct contract for this deterministic driver entry (the DuckDB
+    * oracle computes the identical self-hits), but the flag counts are
+    * NOT a contamination rate estimate; with a real external benchmark
+    * file in [[flag]], no self-hits exist and they are. */
   def flagDocuments(docs: DataFrame): DataFrame =
     flag(docs, probeIndex(probes(docs)))
 

@@ -34,8 +34,19 @@ import org.apache.spark.sql.functions._
  */
 object Prep {
 
+  /** Upper bound on probe grams inlined as an expression literal in
+    * [[prepareStream]] (~16 MB of 8-byte hashes). */
+  val maxInlineProbeGrams: Int = 2 * 1000 * 1000
+
   /** Kept corpus after gates → decontam → dedup, with payload columns
-    * (doc_id, source, text, n_chars) intact. */
+    * (doc_id, source, text, n_chars) intact.
+    *
+    * CALLER CONTRACT: the returned frame's lineage holds a TRACKED
+    * persist (the `staged` materialization barrier below) that this
+    * method cannot release itself — it must stay alive until the caller
+    * materializes the result. Call [[graft.CacheRegistry.unpersistAll]]
+    * afterwards (Verify/Bench do per query; the datapipe specs do in
+    * afterEach) or a long session accumulates InMemoryRelations. */
   def keptCorpus(docs: DataFrame): DataFrame = {
     import TextOps._
     // one fused scan: quality + language projections, then every gate
@@ -106,6 +117,15 @@ object Prep {
     import TextOps._
     val probeGrams: Array[Long] =
       Decontam.probeIndex(probes).select(col("g")).collect().map(_.getLong(0))
+    // the literal-inline path assumes a DRIVER-SIZED probe set: 8 bytes
+    // per gram means the bound below caps the expression-tree payload at
+    // ~16 MB. A benchmark suite beyond it must ride a stream-static
+    // broadcast join instead of an inlined literal — fail loudly rather
+    // than silently bloating the driver and every serialized plan.
+    require(probeGrams.length <= maxInlineProbeGrams,
+      s"probe gram index (${probeGrams.length}) exceeds the inline bound " +
+        s"($maxInlineProbeGrams); use a stream-static broadcast join for " +
+        "benchmark suites this large")
     val scored = langId(
       quality(stream, carry = Seq("text", "ts")),
       carry = Seq("n_tokens", "score", "text", "ts"))

@@ -34,19 +34,41 @@ class DecontamSpec extends SparkSpecBase {
   }
 
   test("the probe index joins via broadcast, corpus grams never shuffle") {
-    val plan = Decontam.flagDocuments(docs).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"expected a broadcast probe join in:\n$plan")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+    val root = Decontam.flagDocuments(docs).queryExecution.executedPlan
+    // STRUCTURAL walk (not a toString regex, which a plan-rendering
+    // change would silently vacuate): descend through AQE wrappers and
+    // collect every exchange node
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = p match { case a: AdaptiveSparkPlanExec => a.executedPlan; case x => x }
+      pf.lift(here).toSeq ++ here.children.flatMap(collectAll(_)(pf))
+    }
+    val broadcasts = collectAll(root) { case b: BroadcastExchangeLike => b }
+    assert(broadcasts.nonEmpty, s"expected a broadcast probe join in:\n$root")
     // allowed exchanges: the probe-side gram distinct (probe_id, g) and
     // the post-join matched-row aggregates (doc_id[, probe_id]). A
-    // corpus-gram shuffle — hashpartitioning on (doc_id, g) — is the one
+    // corpus-gram shuffle — hash-partitioned on (doc_id, g) — is the one
     // shape the operator's scale contract forbids (it would move every
     // corpus gram over the network before the broadcast semijoin)
-    val corpusGramShuffles = plan.linesIterator.filter(l =>
-      l.contains("Exchange hashpartitioning") &&
-      l.contains("doc_id") && l.matches(""".*\bg#\d+.*"""))
+    val corpusGramShuffles = collectAll(root) {
+      case e: ShuffleExchangeLike => e
+    }.filter { e =>
+      e.outputPartitioning match {
+        case hp: HashPartitioning =>
+          val names = hp.expressions.flatMap(_.collect {
+            case a: AttributeReference => a.name
+          }).toSet
+          names.contains("doc_id") && names.contains("g")
+        case _ => false
+      }
+    }
     assert(corpusGramShuffles.isEmpty,
-      s"corpus grams shuffle before the semijoin:\n${corpusGramShuffles.mkString("\n")}\nin:\n$plan")
+      s"corpus grams shuffle before the semijoin:\n${corpusGramShuffles.mkString("\n")}\nin:\n$root")
   }
 
   test("short documents (< probeN words) produce no grams and never flag") {
