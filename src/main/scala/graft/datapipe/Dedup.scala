@@ -388,11 +388,21 @@ object Dedup {
    * driver sees only a changed-row COUNT (one long per round) to decide
    * convergence — labels themselves never leave the executors. Round
    * count = the pair graph's diameter, which for near-dup clusters is
-   * small (duplicate clusters are dense, not path-like); on a general
-   * 100 TB graph the same per-round dataflow runs the
-   * O(log n)-round large-star/small-star variant instead.
+   * small (duplicate clusters are dense, not path-like); for graphs with
+   * LONG components (diameter >> 10 — chained near-dups, general 100 TB
+   * graphs) pass `alternatingStar = true` to run the
+   * large-star/small-star contraction instead: round count is
+   * logarithmic in component size rather than linear in diameter
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC '14), with identical cluster assignment (spec'd on planted
+   * paths + random graphs).
    */
-  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxRounds: Int = 50,
+               alternatingStar: Boolean = false): DataFrame =
+    if (alternatingStar) clustersStar(pairs, maxRounds)
+    else clustersPropagate(pairs, maxRounds)
+
+  private def clustersPropagate(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // persist the pair set BEFORE the symmetrizing union: both union arms
     // reference it, and left lazy the (expensive) pair derivation would
     // run once per arm
@@ -400,27 +410,111 @@ object Dedup {
     val edges = graft.CacheRegistry.persistTracked(
       p.select(col("d1").as("v"), col("d2").as("u"))
         .union(p.select(col("d2").as("v"), col("d1").as("u"))))
-    var persisted = graft.CacheRegistry.persistTracked(
-      edges.select(col("v")).distinct().withColumn("lbl", col("v")))
-    var lbl = persisted
+    // per-round labels are eagerly materialized with their LINEAGE
+    // TRUNCATED (localCheckpoint): the round body references the previous
+    // labels twice, and Catalyst re-traverses every occurrence of a
+    // shared subtree, so un-truncated iteration makes plan analysis cost
+    // grow ~2^rounds — fatal on the driver well before maxRounds even
+    // though per-round DATA stays one row per vertex. Superseded round
+    // storage is released by the ContextCleaner when the previous frame's
+    // reference drops.
+    var lbl = edges.select(col("v")).distinct().withColumn("lbl", col("v"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(lbl.toDF("u", "ulbl"), "u")
         .groupBy(col("v")).agg(min(col("ulbl")).as("nlbl"))
-      val step = graft.CacheRegistry.persistTracked(
-        lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
-          .select(col("v"), col("old"),
-            least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl")))
+      val step = lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"), col("old"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
+        .localCheckpoint()
       changed = step.where(col("lbl") < col("old")).count()
-      persisted.unpersist(blocking = false)
-      persisted = step
       lbl = step.select(col("v"), col("lbl"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /**
+   * Alternating large-star / small-star connected components — the
+   * logarithmic-round escape hatch for long-diameter pair graphs.
+   *
+   * The edge set itself is the state (kept canonically oriented
+   * larger→smaller, deduplicated):
+   *  - LARGE-STAR: per node u with symmetric neighbourhood Γ(u), let
+   *    m = min(Γ(u) ∪ {u}); rewire every strictly larger neighbour
+   *    v > u to m. Shrinks long tails by hooking "uphill" vertices
+   *    directly to the local minimum.
+   *  - SMALL-STAR: per node u over its smaller neighbours Γ⁻(u), let
+   *    m = min(Γ⁻(u)); rewire u and every v ∈ Γ⁻(u) \ {m} to m.
+   *    Flattens the partial trees large-star built.
+   * Both preserve connectivity and component minima; their fixed points
+   * are stars rooted at each component's minimum id, and the alternation
+   * reaches one in O(log n) rounds on paths (vs diameter rounds for
+   * plain propagation) — Kiveris et al., SoCC '14.
+   *
+   * Per round: two groupBy-min aggregates + two joins, all
+   * map-side-combinable on (node) keys; the convergence test the driver
+   * sees is a count + an empty-EXCEPT probe (longs only — edges never
+   * leave the executors). Output schema and assignment are identical to
+   * the propagation variant: (doc_id, cluster_id = min reachable id,
+   * cluster_size).
+   */
+  private def clustersStar(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    val p = graft.CacheRegistry.persistTracked(pairs)
+    // every vertex the input mentions (self-pairs included) — re-joined at
+    // the end so no degenerate input shape can drop a vertex
+    val verts = graft.CacheRegistry.persistTracked(
+      p.select(col("d1").as("v")).union(p.select(col("d2").as("v"))).distinct())
+    // Each round's edge set is eagerly materialized with its LINEAGE
+    // TRUNCATED (localCheckpoint): the round body references its input
+    // ~4 times, and Catalyst re-traverses every occurrence of a shared
+    // subtree, so un-truncated iteration makes plan ANALYSIS cost grow
+    // ~4^rounds — the driver, not the data, becomes the bottleneck. With
+    // truncation the plan stays constant-size per round; superseded
+    // round storage is released by the ContextCleaner when the previous
+    // frame's reference drops.
+    var edges = p
+      .select(greatest(col("d1"), col("d2")).as("u"),
+              least(col("d1"), col("d2")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric view; emitted edges (v, m) have
+      // v > u >= m, so the output is already canonically oriented
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over the oriented view: m = min of u's smaller
+      // neighbours; u and each other smaller neighbour rewire to m
+      val ss = large.join(
+        large.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+      val step = ss.select(col("v").as("u"), col("m").as("v"))
+        .union(ss.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val nStep = step.count()
+      converged = nStep == nEdges && step.except(edges).head(1).isEmpty
+      edges = step
+      nEdges = nStep
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // fixed point = stars: src -> component min; roots appear only as dst
+    val lbl = edges.select(col("u").as("v"), col("v").as("lbl")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    verts.join(lbl, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"), coalesce(col("lbl"), col("v")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
