@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
  * on it (natural-join semantics, like the reference's variable model in
  * sqlplus-core expression/Variable.scala).
  */
-case class Rel(name: String, df: DataFrame) {
+case class Rel(name: String, df: DataFrame, estHint: Option[BigInt] = None) {
   lazy val vars: Set[String] = df.columns.toSet
 }
 
@@ -126,10 +126,20 @@ object Hypergraph {
   /** Driver-side size estimate from Catalyst's optimized-plan stats —
     * pure metadata (parquet footer sizes x selectivity guesses), no jobs.
     * The reference's cost pick reads table statistics the same way
-    * (its join-tree candidates are costed before compilation). */
+    * (its join-tree candidates are costed before compilation).
+    *
+    * A relation constructed with an `estHint` overrides the stats: the
+    * hint carries knowledge Catalyst's estimator lacks — e.g. a keyed
+    * aggregate folded into a host relation is multiplicity-neutral
+    * (≤ one match per host row), so the enriched relation is at most
+    * host-sized, while the stats multiply the join children into
+    * garbage (measured: a 37 KB example-graph edge list estimated at
+    * 1.1 GB after one degree-subquery fold, poisoning both the tree
+    * cost pick and the direct-route gate). */
   private[graft] def estSize(r: Rel): BigInt =
-    try r.df.queryExecution.optimizedPlan.stats.sizeInBytes
-    catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    r.estHint.getOrElse(
+      try r.df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) })
 
   /**
    * GYO reduction → join tree, COST-PICKED among the valid candidates

@@ -31,6 +31,26 @@ import org.apache.spark.sql.functions._
  */
 object Yannakakis {
 
+  /** The direct-route size gate (see [[solveWithTree]]): true when every
+    * relation's driver-side estimate ([[Hypergraph.estSize]] — stats, or
+    * the fold's multiplicity-neutral hint) is at or under
+    * `spark.graft.direct.threshold` bytes. 0 or negative disables the
+    * route (every query takes the full reducer — the scale path). The
+    * default is deliberately far below `autoBroadcastJoinThreshold`:
+    * direct enumeration forfeits the output-sensitive intermediate bound,
+    * so it is only taken where the measured reducer overhead exceeds any
+    * possible pruning payoff (fixed-size dimension-like inputs), never at
+    * "merely broadcastable" sizes where reduction already wins (see the
+    * measured crossover in the solveWithTree note).
+    */
+  private[graft] def routesDirect(rels: Seq[Rel]): Boolean =
+    rels.nonEmpty && {
+      val thr =
+        try rels.head.df.sparkSession.conf.get("spark.graft.direct.threshold", "262144").toLong
+        catch { case scala.util.control.NonFatal(_) => 262144L }
+      thr > 0 && rels.forall(r => Hypergraph.estSize(r) <= BigInt(thr))
+    }
+
   /**
    * Remove all dangling tuples: bottom-up then top-down semijoin passes
    * (the classic full reducer). Returns the reduced DataFrame per relation.
@@ -129,7 +149,28 @@ object Yannakakis {
     // Raw leaf inputs are deliberately NOT cached: at 100 TB the inputs
     // do not fit anywhere, and the 2-3 leaf reads the reducer makes are
     // pushdown-pruned columnar scans — the cheap path.
-    val reduced = scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
+    //
+    // COST-GATED ROUTE: when every leaf is estimated under
+    // `spark.graft.direct.threshold` (default 256 KB), skip the reducer,
+    // the bound annotation, and the per-relation persists, and run the
+    // tree-ordered enumeration directly — every comparison/residual still
+    // applies at its earliest binding (applyReady below), so the result
+    // is identical; what is forfeited is the O(input+output) intermediate
+    // guarantee, i.e. exactly the plan stock Spark runs for these sizes
+    // (a broadcast-join cascade with pushed filters). At this scale the
+    // reducer's 2(N-1) semijoins + N persists are pure scheduling breadth:
+    // measured on local[32], ref-example bodies (≤40 KB leaves) run
+    // 2–3x faster direct (q5: 61→20 stage-jobs, 7.6→1.5 s warm) while a
+    // ~1.1 MB-leaf body (TPC-H Q9 profit block at sf0.1) is already 1.2x
+    // FASTER with the reducer — the default threshold sits between the
+    // two measured regimes, and anything cluster-scale is far above it.
+    val direct = routesDirect(tree.rels.values.toSeq)
+    val reduced: scala.collection.mutable.Map[String, DataFrame] =
+      if (direct) {
+        val m = scala.collection.mutable.Map[String, DataFrame]()
+        tree.rels.foreach { case (n, r) => m(n) = cacheDerivedLeaf(r.df) }
+        m
+      } else scala.collection.mutable.Map[String, DataFrame]() ++ fullReduce(tree)
 
     // Comparison-bound annotation: for `x op y` with x computed over rel A
     // and y computed over rel B (A != B), propagate the best bound of the
@@ -151,7 +192,7 @@ object Yannakakis {
         case _ => None // same-relation / multi-relation side: residual covers it
       }
     }
-    for (pair <- located.map(_._1).distinct) {
+    for (pair <- located.map(_._1).distinct if !direct) {
       val group = located.collect { case (`pair`, c) => c }
       annotateAndFilter(tree, reduced, pair._1, pair._2, group)
     }
@@ -161,7 +202,14 @@ object Yannakakis {
     // AND was built from multi-referenced intermediates. Tracked in
     // CacheRegistry: callers release with CacheRegistry.unpersistAll()
     // after materializing the result.
-    tree.topDown.foreach(n => reduced(n) = graft.CacheRegistry.persistTracked(reduced(n)))
+    // On the direct route the leaves are broadcast-sized and referenced
+    // exactly once (the enumeration join) — a persist would only insert
+    // materialization barriers between AQE stages (measured: 29→262
+    // stage-jobs when persists are dropped on the REDUCED route, whose
+    // relations ARE multi-referenced, vs 33→29 when dropped on the
+    // direct route).
+    if (!direct)
+      tree.topDown.foreach(n => reduced(n) = graft.CacheRegistry.persistTracked(reduced(n)))
 
     // Enumeration: fold natural joins root-first; apply each comparison /
     // residual predicate as soon as its variables are bound (earliest

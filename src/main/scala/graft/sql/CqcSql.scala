@@ -828,8 +828,14 @@ object CqcSql {
         if (!gone(i) && shared(i) == keys)
           arr.indices.find(j => j != i && !gone(j) && !keyOf.contains(j) &&
               keys.subsetOf(arr(j).vars)).foreach { j =>
+            // carry the host's estimate through the fold: the keyed
+            // aggregate matches ≤1 row per host tuple, so the enriched
+            // relation is at most host-sized — Catalyst's join stats
+            // would multiply instead (measured 37 KB -> 1.1 GB),
+            // poisoning the tree cost pick and the direct-route gate
             arr(j) = Rel(arr(j).name, arr(j).df.join(
-              graft.CacheRegistry.persistTracked(arr(i).df), keys.toSeq, "inner"))
+              graft.CacheRegistry.persistTracked(arr(i).df), keys.toSeq, "inner"),
+              Some(graft.cqc.Hypergraph.estSize(arr(j))))
             gone += i
           }
       }
@@ -841,6 +847,17 @@ object CqcSql {
     // inspection hook (candidates / hypergraph dump): nested blocks fire
     // inner-first, the OUTERMOST body fires last — callers keep the last
     locally { val h = relsHook.get(); if (h != null) h(foldedRels) }
+
+    // the enumeration route the evaluator will take (dry-run surface):
+    // cost-gated in Yannakakis.solveWithTree — tiny bodies skip the
+    // reducer/annotation scheduling breadth, everything else gets the
+    // full output-sensitive discipline
+    def enumRouteLine: String =
+      if (graft.cqc.Hypergraph.isAcyclic(foldedRels) &&
+          graft.cqc.Yannakakis.routesDirect(foldedRels))
+        "direct broadcast enumeration (all leaves under spark.graft.direct.threshold; " +
+          "comparisons applied at earliest binding)"
+      else "semijoin-reduced enumeration (Yannakakis pass 1 + output-sensitive pass 2)"
 
     trace {
       val desc =
@@ -1499,7 +1516,7 @@ object CqcSql {
         require(aggAliases.nonEmpty,
           "GROUP BY without aggregate functions — use SELECT DISTINCT instead")
         var agg = tryFastAgg(groupExprs, aggAliases).getOrElse {
-          trace("routing: semijoin-reduced enumeration + hash aggregate")
+          trace(s"routing: $enumRouteLine + hash aggregate")
           val acols = aggAliases.map { case (al, n) =>
             GraftSqlBridge.column(toVarNames(al.child)).as(n)
           }
@@ -1679,7 +1696,7 @@ object CqcSql {
             trace(s"routing: stock fallback (window rebuild failed: ${e.getClass.getSimpleName})")
             return GraftSqlBridge.dataFrame(spark, analyzed)
         }
-        trace("routing: semijoin-reduced enumeration (Yannakakis pass 1 + output-sensitive pass 2)")
+        trace(s"routing: $enumRouteLine")
         (enumerated.select(cols: _*), projectList)
     }
 

@@ -338,18 +338,24 @@ class CqcSqlSpec extends SparkSpecBase {
     prep()
     // each side is arithmetic over ONE relation's attrs (the reference
     // q2/q10 sum-comparison shape) — the door must turn it into a Cmp so
-    // Yannakakis prunes with a per-join-key bound BEFORE enumeration
+    // Yannakakis prunes with a per-join-key bound BEFORE enumeration.
+    // Annotation is a reduced-route feature: tiny spec inputs would take
+    // the direct route (where the comparison applies at its earliest
+    // enumeration binding instead), so pin the scale path explicitly.
     val sql =
       """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c
         |FROM cqcsql_edges g1, cqcsql_edges g2
         |WHERE g1.dst = g2.src AND g1.src + g1.dst < g2.dst * 2""".stripMargin
-    val df = CqcSql.solve(spark, sql)
-    val got = df.collect().map(_.toSeq).toSet
-    val want = spark.sql(sql).collect().map(_.toSeq).toSet
-    assert(got == want && want.nonEmpty)
-    // the bound-annotation join must exist in the plan (not a residual)
-    assert(df.queryExecution.analyzed.toString.contains("__bound0"),
-      "computed comparison should produce a bound-annotation carrier")
+    spark.conf.set("spark.graft.direct.threshold", "0")
+    try {
+      val df = CqcSql.solve(spark, sql)
+      val got = df.collect().map(_.toSeq).toSet
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want && want.nonEmpty)
+      // the bound-annotation join must exist in the plan (not a residual)
+      assert(df.queryExecution.analyzed.toString.contains("__bound0"),
+        "computed comparison should produce a bound-annotation carrier")
+    } finally spark.conf.unset("spark.graft.direct.threshold")
   }
 
   test("a comparison side spanning two relations stays a residual filter") {
