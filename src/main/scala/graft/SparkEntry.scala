@@ -1699,6 +1699,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(Tables.documents(s, d))),
+    // segment-level exact dedup (paragraph dedup for newline-free text):
+    // first occurrence corpus-wide survives, reassembled in order
+    "pipe_para_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
+    // PII scrub: count + mask emails / IPv4 / phone-likes (planted
+    // deterministically from doc_id — the corpus carries no natural PII)
+    "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
     // sketch estimates, oracle-checkable form: exact companion columns +
     // deterministic in-query accuracy flags (the raw estimates are
     // implementation-defined; SketchesSpec pins them separately)
@@ -2275,6 +2281,8 @@ object SparkEntry {
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
     "text_repetition" -> TextOps.repetitionSql,
+    "pipe_para_dedup" -> TextOps.segmentDedupSql,
+    "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id

@@ -573,4 +573,121 @@ object TextOps {
        |   OR (${h60Sql("text || ':' || rep::VARCHAR")}) % 1000 < frac
        |GROUP BY 1, 2""".stripMargin
   }
+
+  // ------------------------------------------------------ segment-level dedup
+
+  /** Words per dedup segment (the "paragraph" unit: real pipelines split
+    * on newlines — RefinedWeb/Dolma paragraph dedup; this corpus is
+    * single-line, so fixed word windows are the deterministic segment). */
+  val segWords = 20
+
+  /**
+   * SEGMENT-LEVEL exact dedup (paragraph dedup for newline-free text):
+   * every document is cut into [[segWords]]-word segments; each distinct
+   * segment string is kept at its FIRST occurrence corpus-wide (ordered
+   * by doc_id, then position — including within-document repeats) and
+   * removed everywhere else; surviving segments reassemble in order.
+   * This is the finer-grained sibling of whole-document dedup: boilerplate
+   * shared across documents disappears while unique content survives.
+   *
+   * Scale shape: segments cross the network exactly ONCE (the shuffle
+   * keyed on the segment string that decides first-occurrence); the
+   * reassembly regroups by doc_id (second shuffle, payload = surviving
+   * segments only). The keep-first decision is a window row_number —
+   * per-key state is one counter, no join-back, no driver involvement.
+   * Output: doc_id, n_segs, n_kept, text_deduped (NULL when nothing
+   * survives).
+   */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(col("text"))
+    val nSegs = ceil(size(w) / lit(segWords.toDouble)).cast(LongType)
+    val segs = docs
+      .select(col("doc_id"), w.as("w"), nSegs.as("n"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0L), col("n") - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("w"), (col("seg_idx") * segWords + 1).cast("int"), lit(segWords)), " ")
+          .as("seg"))
+    val marked = segs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("seg"))
+        .orderBy(col("doc_id"), col("seg_idx"))))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      count(when(col("rn") === 1, 1)).as("n_kept"),
+      { val kept = array_sort(collect_list(
+          when(col("rn") === 1, struct(col("seg_idx"), col("seg")))))
+        when(size(kept) === 0, lit(null: String))
+          .otherwise(array_join(transform(kept, s => s("seg")), " ")).as("text_deduped") })
+  }
+
+  /** DuckDB oracle for [[segmentDedup]] over the `documents` view. */
+  val segmentDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+       |         array_to_string(w[(i*$segWords+1):(i*$segWords+$segWords)], ' ') AS seg
+       |  FROM w, UNNEST(range(CAST(ceil(len(w)/$segWords.0) AS BIGINT))) AS t(i)),
+       |mark AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |         FROM segs)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text_deduped
+       |FROM mark GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- PII redaction
+
+  /** PII patterns, written in the common Java-regex/RE2 dialect (no
+    * lookaround) so Spark and the DuckDB oracle match identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Deterministic PII planting (docs carry no natural PII): every 7th
+    * document gains an email, a phone, and an IPv4 derived from doc_id —
+    * the operator's inputs stay reproducible across engines. */
+  def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(
+        col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex-"), (col("doc_id") % 13).cast("string"),
+        lit(".com or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")))
+
+  /** SQL rendering of [[plantPii]]'s text column (DuckDB). */
+  val plantPiiSql: String =
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id || '@ex-' || " +
+      "(doc_id % 13) || '.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' at 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE text END"
+
+  /**
+   * PII REDACTION (the C4/Dolma-style scrub): count then mask emails,
+   * IPv4 addresses, and phone-like numbers with `<EMAIL>`/`<IP>`/`<PHONE>`
+   * tokens. Pure projection — one scan, zero shuffles, codegen'd regex
+   * ops; counts are computed on the ORIGINAL text so the audit survives
+   * the masking. Masking order (email → ip → phone) is part of the
+   * contract: replacement tokens contain no pattern characters, so the
+   * passes cannot cascade.
+   */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast(LongType).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).cast(LongType).as("n_ip"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast(LongType).as("n_phone"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>").as("redacted"))
+
+  /** DuckDB oracle for [[plantPii]] + [[redactPii]] over `documents`. */
+  val redactPiiSql: String =
+    s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ip,
+       |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
+       |       regexp_replace(regexp_replace(regexp_replace(text,
+       |         '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'),
+       |         '$phoneRe', '<PHONE>', 'g') AS redacted
+       |FROM p""".stripMargin
 }
