@@ -87,6 +87,20 @@ object Yannakakis {
     else df
   }
 
+  /** Reducer policy for the MESSAGE-PASSING aggregate paths
+    * ([[aggOverJoin]]/[[productOverJoin]]): the same cost gate as
+    * enumeration. Correctness does not need the reducer there — every
+    * child message joins its parent INNER (per key), and the root only
+    * keeps rows matched by a message from every child subtree, so
+    * dangling rows drop out of the semiring on their own; reduction just
+    * prunes them earlier. [[extremaOverJoin]] is the exception: its
+    * carrier walk relies on every relation being dangling-free (it reads
+    * extrema straight off the reduced root) and ALWAYS reduces. */
+  private def reducedForMessages(tree: JoinTree): Map[String, DataFrame] =
+    if (routesDirect(tree.rels.values.toSeq))
+      tree.rels.map { case (n, r) => n -> cacheDerivedLeaf(r.df) }.toMap
+    else fullReduce(tree)
+
   def fullReduce(tree: JoinTree): Map[String, DataFrame] = {
     val reduced = scala.collection.mutable.Map[String, DataFrame]()
     tree.rels.foreach { case (n, r) => reduced(n) = cacheDerivedLeaf(r.df) }
@@ -303,7 +317,7 @@ object Yannakakis {
       s"sum variable $v must appear in exactly ONE relation (a shared join " +
         "variable would be seeded once per copy and overcounted)"))
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
-    val reduced = fullReduce(tree)
+    val reduced = reducedForMessages(tree)
     val sumCols = sumVars.indices.map(i => s"__sum$i")
     // extrema: (variable, isMin, message column); shared join variables
     // are fine here (idempotent — a double-seeded value changes nothing)
@@ -407,7 +421,7 @@ object Yannakakis {
     factors.keys.foreach(n => require(rels.exists(_.name == n),
       s"factor relation $n not among the relations"))
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
-    val reduced = fullReduce(tree)
+    val reduced = reducedForMessages(tree)
 
     def seeded(n: String): DataFrame =
       reduced(n).withColumn("__w",

@@ -16,8 +16,11 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val name = args.headOption.getOrElse("sql_ref_q5")
-    val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    args.collectFirst { case a if a.startsWith("thr=") => a.stripPrefix("thr=") }
+      .foreach(v => spark.conf.set("spark.graft.direct.threshold", v))
+    val rest = args.filterNot(_.startsWith("thr="))
+    val name = rest.headOption.getOrElse("sql_ref_q5")
+    val d = rest.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val fn = graft.SparkEntry.queries(name)
     graft.CacheRegistry.unpersistAll(); fn(spark, d).count()
     graft.CacheRegistry.unpersistAll(); fn(spark, d).count()

@@ -17,7 +17,11 @@ class WindowFastAggSpec extends SparkSpecBase {
         |FROM wfa_edges_s g1, wfa_edges_s g2, wfa_edges_s g3
         |WHERE g1.dst = g2.src AND g2.dst = g3.src
         |GROUP BY g1.src""".stripMargin
-    val df = CqcSql.solve(spark, sql)
+    // pin the SCALE shape (tiny spec inputs would gate the message path
+    // onto the direct route, where the reducer semijoins rightly vanish)
+    spark.conf.set("spark.graft.direct.threshold", "0")
+    val df = try CqcSql.solve(spark, sql)
+    finally spark.conf.unset("spark.graft.direct.threshold")
     val got = df.collect().map(_.toSeq).toSet
     val want = spark.sql(sql).collect().map(_.toSeq).toSet
     assert(got == want && want.nonEmpty)
