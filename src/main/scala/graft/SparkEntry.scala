@@ -1692,6 +1692,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_multiprobe" -> ((s, d) => Ann.lshMultiprobeTopK(Tables.embeddings(s, d))),
     "ann_ivf2" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), rounds = 2)),
+    // SemDeDup: IVF-clustered embedding space, within-cluster cosine
+    // dup decision, keep-first-id survivors
+    "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "pipe_clean_lang" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -1702,6 +1705,21 @@ object SparkEntry {
     // segment-level exact dedup (paragraph dedup for newline-free text):
     // first occurrence corpus-wide survives, reassembled in order
     "pipe_para_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
+    // context-window chunking: sliding word windows for fixed-context
+    // training sequences (overlapping, last chunk clamped)
+    "pipe_chunk" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
+    // JSONL round-trip: dump documents as newline-delimited JSON, read
+    // back schema'd, prove byte-exact text fidelity via the h60 hash
+    "src_jsonl" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      Tables.writeJsonl(docs, path)
+      Tables.readJsonl(s, path, "doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.h60(col("text")).as("text_h"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2236,6 +2254,7 @@ object SparkEntry {
     "ann_ivf" -> Ann.ivfTopKSql,
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
+    "dedup_semantic" -> Ann.semanticDedupSql,
     "text_langid" -> TextOps.langIdSql,
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,
     "text_quality" -> TextOps.qualitySql,
@@ -2282,6 +2301,13 @@ object SparkEntry {
     "pipe_decontam" -> Decontam.flagSql,
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
+    "pipe_chunk" -> TextOps.chunkSql,
+    // the oracle reads the SOURCE parquet: a hash match proves the JSONL
+    // dump + schema'd re-read preserved every byte of every text
+    "src_jsonl" ->
+      s"""SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars,
+         |       ${TextOps.h60Sql("text")} AS text_h
+         |FROM documents""".stripMargin,
     "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_sample" ->

@@ -270,9 +270,9 @@ object Ann {
     * two dataflow steps (assign all vectors to their nearest centroid,
     * recompute per-dimension decimal-exact means) — convergence at
     * production scale is this loop with a larger `rounds`. */
-  /** Seed centroids: the first [[ivfCentroids]] vectors. */
-  private def ivfSeed(emb: DataFrame): DataFrame =
-    emb.where(col("vec_id") < ivfCentroids)
+  /** Seed centroids: the first `k` vectors. */
+  private def ivfSeed(emb: DataFrame, k: Int = ivfCentroids): DataFrame =
+    emb.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
 
   /** Assignment: nearest centroid by cosine (ties -> lower centroid id). */
@@ -366,10 +366,15 @@ object Ann {
 
   val ivfTopKSql: String = ivfTopKSql(1)
 
-  /** Mirror of [[ivfTopK]] with chained per-round CTEs. */
-  def ivfTopKSql(rounds: Int): String = {
+  /**
+   * Shared oracle prefix for the IVF family: seed centroids + `rounds`
+   * chained Lloyd-refinement CTEs + a final `lists` CTE assigning every
+   * vector to its nearest trained centroid. Returns the CTE text (opened
+   * with `WITH`, no trailing comma) and the name of the final centroid
+   * CTE for consumers that also assign a query side.
+   */
+  private def ivfListsCtes(rounds: Int): (String, String) = {
     val simToC = cosineSql("c.c_emb", "e.embedding")
-    val simQ = cosineSql("p.q_emb", "e.embedding")
     val roundCtes = new StringBuilder
     var prev = "seed"
     for (r <- 0 until rounds) {
@@ -395,14 +400,23 @@ object Ann {
            |""".stripMargin
       prev = s"cent$r"
     }
-    s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCentroids),
-       |${roundCtes}lists AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY $simToC DESC, c.cid) AS rn
-       |  FROM embeddings e, $prev c
-       |  QUALIFY rn <= 1
-       |),
+    val text =
+      s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCentroids),
+         |${roundCtes}lists AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY $simToC DESC, c.cid) AS rn
+         |  FROM embeddings e, $prev c
+         |  QUALIFY rn <= 1
+         |)""".stripMargin
+    (text, prev)
+  }
+
+  /** Mirror of [[ivfTopK]] with chained per-round CTEs. */
+  def ivfTopKSql(rounds: Int): String = {
+    val simQ = cosineSql("p.q_emb", "e.embedding")
+    val (prefix, prev) = ivfListsCtes(rounds)
+    s"""$prefix,
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |       WHERE vec_id % $queryMod = 0),
        |probed AS (
@@ -421,6 +435,81 @@ object Ann {
        |       round(cos, 6) AS sim
        |FROM scored
        |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  // ---------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Cosine threshold above which two same-cluster vectors count as
+    * semantic duplicates. */
+  val sdTau = 0.35
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication",
+   * 2023): cluster the embedding space with the IVF coarse quantizer
+   * ([[ivfSeed]] + exact Lloyd refinement — the same deterministic
+   * trainer as [[ivfTopK]], so the oracle stays a hash compare), then
+   * compare vectors pairwise ONLY within a cluster and drop every vector
+   * that has a lower-id cluster-mate at cosine >= [[sdTau]].
+   *
+   * Output is the full dedup DECISION — one row per vector:
+   * `(vec_id, cid, keep, dup_of, sim)` where `dup_of` is the strongest
+   * lower-id same-cluster duplicate (ties -> lower id) and `keep` marks
+   * the survivors. Keep-first-id is the same deterministic policy as the
+   * exact-dedup family; SemDeDup's keep-farthest-from-centroid variant is
+   * a different ORDER BY on the same pair frame.
+   *
+   * Scale: the quadratic term is within-cluster only — K tracks
+   * N / targetClusterSize (grow `k` like [[lshPlanesFor]] grows planes),
+   * so per-cluster pair cost stays constant as the corpus grows.
+   * Assignment is a broadcast-centroids map-side pass (no shuffle of the
+   * collection); the pair join shuffles once on `cid`; the best-mate pick
+   * is a per-vector window. This is the published recipe's dataflow:
+   * k-means buckets instead of all-pairs cosine.
+   */
+  def semanticDedup(emb: DataFrame): DataFrame = semanticDedup(emb, 1)
+
+  def semanticDedup(emb: DataFrame, rounds: Int, k: Int = ivfCentroids): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val lists = ivfAssign(emb, "vec_id", cent, 1)
+    val a = lists.select(col("cid"), col("vec_id").as("d1"), col("embedding").as("emb1"))
+    val b = lists.select(col("cid"), col("vec_id").as("d2"), col("embedding").as("emb2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("dup_of").asc)
+    val best = a.join(b, "cid").where(col("d1") < col("d2"))
+      .withColumn("cos", cosine(col("emb1"), col("emb2")))
+      .where(col("cos") >= sdTau)
+      .select(col("d2").as("vec_id"), col("d1").as("dup_of"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), round(col("cos"), 6).as("sim"))
+    lists.select(col("vec_id"), col("cid"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("sim"))
+  }
+
+  val semanticDedupSql: String = semanticDedupSql(1)
+
+  /** Mirror of [[semanticDedup]] over the shared IVF oracle prefix. */
+  def semanticDedupSql(rounds: Int): String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    val (prefix, _) = ivfListsCtes(rounds)
+    s"""$prefix,
+       |pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cos AS cos
+       |  FROM lists a JOIN lists b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |  WHERE $cos >= $sdTau
+       |),
+       |best AS (
+       |  SELECT d2 AS vec_id, d1 AS dup_of, cos,
+       |         row_number() OVER (PARTITION BY d2 ORDER BY cos DESC, d1) AS rn
+       |  FROM pairs
+       |  QUALIFY rn = 1
+       |)
+       |SELECT l.vec_id, l.cid, b.dup_of IS NULL AS keep, b.dup_of,
+       |       round(b.cos, 6) AS sim
+       |FROM lists l LEFT JOIN best b ON b.vec_id = l.vec_id""".stripMargin
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -261,6 +261,58 @@ object TextOps {
        |)
        |SELECT doc_id, unnest(fps) AS fp FROM m""".stripMargin
 
+  // ------------------------------------------------- context-window chunking
+
+  /** Words per training chunk and stride between chunk starts (overlap =
+    * chunkWords - chunkStride). */
+  val chunkWords = 40
+  val chunkStride = 30
+
+  /**
+   * Context-window document chunking: cut each document into sliding
+   * word windows of [[chunkWords]] with stride [[chunkStride]] — the
+   * long-document prep step for fixed-context training (every token
+   * appears in some chunk; consecutive chunks overlap by
+   * `chunkWords - chunkStride` words so no training sequence starts
+   * mid-context). Chunk count is `1` when the doc fits one window, else
+   * `ceil((n - W) / S) + 1`; the last chunk clamps at the document end.
+   *
+   * Zero shuffles: one projection + explode per doc — the op is
+   * embarrassingly parallel and composes with the gate/dedup passes
+   * before it. At 100 TB the output is written partitioned by shard,
+   * never aggregated.
+   */
+  def chunk(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val n = size(w)
+    val nc = greatest(lit(1),
+      ceil((n - lit(chunkWords)).cast("double") / chunkStride).cast("int") + 1)
+    val sl = slice(col("w"), col("chunk_id") * chunkStride + 1, lit(chunkWords))
+    docs.select(col("doc_id"), w.as("w"), nc.as("nc"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        array_join(sl, " ").as("chunk"),
+        size(sl).cast(LongType).as("n_words"))
+  }
+
+  val chunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), c AS (
+       |  SELECT doc_id, w,
+       |         greatest(1, CAST(ceil((len(w) - $chunkWords) / $chunkStride.0) AS BIGINT) + 1) AS nc
+       |  FROM t
+       |), e AS (
+       |  SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM c
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       array_to_string(list_slice(w, chunk_id * $chunkStride + 1,
+       |                                  chunk_id * $chunkStride + $chunkWords), ' ') AS chunk,
+       |       CAST(len(list_slice(w, chunk_id * $chunkStride + 1,
+       |                           chunk_id * $chunkStride + $chunkWords)) AS BIGINT) AS n_words
+       |FROM e""".stripMargin
+
   // ------------------------------------------------------ TF-IDF top terms
 
   /** Top terms kept per document. */

@@ -252,4 +252,20 @@ object Tables {
       .option("header", "false")
       .schema(schemaDdl)
       .csv(path)
+
+  /** JSONL (newline-delimited JSON) write — the lingua franca of LLM
+    * corpus interchange. One JSON object per line; Spark's json sink
+    * escapes newlines/quotes/control chars, so arbitrary document text
+    * round-trips byte-exactly. Splittable on read (line-delimited), so a
+    * 100 TB corpus dump parallelizes like any text source. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema'd JSONL read. An EXPLICIT schema is the scale contract:
+    * schema inference reads the whole input twice and widens types by
+    * observation (non-deterministic under sampling at 100 TB); a declared
+    * schema makes the scan single-pass with per-line projection pushdown
+    * of only the referenced fields. */
+  def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    tune(spark).read.schema(schemaDdl).json(path)
 }

@@ -1,0 +1,94 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic dedup ([[Ann.semanticDedup]]): planted
+  * clusters with hand-checked decisions, plus a randomized battery that
+  * checks the within-cluster decision logic against a pure-Scala oracle
+  * driven by the operator's own cluster assignment. */
+class SemanticDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    dot / (na * nb)
+  }
+
+  test("planted two-cluster corpus: dups drop onto their lower-id mate, outliers keep") {
+    // seeds 0 and 1 anchor the two clusters (k = 2)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f, 0.0f)),  // near 0 -> dup of 0
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)),    // near 1 -> dup of 1
+      (4L, Array(0.94f, 0.06f, 0.0f, 0.0f)),  // nearer 2 than 0 (both above tau)
+      (5L, Array(0.3f, 0.1f, 0.94f, 0.0f)))   // cos < tau to everything -> keeper
+      .toDF("vec_id", "embedding")
+    val out = Ann.semanticDedup(vecs, rounds = 1, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(out.size == 6, "one decision row per input vector")
+    assert(out(0L) == (true, None))
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some(0L)))
+    assert(out(3L) == (false, Some(1L)))
+    // 4 has two lower-id cluster-mates above tau; dup_of is the MAX-cos one (2)
+    assert(out(4L)._1 == false)
+    assert(out(4L)._2.contains(2L))
+    assert(out(5L) == (true, None), "low-cosine outlier survives in its cluster")
+  }
+
+  test("randomized battery: decisions match a per-cluster pure-Scala oracle") {
+    val n = 120
+    val vecs = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (math.sin((i % 7) * 31 + d * 7) + 0.25 * math.sin(i * 13 + d * 3)).toFloat))
+    }
+    val out = Ann.semanticDedup(vecs.toDF("vec_id", "embedding"), rounds = 1, k = 4)
+      .collect().map { r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("keep"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("sim")).map(_.toDouble))
+      }
+    assert(out.map(_._1).sorted.toSeq == (0L until n.toLong).toSeq,
+      "exactly one decision per vector")
+    val emb = vecs.toMap
+    val cidOf = out.map(t => t._1 -> t._2).toMap
+    // oracle: given the operator's own assignment, keep <=> no lower-id
+    // same-cluster mate at cos >= tau; dup_of = argmax-cos (ties lower id)
+    out.foreach { case (id, cid, keep, dupOf, sim) =>
+      val mates = (0L until id).filter(j => cidOf(j) == cid)
+        .map(j => (j, cos(emb(j), emb(id))))
+        .filter(_._2 >= Ann.sdTau)
+      if (mates.isEmpty) {
+        assert(keep && dupOf.isEmpty && sim.isEmpty, s"vec $id should keep")
+      } else {
+        val best = mates.minBy { case (j, c) => (-c, j) }
+        assert(!keep, s"vec $id has mate(s) $mates but kept")
+        assert(dupOf.contains(best._1), s"vec $id dup_of ${dupOf} != ${best._1}")
+        assert(sim.exists(s => math.abs(s - best._2) < 1e-6),
+          s"vec $id sim $sim != ${best._2}")
+      }
+    }
+    // non-trivial split both ways
+    assert(out.count(_._3) > 0 && out.count(!_._3) > 0)
+  }
+
+  test("dup_of always points at a lower id in the same cluster") {
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 17 + d * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Ann.semanticDedup(vecs, rounds = 2, k = 4).collect()
+    val cidOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    rows.filter(!_.getAs[Boolean]("keep")).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val d = r.getAs[java.lang.Long]("dup_of").toLong
+      assert(d < id, s"dup_of $d not below $id")
+      assert(cidOf(d) == cidOf(id), s"dup_of $d in a different cluster")
+    }
+  }
+}

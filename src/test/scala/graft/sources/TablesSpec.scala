@@ -43,4 +43,26 @@ class TablesSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"))
     assert(one.count() == docs.where("lang = 'en'").count())
   }
+
+  test("jsonl round-trips adversarial text byte-exactly under a declared schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "plain ascii text", "en"),
+      (2L, "embedded \"quotes\" and \\backslashes\\", "en"),
+      (3L, "line\nbreaks\nand\ttabs", "de"),
+      (4L, "unicode: café 日本語 😀", "fr"),
+      (5L, "", "en"),
+      (6L, "trailing space ", "es"))
+      .toDF("doc_id", "text", "lang")
+    Tables.writeJsonl(docs, dir)
+    val back = Tables.readJsonl(spark, dir, "doc_id BIGINT, text STRING, lang STRING")
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang"))
+    val orig = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val rt = back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rt == orig, "JSONL round trip altered some document")
+    // schema'd read projects referenced fields only — no inference pass
+    val projected = Tables.readJsonl(spark, dir, "doc_id BIGINT, lang STRING")
+    assert(projected.collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L).toSeq)
+  }
 }
