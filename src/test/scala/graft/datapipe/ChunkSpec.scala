@@ -62,6 +62,29 @@ class ChunkSpec extends SparkSpecBase {
     }
   }
 
+  test("chunking runs unchanged on a stream (stateless projection): stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.chunk(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(doc(1, 80), doc(2, 10))
+      q.processAllAvailable()
+      input.addData(doc(3, 41))
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[String]("chunk"), r.getAs[Long]("n_words"))).toSet
+      val batch = TextOps.chunk(
+        Seq(doc(1, 80), doc(2, 10), doc(3, 41)).toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[String]("chunk"), r.getAs[Long]("n_words"))).toSet
+      assert(streamed == batch, "streamed chunks differ from the batch form")
+    } finally q.stop()
+  }
+
   test("chunking is a zero-shuffle projection") {
     val df = TextOps.chunk(Seq(doc(1, 80), doc(2, 10)).toDF("doc_id", "text"))
     df.collect()
