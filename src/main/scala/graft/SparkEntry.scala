@@ -1695,6 +1695,8 @@ object SparkEntry {
     // SemDeDup: IVF-clustered embedding space, within-cluster cosine
     // dup decision, keep-first-id survivors
     "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
+    // multimodal SemDeDup: stub decode -> embed -> cluster -> dedup decision
+    "mm_dedup" -> ((s, d) => Multimodal.semanticDedupOverFeatures(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "pipe_clean_lang" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -2255,6 +2257,7 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "dedup_semantic" -> Ann.semanticDedupSql,
+    "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,
     "text_quality" -> TextOps.qualitySql,

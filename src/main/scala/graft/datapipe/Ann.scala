@@ -371,9 +371,12 @@ object Ann {
    * chained Lloyd-refinement CTEs + a final `lists` CTE assigning every
    * vector to its nearest trained centroid. Returns the CTE text (opened
    * with `WITH`, no trailing comma) and the name of the final centroid
-   * CTE for consumers that also assign a query side.
+   * CTE for consumers that also assign a query side. `src` is the vector
+   * relation — the `embeddings` table by default, or any aliased
+   * subquery producing (vec_id, embedding) (e.g. the multimodal stub
+   * features).
    */
-  private def ivfListsCtes(rounds: Int): (String, String) = {
+  private def ivfListsCtes(rounds: Int, src: String = "embeddings"): (String, String) = {
     val simToC = cosineSql("c.c_emb", "e.embedding")
     val roundCtes = new StringBuilder
     var prev = "seed"
@@ -383,7 +386,7 @@ object Ann {
            |  SELECT e.vec_id, e.embedding, c.cid,
            |         row_number() OVER (PARTITION BY e.vec_id
            |                            ORDER BY $simToC DESC, c.cid) AS rn
-           |  FROM embeddings e, $prev c
+           |  FROM $src e, $prev c
            |  QUALIFY rn <= 1
            |),
            |dims$r AS (
@@ -401,12 +404,12 @@ object Ann {
       prev = s"cent$r"
     }
     val text =
-      s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCentroids),
+      s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $ivfCentroids),
          |${roundCtes}lists AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id
          |                            ORDER BY $simToC DESC, c.cid) AS rn
-         |  FROM embeddings e, $prev c
+         |  FROM $src e, $prev c
          |  QUALIFY rn <= 1
          |)""".stripMargin
     (text, prev)
@@ -491,10 +494,11 @@ object Ann {
 
   val semanticDedupSql: String = semanticDedupSql(1)
 
-  /** Mirror of [[semanticDedup]] over the shared IVF oracle prefix. */
-  def semanticDedupSql(rounds: Int): String = {
+  /** Mirror of [[semanticDedup]] over the shared IVF oracle prefix;
+    * `src` swaps the vector relation (see [[ivfListsCtes]]). */
+  def semanticDedupSql(rounds: Int, src: String = "embeddings"): String = {
     val cos = cosineSql("a.embedding", "b.embedding")
-    val (prefix, _) = ivfListsCtes(rounds)
+    val (prefix, _) = ivfListsCtes(rounds, src)
     s"""$prefix,
        |pairs AS (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cos AS cos

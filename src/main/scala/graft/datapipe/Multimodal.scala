@@ -182,6 +182,27 @@ object Multimodal {
        |QUALIFY rnk <= ${Ann.topK}""".stripMargin
   }
 
+  /** Multimodal SemDeDup composition: decode → stub-embed → IVF-cluster →
+    * within-cluster cosine decisions ([[Ann.semanticDedup]]) — near-dup
+    * asset removal end-to-end over a binary column. The stub features are
+    * md5-derived so the whole pipeline stays oracle-checkable; a real
+    * vision encoder swaps into [[features]] with the decision dataflow
+    * unchanged. */
+  def semanticDedupOverFeatures(docs: DataFrame): DataFrame =
+    Ann.semanticDedup(
+      features(documentsAsBinary(docs)).toDF()
+        .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
+
+  /** DuckDB rendering of [[semanticDedupOverFeatures]]: the stub feature
+    * subquery swaps in as the IVF vector relation. */
+  val semanticDedupOverFeaturesSql: String = {
+    val dims = (0 until featureDim).map { d =>
+      s"(((('0x' || substr(md5(md5(text) || '/$d'), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    }.mkString("[", ", ", "]")
+    Ann.semanticDedupSql(1,
+      s"(SELECT doc_id AS vec_id, $dims AS embedding FROM documents)")
+  }
+
   def decodeDocuments(docs: DataFrame): DataFrame = decode(documentsAsBinary(docs)).toDF()
 
   def resizeDocuments(docs: DataFrame): DataFrame =

@@ -40,4 +40,22 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(_.feature.length).toSet
     assert(dims == Set(Multimodal.featureDim))
   }
+
+  test("multimodal SemDeDup: byte-identical assets in one cluster dedup onto the first") {
+    // 20 assets, ids 0..19 so the IVF seeds exist; 17 and 18 repeat the
+    // bytes of 1 and 2 -> identical stub features, cosine exactly 1
+    val many = ((0L until 17L).map(i => (i, s"asset payload $i")) ++
+      Seq((17L, "asset payload 1"), (18L, "asset payload 2"), (19L, "asset payload 3")))
+      .toDF("doc_id", "text")
+    val out = Multimodal.semanticDedupOverFeatures(many).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(out.size == 20, "one decision per asset")
+    // identical bytes -> identical features -> same cluster, cos = 1 is
+    // the unique maximum, so dup_of is exactly the byte-identical original
+    assert(out(17L)._1 == false && out(17L)._2.contains(1L))
+    assert(out(18L)._1 == false && out(18L)._2.contains(2L))
+    assert(out(19L)._1 == false && out(19L)._2.contains(3L))
+  }
 }
