@@ -2,8 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints exactly one JSON line. Failures are
-  * reported per-query in an "errors" object — never swallowed. */
+  * SPARK_GRAFT_SF_DIR and prints a full per-query JSON line followed by
+  * a compact labeled SUMMARY JSON line. Failures are reported per-query
+  * in an "errors" object — never swallowed.
+  *
+  * Two timing modes, reported as SEPARATE labeled sections with
+  * per-mode min-of-N (never mixed — comparing a hashed number against a
+  * count-mode floor manufactures fake regressions on projection-heavy
+  * entries; see BASELINE.md measurement-semantics caveat):
+  *  - COUNT mode: `.count()` per query — comparable to every floor
+  *    recorded since r3.
+  *  - HASHED mode: aggregate a hash of EVERY output column, so Catalyst
+  *    cannot prune computed columns nothing consumes — the honest cost a
+  *    consumer that READS the columns would pay.
+  *
+  * The harness that consumes this output keeps only a bounded stdout
+  * tail, so the LAST line printed is a self-contained summary under 2 KB:
+  * per-mode totals, rep counts, error counts, and the slowest entries
+  * per mode. The full per-query dicts are the line above it and are also
+  * written to `bench_full.json` (or `--json-file=PATH`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,26 +47,28 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // deterministic order for cross-round comparability; each query is
-    // timed twice and the min reported — the host shows ~2.4x run-to-run
-    // noise (BASELINE.md), and min-of-2 is the standard way to read
-    // steady-state operator cost through it
     // optional args: bench only the named queries (local iteration aid;
     // the driver passes none and benches everything). `--json-file=PATH`
-    // additionally writes the full JSON line to PATH so a truncated
-    // stdout capture can never hide per-query entries or the total.
-    // `--reps=N` overrides the per-query repetition count (min reported).
+    // additionally writes the full JSON line to PATH. `--reps=N` /
+    // `--hash-reps=N` override the per-mode repetition counts (min
+    // reported; the host shows ~2.4x run-to-run noise per BASELINE.md,
+    // and min-of-N is the standard way to read steady-state cost
+    // through it). `--count-only` skips the hashed pass entirely (fast
+    // local iteration).
     val jsonFile = args.collectFirst { case a if a.startsWith("--json-file=") =>
       a.stripPrefix("--json-file=") }
     val reps = args.collectFirst { case a if a.startsWith("--reps=") =>
       a.stripPrefix("--reps=").toInt }.getOrElse(2)
     val hashReps = args.collectFirst { case a if a.startsWith("--hash-reps=") =>
-      a.stripPrefix("--hash-reps=").toInt }.getOrElse(1)
+      a.stripPrefix("--hash-reps=").toInt }.getOrElse(2)
+    val countOnly = args.contains("--count-only")
     val queryArgs = args.filterNot(_.startsWith("--"))
     val wanted = SparkEntry.queries.toSeq
       .filter(q => queryArgs.isEmpty || queryArgs.contains(q._1))
-    val results = wanted.sortBy(_._1).map { case (name, fn) =>
+      .sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // COUNT-mode pass: deterministic order for cross-round comparability
+    val results = wanted.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // release TRACKED operator-internal persists so no query is timed
         // against another query's intermediate state. Deliberately NOT a
@@ -66,47 +86,51 @@ object Bench {
       }
       name -> times.min
     }
-    // second pass — FULL-EVALUATION timing: aggregate a hash of EVERY
-    // output column instead of count(), so Catalyst cannot prune computed
-    // columns nothing consumes. For entries whose columns already feed a
-    // filter/join/aggregate (every cqc/door/dedup entry) this matches the
-    // count() number; for pure-projection entries (text_quality,
-    // text_repetition, langid, tokens) it is the honest cost a consumer
-    // that READS the columns would pay (BASELINE.md measurement-semantics
-    // caveat). Reported separately so count-mode floors stay comparable
-    // across rounds; min-of-`hashReps` (default 1 — the deltas of
-    // interest are large against host noise; isolated min-of-3 readings
-    // for specific entries live in BASELINE.md).
+    // HASHED-mode pass — FULL-EVALUATION timing: aggregate a hash of
+    // EVERY output column instead of count(). For entries whose columns
+    // already feed a filter/join/aggregate (every cqc/door/dedup entry)
+    // this matches the count() number; for pure-projection entries
+    // (text_quality, text_repetition, langid, tokens) it is the honest
+    // full-read cost.
     val errorsHashed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val resultsHashed = wanted.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to hashReps).map { _ =>
-        CacheRegistry.unpersistAll()
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          import org.apache.spark.sql.functions.{col, sum, xxhash64}
-          // decimal(38,0) reduction: a sum of 64-bit hashes overflows
-          // long under ANSI semantics after ~2 rows
-          df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("__h"))
-            .agg(sum("__h")).collect()
-        } catch { case scala.util.control.NonFatal(e) =>
-          errorsHashed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-        (System.nanoTime() - t0) / 1e9
+    val resultsHashed = if (countOnly) Seq.empty[(String, Double)] else
+      wanted.map { case (name, fn) =>
+        val times = (1 to hashReps).map { _ =>
+          CacheRegistry.unpersistAll()
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            import org.apache.spark.sql.functions.{col, sum, xxhash64}
+            // decimal(38,0) reduction: a sum of 64-bit hashes overflows
+            // long under ANSI semantics after ~2 rows
+            df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("__h"))
+              .agg(sum("__h")).collect()
+          } catch { case scala.util.control.NonFatal(e) =>
+            errorsHashed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val qsHashed = resultsHashed.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def dict2(rs: Seq[(String, Double)]): String = // 2-decimal, for the summary
+      rs.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val errHashedJson = errorsHashed.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalHashed = resultsHashed.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_hashed":$qsHashed,"total_hashed":$totalHashed,"errors":$errJson,"errors_hashed":$errHashedJson,"sf":${jstr(sfDir)}}"""
-    println(line)
-    jsonFile.foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","reps":$reps,"queries":${dict(results)},"errors":$errJson,"hashed":{"mode":"full-evaluation","reps":$hashReps,"total":$totalHashed,"queries":${dict(resultsHashed)},"errors":$errHashedJson},"sf":${jstr(sfDir)}}"""
+    // full line first (file + stdout), compact labeled summary LAST so a
+    // bounded stdout tail always contains one complete, parseable,
+    // mode-labeled record
+    println(fullLine)
+    val outPath = jsonFile.getOrElse("bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
+    val slowN = 10
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","n":${results.size},"reps_count":$reps,"reps_hashed":$hashReps,"total_count_mode":${f"$total%.2f".toDouble},"total_hashed_mode":${f"$totalHashed%.2f".toDouble},"n_errors":${errors.size},"n_errors_hashed":${errorsHashed.size},"slowest_count":${dict2(results.sortBy(-_._2).take(slowN))},"slowest_hashed":${dict2(resultsHashed.sortBy(-_._2).take(slowN))},"note":"per-mode min-of-N; count mode comparable to BASELINE.md floors, hashed forces full column evaluation — compare mode-to-mode only","full_json":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+    println(summary)
     spark.stop()
   }
 }

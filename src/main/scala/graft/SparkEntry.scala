@@ -1714,8 +1714,18 @@ object SparkEntry {
     // back schema'd, prove byte-exact text fidelity via the h60 hash
     "src_jsonl" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_jsonl_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      // per-invocation unique dump dir: a fixed hash-derived path lets two
+      // datasets collide and two concurrent runs race (overwrite deletes
+      // the dir another reader is scanning); cleaned up at JVM exit (the
+      // read below is lazy, so deletion can't happen inside this call)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      val path = tmp.resolve("dump").toString
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       Tables.writeJsonl(docs, path)
       Tables.readJsonl(s, path, "doc_id BIGINT, text STRING, lang STRING, source STRING")
         .select(col("doc_id"), col("lang"), col("source"),

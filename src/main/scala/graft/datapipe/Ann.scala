@@ -376,7 +376,8 @@ object Ann {
    * subquery producing (vec_id, embedding) (e.g. the multimodal stub
    * features).
    */
-  private def ivfListsCtes(rounds: Int, src: String = "embeddings"): (String, String) = {
+  private def ivfListsCtes(rounds: Int, src: String = "embeddings",
+                           k: Int = ivfCentroids): (String, String) = {
     val simToC = cosineSql("c.c_emb", "e.embedding")
     val roundCtes = new StringBuilder
     var prev = "seed"
@@ -404,7 +405,7 @@ object Ann {
       prev = s"cent$r"
     }
     val text =
-      s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $ivfCentroids),
+      s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $k),
          |${roundCtes}lists AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id
@@ -472,14 +473,32 @@ object Ann {
    */
   def semanticDedup(emb: DataFrame): DataFrame = semanticDedup(emb, 1)
 
-  def semanticDedup(emb: DataFrame, rounds: Int, k: Int = ivfCentroids): DataFrame = {
+  /** Per-cluster size bound above which [[semanticDedup]] sub-buckets the
+    * pair generation (the hot-cluster guard): a cluster of size s is
+    * split into ceil(s / cap) deterministic sub-buckets (`vec_id` mod),
+    * and pairs are generated within a sub-bucket only — candidate volume
+    * per cluster is bounded by ~s·cap instead of s², the same bound the
+    * SimHash hot-bucket cap enforces (Dedup.shBucketCap). A dedup
+    * operator's realistic adversarial input is exactly a
+    * near-duplicate-dominated corpus where one IVF centroid absorbs the
+    * collection; without the cap that degenerates to all-pairs. The
+    * forfeit is recall across sub-buckets of one hot cluster — the same
+    * trade every banded-LSH path in this module already makes. */
+  val sdClusterCap = 10000
+
+  def semanticDedup(emb: DataFrame, rounds: Int, k: Int = ivfCentroids,
+                    clusterCap: Int = sdClusterCap): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
+    require(clusterCap >= 1, "positive cluster cap")
     val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
     val lists = ivfAssign(emb, "vec_id", cent, 1)
-    val a = lists.select(col("cid"), col("vec_id").as("d1"), col("embedding").as("emb1"))
-    val b = lists.select(col("cid"), col("vec_id").as("d2"), col("embedding").as("emb2"))
+    val sub = sdSubBucketed(lists, clusterCap)
+    val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"),
+      col("embedding").as("emb1"))
+    val b = sub.select(col("cid"), col("sub"), col("vec_id").as("d2"),
+      col("embedding").as("emb2"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("dup_of").asc)
-    val best = a.join(b, "cid").where(col("d1") < col("d2"))
+    val best = a.join(b, Seq("cid", "sub")).where(col("d1") < col("d2"))
       .withColumn("cos", cosine(col("emb1"), col("emb2")))
       .where(col("cos") >= sdTau)
       .select(col("d2").as("vec_id"), col("d1").as("dup_of"), col("cos"))
@@ -492,17 +511,54 @@ object Ann {
         col("dup_of"), col("sim"))
   }
 
+  /** IVF lists with the hot-cluster sub-bucket column: `sub` is always 0
+    * while every cluster fits `cap` (the pair join then degenerates to
+    * the uncapped cid join — byte-identical output), and `vec_id mod
+    * ceil(size/cap)` above it. The size window shuffles on `cid`, the
+    * same partitioning the pair join uses anyway. Exposed for the spec
+    * that counts candidate volume on a planted hot cluster. */
+  private[datapipe] def sdSubBucketed(lists: DataFrame, cap: Int): DataFrame = {
+    val wc = Window.partitionBy("cid")
+    lists.withColumn("__csz", count(lit(1)).over(wc))
+      .withColumn("sub",
+        pmod(col("vec_id"),
+          greatest(lit(1L), ceil(col("__csz").cast("double") / cap).cast("long"))))
+      .drop("__csz")
+  }
+
+  /** Candidate (pre-cosine-filter) pair volume of [[semanticDedup]] at a
+    * given cap — the quantity the hot-cluster guard bounds; spec aid. */
+  private[datapipe] def sdCandidateCount(emb: DataFrame, rounds: Int, k: Int,
+                                         clusterCap: Int): Long = {
+    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val sub = sdSubBucketed(ivfAssign(emb, "vec_id", cent, 1), clusterCap)
+    val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"))
+    val b = sub.select(col("cid"), col("sub"), col("vec_id").as("d2"))
+    a.join(b, Seq("cid", "sub")).where(col("d1") < col("d2")).count()
+  }
+
   val semanticDedupSql: String = semanticDedupSql(1)
 
   /** Mirror of [[semanticDedup]] over the shared IVF oracle prefix;
-    * `src` swaps the vector relation (see [[ivfListsCtes]]). */
-  def semanticDedupSql(rounds: Int, src: String = "embeddings"): String = {
+    * `src` swaps the vector relation (see [[ivfListsCtes]]); `k` is the
+    * centroid count and MUST match the Spark call's `k` (the seed CTE
+    * filters `vec_id < k`) — threaded so non-default-k comparisons can't
+    * silently diverge. */
+  def semanticDedupSql(rounds: Int, src: String = "embeddings",
+                       k: Int = ivfCentroids, clusterCap: Int = sdClusterCap): String = {
     val cos = cosineSql("a.embedding", "b.embedding")
-    val (prefix, _) = ivfListsCtes(rounds, src)
+    val (prefix, _) = ivfListsCtes(rounds, src, k)
     s"""$prefix,
+       |subbed AS (
+       |  SELECT vec_id, embedding, cid,
+       |         vec_id % greatest(1, CAST(ceil(
+       |           (count(*) OVER (PARTITION BY cid)) / $clusterCap.0) AS BIGINT)) AS sub
+       |  FROM lists
+       |),
        |pairs AS (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cos AS cos
-       |  FROM lists a JOIN lists b ON b.cid = a.cid AND a.vec_id < b.vec_id
+       |  FROM subbed a JOIN subbed b
+       |    ON b.cid = a.cid AND b.sub = a.sub AND a.vec_id < b.vec_id
        |  WHERE $cos >= $sdTau
        |),
        |best AS (

@@ -388,19 +388,33 @@ object Dedup {
    * driver sees only a changed-row COUNT (one long per round) to decide
    * convergence — labels themselves never leave the executors. Round
    * count = the pair graph's diameter, which for near-dup clusters is
-   * small (duplicate clusters are dense, not path-like); for graphs with
-   * LONG components (diameter >> 10 — chained near-dups, general 100 TB
-   * graphs) pass `alternatingStar = true` to run the
-   * large-star/small-star contraction instead: round count is
-   * logarithmic in component size rather than linear in diameter
-   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-   * SoCC '14), with identical cluster assignment (spec'd on planted
-   * paths + random graphs).
+   * small (duplicate clusters are dense, not path-like); if the fixed
+   * point is not reached within [[propagateRoundBudget]] rounds (LONG
+   * components — chained near-dups, general 100 TB graphs) the call
+   * AUTO-SWITCHES to the large-star/small-star contraction, whose round
+   * count is logarithmic in component size rather than linear in
+   * diameter (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC '14), with identical cluster assignment (spec'd on
+   * planted paths + random graphs). `alternatingStar = true` forces the
+   * star variant from round one.
    */
   def clusters(pairs: DataFrame, maxRounds: Int = 50,
                alternatingStar: Boolean = false): DataFrame =
     if (alternatingStar) clustersStar(pairs, maxRounds)
     else clustersPropagate(pairs, maxRounds)
+
+  /** Plain-propagation round budget before [[clusters]] auto-switches to
+    * the alternating-star variant: propagation converges in
+    * diameter-many rounds — ideal for the dense near-dup clusters dedup
+    * actually produces (diameter ~4) and measurably cheaper per round —
+    * but provably blows any fixed budget on long-path components. Rather
+    * than make the caller know which variant fits their pair graph, run
+    * the cheap variant for this many rounds and restart with the
+    * logarithmic one if the fixed point hasn't been reached (restart,
+    * not resume: the star state is the edge set, not labels, and the
+    * pair frame is already persisted so the restart rereads cached
+    * pairs, not the derivation). */
+  val propagateRoundBudget = 10
 
   private def clustersPropagate(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // persist the pair set BEFORE the symmetrizing union: both union arms
@@ -422,7 +436,8 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    val budget = math.min(maxRounds, propagateRoundBudget)
+    while (changed > 0 && rounds < budget) {
       val nbrMin = edges.join(lbl.toDF("u", "ulbl"), "u")
         .groupBy(col("v")).agg(min(col("ulbl")).as("nlbl"))
       val step = lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
@@ -433,7 +448,10 @@ object Dedup {
       lbl = step.select(col("v"), col("lbl"))
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    if (changed > 0)
+      // long-diameter component: restart on the logarithmic-round variant
+      // (p is persisted, so the pair derivation is NOT recomputed)
+      return clustersStar(p, maxRounds)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -28,51 +28,153 @@ case class MmFrame(doc_id: Long, frame_idx: Long, frame_hash: Long)
 /** Extracted (stub) feature vector for one asset. */
 case class MmFeature(doc_id: Long, feature: Array[Double])
 
+/** Codec-level decode result (doc_id and byte count are generic and
+  * added by the operator, not the codec). */
+case class MmDecoded(width: Long, height: Long, channels: Long, mean_byte: Long)
+
+/**
+ * Pluggable media codec — the seam between graft's Spark-side plumbing
+ * (typed Dataset, mapPartitions batching, narrow projections) and
+ * whatever decoder a deployment actually links. `open()` is invoked
+ * ONCE PER PARTITION and the returned context reused across the batch:
+ * decoder contexts (libjpeg handles, ffmpeg AVCodecContext, a
+ * MessageDigest) are rarely thread-safe or serializable, so only the
+ * factory crosses the closure boundary.
+ */
+trait MmCodec extends Serializable {
+  def open(): MmCodecCtx
+}
+
+trait MmCodecCtx {
+  /** Decode one asset to geometry + mean intensity. */
+  def decode(bytes: Array[Byte]): MmDecoded
+  /** Extract a `dim`-dimensional feature vector (values in [-1, 1]). */
+  def features(bytes: Array[Byte], dim: Int): Array[Double]
+}
+
+/**
+ * Deterministic md5-derived STUB codec — the default, because this
+ * container ships no image corpora: it fabricates
+ * width/height/channels/mean and a pseudo-embedding from the content
+ * hash. Being md5-derived it reproduces exactly in SQL, so every mm_*
+ * oracle entry stays a hash compare. Production swaps in a real codec
+ * ([[ImageIoCodec]] below is a fully-working JDK-only example, spec'd
+ * on synthetic PNGs) with the operator dataflow unchanged.
+ */
+object Md5StubCodec extends MmCodec {
+  def open(): MmCodecCtx = new MmCodecCtx {
+    private val md = MessageDigest.getInstance("MD5")
+    private def hex(bytes: Array[Byte]): String = {
+      md.reset(); md.digest(bytes).map(b => f"$b%02x").mkString
+    }
+    def decode(bytes: Array[Byte]): MmDecoded = {
+      val h = java.lang.Long.parseLong(hex(bytes).substring(0, 15), 16) // 60 bits
+      MmDecoded(
+        width = 64L + h % 192L,
+        height = 64L + (h / 192L) % 192L,
+        channels = 1L + (h / 36864L) % 3L,
+        mean_byte = (h / 110592L) % 256L)
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Double] = {
+      val src = hex(bytes)
+      Array.tabulate(dim) { d =>
+        val h = java.lang.Long.parseLong(
+          hex(s"$src/$d".getBytes("UTF-8")).substring(0, 15), 16)
+        ((h % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+}
+
+/**
+ * Real image codec over the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+ * public platform API, no extra dependency): geometry from the decoded
+ * raster, mean intensity over all bands, and a feature vector of
+ * per-vertical-strip mean intensities scaled to [-1, 1] (a classic
+ * luminance-profile descriptor). Proves the codec seam with an actual
+ * decoder; not the oracle default only because the test corpus is text.
+ */
+final class ImageIoCodec extends MmCodec {
+  def open(): MmCodecCtx = new MmCodecCtx {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      img
+    }
+    def decode(bytes: Array[Byte]): MmDecoded = {
+      val img = read(bytes)
+      val r = img.getRaster
+      val (w, h, ch) = (img.getWidth, img.getHeight, r.getNumBands)
+      var sum = 0L; var n = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < ch) { sum += r.getSample(x, y, b); n += 1; b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      MmDecoded(w.toLong, h.toLong, ch.toLong, if (n == 0) 0L else sum / n)
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Double] = {
+      val img = read(bytes)
+      val r = img.getRaster
+      val (w, h, ch) = (img.getWidth, img.getHeight, r.getNumBands)
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val strip = math.min(dim - 1, x * dim / math.max(1, w))
+          var b = 0
+          while (b < ch) { sums(strip) += r.getSample(x, y, b); counts(strip) += 1; b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim) { d =>
+        if (counts(d) == 0) 0.0 else 2.0 * sums(d) / (255.0 * counts(d)) - 1.0
+      }
+    }
+  }
+}
+
 /**
  * Multimodal binary-column plumbing: treat media as opaque `binary`
  * columns, decode in a partition-mapped batch operator.
  *
- * The decode itself is a clearly-marked deterministic STUB (no image
- * codecs in this container): it derives fake width/height/channels/mean
- * from the md5 of the bytes. Everything around it is the real 100 TB
+ * The default codec is a clearly-marked deterministic STUB (no image
+ * corpora in this container) behind the pluggable [[MmCodec]] seam;
+ * [[ImageIoCodec]] is a real JDK decoder proving the seam (spec'd on
+ * synthetic PNGs). Everything around the codec is the real 100 TB
  * shape: a typed `Dataset[T]` with case-class encoder, `mapPartitions`
- * batching so per-partition decoder state (here the MessageDigest, in
- * production a codec context) is allocated once per partition and reused
- * per record, and a narrow (doc_id, bytes) projection into the operator.
+ * batching so per-partition decoder state is allocated once per
+ * partition and reused per record, and a narrow (doc_id, bytes)
+ * projection into the operator.
  *
  * Because the stub is md5-derived it is reproducible in SQL, so the
  * oracle is exact rather than rows-only.
  */
 object Multimodal {
 
-  /** STUB decode: fake metadata derived from md5 — replace with a real
-    * codec (e.g. javax.imageio / ffmpeg bindings) in production. */
-  private def decodeStub(md: MessageDigest, id: Long, bytes: Array[Byte]): MmMeta = {
-    md.reset()
-    val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString // 16 hex chars
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, non-negative
-    MmMeta(
-      doc_id = id,
-      n_bytes = bytes.length.toLong,
-      width = 64L + h % 192L,
-      height = 64L + (h / 192L) % 192L,
-      channels = 1L + (h / 36864L) % 3L,
-      mean_byte = (h / 110592L) % 256L)
-  }
-
   /**
    * Decode a binary column to typed metadata. Input must have
    * (doc_id: long, img: binary); output is one MmMeta row per asset.
    */
-  def decode(bin: DataFrame): Dataset[MmMeta] = {
+  def decode(bin: DataFrame, codec: MmCodec = Md5StubCodec): Dataset[MmMeta] = {
     val spark = bin.sparkSession
     import spark.implicits._
     bin.select(col("doc_id"), col("img"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // one decoder context per partition, reused across the batch
-        val md = MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) => decodeStub(md, id, bytes) }
+        val ctx = codec.open()
+        it.map { case (id, bytes) =>
+          val d = ctx.decode(bytes)
+          MmMeta(id, bytes.length.toLong, d.width, d.height, d.channels, d.mean_byte)
+        }
       }
   }
 
@@ -129,24 +231,18 @@ object Multimodal {
   val featureDim = 8
 
   /**
-   * STUB feature extraction: an 8-dim deterministic pseudo-embedding from
-   * the content hash — production swaps in a vision encoder. Output is
-   * ready for [[Ann]] (array column + id).
+   * Feature extraction through the [[MmCodec]] seam — default is the
+   * deterministic 8-dim md5 pseudo-embedding (oracle-exact); a vision
+   * encoder or [[ImageIoCodec]] swaps in with the dataflow unchanged.
+   * Output is ready for [[Ann]] (array column + id).
    */
-  def features(bin: DataFrame): Dataset[MmFeature] = {
+  def features(bin: DataFrame, codec: MmCodec = Md5StubCodec): Dataset[MmFeature] = {
     val spark = bin.sparkSession
     import spark.implicits._
     bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val src = md5Hex(md, bytes)
-          val f = Array.tabulate(featureDim) { d =>
-            val h = h60OfHex(md5Hex(md, s"$src/$d".getBytes("UTF-8")))
-            ((h % 2001L) - 1000L) / 1000.0
-          }
-          MmFeature(id, f)
-        }
+        val ctx = codec.open()
+        it.map { case (id, bytes) => MmFeature(id, ctx.features(bytes, featureDim)) }
       }
   }
 
@@ -161,8 +257,13 @@ object Multimodal {
     * with the Spark-side shape (typed mapPartitions → broadcast
     * brute-force / bucketed ANN) unchanged. */
   def annOverFeatures(docs: DataFrame): DataFrame =
+    annOverBinary(documentsAsBinary(docs), Md5StubCodec)
+
+  /** The mm_ann dataflow over any (doc_id, img) binary table with any
+    * codec — decode → embed → search, codec-agnostic by construction. */
+  def annOverBinary(bin: DataFrame, codec: MmCodec): DataFrame =
     Ann.bruteForceTopK(
-      features(documentsAsBinary(docs)).toDF()
+      features(bin, codec).toDF()
         .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
 
   /** DuckDB rendering of [[features]] + brute-force cosine top-k (the

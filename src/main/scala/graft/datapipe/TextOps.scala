@@ -283,7 +283,13 @@ object TextOps {
    * never aggregated.
    */
   def chunk(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    // NULL-text guard, mirrored in chunkSql: without it Spark's
+    // greatest(1, NULL) ignores the NULL (one row, NULL chunk) while
+    // DuckDB's range(0, NULL) emits zero rows — a row-count divergence
+    // the moment a corpus carries NULL text. coalesce to '' makes both
+    // engines emit exactly one empty chunk (split('', ' ') = [''] in
+    // both dialects).
+    val w = words(coalesce(col("text"), lit("")))
     val n = size(w)
     val nc = greatest(lit(1),
       ceil((n - lit(chunkWords)).cast("double") / chunkStride).cast("int") + 1)
@@ -298,7 +304,7 @@ object TextOps {
 
   val chunkSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
        |), c AS (
        |  SELECT doc_id, w,
        |         greatest(1, CAST(ceil((len(w) - $chunkWords) / $chunkStride.0) AS BIGINT) + 1) AS nc

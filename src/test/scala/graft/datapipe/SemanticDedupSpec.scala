@@ -78,6 +78,47 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(out.count(_._3) > 0 && out.count(!_._3) > 0)
   }
 
+  test("hot-cluster cap: planted single-cluster corpus stays sub-quadratic") {
+    // the realistic adversarial input for a dedup operator: every vector
+    // is a near-copy, so one IVF centroid absorbs the whole corpus and
+    // uncapped pair generation is all-pairs. n=300 identical-direction
+    // vectors (tiny jitter), k=1 cluster, cap=50: sub-buckets = ceil
+    // (300/50) = 6, candidate volume per sub-bucket = C(50,2), total
+    // 6*1225 = 7350 vs the uncapped C(300,2) = 44850.
+    val n = 300
+    val vecs = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(8)(d => (1.0 + 0.001 * math.sin(i * 7 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val capped = Ann.sdCandidateCount(vecs, rounds = 1, k = 1, clusterCap = 50)
+    val uncapped = Ann.sdCandidateCount(vecs, rounds = 1, k = 1, clusterCap = n)
+    assert(uncapped == n.toLong * (n - 1) / 2, "one hot cluster, all-pairs without the cap")
+    assert(capped == 6L * (50L * 49 / 2), s"deterministic sub-bucket volume, got $capped")
+    // the decision relation stays total and deterministic under the cap:
+    // one row per vector, dup_of within the same sub-bucket => lower id
+    val out = Ann.semanticDedup(vecs, rounds = 1, k = 1, clusterCap = 50).collect()
+    assert(out.length == n, "one decision row per input vector under the cap")
+    out.filter(!_.getAs[Boolean]("keep")).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val d = r.getAs[java.lang.Long]("dup_of").toLong
+      assert(d < id && d % 6 == id % 6, s"dup_of $d not a lower-id sub-bucket mate of $id")
+    }
+    // every sub-bucket's minimum id survives (near-identical vectors =>
+    // everything else in the bucket drops onto a lower id)
+    val keepers = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).sorted
+    assert(keepers.toSeq == (0L until 6L).toSeq, s"got ${keepers.toSeq}")
+  }
+
+  test("cap is inert while every cluster fits it (default path unchanged)") {
+    val vecs = (0L until 90L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 11 + d * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dflt = Ann.semanticDedup(vecs, rounds = 1, k = 4)
+      .collect().map(_.toString).sorted
+    val bigCap = Ann.semanticDedup(vecs, rounds = 1, k = 4, clusterCap = 1000000)
+      .collect().map(_.toString).sorted
+    assert(dflt.sameElements(bigCap), "default cap (10000) never triggers on 90 vectors")
+  }
+
   test("dup_of always points at a lower id in the same cluster") {
     val vecs = (0L until 80L).map { i =>
       (i, Array.tabulate(8)(d => math.cos(i * 17 + d * 5).toFloat))

@@ -36,14 +36,20 @@ class StarClusterSpec extends SparkSpecBase {
     assert(got == want)
   }
 
-  test("plain propagation needs ~diameter rounds on a path; star does not") {
-    // 40-path, budget 10: propagation is provably short (min label moves
-    // one hop per round; diameter 39 > 10) while the star alternation
-    // finishes inside the same budget
+  test("auto-switch: the DEFAULT call converges on long-diameter paths") {
+    // r8 verdict item: the caller should not need to know which variant
+    // fits their pair graph. A 200-path has diameter 199 — plain
+    // propagation provably moves the min label one hop per round, so the
+    // propagateRoundBudget (10) cannot finish; the default call must
+    // detect that and restart on the star contraction, with the exact
+    // assignment.
+    val n = 200
+    val got = collectSet(Dedup.clusters(pathPairs(n)))
+    assert(got == (0 until n).map(i => (i.toLong, 0L, n.toLong)).toSet)
+  }
+
+  test("explicit star on a 40-path inside a 10-round budget") {
     val pairs = pathPairs(40)
-    intercept[IllegalArgumentException] {
-      Dedup.clusters(pairs, maxRounds = 10).count()
-    }
     val got = collectSet(Dedup.clusters(pairs, maxRounds = 10, alternatingStar = true))
     assert(got == (0 until 40).map(i => (i.toLong, 0L, 40L)).toSet)
   }
