@@ -204,10 +204,16 @@ object CqcSql {
     * metadata no-ops — they assert, not enforce), data as a
     * header-less CSV scan, registered as a temp view. Returns false if
     * the statement is not this shape (caller runs it as stock SQL). */
-  private[graft] def tryRefCreateTable(spark: SparkSession, stmt: String): Boolean = {
-    val pat = """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""".r
+  private[graft] def tryRefCreateTable(spark: SparkSession, stmt: String): Boolean = try {
+    // table name: bare, `backtick` (the reference's Calcite Lex.JAVA
+    // quoting) or "double-quoted"; IF NOT EXISTS per the reference
+    // grammar (SqlCreateTable.isIfNotExists)
+    val pat = ("""(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """(`[^`]+`|"[^"]+"|\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""").r
     stmt match {
-      case pat(name, colsRaw, propsRaw) =>
+      case pat(nameRaw, colsRaw, propsRaw) =>
+        val name = nameRaw.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")
         // split column defs on top-level commas only (constraint clauses
         // like PRIMARY KEY (a, b) contain nested commas)
         val defs = scala.collection.mutable.ArrayBuffer[String]()
@@ -225,6 +231,8 @@ object CqcSql {
             upper(d).startsWith("CONSTRAINT"))
           // inline `col INT PRIMARY KEY` — strip the assertion, keep the type
           .map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY$", "").replaceAll("(?i)\\s+UNIQUE$", ""))
+          // "quoted" column names: Spark's DDL parser takes backticks only
+          .map(_.replaceAll("^\"([^\"]+)\"", "`$1`"))
         val props = """'([^']*)'\s*=\s*'([^']*)'""".r
           .findAllMatchIn(propsRaw).map(m => m.group(1) -> m.group(2)).toMap
         props.get("path") match {
@@ -240,11 +248,19 @@ object CqcSql {
         }
       case _ => false
     }
+  } catch {
+    // a malformed reference-dialect statement (bad type text, unparsable
+    // defs) falls back to stock SQL, whose error names the real problem —
+    // the translator must never be the thing that crashes the script door
+    case scala.util.control.NonFatal(_) => false
   }
 
   /** Split a SQL script on statement-separating semicolons only: quotes
-    * ('...' and "..."), doubled-quote escapes ('it''s'), and backslash
-    * escapes are scanned, so literals containing ';' survive intact. */
+    * ('...' and "..."), doubled-quote escapes ('it''s'), backslash
+    * escapes, `-- line` comments and `/* block */` comments are scanned,
+    * so a ';' inside a literal or a comment never splits. Comments are
+    * dropped from the emitted statements (Spark's parser takes them, but
+    * a statement that is ONLY a comment must not reach it). */
   private[graft] def splitStatements(text: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
@@ -261,6 +277,17 @@ object CqcSql {
             cur += quote; i += 1
           } else quote = 0
         }
+      } else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') i += 1
+        cur += ' '
+      } else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*'
+                 && (i + 2 >= text.length || text.charAt(i + 2) != '+')) {
+        // plain block comment; `/*+ ... */` is HINT syntax and passes
+        // through intact (the door's ROOT(x) surface)
+        val end = text.indexOf("*/", i + 2)
+        require(end >= 0, "unterminated /* block comment in script — refusing to split")
+        i = end + 1 // loop's +1 steps past the '/'
+        cur += ' '
       } else if (c == '\'' || c == '"') { quote = c; cur += c }
       else if (c == ';') { out += cur.toString; cur.clear() }
       else cur += c

@@ -133,6 +133,45 @@ class DirectRouteSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("adversarial worst case: tiny leaves, 3-hop blowup, selective last hop") {
+    // The gate's documented unsoundness, constructed exactly: every leaf
+    // sits far under the 256 KB threshold (so the body routes DIRECT),
+    // but the tree-ordered enumeration builds a ~1.3M-row dangling
+    // intermediate (100 nodes x degree 24, 3 hops) that the selective
+    // last hop (a single-key relation) then annihilates. The reducer
+    // route semijoin-prunes the chain to the final rows BEFORE joining —
+    // the O(input+output) guarantee the direct route forfeits. The claim
+    // under test: the forfeit is COST ONLY — results stay identical to
+    // the reduced route and to stock Spark (which runs the same
+    // broadcast cascade at these sizes), and the cost stays a bounded
+    // constant (in-memory broadcast joins), not a failure mode.
+    import spark.implicits._
+    val n = 100
+    val deg = 24
+    val edges = for (s <- 0 until n; k <- 1 to deg) yield (s, (s * 7 + k * 13) % n)
+    edges.distinct.toDF("src", "dst").createOrReplaceTempView("adv_e")
+    Seq(Tuple1(0)).toDF("v").createOrReplaceTempView("adv_s")
+    val sql =
+      """SELECT g1.src AS a, g1.dst AS b, g2.dst AS c, g3.dst AS d
+        |FROM adv_e g1, adv_e g2, adv_e g3, adv_s s
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = s.v""".stripMargin
+    // the shape does route direct (all leaves tiny)
+    assert(CqcSql.explain(spark, sql).contains("direct broadcast enumeration"))
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (direct, tDirect) = timed(sorted(CqcSql.solve(spark, sql)))
+    graft.CacheRegistry.unpersistAll()
+    val (reduced, tReduced) = timed(withThreshold("0")(sorted(CqcSql.solve(spark, sql))))
+    graft.CacheRegistry.unpersistAll()
+    val (stock, tStock) = timed(sorted(spark.sql(sql)))
+    assert(direct == reduced, "adversarial shape: direct != reduced")
+    assert(direct == stock, "adversarial shape: direct != stock")
+    assert(direct.nonEmpty)
+    // measured record for BASELINE.md (not an assertion — host noise):
+    info(f"rows=${direct.size} direct=$tDirect%.2fs reduced=$tReduced%.2fs stock=$tStock%.2fs")
+  }
+
   test("randomized battery: direct == reduced == stock on planted graphs") {
     val rnd = new scala.util.Random(4242)
     for (round <- 1 to 12) {
