@@ -1692,6 +1692,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
     "ann_multiprobe" -> ((s, d) => Ann.lshMultiprobeTopK(Tables.embeddings(s, d))),
     "ann_ivf2" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d), rounds = 2)),
+    // product-quantization ANN: per-subspace codebooks, map-side encode,
+    // ADC (reconstruction-cosine) ranking — the memory-bound scale path
+    "ann_pq" -> ((s, d) => Ann.pqTopK(Tables.embeddings(s, d))),
     // SemDeDup: IVF-clustered embedding space, within-cluster cosine
     // dup decision, keep-first-id survivors
     "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
@@ -2266,6 +2269,7 @@ object SparkEntry {
     "ann_ivf" -> Ann.ivfTopKSql,
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
+    "ann_pq" -> Ann.pqTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,

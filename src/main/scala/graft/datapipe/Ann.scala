@@ -441,6 +441,161 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ---------------------------------------- product quantization (PQ/ADC)
+
+  /** PQ geometry: `pqM` subspaces of `dim / pqM` dims, `pqK` centroids
+    * per subspace codebook — each vector compresses to pqM small codes
+    * (here 4 x 4 bits = 2 bytes against 256 raw bytes), the memory-bound
+    * ANN path (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). */
+  val pqM = 4
+  val pqK = 16
+
+  /** Squared L2 over two numeric arrays — double-precision left fold,
+    * bit-reproduced by the DuckDB rendering in [[pqL2Sql]]. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+                  (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def pqL2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+
+  /** Subspace view: one row per (vector, subspace) with the sliced
+    * sub-vector — a zero-shuffle projection + in-partition fan-out. */
+  private def pqSubs(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        explode(array((0 until m).map(lit): _*)).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("semb"))
+
+  /** Per-subspace nearest codebook entry (min L2, ties -> lower cid):
+    * broadcast codebook join + a map-side-combinable min(struct) — the
+    * encode never shuffles the collection, the aggregate moves one
+    * struct per (vector, subspace). */
+  private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), "m")
+      .withColumn("__d", l2sq(col("semb"), col("c_emb")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("__d"), col("cid"), col("c_emb"), col("semb"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cid").as("cid"),
+        col("a.c_emb").as("c_emb"), col("a.semb").as("semb"))
+
+  /** Deterministic PQ codebook: per-subspace seeds = the first `k`
+    * vectors' sub-vectors, plus `rounds` exact Lloyd refinements with
+    * the same decimal-exact means as the IVF trainer (order-independent
+    * sums, one final double division + 6dp round), so DuckDB reproduces
+    * the codebook bit-for-bit and [[pqTopK]] stays a hash compare. */
+  private def pqTrain(subs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val seed = subs.where(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("cid"), col("semb").as("c_emb"))
+    (1 to rounds).foldLeft(seed) { (cent, _) =>
+      pqAssign(subs, cent)
+        .select(col("m"), col("cid"), posexplode(col("semb")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6)
+          .as("mv"))
+        .groupBy(col("m"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("m"), col("cid"), transform(col("pm"), p => p.getField("mv")).as("c_emb"))
+    }
+  }
+
+  /**
+   * PQ approximate top-k: train the per-subspace codebooks, encode every
+   * vector to its nearest codebook entries, and rank neighbors by the
+   * cosine between the query and the RECONSTRUCTION (the concatenated
+   * codebook entries) — the asymmetric-distance (ADC) estimate.
+   *
+   * Scale shape: training aggregates are keyed on (m, cid, pos) —
+   * codebook-sized, never collection-sized; the encode is a broadcast
+   * codebook join with a map-side-combinable argmin (the collection
+   * never shuffles); reconstruction is a per-vector sort-collect of pqM
+   * rows. At production scale the per-(query, subspace, code) dot
+   * products are precomputed once into an M x K lookup table and each
+   * candidate costs M table lookups instead of a D-dim dot — here the
+   * reconstruction form computes the SAME estimate with the proven
+   * deterministic fold, keeping the oracle a hash compare. Output ranks
+   * by approximate similarity; `asim` is the ADC cosine estimate.
+   */
+  def pqTopK(emb: DataFrame): DataFrame = pqTopK(emb, pqM, pqK, 1)
+
+  def pqTopK(emb: DataFrame, m: Int, k: Int, rounds: Int, subDim: Int = dim / pqM): DataFrame = {
+    val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, subDim))
+    val cent = pqTrain(subs, k, rounds)
+    val rec = pqAssign(subs, cent)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
+      .select(col("vec_id"), flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = rec.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
+  /** DuckDB mirror of [[pqTopK]] (sub-slice, seed, Lloyd, encode,
+    * reconstruct, rank — every fold the deterministic list_sum form). */
+  def pqTopKSql(m: Int = pqM, k: Int = pqK, rounds: Int = 1,
+                subDim: Int = dim / pqM): String = {
+    val roundCtes = new StringBuilder
+    var prev = "pq_seed"
+    for (r <- 0 until rounds) {
+      roundCtes ++=
+        s"""pa$r AS (
+           |  SELECT s.vec_id, s.m, s.semb, c.cid,
+           |         row_number() OVER (PARTITION BY s.vec_id, s.m
+           |                            ORDER BY ${pqL2Sql("s.semb", "c.c_emb")} ASC, c.cid) AS rn
+           |  FROM sub s JOIN $prev c ON c.m = s.m
+           |  QUALIFY rn = 1
+           |),
+           |pd$r AS (
+           |  SELECT m, cid, unnest(semb) AS x,
+           |         unnest(range(1, len(semb) + 1)) AS pos
+           |  FROM pa$r
+           |),
+           |pu$r AS (
+           |  SELECT m, cid, pos,
+           |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mv
+           |  FROM pd$r GROUP BY m, cid, pos
+           |),
+           |pc$r AS (SELECT m, cid, list(mv ORDER BY pos) AS c_emb FROM pu$r GROUP BY m, cid),
+           |""".stripMargin
+      prev = s"pc$r"
+    }
+    val cos = cosineSql("q.q_emb", "r.recon")
+    s"""WITH sub AS (
+       |  SELECT vec_id, g.range AS m,
+       |         embedding[g.range * $subDim + 1 : g.range * $subDim + $subDim] AS semb
+       |  FROM embeddings, range(0, $m) g
+       |),
+       |pq_seed AS (SELECT m, vec_id AS cid, semb AS c_emb FROM sub WHERE vec_id < $k),
+       |${roundCtes}enc AS (
+       |  SELECT s.vec_id, s.m, c.c_emb,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                            ORDER BY ${pqL2Sql("s.semb", "c.c_emb")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN $prev c ON c.m = s.m
+       |  QUALIFY rn = 1
+       |),
+       |rec AS (SELECT vec_id, flatten(list(c_emb ORDER BY m)) AS recon FROM enc GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id % $queryMod = 0)
+       |SELECT q.q_id, r.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.q_id
+       |                               ORDER BY $cos DESC, r.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS asim
+       |FROM q JOIN rec r ON r.vec_id <> q.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
   /** Cosine threshold above which two same-cluster vectors count as
