@@ -30,9 +30,17 @@ class EmitSpec extends SparkSpecBase {
     assert(prog.contains("emitgraph") || prog.contains("EmitGraph"))
     // the dry-run plan dump rides the header comment
     assert(prog.contains("(root)") && prog.contains("routing:"), s"missing plan dump:\n$prog")
-    // the query text itself, and the library call that runs it
+    // the query text itself, and the library call that runs it — pinned
+    // to the generation-time enumeration root for acyclic bodies
     assert(prog.contains("FROM EmitGraph g1, EmitGraph g2"))
-    assert(prog.contains("CqcSql.solve(spark, query)"))
+    assert(prog.contains("CqcSql.solveWithRoot(spark, query, \"") ||
+      prog.contains("CqcSql.solve(spark, query)"), s"no solve call:\n$prog")
+    // r9: the synthesized operator SEQUENCE rides the header — the
+    // numbered semijoin-reduction and enumeration steps the run executes
+    assert(prog.contains("Synthesized operator sequence"), s"missing sequence:\n$prog")
+    assert(prog.contains("LEFT-SEMI-JOIN"), s"missing reduce steps:\n$prog")
+    assert(prog.contains("(enumeration root)") &&
+      prog.contains("output-sensitive enumeration"), s"missing enumeration steps:\n$prog")
   }
 
   test("emitted reader line round-trips: re-reading the source yields the same rows") {
