@@ -143,6 +143,31 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     (200, graft.sql.CqcSql.hypergraphDot(spark, sql), "text/vnd.graphviz")
   }
 
+  /** Machine-readable query structure for the SPA renderer: the
+    * decomposed hyperedges (name, variables, size estimate) and every
+    * candidate join tree as (root, child->parent edges with join vars) —
+    * the JSON twin of the DOT dump, so the index page can DRAW the
+    * hypergraph and the candidate trees (reference: sqlplus-web's
+    * rendered hypergraph/tree picker). */
+  handle("/api/structure") { ex =>
+    val sql = body(ex)
+    require(sql.nonEmpty, "empty SQL body")
+    val rels = graft.sql.CqcSql.relations(spark, sql)
+    val relsJson = rels.map { r =>
+      s"""{"name":${jstr(r.name)},"vars":${r.vars.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"est":${graft.cqc.Hypergraph.estSize(r)}}"""
+    }.mkString("[", ",", "]")
+    val cands =
+      if (rels.size < 2 || !graft.cqc.Hypergraph.isAcyclic(rels)) "[]"
+      else graft.cqc.Hypergraph.candidateTrees(rels).map { t =>
+        val edges = t.topDown.drop(1).map { n =>
+          val p = t.parentOf(n)
+          s"""{"child":${jstr(n)},"parent":${jstr(p)},"on":${t.sharedVars(n, p).map(jstr).mkString("[", ",", "]")}}"""
+        }.mkString("[", ",", "]")
+        s"""{"root":${jstr(t.root)},"edges":$edges}"""
+      }.mkString("[", ",", "]")
+    (200, s"""{"relations":$relsJson,"candidates":$cands}""", "application/json")
+  }
+
   handle("/api/emit") { ex =>
     val sql = body(ex)
     require(sql.nonEmpty, "empty SQL body")
@@ -195,33 +220,105 @@ object GraftServer {
     Thread.currentThread.join()
   }
 
-  /** Minimal embedded console: textarea → plan / candidates / rows.
-    * The reference ships a full SPA; the parity here is the WORKFLOW
-    * (inspect hypergraph, compare candidate trees, pick one, run). */
+  /** Embedded SPA: textarea console plus RENDERED structure — the
+    * hypergraph drawn as a bipartite SVG (relation boxes ↔ variable
+    * nodes) and every candidate join tree drawn as a clickable layered
+    * tree (click a tree → its root pins the run), matching the
+    * reference sqlplus-web workflow (inspect hypergraph, compare
+    * candidate trees, pick one, run) with zero front-end
+    * dependencies. */
   private[web] val indexHtml: String =
     """<!doctype html>
       |<html><head><meta charset="utf-8"><title>graft console</title>
       |<style>
-      | body{font-family:monospace;margin:2em;max-width:70em}
+      | body{font-family:monospace;margin:2em;max-width:78em}
       | textarea{width:100%;height:8em} pre{background:#f4f4f4;padding:1em;overflow:auto}
       | button{margin-right:.5em} input{width:6em}
+      | svg{background:#fafafa;border:1px solid #ddd;margin:.3em .5em .3em 0}
+      | .cand{display:inline-block;cursor:pointer;text-align:center}
+      | .cand.picked svg{border:2px solid #06c}
+      | #trees{display:flex;flex-wrap:wrap}
       |</style></head><body>
       |<h2>graft console</h2>
       |<textarea id="sql">SELECT COUNT(*) AS n FROM lineitem</textarea><br>
       |root <input id="root" placeholder="(auto)">
       |<button onclick="call('plan')">plan</button>
-      |<button onclick="call('candidates')">candidates</button>
-      |<button onclick="call('hypergraph')">hypergraph</button>
+      |<button onclick="draw()">visualize</button>
+      |<button onclick="call('hypergraph')">dot</button>
       |<button onclick="call('emit')">emit</button>
       |<button onclick="call('query')">run</button>
+      |<div id="viz"></div><div id="trees"></div>
       |<pre id="out">-</pre>
       |<script>
+      |const $=id=>document.getElementById(id);
       |async function call(ep){
-      |  const sql=document.getElementById('sql').value;
-      |  const root=document.getElementById('root').value;
+      |  const root=$('root').value;
       |  const qs=(ep==='query'&&root)?('?root='+encodeURIComponent(root)):'';
-      |  const r=await fetch('/api/'+ep+qs,{method:'POST',body:sql});
-      |  document.getElementById('out').textContent=await r.text();
+      |  const r=await fetch('/api/'+ep+qs,{method:'POST',body:$('sql').value});
+      |  $('out').textContent=await r.text();
+      |}
+      |function svgEl(n,attrs){const e=document.createElementNS('http://www.w3.org/2000/svg',n);
+      |  for(const k in attrs)e.setAttribute(k,attrs[k]);return e;}
+      |function txt(x,y,s,anchor){const t=svgEl('text',{x:x,y:y,'font-size':'11',
+      |  'font-family':'monospace','text-anchor':anchor||'start'});t.textContent=s;return t;}
+      |// bipartite hypergraph: relation boxes left, variable nodes right
+      |function drawHyper(rels){
+      |  const vars=[...new Set(rels.flatMap(r=>r.vars))].sort();
+      |  const h=Math.max(rels.length,vars.length)*28+40;
+      |  const svg=svgEl('svg',{width:560,height:h});
+      |  const ry=i=>30+i*((h-40)/Math.max(1,rels.length-1||1));
+      |  const vy=i=>30+i*((h-40)/Math.max(1,vars.length-1||1));
+      |  rels.forEach((r,i)=>vars.forEach((v,j)=>{
+      |    if(r.vars.includes(v))svg.appendChild(svgEl('line',
+      |      {x1:150,y1:ry(i),x2:400,y2:vy(j),stroke:'#bbb'}));}));
+      |  rels.forEach((r,i)=>{
+      |    svg.appendChild(svgEl('rect',{x:20,y:ry(i)-12,width:130,height:22,
+      |      fill:'#cfe2ff',stroke:'#369'}));
+      |    svg.appendChild(txt(26,ry(i)+3,r.name+' ~'+fmtB(r.est)));});
+      |  vars.forEach((v,j)=>{
+      |    svg.appendChild(svgEl('circle',{cx:400,cy:vy(j),r:4,fill:'#363'}));
+      |    svg.appendChild(txt(410,vy(j)+4,v));});
+      |  return svg;
+      |}
+      |function fmtB(b){return b>1e9?(b/1e9).toFixed(1)+'GB':b>1e6?(b/1e6).toFixed(1)+'MB'
+      |  :b>1e3?(b/1e3).toFixed(1)+'KB':b+'B';}
+      |// layered tree: root on top, children fanned below, join vars on edges
+      |function drawTree(c){
+      |  const kids={};c.edges.forEach(e=>{(kids[e.parent]=kids[e.parent]||[]).push(e);});
+      |  const depth={},order=[];(function walk(n,d){depth[n]=d;order.push(n);
+      |    (kids[n]||[]).forEach(e=>walk(e.child,d+1));})(c.root,0);
+      |  const maxD=Math.max(...order.map(n=>depth[n]));
+      |  const byD={};order.forEach(n=>{(byD[depth[n]]=byD[depth[n]]||[]).push(n);});
+      |  const w=Math.max(...Object.values(byD).map(l=>l.length))*110+20,
+      |        hh=(maxD+1)*60+20;
+      |  const pos={};Object.entries(byD).forEach(([d,l])=>l.forEach((n,i)=>{
+      |    pos[n]=[20+i*110+((w-40)-(l.length-1)*110)/2,30+d*60];}));
+      |  const svg=svgEl('svg',{width:w,height:hh});
+      |  c.edges.forEach(e=>{const a=pos[e.parent],b=pos[e.child];
+      |    svg.appendChild(svgEl('line',{x1:a[0]+45,y1:a[1]+8,x2:b[0]+45,y2:b[1]-12,
+      |      stroke:'#888'}));
+      |    svg.appendChild(txt((a[0]+b[0])/2+45,(a[1]+b[1])/2,e.on.join(','),'middle'));});
+      |  order.forEach(n=>{const p=pos[n];
+      |    svg.appendChild(svgEl('rect',{x:p[0],y:p[1]-12,width:90,height:20,
+      |      fill:n===c.root?'#ffe9a8':'#e2efd9',stroke:'#666'}));
+      |    svg.appendChild(txt(p[0]+45,p[1]+2,n,'middle'));});
+      |  return svg;
+      |}
+      |async function draw(){
+      |  const r=await fetch('/api/structure',{method:'POST',body:$('sql').value});
+      |  const j=await r.json();
+      |  if(j.error){$('out').textContent=JSON.stringify(j);return;}
+      |  $('viz').replaceChildren(drawHyper(j.relations));
+      |  $('trees').replaceChildren(...j.candidates.map(c=>{
+      |    const d=document.createElement('div');d.className='cand';
+      |    d.appendChild(drawTree(c));
+      |    const cap=document.createElement('div');cap.textContent='root '+c.root;
+      |    d.appendChild(cap);
+      |    d.onclick=()=>{$('root').value=c.root;
+      |      document.querySelectorAll('.cand').forEach(x=>x.classList.remove('picked'));
+      |      d.classList.add('picked');};
+      |    return d;}));
+      |  $('out').textContent=j.candidates.length+' candidate tree(s); click one to pin its root, then run';
       |}
       |</script></body></html>
       |""".stripMargin

@@ -57,6 +57,24 @@ class GraftServerSpec extends SparkSpecBase {
     assert(c == 200 && b.contains("join tree (cost-picked)"), b)
   }
 
+  test("structure endpoint: hyperedges + candidate trees as JSON for the SPA renderer") {
+    view()
+    val (c, b) = post("/api/structure", joinSql)
+    assert(c == 200, b)
+    // three hyperedges, each with its variable list and a size estimate
+    assert(Seq("r0", "r1", "r2").forall(r => b.contains(s""""name":"$r"""")), b)
+    assert(b.contains(""""vars":["""), b)
+    assert(b.contains(""""est":"""), b)
+    // three candidate trees, each edge carrying its join variables
+    assert(Seq("r0", "r1", "r2").forall(r => b.contains(s""""root":"$r"""")), b)
+    assert(b.contains(""""child":""") && b.contains(""""parent":""") &&
+      b.contains(""""on":["""), b)
+    // the SPA draws from this payload
+    val (_, html) = get("/")
+    assert(html.contains("api/structure") && html.contains("drawHyper") &&
+      html.contains("drawTree"), "index page renders the structure")
+  }
+
   test("candidates lists every rerooting; picked root changes the tree, not the result") {
     view()
     val (c, b) = post("/api/candidates", joinSql)
