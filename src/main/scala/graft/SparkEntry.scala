@@ -1683,6 +1683,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    // streaming ingest near-dup gate, batch-parity form: stateless band
+    // probe of the static corpus index + exact array-Jaccard verify
+    "dedup_stream_flag" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashStreamingFlag(docs, Dedup.minhashIndex(docs))
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
@@ -2260,6 +2266,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
+    "dedup_stream_flag" -> Dedup.minhashFlagSql,
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,

@@ -602,6 +602,17 @@ object Ann {
     * semantic duplicates. */
   val sdTau = 0.35
 
+  /** Centroid count sized to the collection — the "K tracks
+    * N/targetClusterSize" rule as a first-class helper (the IVF/SemDeDup
+    * twin of [[lshPlanesFor]]): expected cluster population stays
+    * `targetClusterSize` as the corpus grows, so [[semanticDedup]]'s
+    * within-cluster pair cost and [[ivfTopK]]'s per-probe scan cost stay
+    * CONSTANT per vector. Clamped below by the test-corpus default and
+    * above by a centroid table that must stay broadcastable. */
+  def ivfCentroidsFor(n: Long, targetClusterSize: Int = 256): Int =
+    math.max(ivfCentroids.toLong,
+      math.min(65536L, n / math.max(1L, targetClusterSize.toLong))).toInt
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
    * efficient learning at web-scale through semantic deduplication",

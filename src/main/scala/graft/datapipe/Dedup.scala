@@ -222,6 +222,109 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Per-doc shingle SET as ONE array column — the stateless projection
+    * form of [[shingles]] (no explode + distinct aggregation), legal on
+    * an unbounded stream and identical in content (`array_distinct` of
+    * the same hashed shingles). */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(
+        TextOps.shinglesOf(TextOps.words(normText), shingleK), s => h60(s))).as("shs"))
+
+  /** Banded signature keys from the array form — map-side only: each
+    * signature is an `array_min` over the affine-permuted shingle set,
+    * each band key a concat of its rows; the explode fans out rows
+    * WITHIN the partition (stateless in streaming). */
+  private def bandKeys(withSets: DataFrame): DataFrame = {
+    def mh(j: Int): Column = array_min(transform(col("shs"),
+      x => (lit(mhA(j)) * (x % mhP) + lit(mhB(j))) % mhP))
+    val bandStructs = (0 until mhBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until mhRows).map(r => mh(b * mhRows + r)): _*).as("key"))
+    }
+    withSets.select(col("doc_id"), col("shs"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("shs"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /**
+   * Static near-dup INDEX over an existing corpus: (band, key) buckets
+   * carrying each member's shingle set — the materialized artifact an
+   * ingest pipeline builds once (bucket-write it at cluster scale) and
+   * every arriving batch probes. Persisted via CacheRegistry.
+   */
+  def minhashIndex(corpus: DataFrame): DataFrame =
+    graft.CacheRegistry.persistTracked(
+      bandKeys(shingleSets(corpus))
+        .select(col("doc_id").as("corpus_id"), col("shs").as("corpus_shs"),
+          col("band"), col("key")))
+
+  /**
+   * Streaming ingest near-dup gate: flag each arriving document against
+   * the static corpus index — the online form of [[minhashLsh]]. The
+   * stream side is STATELESS end-to-end (signature + band keys are one
+   * projection per micro-batch, the probe is a stream-static equi-join,
+   * the verify an exact array-Jaccard), so there is no watermark and no
+   * state store: Spark re-plans the static side per micro-batch, which
+   * also picks up index refreshes between batches. Emits one row per
+   * (arriving doc, corpus near-dup, matching band) — at-least-once per
+   * pair when several bands agree; consumers needing exactly-one-per-
+   * pair dedup downstream (the batch parity spec compares distinct
+   * pairs). Works identically on a batch frame (same plan, no stream).
+   */
+  def minhashStreamingFlag(stream: DataFrame, index: DataFrame): DataFrame = {
+    val probe = bandKeys(shingleSets(stream))
+    val inter = size(array_intersect(col("shs"), col("corpus_shs"))).cast("double")
+    val union = (size(col("shs")) + size(col("corpus_shs"))).cast("double") - inter
+    probe.join(index, Seq("band", "key"))
+      .where(col("doc_id") =!= col("corpus_id"))
+      .withColumn("jac", inter / union)
+      .where(col("jac") >= mhTau)
+      .select(col("doc_id"), col("corpus_id").as("dup_of"), col("band"),
+        round(col("jac"), 6).as("jac"))
+  }
+
+  /** DuckDB mirror of [[minhashStreamingFlag]] self-probed on the
+    * documents corpus (the batch-parity form the driver gate checks):
+    * both orientations of every bucket-agreeing pair, one row per
+    * matching band, exact Jaccard filter. */
+  val minhashFlagSql: String = {
+    val mins = (0 until mhBands * mhRows).map { j =>
+      s"min((${mhA(j)} * s + ${mhB(j)}) % $mhP) AS mh$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until mhBands).map { b =>
+      val key = (0 until mhRows).map(r => s"mh${b * mhRows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $b AS band, concat(${key}) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |s31 AS (SELECT doc_id, sh % $mhP AS s FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM s31 GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, a.band
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id <> b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT x.doc_id, x.dup_of, count(*) AS shared
+       |  FROM (SELECT DISTINCT doc_id, dup_of FROM cand) x
+       |  JOIN sh a ON a.doc_id = x.doc_id JOIN sh b ON b.doc_id = x.dup_of AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.doc_id, c.dup_of, c.band,
+       |       round(h.shared / CAST(s1.sz + s2.sz - h.shared AS DOUBLE), 6) AS jac
+       |FROM cand c JOIN shared h ON h.doc_id = c.doc_id AND h.dup_of = c.dup_of
+       |            JOIN sizes s1 ON c.doc_id = s1.doc_id
+       |            JOIN sizes s2 ON c.dup_of = s2.doc_id
+       |WHERE h.shared / CAST(s1.sz + s2.sz - h.shared AS DOUBLE) >= $mhTau""".stripMargin
+  }
+
   val minhashLshSql: String = {
     val mins = (0 until mhBands * mhRows).map { j =>
       s"min((${mhA(j)} * s + ${mhB(j)}) % $mhP) AS mh$j"

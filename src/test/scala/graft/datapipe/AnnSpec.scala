@@ -86,6 +86,22 @@ class AnnSpec extends SparkSpecBase {
       cent.map { case (i, a) => (i, a.toSeq) })
   }
 
+  test("ivfCentroidsFor holds expected cluster population constant") {
+    // K tracks N / target, so per-cluster cost per vector is flat
+    assert(Ann.ivfCentroidsFor(1000) == Ann.ivfCentroids, "small corpora keep the floor")
+    assert(Ann.ivfCentroidsFor(1000000) == 1000000 / 256)
+    assert(Ann.ivfCentroidsFor(100000000, 1024) == math.min(100000000 / 1024, 65536),
+      "clamped to a broadcastable centroid table")
+    assert(Ann.ivfCentroidsFor(1L << 40) == 65536, "upper clamp at cluster scale")
+    // and the sized k threads through the dedup decision end-to-end
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
+    val k = Ann.ivfCentroidsFor(64, targetClusterSize = 8)
+    val out = Ann.semanticDedup(vecs, rounds = 1, k = k).collect()
+    assert(out.length == 64 && out.map(_.getAs[Long]("cid")).distinct.length > 1)
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),

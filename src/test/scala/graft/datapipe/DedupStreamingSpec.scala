@@ -32,6 +32,59 @@ class DedupStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate flags arrivals against the static corpus index") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (101L, "completely unrelated corpus material about distributed query engines"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus)
+    val input = MemoryStream[StreamDoc]
+    val q = Dedup.minhashStreamingFlag(input.toDF(), idx)
+      .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        // near-copy of corpus doc 100 (one word appended: shingle sets
+        // differ by a single trailing shingle, so at least one band of
+        // signature mins is preserved — fixture chosen deterministically)
+        StreamDoc(1L, "the quick brown fox jumps over the lazy dog and runs far away today again",
+          new Timestamp(1000)),
+        // novel document, no corpus relative
+        StreamDoc(2L, "entirely novel text with no overlapping shingles whatsoever here",
+          new Timestamp(2000)))
+      q.processAllAvailable()
+      // second batch still probes the SAME static index (stateless join)
+      input.addData(
+        StreamDoc(3L, "completely unrelated corpus material about distributed query engines",
+          new Timestamp(3000)))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup_stream")
+        .select("doc_id", "dup_of", "jac").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byDoc = flagged.groupBy(_._1)
+      assert(byDoc.contains(1L), s"near-copy not flagged: ${flagged.toSeq}")
+      assert(byDoc(1L).forall(t => t._2 == 100L && t._3 >= Dedup.mhTau))
+      assert(!byDoc.contains(2L), s"novel doc falsely flagged: ${flagged.toSeq}")
+      assert(byDoc.contains(3L) && byDoc(3L).forall(t => t._2 == 101L && t._3 > 0.99),
+        s"exact copy in batch 2 not flagged: ${flagged.toSeq}")
+    } finally q.stop()
+  }
+
+  test("near-dup gate batch parity: distinct flagged pairs == minhashLsh pairs") {
+    // self-probe: corpus as both index and (batch) arrival side; the
+    // stateless plan must reproduce exactly the batch operator's pair
+    // set (both orientations of each d1<d2 pair, distinct over bands)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val flagged = Dedup.minhashStreamingFlag(docs, Dedup.minhashIndex(docs))
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val batch = Dedup.minhashLsh(docs).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == batch, s"flag/batch divergence: ${flagged.diff(batch)} vs ${batch.diff(flagged)}")
+    assert(batch.nonEmpty, "parity fixture must contain near-dups")
+  }
+
   test("dedup state is evicted past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
