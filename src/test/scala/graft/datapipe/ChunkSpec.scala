@@ -37,6 +37,21 @@ class ChunkSpec extends SparkSpecBase {
     assert(out(4L).map(_._1) == Seq(0L, 1L, 2L))
   }
 
+  test("NULL text yields exactly one empty chunk (both-engine guard)") {
+    // r9 advice fix: Spark's greatest(1, NULL) ignores the NULL while
+    // DuckDB's range(0, NULL) emits zero rows — without the coalesce
+    // guard a NULL-text doc is a row-count divergence between the
+    // operator and its oracle. Both now see split('', ' ') = [''].
+    val out = TextOps.chunk(Seq((1L, null: String), (2L, "a b c"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk"), r.getAs[Long]("n_words")))
+    assert(out.count(_._1 == 1L) == 1, "NULL text -> exactly one row")
+    assert(out.find(_._1 == 1L).get == (1L, 0L, "", 1L),
+      "the single chunk is the empty token")
+    assert(out.count(_._1 == 2L) == 1)
+  }
+
   test("chunks tile the document: stride suffixes reconstruct the original text") {
     val docs = Seq(doc(10, 1), doc(11, 29), doc(12, 30), doc(13, 31),
       doc(14, 70), doc(15, 71), doc(16, 99))
