@@ -113,8 +113,12 @@ object Bench {
       }
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // locale-proof 2-decimal rounding: Double.toString always uses '.',
+    // while the f"" interpolator follows the default locale (a comma-
+    // decimal locale would emit invalid JSON and break the re-parse)
+    def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
     def dict2(rs: Seq[(String, Double)]): String = // 2-decimal, for the summary
-      rs.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => jstr(k) + ":" + r2(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val errHashedJson = errorsHashed.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -124,12 +128,18 @@ object Bench {
     // bounded stdout tail always contains one complete, parseable,
     // mode-labeled record
     println(fullLine)
-    val outPath = jsonFile.getOrElse("bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(_) => () }
+    // default dump file only for FULL sweeps: a targeted local run
+    // (named queries) must not clobber a full-sweep record that floor
+    // merges consume
+    val outPath = jsonFile.orElse(
+      if (queryArgs.isEmpty) Some("bench_full.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val slowN = 10
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","n":${results.size},"reps_count":$reps,"reps_hashed":$hashReps,"total_count_mode":${f"$total%.2f".toDouble},"total_hashed_mode":${f"$totalHashed%.2f".toDouble},"n_errors":${errors.size},"n_errors_hashed":${errorsHashed.size},"slowest_count":${dict2(results.sortBy(-_._2).take(slowN))},"slowest_hashed":${dict2(resultsHashed.sortBy(-_._2).take(slowN))},"note":"per-mode min-of-N; count mode comparable to BASELINE.md floors, hashed forces full column evaluation — compare mode-to-mode only","full_json":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","n":${results.size},"reps_count":$reps,"reps_hashed":$hashReps,"total_count_mode":${r2(total)},"total_hashed_mode":${r2(totalHashed)},"n_errors":${errors.size},"n_errors_hashed":${errorsHashed.size},"slowest_count":${dict2(results.sortBy(-_._2).take(slowN))},"slowest_hashed":${dict2(resultsHashed.sortBy(-_._2).take(slowN))},"note":"per-mode min-of-N; count mode comparable to BASELINE.md floors, hashed forces full column evaluation — compare mode-to-mode only","full_json":${jstr(outPath.getOrElse("(not written)"))},"sf":${jstr(sfDir)}}"""
     println(summary)
     spark.stop()
   }

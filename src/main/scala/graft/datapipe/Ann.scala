@@ -522,8 +522,14 @@ object Ann {
    */
   def pqTopK(emb: DataFrame): DataFrame = pqTopK(emb, pqM, pqK, 1)
 
-  def pqTopK(emb: DataFrame, m: Int, k: Int, rounds: Int, subDim: Int = dim / pqM): DataFrame = {
-    val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, subDim))
+  /** `subDim` defaults to `dim / m` for the ACTUAL `m` argument (a
+    * negative value means "derive") — a default tied to the constant
+    * pqM would silently slice past the embedding for any other m. */
+  def pqTopK(emb: DataFrame, m: Int, k: Int, rounds: Int, subDim: Int = -1): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"$m subspaces must divide dim=$dim")
+    val sd = if (subDim > 0) subDim else dim / m
+    require(m * sd <= dim, s"$m subspaces x $sd dims exceed dim=$dim")
+    val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, sd))
     val cent = pqTrain(subs, k, rounds)
     val rec = pqAssign(subs, cent)
       .groupBy(col("vec_id"))
@@ -545,7 +551,8 @@ object Ann {
   /** DuckDB mirror of [[pqTopK]] (sub-slice, seed, Lloyd, encode,
     * reconstruct, rank — every fold the deterministic list_sum form). */
   def pqTopKSql(m: Int = pqM, k: Int = pqK, rounds: Int = 1,
-                subDim: Int = dim / pqM): String = {
+                subDimOpt: Int = -1): String = {
+    val subDim = if (subDimOpt > 0) subDimOpt else dim / m
     val roundCtes = new StringBuilder
     var prev = "pq_seed"
     for (r <- 0 until rounds) {
@@ -682,7 +689,10 @@ object Ann {
     * the uncapped cid join — byte-identical output), and `vec_id mod
     * ceil(size/cap)` above it. The size window shuffles on `cid`, the
     * same partitioning the pair join uses anyway. Exposed for the spec
-    * that counts candidate volume on a planted hot cluster. */
+    * that counts candidate volume on a planted hot cluster. The bucket
+    * is `pmod` (always non-negative), mirrored as `((x % n) + n) % n`
+    * in the SQL oracle so negative caller-supplied vec_ids partition
+    * identically in both engines. */
   private[datapipe] def sdSubBucketed(lists: DataFrame, cap: Int): DataFrame = {
     val wc = Window.partitionBy("cid")
     lists.withColumn("__csz", count(lit(1)).over(wc))
@@ -717,9 +727,10 @@ object Ann {
     s"""$prefix,
        |subbed AS (
        |  SELECT vec_id, embedding, cid,
-       |         vec_id % greatest(1, CAST(ceil(
-       |           (count(*) OVER (PARTITION BY cid)) / $clusterCap.0) AS BIGINT)) AS sub
-       |  FROM lists
+       |         ((vec_id % nb) + nb) % nb AS sub
+       |  FROM (SELECT *, greatest(1, CAST(ceil(
+       |          (count(*) OVER (PARTITION BY cid)) / $clusterCap.0) AS BIGINT)) AS nb
+       |        FROM lists)
        |),
        |pairs AS (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2, $cos AS cos

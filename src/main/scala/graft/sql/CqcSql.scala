@@ -69,7 +69,7 @@ object CqcSql {
   private val rootHintRe =
     "(?is)/\\*\\+\\s*root\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*\\*/".r
 
-  private def hintedRoot(spark: SparkSession, sql: String): Option[String] =
+  private[sql] def hintedRoot(spark: SparkSession, sql: String): Option[String] =
     rootHintRe.findFirstMatchIn(sql).map { m =>
       val want = m.group(1)
       if (want.matches("(?i)r\\d+")) want.toLowerCase

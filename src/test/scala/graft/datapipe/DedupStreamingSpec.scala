@@ -70,6 +70,31 @@ class DedupStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sub-shingle-width docs carry no signature: no NaN flags, no empty-key bucket") {
+    // r9 review fix: docs with < shingleK words have EMPTY shingle sets;
+    // unfiltered, their per-band array_min is NULL, every band key
+    // collapses to "" (concat_ws skips NULLs), all short docs collide in
+    // one bucket and their 0/0 Jaccard is NaN — which Spark orders ABOVE
+    // the threshold. They must simply not participate, matching the
+    // exploded batch forms (no shingle rows).
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "hi there"), (101L, "foo bar"), // short: no shingles
+      (102L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val stream = Seq(
+      (1L, "hello world"), (2L, "ok"), // short arrivals
+      (3L, "the quick brown fox jumps over the lazy dog")) // exact copy of 102
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashStreamingFlag(stream, Dedup.minhashIndex(corpus))
+      .select("doc_id", "dup_of", "jac").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(!_._3.isNaN), s"NaN jaccard leaked: ${out.toSeq}")
+    assert(out.forall(t => t._1 == 3L && t._2 == 102L),
+      s"short docs must not be flagged: ${out.toSeq}")
+    assert(out.nonEmpty, "the real near-dup is still caught")
+  }
+
   test("near-dup gate batch parity: distinct flagged pairs == minhashLsh pairs") {
     // self-probe: corpus as both index and (batch) arrival side; the
     // stateless plan must reproduce exactly the batch operator's pair

@@ -45,6 +45,20 @@ class PqSpec extends SparkSpecBase {
       "nearby vectors should share reconstructions (quantization visible)")
   }
 
+  test("non-default m derives its own subDim (no silent pqM coupling)") {
+    // r9 review fix: the subDim default was keyed to the CONSTANT pqM,
+    // so m=8 sliced past the embedding and half the codes carried no
+    // signal. Now subDim derives from the actual m; geometry violations
+    // are loud.
+    val out = Ann.pqTopK(clustered(80), m = 8, k = 8, rounds = 1).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_id") % 4 == r.getAs[Long]("nbr_id") % 4,
+        "cluster structure preserved at m=8 (subspaces actually populated)")
+    }
+    intercept[IllegalArgumentException] { Ann.pqTopK(clustered(16), m = 7, k = 4, rounds = 1) }
+  }
+
   test("deterministic: two runs agree exactly") {
     val a = Ann.pqTopK(clustered(100)).collect().map(_.toString).sorted.toSeq
     graft.CacheRegistry.unpersistAll()

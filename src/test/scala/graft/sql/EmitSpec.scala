@@ -43,6 +43,34 @@ class EmitSpec extends SparkSpecBase {
       prog.contains("output-sensitive enumeration"), s"missing enumeration steps:\n$prog")
   }
 
+  test("a /*+ ROOT(x) */ hint in the text is the root the program prints AND pins") {
+    // r9 review fix: the pin used to be computed hint-blind (cost pick)
+    // and then OVERRIDE the comment hint at run time via solveWithRoot —
+    // printing one tree and running another. The pin must be the hint's
+    // own resolution.
+    graft.sources.Tables.edges(spark, sfDir).createOrReplaceTempView("emit_hint_edges")
+    val sql =
+      """SELECT /*+ ROOT(r1) */ g1.src AS a, g2.dst AS b
+        |FROM emit_hint_edges g1, emit_hint_edges g2
+        |WHERE g1.dst = g2.src""".stripMargin
+    val prog = Emit.program(spark, sql, "Hinted")
+    assert(prog.contains("""CqcSql.solveWithRoot(spark, query, "r1")"""),
+      s"pin must be the hinted root:\n$prog")
+    assert(prog.contains("r1  (enumeration root)"),
+      s"sequence must start at the hinted root:\n$prog")
+    // unhinted: the pin is the cost pick, whatever it is — but sequence
+    // root and pin always agree
+    val prog2 = Emit.program(spark,
+      """SELECT g1.src AS a, g2.dst AS b
+        |FROM emit_hint_edges g1, emit_hint_edges g2
+        |WHERE g1.dst = g2.src""".stripMargin, "Unhinted")
+    val pinned = """solveWithRoot\(spark, query, "(r\d+)"\)""".r
+      .findFirstMatchIn(prog2).map(_.group(1))
+    assert(pinned.isDefined, s"acyclic body must pin:\n$prog2")
+    assert(prog2.contains(s"${pinned.get}  (enumeration root)"),
+      s"sequence/pin mismatch:\n$prog2")
+  }
+
   test("emitted reader line round-trips: re-reading the source yields the same rows") {
     val dat = Files.createTempFile("emit_rt", ".dat")
     Files.write(dat, "5,6\n6,7\n".getBytes)
