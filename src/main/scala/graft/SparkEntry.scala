@@ -1739,6 +1739,9 @@ object SparkEntry {
     // segment-level exact dedup (paragraph dedup for newline-free text):
     // first occurrence corpus-wide survives, reassembled in order
     "pipe_para_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
+    // cross-document substring-span dedup (ExactSubstr at word
+    // granularity): later copies of any repeated 10-word span excised
+    "pipe_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
     // context-window chunking: sliding word windows for fixed-context
     // training sequences (overlapping, last chunk clamped)
     "pipe_chunk" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
@@ -2347,6 +2350,7 @@ object SparkEntry {
     "pipe_decontam" -> Decontam.flagSql,
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
+    "pipe_span_dedup" -> TextOps.spanDedupSql,
     "pipe_chunk" -> TextOps.chunkSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL
     // dump + schema'd re-read preserved every byte of every text

@@ -692,6 +692,89 @@ object TextOps {
        |       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text_deduped
        |FROM mark GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- substring-span dedup
+
+  /** Repeated-span width in words for [[spanDedup]]. */
+  val spanWords = 10
+
+  /**
+   * Cross-document SUBSTRING-SPAN dedup (the ExactSubstr recipe of Lee
+   * et al., "Deduplicating Training Data Makes Language Models Better",
+   * ACL 2022, approximated at word granularity): every [[spanWords]]-word
+   * window that occurred EARLIER in the corpus (lower doc_id, then lower
+   * position — within-doc repeats included) marks its words for removal;
+   * the first occurrence survives. Catches boilerplate embedded inside
+   * otherwise-distinct documents, which document- and segment-level
+   * dedup both miss (a suffix array finds variable-length repeats; the
+   * fixed-width window trades that generality for two scans and two
+   * combinable shuffles).
+   *
+   * Output: (doc_id, n_words, n_dropped, text_span_deduped) — NULL text
+   * when every word was covered.
+   *
+   * Scale shape: grams are one in-partition fan-out (~n_words rows);
+   * the first-occurrence pick is a groupBy-min of a (doc_id, pos)
+   * struct — MAP-SIDE COMBINABLE, so a boilerplate span repeated 10^6
+   * times partial-aggregates instead of funneling one hot window
+   * partition (the row_number form would); the word-level rebuild
+   * shuffles corpus words once on doc_id. No driver-side state.
+   */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val base = docs.select(col("doc_id"), w.as("w"))
+    val grams = base.where(size(col("w")) >= spanWords)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), (size(col("w")) - spanWords).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        h60(array_join(slice(col("w"), (col("pos") + 1).cast("int"), lit(spanWords)), " ")).as("h"))
+    val first = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val covered = grams.join(first, "h")
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + spanWords - 1)).as("idx"))
+      .distinct()
+    val exploded = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("idx", "word")))
+      .select(col("doc_id"), col("idx").cast(LongType).as("idx"), col("word"))
+    exploded.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        count(col("cov")).as("n_dropped"),
+        { val kept = array_sort(collect_list(
+            when(col("cov").isNull, struct(col("idx"), col("word")))))
+          when(size(kept) === 0, lit(null: String))
+            .otherwise(array_join(transform(kept, s => s("word")), " "))
+            .as("text_span_deduped") })
+  }
+
+  /** DuckDB oracle for [[spanDedup]] over the `documents` view. */
+  val spanDedupSql: String = {
+    val L = spanWords
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         ${h60Sql(s"array_to_string(w[(i+1):(i+$L)], ' ')")} AS h
+       |  FROM w, UNNEST(range(len(w) - $L + 1)) AS t(i)
+       |),
+       |f AS (SELECT h, min({'doc_id': doc_id, 'pos': pos}) AS f FROM g GROUP BY h),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, CAST(g.pos + j AS BIGINT) AS idx
+       |  FROM g JOIN f ON f.h = g.h, UNNEST(range($L)) AS t(j)
+       |  WHERE NOT (g.doc_id = f.f.doc_id AND g.pos = f.f.pos)
+       |),
+       |ew AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx, w[i+1] AS word
+       |  FROM w, UNNEST(range(len(w))) AS t(i)
+       |)
+       |SELECT ew.doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(CASE WHEN cov.idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       string_agg(word, ' ' ORDER BY ew.idx) FILTER (WHERE cov.idx IS NULL)
+       |         AS text_span_deduped
+       |FROM ew LEFT JOIN cov ON cov.doc_id = ew.doc_id AND cov.idx = ew.idx
+       |GROUP BY ew.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- PII redaction
 
   /** PII patterns, written in the common Java-regex/RE2 dialect (no

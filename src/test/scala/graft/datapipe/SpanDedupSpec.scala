@@ -1,0 +1,75 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+
+/** Cross-document substring-span dedup ([[TextOps.spanDedup]], the
+  * ExactSubstr recipe at word granularity): later copies of any
+  * repeated spanWords-word window are excised, first occurrence
+  * survives; within-doc repeats count too. */
+class SpanDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val L = TextOps.spanWords
+  private def ws(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Option[String])] =
+    TextOps.spanDedup(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_dropped"),
+          Option(r.getAs[String]("text_span_deduped")))))
+      .toMap
+
+  test("boilerplate embedded in distinct documents is excised from later docs") {
+    val boiler = ws("b", L) // exactly one span width
+    val docs = Seq(
+      (1L, s"${ws("x", 5)} $boiler ${ws("y", 5)}"),
+      (2L, s"${ws("p", 7)} $boiler ${ws("q", 4)}"), // later copy -> excised
+      (3L, ws("z", 8))) // short doc, untouched
+    val out = run(docs)
+    assert(out(1L) == ((L + 10L, 0L, Some(docs.head._2))), "first occurrence intact")
+    assert(out(2L)._2 == L.toLong, s"the later span is dropped: ${out(2L)}")
+    assert(out(2L)._3.contains(s"${ws("p", 7)} ${ws("q", 4)}"),
+      "surrounding unique words survive in order")
+    assert(out(3L) == ((8L, 0L, Some(ws("z", 8)))), "sub-span docs never match")
+  }
+
+  test("overlapping duplicate spans merge their covered words (no double count)") {
+    // doc 2 repeats an L+2-word window of doc 1: its L+2 covered words
+    // come from 3 overlapping spans but each word drops once
+    val core = ws("c", L + 2)
+    val out = run(Seq(
+      (1L, s"$core ${ws("u", 3)}"),
+      (2L, s"${ws("v", 3)} $core")))
+    assert(out(2L)._2 == (L + 2).toLong, s"covered union, not per-span sum: ${out(2L)}")
+    assert(out(2L)._3.contains(ws("v", 3)))
+  }
+
+  test("a fully-duplicated document drops to NULL text") {
+    val body = ws("d", L + 4)
+    val out = run(Seq((1L, body), (2L, body)))
+    assert(out(1L)._3.contains(body))
+    assert(out(2L) == (((L + 4).toLong, (L + 4).toLong, None)),
+      "every word covered -> NULL text")
+  }
+
+  test("within-doc repetition: the second copy inside the SAME doc is excised") {
+    val rep = ws("r", L)
+    val out = run(Seq((1L, s"$rep ${ws("m", 2)} $rep")))
+    assert(out(1L)._1 == (2 * L + 2).toLong)
+    assert(out(1L)._2 == L.toLong, s"later in-doc copy dropped: ${out(1L)}")
+    assert(out(1L)._3.contains(s"$rep ${ws("m", 2)}"))
+  }
+
+  test("matches the oracle semantics on the real corpus (spot invariants)") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = TextOps.spanDedup(docs).collect()
+    assert(out.length == docs.count(), "one row per document")
+    out.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_dropped"))
+      assert(d >= 0 && d <= n)
+      val t = Option(r.getAs[String]("text_span_deduped"))
+      if (d == n) assert(t.isEmpty) else assert(t.exists(_.split(" ").length == (n - d)))
+    }
+  }
+}
