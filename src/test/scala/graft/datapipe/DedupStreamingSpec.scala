@@ -110,6 +110,27 @@ class DedupStreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty, "parity fixture must contain near-dups")
   }
 
+  test("the near-dup index round-trips through parquet (the cluster-scale form)") {
+    // the 100 TB story says "bucket-write the index once, probe it per
+    // batch"; prove the claim: flags from a parquet-persisted index are
+    // identical to the in-memory index, and the file-backed frame needs
+    // no CacheRegistry pin (re-listed per micro-batch = refreshable)
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i =>
+      (i, s"document number $i about topic ${i % 5} with shared boilerplate " +
+        "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val probe = corpus.where($"doc_id" % 4 === 0)
+    val live = Dedup.minhashStreamingFlag(probe, Dedup.minhashIndex(corpus))
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_").resolve("idx").toString
+    Dedup.minhashIndex(corpus).write.mode("overwrite").parquet(dir)
+    graft.CacheRegistry.unpersistAll()
+    val fromDisk = Dedup.minhashStreamingFlag(probe, spark.read.parquet(dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromDisk == live && live.nonEmpty,
+      s"parquet round-trip must preserve flags (${live.size} rows)")
+  }
+
   test("dedup state is evicted past the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
