@@ -139,7 +139,7 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val slowN = 10
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","n":${results.size},"reps_count":$reps,"reps_hashed":$hashReps,"total_count_mode":${r2(total)},"total_hashed_mode":${r2(totalHashed)},"n_errors":${errors.size},"n_errors_hashed":${errorsHashed.size},"slowest_count":${dict2(results.sortBy(-_._2).take(slowN))},"slowest_hashed":${dict2(resultsHashed.sortBy(-_._2).take(slowN))},"note":"per-mode min-of-N; count mode comparable to BASELINE.md floors, hashed forces full column evaluation — compare mode-to-mode only","full_json":${jstr(outPath.getOrElse("(not written)"))},"sf":${jstr(sfDir)}}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","mode":"count","n":${results.size},"reps_count":$reps,"reps_hashed":$hashReps,"total_count_mode":${r2(total)},"total_hashed_mode":${r2(totalHashed)},"n_errors":${errors.size},"n_errors_hashed":${errorsHashed.size},"slowest_count":${dict2(results.sortBy(-_._2).take(slowN))},"slowest_hashed":${dict2(resultsHashed.sortBy(-_._2).take(slowN))},"note":"per-mode min-of-N; count mode comparable to BASELINE.md floors, hashed forces full column evaluation -- compare mode-to-mode only","full_json":${jstr(outPath.getOrElse("(not written)"))},"sf":${jstr(sfDir)}}"""
     println(summary)
     spark.stop()
   }
