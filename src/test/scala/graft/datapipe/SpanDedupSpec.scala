@@ -61,6 +61,41 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(out(1L)._3.contains(s"$rep ${ws("m", 2)}"))
   }
 
+  test("randomized battery: equals a pure-Scala oracle on planted corpora") {
+    // independent brute-force oracle: global first occurrence per gram
+    // CONTENT (not hash — collisions aside, h60 is 60-bit), covered =
+    // union of non-first gram spans, rebuild in order
+    def oracle(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Option[String])] = {
+      val wordsOf = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val grams = for {
+        (id, w) <- docs.map { case (id, t) => (id, wordsOf(id)) }
+        p <- 0 to w.length - L if w.length >= L
+      } yield (w.slice(p, p + L).mkString(" "), id, p)
+      val firstOf = grams.groupBy(_._1).view
+        .mapValues(_.map(g => (g._2, g._3)).min).toMap
+      val covered = grams.filter(g => firstOf(g._1) != ((g._2, g._3)))
+        .flatMap(g => (g._3 until g._3 + L).map(i => (g._2, i))).toSet
+      docs.map { case (id, _) =>
+        val w = wordsOf(id)
+        val kept = w.zipWithIndex.collect { case (x, i) if !covered((id, i)) => x }
+        id -> ((w.length.toLong, (w.length - kept.length).toLong,
+          if (kept.isEmpty) None else Some(kept.mkString(" "))))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(83101)
+    for (trial <- 1 to 6) {
+      // small vocab + long docs => frequent genuine span collisions
+      val vocab = 4 + rnd.nextInt(5)
+      val docs = (1L to (4 + rnd.nextInt(5)).toLong).map { id =>
+        val n = 5 + rnd.nextInt(40)
+        (id, (0 until n).map(_ => s"t${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      val got = run(docs)
+      val want = oracle(docs)
+      assert(got == want, s"trial $trial:\n got=$got\nwant=$want\ndocs=$docs")
+    }
+  }
+
   test("matches the oracle semantics on the real corpus (spot invariants)") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = TextOps.spanDedup(docs).collect()
