@@ -268,4 +268,20 @@ object Tables {
     * of only the referenced fields. */
   def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     tune(spark).read.schema(schemaDdl).json(path)
+
+  /** Corrupt-tolerant JSONL ingest: malformed lines land in a
+    * `_quarantine` column (Spark PERMISSIVE mode's corrupt-record
+    * capture) instead of aborting the read or silently dropping — at
+    * 100 TB a feed WILL contain breakage, and the quarantine split
+    * (`_quarantine IS NULL` = clean rows; the rest re-route to a
+    * dead-letter sink with the offending line intact) is the standard
+    * ingest contract. FAILFAST remains the right mode for
+    * already-validated internal data (readJsonl above). */
+  def readJsonlQuarantine(
+      spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    tune(spark).read
+      .schema(schemaDdl + ", _quarantine STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .json(path)
 }

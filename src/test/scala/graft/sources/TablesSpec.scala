@@ -65,4 +65,25 @@ class TablesSpec extends SparkSpecBase {
     val projected = Tables.readJsonl(spark, dir, "doc_id BIGINT, lang STRING")
     assert(projected.collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L).toSeq)
   }
+
+  test("corrupt JSONL lines quarantine instead of aborting or vanishing") {
+    val dir = Files.createTempDirectory("graft_jsonl_bad")
+    Files.write(dir.resolve("part-0.jsonl"), Seq(
+      """{"doc_id": 1, "text": "good row", "lang": "en"}""",
+      """{"doc_id": 2, "text": "truncated""", // malformed JSON
+      """not json at all""",
+      """{"doc_id": 3, "text": "another good row", "lang": "de"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val back = Tables.readJsonlQuarantine(spark, dir.toString,
+      "doc_id BIGINT, text STRING, lang STRING")
+    val clean = back.where("_quarantine IS NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(clean == Set((1L, "good row"), (3L, "another good row")))
+    // the dead-letter split carries the offending lines VERBATIM
+    val bad = back.where("_quarantine IS NOT NULL")
+      .collect().map(_.getAs[String]("_quarantine")).toSet
+    assert(bad == Set("""{"doc_id": 2, "text": "truncated""", "not json at all"))
+    // and the strict reader refuses nothing silently: same total row count
+    assert(back.count() == 4)
+  }
 }
