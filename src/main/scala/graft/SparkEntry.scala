@@ -1715,6 +1715,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
+    // embedding-space streaming ingest gate, batch-parity form: arrival
+    // slice probed against the static banded-bucket index, cosine verify
+    "dedup_embed_stream" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0), Ann.embedIndex(emb))
+    }),
     "dedup_embed_mp" -> ((s, d) => Ann.embedNearDupMultiprobe(Tables.embeddings(s, d))),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
@@ -2295,6 +2301,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,
+    "dedup_embed_stream" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
     "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
     "ann_lsh" -> Ann.lshTopKSql,

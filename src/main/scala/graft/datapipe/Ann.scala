@@ -789,6 +789,74 @@ object Ann {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("sim"))
   }
 
+  /** One band's hyperplane-signature column (keeps the input columns —
+    * [[buckets]] projects them away; the stream side must carry its
+    * embedding through to the verify). */
+  private def ndBucketCol(planeBase: Int): Column =
+    hyperplaneWeights(ndPlanesPerBand, planeBase).zipWithIndex.map { case (w, p) =>
+      when(dot(typedLit(w.toSeq), col("embedding")) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def ndBanded(emb: DataFrame): DataFrame =
+    (0 until ndBands).map { b =>
+      emb.select(col("vec_id"), col("embedding"), lit(b).as("band"),
+        ndBucketCol(100 + b * ndPlanesPerBand).as("bucket"))
+    }.reduce(_ unionByName _)
+
+  /** Static embedding near-dup INDEX: banded hyperplane buckets carrying
+    * each member's vector — the embedding-space twin of
+    * `Dedup.minhashIndex` (cache-pinned; bucket-write it at cluster
+    * scale, where a file-backed index re-lists per micro-batch). */
+  def embedIndex(corpus: DataFrame): DataFrame =
+    graft.CacheRegistry.persistTracked(
+      ndBanded(corpus).select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_emb"), col("band"), col("bucket")))
+
+  /**
+   * Streaming ingest near-dup gate in EMBEDDING space: arriving vectors
+   * are flagged against the static corpus index — the semantic twin of
+   * `Dedup.minhashStreamingFlag`, completing the ingest-gate family
+   * (exact hash / lexical MinHash / embedding cosine). The stream side
+   * is STATELESS end-to-end: the banded signature is a map-side
+   * projection (md5-derived hyperplanes are process constants), the
+   * probe a stream-static equi-join on (band, bucket), the verify an
+   * exact cosine against the carried index vector. No watermark, no
+   * state store. Emits one row per (arrival, corpus near-dup, matching
+   * band); consumers needing one-per-pair dedup downstream. Works
+   * identically on a batch frame.
+   */
+  def embedStreamingFlag(stream: DataFrame, index: DataFrame): DataFrame =
+    ndBanded(stream).join(index, Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("corpus_id"))
+      .withColumn("sim", cosine(col("embedding"), col("corpus_emb")))
+      .where(col("sim") >= ndTau)
+      .select(col("vec_id"), col("corpus_id").as("dup_of"), col("band"),
+        round(col("sim"), 6).as("sim"))
+
+  /** DuckDB mirror of [[embedStreamingFlag]] self-probed on the
+    * embeddings table, probe side filtered by `probePred` (the
+    * benchmark entry models the micro-batch:corpus ratio). */
+  def embedFlagSql(probePred: String = "true"): String = {
+    val bandCtes = (0 until ndBands).map { b =>
+      s"fbk$b AS (SELECT vec_id, $b AS band, bucket FROM (${bucketsSql(ndPlanesPerBand, 100 + b * ndPlanesPerBand)}))"
+    }.mkString(",\n")
+    val unions = (0 until ndBands).map(b => s"SELECT * FROM fbk$b").mkString("\n  UNION ALL\n  ")
+    val cos = cosineSql("e1.embedding", "e2.embedding")
+    s"""WITH $bandCtes,
+       |bands AS (
+       |  $unions
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS dup_of, a.band
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id AND ($probePred)
+       |)
+       |SELECT c.vec_id, c.dup_of, c.band, round($cos, 6) AS sim
+       |FROM cand c JOIN embeddings e1 ON e1.vec_id = c.vec_id
+       |            JOIN embeddings e2 ON e2.vec_id = c.dup_of
+       |WHERE $cos >= $ndTau""".stripMargin
+  }
+
   /**
    * Multiprobe near-dup: within each band, a vector's bucket is probed
    * together with every bucket at hamming distance 1 — a true near-dup

@@ -110,6 +110,45 @@ class DedupStreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty, "parity fixture must contain near-dups")
   }
 
+  test("embedding-space streaming gate flags semantic arrivals, stateless") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.02f, 0.0f, 0.01f, 0.9f, 0.0f, 0.03f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.02f, 0.9f, 0.0f, 0.04f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Ann.embedIndex(corpus)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Ann.embedStreamingFlag(input.toDF().toDF("vec_id", "embedding"), idx)
+      .writeStream.format("memory").queryName("embed_flag").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Array(0.98f, 0.03f, 0.01f, 0.0f, 0.91f, 0.01f, 0.02f, 0.01f)), // ~100
+        (2L, Array(-0.9f, 0.1f, -0.8f, 0.0f, -0.02f, 0.9f, -0.5f, 0.1f)))   // novel
+      q.processAllAvailable()
+      val flagged = spark.table("embed_flag")
+        .select("vec_id", "dup_of", "sim").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byDoc = flagged.groupBy(_._1)
+      assert(byDoc.contains(1L) && byDoc(1L).forall(t => t._2 == 100L && t._3 >= Ann.ndTau),
+        s"semantic near-copy not flagged: ${flagged.toSeq}")
+      assert(!byDoc.contains(2L), s"novel vector falsely flagged: ${flagged.toSeq}")
+    } finally q.stop()
+  }
+
+  test("embedding gate batch parity: distinct flagged pairs == embedNearDup pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val flagged = Ann.embedStreamingFlag(emb, Ann.embedIndex(emb))
+      .select("vec_id", "dup_of").distinct().collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val batch = Ann.embedNearDup(emb).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == batch,
+      s"divergence: ${flagged.diff(batch)} vs ${batch.diff(flagged)}")
+    assert(batch.nonEmpty, "parity fixture must contain embedding near-dups")
+  }
+
   test("the near-dup index round-trips through parquet (the cluster-scale form)") {
     // the 100 TB story says "bucket-write the index once, probe it per
     // batch"; prove the claim: flags from a parquet-persisted index are
