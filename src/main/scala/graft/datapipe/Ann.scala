@@ -520,6 +520,51 @@ object Ann {
    * deterministic fold, keeping the oracle a hash compare. Output ranks
    * by approximate similarity; `asim` is the ADC cosine estimate.
    */
+  /** The persisted form of a PQ-compressed collection: one row per
+    * vector with its ordered code array (pqM small ints — 2 bytes here
+    * against 256 raw bytes) plus the trained codebook as a second frame.
+    * A production pipeline bucket-writes BOTH once and serves ANN from
+    * them; [[pqTopK]] is the query side over exactly this state (spec:
+    * codes+codebook round-trip through parquet with identical
+    * rankings). */
+  def pqCompress(emb: DataFrame, m: Int = pqM, k: Int = pqK,
+                 rounds: Int = 1): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"$m subspaces must divide dim=$dim")
+    val sd = dim / m
+    val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, sd))
+    val cent = pqTrain(subs, k, rounds)
+    val codes = pqAssign(subs, cent)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid")))).as("p"))
+      .select(col("vec_id"), transform(col("p"), x => x.getField("cid")).as("codes"))
+    (codes, cent)
+  }
+
+  /** ANN over a PERSISTED PQ collection (codes + codebook frames, e.g.
+    * read back from parquet): reconstruct each candidate from its codes
+    * and rank by ADC cosine — identical output to [[pqTopK]] when given
+    * that call's own state. Queries still carry exact vectors. */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, cent: DataFrame): DataFrame = {
+    val withEmb = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(broadcast(cent), Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
+    val q = queries.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = withEmb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
   def pqTopK(emb: DataFrame): DataFrame = pqTopK(emb, pqM, pqK, 1)
 
   /** `subDim` defaults to `dim / m` for the ACTUAL `m` argument (a

@@ -66,6 +66,29 @@ class PqSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("compressed codes + codebook round-trip through parquet with identical rankings") {
+    // the storage contract: pqCompress writes 2 bytes/vector of codes +
+    // a codebook; pqTopKFromCodes over the re-read state must reproduce
+    // pqTopK exactly (same training, same ADC estimate)
+    val emb = clustered(120)
+    val direct = Ann.pqTopK(emb).collect().map(_.toString).sorted.toSeq
+    graft.CacheRegistry.unpersistAll()
+    val (codes, cent) = Ann.pqCompress(emb)
+    val dir = java.nio.file.Files.createTempDirectory("pq_state_")
+    codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
+    cent.write.mode("overwrite").parquet(dir.resolve("cent").toString)
+    graft.CacheRegistry.unpersistAll()
+    val fromDisk = Ann.pqTopKFromCodes(emb,
+      spark.read.parquet(dir.resolve("codes").toString),
+      spark.read.parquet(dir.resolve("cent").toString))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromDisk == direct && direct.nonEmpty,
+      s"persisted-state ANN must equal the direct form (${direct.size} rows)")
+    // and the codes really are the compressed width
+    val c = spark.read.parquet(dir.resolve("codes").toString).head()
+    assert(c.getSeq[Any](c.fieldIndex("codes")).length == Ann.pqM)
+  }
+
   test("real embeddings: sane shape, bounded scores (recall lives on structured data)") {
     // the sf0.001 embeddings are near-random: pairwise cosines sit at
     // the noise floor, so NO quantizer preserves that ranking — PQ's
