@@ -97,6 +97,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1)
   }
 
+  test("pipe_span_dedup: first-occurrence pick is a partial (map-side-combinable) min") {
+    // the SURVEY row's skew claim: a boilerplate span repeated 10^6
+    // times must PARTIAL-aggregate, not funnel one hot window
+    // partition — so the plan carries a partial_min HashAggregate pair
+    // on the gram hash and NO Window operator anywhere
+    val p = plan("pipe_span_dedup")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-occurrence pick must be a partial aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the span pick:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
+  }
+
+  test("dedup_embed_stream: probe-side signatures are a pure projection") {
+    // the stateless-gate claim: between the embeddings scan and the
+    // (band,bucket) join there is no aggregate and no window on the
+    // PROBE side — the banded signature is map-side only
+    val p = plan("dedup_embed_stream")
+    assert(!p.contains("Window"), s"no window in the gate:\n$p")
+    assert(!p.contains("Cartesian"), s"no cartesian:\n$p")
+    assert(p.contains("Union"), s"banded fan-out present:\n$p")
+  }
+
   test("q_window computes all three window functions in one shuffle") {
     val p = plan("q_window")
     // one Window node (same partitioning/ordering fuses the functions);
