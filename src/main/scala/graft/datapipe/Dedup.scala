@@ -241,19 +241,16 @@ object Dedup {
     * each band key a concat of its rows; the explode fans out rows
     * WITHIN the partition (stateless in streaming). */
   private def bandKeys(withSets: DataFrame): DataFrame = {
-    // all 12 signature mins in ONE fold over the shingle set (12-slot
-    // running-min accumulator) instead of 12 array_min(transform(...))
-    // passes: higher-order functions evaluate interpreted, so the fused
-    // fold saves 12 array materializations per doc — measured 5.5→3.4s
-    // on the sf0.1 self-index. Seed mhP is an identity for min here
-    // (every permuted value is < mhP), and empty sets are filtered
-    // before the fold (see below).
-    val nSig = mhBands * mhRows
-    val sig = aggregate(col("shs"),
-      array_repeat(lit(mhP), nSig),
-      (acc, x) => array((0 until nSig).map { j =>
-        least(element_at(acc, j + 1), (lit(mhA(j)) * (x % mhP) + lit(mhB(j))) % mhP)
-      }: _*))
+    // all 12 signature mins in ONE codegen'd primitive loop
+    // ([[graft.functions.MinhashSignature]]): higher-order functions
+    // evaluate interpreted with per-element accumulator allocations —
+    // the measured cost of the stream-side signature. Bit-identical to
+    // the declarative fold (same Long arithmetic; min is
+    // order-insensitive; seed mhP is an identity since every permuted
+    // value is < mhP). Empty sets are filtered before the signature
+    // (see below).
+    val sig = graft.functions.MinhashSignature.signature(
+      col("shs"), mhA.take(mhBands * mhRows), mhB.take(mhBands * mhRows), mhP)
     def mh(j: Int): Column = element_at(col("__sig"), j + 1)
     val bandStructs = (0 until mhBands).map { b =>
       struct(lit(b).as("band"),

@@ -43,6 +43,39 @@ class FunctionsSpec extends SparkSpecBase {
     assert(viaFloat == viaDouble && viaDouble == mixed)
   }
 
+  test("MinhashSignature equals the declarative fold, codegen and interpreted") {
+    // the native loop must be bit-identical to the aggregate() fold it
+    // replaced (same Long arithmetic; min is order-insensitive), on
+    // random shingle sets AND the empty/singleton edges, under codegen
+    // on and off
+    import graft.datapipe.Dedup.{mhA, mhB, mhP}
+    val k = 12
+    val rnd = new scala.util.Random(83777)
+    val rows = (Seq(Seq.empty[Long], Seq(0L), Seq(mhP - 1L)) ++
+      (1 to 20).map(_ => Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs))).zipWithIndex
+    val df = rows.map { case (s, i) => (i.toLong, s) }.toDF("id", "shs")
+    def viaFold = df.select(col("id"),
+      aggregate(col("shs"), array_repeat(lit(mhP), k),
+        (acc, x) => array((0 until k).map { j =>
+          least(element_at(acc, j + 1), (lit(mhA(j)) * (x % mhP) + lit(mhB(j))) % mhP)
+        }: _*)).as("sig"))
+    def viaExpr = df.select(col("id"),
+      graft.functions.MinhashSignature.signature(
+        col("shs"), mhA.take(k), mhB.take(k), mhP).as("sig"))
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val old = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val a = viaFold.collect().map(_.toString).sorted.toSeq
+        val b = viaExpr.collect().map(_.toString).sorted.toSeq
+        assert(a == b, s"fold vs expression diverged under $codegen")
+      } finally old match {
+        case Some(o) => spark.conf.set("spark.sql.codegen.factoryMode", o)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("graft_h60 is registered and equals TextOps.h60") {
     val viaSql = spark.sql("SELECT graft_h60('hello') AS h").head().getLong(0)
     val viaCol = Seq("hello").toDF("s")
