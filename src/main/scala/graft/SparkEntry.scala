@@ -13,10 +13,15 @@ import graft.wcoj.{Lftj, Wcoj}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Live src_jsonl dump dirs, one per dataset dir; the single JVM
-    * shutdown hook below sweeps the survivors. */
+  /** Every src_jsonl dump dir this JVM created; the single shutdown
+    * hook below sweeps them ALL. Deletion is deferred to shutdown (not
+    * done on re-invocation): a still-unconsumed lazy reader from a prior
+    * invocation, or two concurrent invocations over the same dataset,
+    * must never see its directory vanish — dump dirs are per-invocation
+    * unique, so the only cost of deferral is temp-dir footprint for the
+    * session's lifetime. */
   private val jsonlDumps =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
   private def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -27,7 +32,7 @@ object SparkEntry {
 
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
-    jsonlDumps.values.asScala.foreach(deleteTree)
+    jsonlDumps.asScala.foreach(deleteTree)
   }
 
   /** Flagship query (reference examples/query/q1: 3-hop path + degree
@@ -1757,15 +1762,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
       // per-invocation unique dump dir: a fixed hash-derived path lets two
       // datasets collide and two concurrent runs race (overwrite deletes
-      // the dir another reader is scanning). The PREVIOUS dump for the
-      // same dataset is deleted on replacement (its lazy reader has been
-      // consumed by then in every driver flow), so a long-lived session
-      // holds at most one dump per dataset; ONE process-level shutdown
-      // hook sweeps whatever remains (repeat invocations must not stack
-      // hooks or dumps).
+      // the dir another reader is scanning). Every dump lives until the
+      // ONE process-level shutdown hook sweeps them — no mid-session
+      // deletion, so an unconsumed lazy reader from a previous invocation
+      // (or a concurrent invocation in this JVM) never reads a deleted
+      // directory (repeat invocations must not stack hooks or dumps).
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
       val path = tmp.resolve("dump").toString
-      Option(jsonlDumps.put(d, tmp)).foreach(deleteTree)
+      jsonlDumps.add(tmp)
       Tables.writeJsonl(docs, path)
       Tables.readJsonl(s, path, "doc_id BIGINT, text STRING, lang STRING, source STRING")
         .select(col("doc_id"), col("lang"), col("source"),

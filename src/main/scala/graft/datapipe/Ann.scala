@@ -543,7 +543,11 @@ object Ann {
   /** ANN over a PERSISTED PQ collection (codes + codebook frames, e.g.
     * read back from parquet): reconstruct each candidate from its codes
     * and rank by ADC cosine — identical output to [[pqTopK]] when given
-    * that call's own state. Queries still carry exact vectors. */
+    * that call's own state AND query set. Queries carry exact vectors
+    * and are served AS-IS (every row of `queries` is a query — the
+    * benchmark-style `% queryMod` subsampling is the CALLER's slice,
+    * never applied here, so externally supplied query sets with
+    * arbitrary ids are not silently dropped). */
   def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, cent: DataFrame): DataFrame = {
     val withEmb = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
@@ -552,7 +556,7 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
       .select(col("vec_id"),
         flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
-    val q = queries.where(col("vec_id") % queryMod === 0)
+    val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = withEmb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),

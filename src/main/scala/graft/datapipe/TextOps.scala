@@ -720,7 +720,11 @@ object TextOps {
    * shuffles corpus words once on doc_id. No driver-side state.
    */
   def spanDedup(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    // same NULL guard as chunk: words(NULL) explodes to zero rows, which
+    // would silently drop NULL-text docs from the per-doc output contract
+    // (one row per doc); coalesce to '' keeps them (n_words=1, the empty
+    // word, nothing droppable) identically in both engines
+    val w = words(coalesce(col("text"), lit("")))
     val base = docs.select(col("doc_id"), w.as("w"))
     val grams = base.where(size(col("w")) >= spanWords)
       .select(col("doc_id"), col("w"),
@@ -751,7 +755,7 @@ object TextOps {
   /** DuckDB oracle for [[spanDedup]] over the `documents` view. */
   val spanDedupSql: String = {
     val L = spanWords
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
        |g AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |         ${h60Sql(s"array_to_string(w[(i+1):(i+$L)], ' ')")} AS h

@@ -250,9 +250,18 @@ object CqcSql {
     }
   } catch {
     // a malformed reference-dialect statement (bad type text, unparsable
-    // defs) falls back to stock SQL, whose error names the real problem —
-    // the translator must never be the thing that crashes the script door
-    case scala.util.control.NonFatal(_) => false
+    // defs) falls back to stock SQL — but stock Spark then chokes on the
+    // non-Spark WITH ('k'='v') clause, an error that names the SYNTAX
+    // rather than the actual problem. Surface the translator's own
+    // exception first so the real cause (e.g. a bad column type) is
+    // visible alongside whatever the stock parser says next; the
+    // translator must still never be the thing that crashes the door.
+    case scala.util.control.NonFatal(e) =>
+      Console.err.println(
+        s"graft: reference-DDL translation failed (${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("")}) for statement " +
+          s"'${stmt.linesIterator.mkString(" ").take(120)}...'; falling back to stock SQL")
+      false
   }
 
   /** Split a SQL script on statement-separating semicolons only: quotes

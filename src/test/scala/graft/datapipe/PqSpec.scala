@@ -78,7 +78,11 @@ class PqSpec extends SparkSpecBase {
     codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
     cent.write.mode("overwrite").parquet(dir.resolve("cent").toString)
     graft.CacheRegistry.unpersistAll()
-    val fromDisk = Ann.pqTopKFromCodes(emb,
+    // the query slice is the CALLER's: pqTopKFromCodes serves every row
+    // of the frame it is handed (an external query set with ids not
+    // divisible by queryMod must not come back empty)
+    val fromDisk = Ann.pqTopKFromCodes(
+      emb.where(col("vec_id") % Ann.queryMod === 0),
       spark.read.parquet(dir.resolve("codes").toString),
       spark.read.parquet(dir.resolve("cent").toString))
       .collect().map(_.toString).sorted.toSeq

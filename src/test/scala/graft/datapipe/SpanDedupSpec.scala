@@ -45,6 +45,16 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(out(2L)._3.contains(ws("v", 3)))
   }
 
+  test("NULL-text docs keep their output row (same guard as chunk)") {
+    // r10 review fix: words(NULL) explodes to zero rows, silently losing
+    // the doc from the one-row-per-doc contract; the coalesce('') guard
+    // keeps it as a single untouchable empty word
+    val out = run(Seq((1L, null.asInstanceOf[String]), (2L, ws("n", L + 1))))
+    assert(out.contains(1L), "NULL-text doc must not vanish from the output")
+    assert(out(1L) == ((1L, 0L, Some(""))), s"empty word, nothing dropped: ${out(1L)}")
+    assert(out(2L)._1 == (L + 1).toLong)
+  }
+
   test("a fully-duplicated document drops to NULL text") {
     val body = ws("d", L + 4)
     val out = run(Seq((1L, body), (2L, body)))
