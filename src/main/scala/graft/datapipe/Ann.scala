@@ -852,14 +852,41 @@ object Ann {
         ndBucketCol(100 + b * ndPlanesPerBand).as("bucket"))
     }.reduce(_ unionByName _)
 
-  /** Static embedding near-dup INDEX: banded hyperplane buckets carrying
-    * each member's vector — the embedding-space twin of
-    * `Dedup.minhashIndex` (cache-pinned; bucket-write it at cluster
-    * scale, where a file-backed index re-lists per micro-batch). */
-  def embedIndex(corpus: DataFrame): DataFrame =
-    graft.CacheRegistry.persistTracked(
-      ndBanded(corpus).select(col("vec_id").as("corpus_id"),
-        col("embedding").as("corpus_emb"), col("band"), col("bucket")))
+  /**
+   * Lean static embedding near-dup index (see [[Ann.embedIndex]]):
+   * `keys` is the bucket relation `(band, bucket, corpus_id)`, `vecs`
+   * the one-row-per-member verify payload `(corpus_id, corpus_emb)` —
+   * index mass = key rows + 1× the corpus vector mass, NOT bands× it.
+   */
+  case class EmbedIndex(keys: DataFrame, vecs: DataFrame) {
+    /** Bucket-write the index (cluster-scale persisted form); re-read
+      * with [[EmbedIndex.read]] — file-backed = re-listed per batch. */
+    def write(dir: String): Unit = {
+      keys.write.mode("overwrite").parquet(s"$dir/keys")
+      vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    }
+  }
+
+  object EmbedIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): EmbedIndex =
+      EmbedIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/vecs"))
+  }
+
+  /** Static embedding near-dup INDEX, LEAN form: banded hyperplane
+    * bucket keys `(band, bucket, corpus_id)` plus ONE vector row per
+    * member — the embedding-space twin of `Dedup.minhashIndex` (the fat
+    * single-frame form carried the member vector on every band row —
+    * [[ndBands]]× the corpus vector mass in the probe join's build
+    * side). Cache-pinned; bucket-write it at cluster scale, where a
+    * file-backed index re-lists per micro-batch. */
+  def embedIndex(corpus: DataFrame): EmbedIndex =
+    EmbedIndex(
+      graft.CacheRegistry.persistTracked(
+        ndBanded(corpus).select(col("band"), col("bucket"),
+          col("vec_id").as("corpus_id"))),
+      graft.CacheRegistry.persistTracked(
+        corpus.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("corpus_emb"))))
 
   /**
    * Streaming ingest near-dup gate in EMBEDDING space: arriving vectors
@@ -874,9 +901,12 @@ object Ann {
    * band); consumers needing one-per-pair dedup downstream. Works
    * identically on a batch frame.
    */
-  def embedStreamingFlag(stream: DataFrame, index: DataFrame): DataFrame =
-    ndBanded(stream).join(index, Seq("band", "bucket"))
+  def embedStreamingFlag(stream: DataFrame, index: EmbedIndex): DataFrame =
+    // lean probe: bucket keys first, member vectors joined only onto
+    // the hits (vector mass moves per collision, not per probe row)
+    ndBanded(stream).join(index.keys, Seq("band", "bucket"))
       .where(col("vec_id") =!= col("corpus_id"))
+      .join(index.vecs, "corpus_id")
       .withColumn("sim", cosine(col("embedding"), col("corpus_emb")))
       .where(col("sim") >= ndTau)
       .select(col("vec_id"), col("corpus_id").as("dup_of"), col("band"),

@@ -26,6 +26,30 @@ import TextOps.{h60, h60Sql, words}
  */
 object Dedup {
 
+  /**
+   * Lean static MinHash near-dup index (see [[Dedup.minhashIndex]]):
+   * `keys` is the bucket relation `(band, key, corpus_id)`, `sets` the
+   * one-row-per-member verify payload `(corpus_id, corpus_shs)`. Total
+   * index mass = key rows (3 small columns × bands per member) + 1×
+   * the corpus shingle mass — NOT bands× it, which is what a single
+   * fat frame carrying the set on every band row costs.
+   */
+  case class MinhashIndex(keys: DataFrame, sets: DataFrame) {
+    /** Bucket-write the index (the cluster-scale persisted form): two
+      * parquet relations under `dir`, re-read with [[MinhashIndex.read]]
+      * — a file-backed index is re-listed per micro-batch, so corpus
+      * refreshes need no cache invalidation. */
+    def write(dir: String): Unit = {
+      keys.write.mode("overwrite").parquet(s"$dir/keys")
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+    }
+  }
+
+  object MinhashIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
+      MinhashIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/sets"))
+  }
+
   // ----------------------------------------------------------------- exact
 
   /** Normalized text: lowercase, trimmed, whitespace collapsed. */
@@ -269,16 +293,28 @@ object Dedup {
   }
 
   /**
-   * Static near-dup INDEX over an existing corpus: (band, key) buckets
-   * carrying each member's shingle set — the materialized artifact an
-   * ingest pipeline builds once (bucket-write it at cluster scale) and
-   * every arriving batch probes. PINNED via CacheRegistry: the cached
-   * buckets are what every micro-batch reads, trading index freshness
-   * for probe cost — to pick up corpus refreshes, unpersist (or rebuild
-   * the index frame); a FILE-backed index (the cluster-scale form) is
-   * re-listed per micro-batch and needs no such step.
+   * Static near-dup INDEX over an existing corpus, LEAN form: the
+   * materialized artifact an ingest pipeline builds once (bucket-write
+   * it at cluster scale) and every arriving batch probes. Two frames:
+   *
+   *  - `keys`: one `(band, key, corpus_id)` row per (member, band) —
+   *    the probe join's build side carries NOTHING but the bucket
+   *    identity (the fat single-frame form replicated every member's
+   *    full shingle set onto all [[mhBands]] band rows — bands× the
+   *    corpus shingle mass materialized, carried through every probe
+   *    join, and cached);
+   *  - `sets`: ONE `(corpus_id, corpus_shs)` row per member — the
+   *    verify payload, joined only onto bucket HITS, so set mass moves
+   *    per collision, never per probe.
+   *
+   * Both frames are PINNED via CacheRegistry: the cached frames are what
+   * every micro-batch reads, trading index freshness for probe cost —
+   * to pick up corpus refreshes, unpersist (or rebuild); a FILE-backed
+   * index ([[MinhashIndex.write]]/[[MinhashIndex.read]], the
+   * cluster-scale form) is re-listed per micro-batch and needs no such
+   * step.
    */
-  def minhashIndex(corpus: DataFrame): DataFrame = {
+  def minhashIndex(corpus: DataFrame): MinhashIndex = {
     // the index side is BATCH: signatures come from the exploded shingle
     // relation through codegen'd groupBy mins ([[minhashSignatures]] —
     // measured 4x cheaper than the interpreted array fold the stateless
@@ -292,13 +328,13 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keys = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id").as("corpus_id"))
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("corpus_shs"))
-    graft.CacheRegistry.persistTracked(
-      bands.join(sets, "doc_id")
-        .select(col("doc_id").as("corpus_id"), col("corpus_shs"),
-          col("band"), col("key")))
+      .select(col("doc_id").as("corpus_id"), col("corpus_shs"))
+    MinhashIndex(graft.CacheRegistry.persistTracked(keys),
+      graft.CacheRegistry.persistTracked(sets))
   }
 
   /**
@@ -315,12 +351,16 @@ object Dedup {
    * pair dedup downstream (the batch parity spec compares distinct
    * pairs). Works identically on a batch frame (same plan, no stream).
    */
-  def minhashStreamingFlag(stream: DataFrame, index: DataFrame): DataFrame = {
+  def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex): DataFrame = {
     val probe = bandKeys(shingleSets(stream))
     val inter = size(array_intersect(col("shs"), col("corpus_shs"))).cast("double")
     val union = (size(col("shs")) + size(col("corpus_shs"))).cast("double") - inter
-    probe.join(index, Seq("band", "key"))
+    // bucket probe against the LEAN key rows first; the verify payload
+    // (each member's shingle set, held ONCE in index.sets) joins only
+    // onto the hits — set mass moves per collision, not per probe row
+    probe.join(index.keys, Seq("band", "key"))
       .where(col("doc_id") =!= col("corpus_id"))
+      .join(index.sets, "corpus_id")
       .withColumn("jac", inter / union)
       .where(col("jac") >= mhTau)
       .select(col("doc_id"), col("corpus_id").as("dup_of"), col("band"),

@@ -19,9 +19,12 @@ object ProfFlag {
     t("shingleSets")(graft.datapipe.Dedup.shingleSets(docs).count())
     t("shingleSets_rep2")(graft.datapipe.Dedup.shingleSets(docs).count())
     graft.CacheRegistry.unpersistAll()
-    t("index_build")(graft.datapipe.Dedup.minhashIndex(docs).count())
+    t("index_build") {
+      val i = graft.datapipe.Dedup.minhashIndex(docs)
+      i.keys.count() + i.sets.count()
+    }
     val idx = graft.datapipe.Dedup.minhashIndex(docs)
-    idx.count()
+    idx.keys.count(); idx.sets.count()
     t("probe_only_warm_index") {
       graft.datapipe.Dedup.minhashStreamingFlag(
         docs.where(col("doc_id") % 10 === 0), idx).count()

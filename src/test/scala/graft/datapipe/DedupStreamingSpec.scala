@@ -162,12 +162,42 @@ class DedupStreamingSpec extends SparkSpecBase {
     val live = Dedup.minhashStreamingFlag(probe, Dedup.minhashIndex(corpus))
       .collect().map(_.toString).sorted.toSeq
     val dir = java.nio.file.Files.createTempDirectory("mh_idx_").resolve("idx").toString
-    Dedup.minhashIndex(corpus).write.mode("overwrite").parquet(dir)
+    Dedup.minhashIndex(corpus).write(dir)
     graft.CacheRegistry.unpersistAll()
-    val fromDisk = Dedup.minhashStreamingFlag(probe, spark.read.parquet(dir))
+    val fromDisk = Dedup.minhashStreamingFlag(probe, Dedup.MinhashIndex.read(spark, dir))
       .collect().map(_.toString).sorted.toSeq
     assert(fromDisk == live && live.nonEmpty,
       s"parquet round-trip must preserve flags (${live.size} rows)")
+  }
+
+  test("lean index mass: key rows carry no payload, set/vector mass is 1x, not bands x") {
+    // the 100 TB defect this pins closed: the fat single-frame index
+    // replicated every member's shingle set (resp. vector) onto all
+    // band rows — bands× the corpus payload mass materialized, cached,
+    // and carried through every probe join's build side. The lean index
+    // must hold the payload exactly ONCE per member.
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val idx = Dedup.minhashIndex(docs)
+    assert(idx.keys.columns.toSeq == Seq("band", "key", "corpus_id"),
+      s"key rows must be payload-free: ${idx.keys.columns.toSeq}")
+    val members = idx.keys.select("corpus_id").distinct().count()
+    assert(idx.keys.count() == members * Dedup.mhBands,
+      "one key row per (member, band)")
+    // set mass == the corpus's distinct (doc, shingle) mass, exactly 1x
+    assert(idx.sets.count() == members, "one set row per member")
+    val setMass = idx.sets.select(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.size($"corpus_shs"))).as[Long].head()
+    val corpusMass = Dedup.shingles(docs).count()
+    assert(setMass == corpusMass,
+      s"set mass must be 1x corpus shingle mass: $setMass vs $corpusMass")
+
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val eidx = Ann.embedIndex(emb)
+    assert(eidx.keys.columns.toSeq == Seq("band", "bucket", "corpus_id"),
+      s"embed key rows must be payload-free: ${eidx.keys.columns.toSeq}")
+    assert(eidx.vecs.count() == emb.count(), "one vector row per member, not per band")
+    assert(eidx.keys.count() == emb.count() * Ann.ndBands)
   }
 
   test("dedup state is evicted past the watermark horizon") {
