@@ -275,7 +275,14 @@ object Ann {
     emb.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
 
-  /** Assignment: nearest centroid by cosine (ties -> lower centroid id). */
+  /** FLAT assignment: nearest centroid by cosine (ties -> lower centroid
+    * id), scoring ALL K centroids per vector. Used only where the left
+    * side is centroid-table-sized (the coarse-layer construction) or
+    * inside the Lloyd trainer — at production scale the trainer runs on
+    * a bounded deterministic sample (FAISS-style, ~256·K training
+    * vectors), so its per-round flat scan is sample×K, never
+    * collection×K. Collection-scale assignment goes through
+    * [[ivfAssign2]]. */
   private def ivfAssign(
       of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
@@ -284,6 +291,89 @@ object Ann {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= keep)
       .drop("__sim", "__rn", "c_emb")
+  }
+
+  /** Coarse-layer width: ceil(sqrt(K)) coarse centroids over K fine. */
+  private[datapipe] def coarseK(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Coarse quantizer over the TRAINED fine centroids: seed = the fine
+    * centroids with cid < ceil(sqrt(K)), one decimal-exact Lloyd
+    * refinement over the K-row centroid table (the same trainer as the
+    * fine layer — [[ivfLloyd]] — on a relation that is centroid-sized,
+    * so the flat scan inside it is K×sqrt(K) flops total, not
+    * collection-scale). */
+  private def ivfCoarse(cent: DataFrame, kc: Int): DataFrame =
+    ivfLloyd(cent.select(col("cid").as("vec_id"), col("c_emb").as("embedding")),
+      cent.where(col("cid") < kc))
+
+  /** Branch map `(cid, c_emb, gid)`: each fine centroid under its
+    * nearest trained coarse centroid (ties -> lower gid). Broadcast-
+    * sized: K rows. */
+  private def ivfBranches(cent: DataFrame, coarse: DataFrame): DataFrame = {
+    val g = coarse.select(col("cid").as("gid"), col("c_emb").as("g_emb"))
+    val w = Window.partitionBy("cid").orderBy(col("__sim").desc, col("gid").asc)
+    cent.crossJoin(broadcast(g))
+      .withColumn("__sim", cosine(col("g_emb"), col("c_emb")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("cid"), col("c_emb"), col("gid"))
+  }
+
+  /**
+   * TWO-LEVEL collection-scale assignment (the 100 TB shape): stage 1
+   * scores the ceil(sqrt(K)) coarse centroids and picks ONE branch per
+   * vector; stage 2 scores only that branch's fine centroids. Per-vector
+   * scored-centroid count is sqrt(K) + |branch| ~ 2·sqrt(K) instead of
+   * K — at the 65,536-K clamp that is ~512 dot products per vector, a
+   * 128× flop cut on the dominant cost of indexing 10^10+ vectors.
+   * Both window picks partition on `idCol`, so Spark plans ONE exchange:
+   * the branch join is broadcast and preserves the stage-1 partitioning.
+   * The forfeit is boundary recall: a vector whose true nearest fine
+   * centroid lives in a non-picked branch assigns to its best in-branch
+   * centroid (and a probe side asking `keep` lists can get fewer when
+   * the picked branch is narrower than `keep`) — the standard
+   * coarse-quantizer trade; widening the stage-1 pick is the lever.
+   * Deterministic end-to-end, mirrored CTE-for-CTE by the DuckDB oracle
+   * (see [[ivfListsCtes]]).
+   */
+  private def ivfAssign2(
+      of: DataFrame, idCol: String, cent: DataFrame, k: Int, keep: Int): DataFrame = {
+    val coarse = ivfCoarse(cent, coarseK(k))
+    val branches = ivfBranches(cent, coarse)
+    val g = coarse.select(col("cid").as("gid"), col("c_emb").as("g_emb"))
+    val wg = Window.partitionBy(idCol).orderBy(col("__gsim").desc, col("gid").asc)
+    val picked = of.crossJoin(broadcast(g))
+      .withColumn("__gsim", cosine(col("g_emb"), col("embedding")))
+      .withColumn("__grn", row_number().over(wg))
+      .where(col("__grn") === 1)
+      .drop("__gsim", "__grn", "g_emb")
+    val wf = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cid").asc)
+    picked.join(broadcast(branches), "gid")
+      .withColumn("__sim", cosine(col("c_emb"), col("embedding")))
+      .withColumn("__rn", row_number().over(wf))
+      .where(col("__rn") <= keep)
+      .drop("__sim", "__rn", "c_emb", "gid")
+  }
+
+  /** Per-vector scored-centroid mass of the two-level assignment —
+    * stage 1 (sqrt(K) coarse per vector) + stage 2 (the picked branch's
+    * width); spec aid for the ~2·sqrt(K) bound. */
+  private[datapipe] def ivfScoredCentroids(
+      emb: DataFrame, rounds: Int, k: Int): (Long, Long) = {
+    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val kc = coarseK(k)
+    val coarse = ivfCoarse(cent, kc)
+    val branches = ivfBranches(cent, coarse)
+    val g = coarse.select(col("cid").as("gid"), col("c_emb").as("g_emb"))
+    val wg = Window.partitionBy("vec_id").orderBy(col("__gsim").desc, col("gid").asc)
+    val picked = emb.crossJoin(broadcast(g))
+      .withColumn("__gsim", cosine(col("g_emb"), col("embedding")))
+      .withColumn("__grn", row_number().over(wg))
+      .where(col("__grn") === 1)
+    val n = emb.count()
+    val stage2 = picked.join(broadcast(branches.select(col("gid"))), "gid").count()
+    (n, n * kc + stage2)
   }
 
   /** One Lloyd step: per-cluster, per-dimension exact mean. */
@@ -343,14 +433,16 @@ object Ann {
   def ivfTopK(emb: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
     val seed = ivfSeed(emb)
-    def assign(of: DataFrame, idCol: String, cent: DataFrame, keep: Int): DataFrame =
-      ivfAssign(of, idCol, cent, keep)
     val cent = (1 to rounds).foldLeft(seed)((c, _) => ivfLloyd(emb, c))
 
-    val lists = assign(emb, "vec_id", cent, 1) // (vec_id, embedding, cid)
+    // collection-scale assignment is TWO-LEVEL (coarse -> branch): both
+    // the inverted-list build and the query probe score ~2*sqrt(K)
+    // centroids per vector, never all K (see [[ivfAssign2]])
+    val lists = ivfAssign2(emb, "vec_id", cent, ivfCentroids, 1) // (vec_id, embedding, cid)
     val q = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = assign(q.withColumnRenamed("q_emb", "embedding"), "q_id", cent, ivfProbes)
+    val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",
+        cent, ivfCentroids, ivfProbes)
       .withColumnRenamed("embedding", "q_emb") // (q_id, q_emb, cid) x probes
     val scored = probed.join(lists, "cid")
       .where(col("vec_id") =!= col("q_id"))
@@ -368,13 +460,17 @@ object Ann {
 
   /**
    * Shared oracle prefix for the IVF family: seed centroids + `rounds`
-   * chained Lloyd-refinement CTEs + a final `lists` CTE assigning every
-   * vector to its nearest trained centroid. Returns the CTE text (opened
-   * with `WITH`, no trailing comma) and the name of the final centroid
-   * CTE for consumers that also assign a query side. `src` is the vector
-   * relation — the `embeddings` table by default, or any aliased
-   * subquery producing (vec_id, embedding) (e.g. the multimodal stub
-   * features).
+   * chained Lloyd-refinement CTEs, then the TWO-LEVEL quantizer mirror
+   * of [[ivfAssign2]] — a `coarse` CTE (seed = fine centroids with
+   * cid < ceil(sqrt(K)), one decimal-exact Lloyd refinement over the
+   * centroid table), a `branches` CTE (fine centroid -> nearest coarse),
+   * and a `lists` CTE assigning every vector through coarse-pick ->
+   * in-branch fine pick. Returns the CTE text (opened with `WITH`, no
+   * trailing comma) and the name of the final fine-centroid CTE;
+   * consumers probing a query side reuse the `coarse`/`branches` CTEs
+   * for the same two-level pick. `src` is the vector relation — the
+   * `embeddings` table by default, or any aliased subquery producing
+   * (vec_id, embedding) (e.g. the multimodal stub features).
    */
   private def ivfListsCtes(rounds: Int, src: String = "embeddings",
                            k: Int = ivfCentroids): (String, String) = {
@@ -404,31 +500,73 @@ object Ann {
            |""".stripMargin
       prev = s"cent$r"
     }
+    val kc = coarseK(k)
     val text =
       s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $k),
-         |${roundCtes}lists AS (
-         |  SELECT e.vec_id, e.embedding, c.cid,
+         |${roundCtes}gseed AS (SELECT cid, c_emb FROM $prev WHERE cid < $kc),
+         |gasn AS (
+         |  SELECT e.cid AS vcid, e.c_emb AS v_emb, c.cid,
+         |         row_number() OVER (PARTITION BY e.cid
+         |                            ORDER BY ${cosineSql("c.c_emb", "e.c_emb")} DESC, c.cid) AS rn
+         |  FROM $prev e, gseed c
+         |  QUALIFY rn <= 1
+         |),
+         |gdims AS (
+         |  SELECT cid, unnest(v_emb) AS x,
+         |         unnest(range(1, len(v_emb) + 1)) AS pos
+         |  FROM gasn
+         |),
+         |gupd AS (
+         |  SELECT cid, pos,
+         |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM gdims GROUP BY cid, pos
+         |),
+         |coarse AS (SELECT cid AS gid, list(m ORDER BY pos) AS g_emb FROM gupd GROUP BY cid),
+         |branches AS (
+         |  SELECT f.cid, f.c_emb, g.gid,
+         |         row_number() OVER (PARTITION BY f.cid
+         |                            ORDER BY ${cosineSql("g.g_emb", "f.c_emb")} DESC, g.gid) AS brn
+         |  FROM $prev f, coarse g
+         |  QUALIFY brn = 1
+         |),
+         |picked AS (
+         |  SELECT e.vec_id, e.embedding, g.gid,
          |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY $simToC DESC, c.cid) AS rn
-         |  FROM $src e, $prev c
+         |                            ORDER BY ${cosineSql("g.g_emb", "e.embedding")} DESC, g.gid) AS prn
+         |  FROM $src e, coarse g
+         |  QUALIFY prn = 1
+         |),
+         |lists AS (
+         |  SELECT p.vec_id, p.embedding, b.cid,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |                            ORDER BY ${cosineSql("b.c_emb", "p.embedding")} DESC, b.cid) AS rn
+         |  FROM picked p JOIN branches b ON b.gid = p.gid
          |  QUALIFY rn <= 1
          |)""".stripMargin
     (text, prev)
   }
 
-  /** Mirror of [[ivfTopK]] with chained per-round CTEs. */
+  /** Mirror of [[ivfTopK]] with chained per-round CTEs; the query-side
+    * probe runs the same two-level coarse->branch pick as the lists. */
   def ivfTopKSql(rounds: Int): String = {
     val simQ = cosineSql("p.q_emb", "e.embedding")
-    val (prefix, prev) = ivfListsCtes(rounds)
+    val (prefix, _) = ivfListsCtes(rounds)
     s"""$prefix,
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |       WHERE vec_id % $queryMod = 0),
-       |probed AS (
-       |  SELECT q.q_id, q.q_emb, c.cid,
+       |qpicked AS (
+       |  SELECT q.q_id, q.q_emb, g.gid,
        |         row_number() OVER (PARTITION BY q.q_id
-       |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS rn
-       |  FROM q0 q, $prev c
-       |  QUALIFY rn <= $ivfProbes
+       |                            ORDER BY ${cosineSql("g.g_emb", "q.q_emb")} DESC, g.gid) AS qrn
+       |  FROM q0 q, coarse g
+       |  QUALIFY qrn = 1
+       |),
+       |probed AS (
+       |  SELECT p.q_id, p.q_emb, b.cid,
+       |         row_number() OVER (PARTITION BY p.q_id
+       |                            ORDER BY ${cosineSql("b.c_emb", "p.q_emb")} DESC, b.cid) AS prn2
+       |  FROM qpicked p JOIN branches b ON b.gid = p.gid
+       |  QUALIFY prn2 <= $ivfProbes
        |),
        |scored AS (
        |  SELECT DISTINCT p.q_id, e.vec_id AS nbr_id, $simQ AS cos
@@ -713,7 +851,7 @@ object Ann {
     require(rounds >= 1, "at least one Lloyd refinement")
     require(clusterCap >= 1, "positive cluster cap")
     val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
-    val lists = ivfAssign(emb, "vec_id", cent, 1)
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
     val sub = sdSubBucketed(lists, clusterCap)
     val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"),
       col("embedding").as("emb1"))
@@ -756,7 +894,7 @@ object Ann {
   private[datapipe] def sdCandidateCount(emb: DataFrame, rounds: Int, k: Int,
                                          clusterCap: Int): Long = {
     val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
-    val sub = sdSubBucketed(ivfAssign(emb, "vec_id", cent, 1), clusterCap)
+    val sub = sdSubBucketed(ivfAssign2(emb, "vec_id", cent, k, 1), clusterCap)
     val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"))
     val b = sub.select(col("cid"), col("sub"), col("vec_id").as("d2"))
     a.join(b, Seq("cid", "sub")).where(col("d1") < col("d2")).count()

@@ -102,6 +102,37 @@ class AnnSpec extends SparkSpecBase {
     assert(out.length == 64 && out.map(_.getAs[Long]("cid")).distinct.length > 1)
   }
 
+  test("two-level IVF assignment scores ~2*sqrt(K) centroids per vector, not K") {
+    // the 100 TB defect this pins closed: flat assignment scored all K
+    // centroids per vector — at the 65,536-K clamp, the dominant flop
+    // cost of indexing 10^10+ vectors. The two-level path scores the
+    // ceil(sqrt(K)) coarse layer plus ONE branch's fine centroids.
+    import spark.implicits._
+    val k = 64
+    val vecs = (0L until 512L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 3.0 + d * 11.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (n, scored) = Ann.ivfScoredCentroids(vecs, rounds = 1, k = k)
+    assert(n == 512L)
+    val perVector = scored.toDouble / n
+    val kc = Ann.coarseK(k) // 8
+    assert(perVector >= kc, "stage 1 alone scores sqrt(K)")
+    // ~2*sqrt(K): coarse layer + mean branch width; far below flat K.
+    // Branch sizes are data-dependent (a skewed coarse split widens the
+    // hot branch), so allow 4x sqrt(K) headroom — still 4/sqrt(K) of
+    // the flat cost, and the assert fails loudly if anyone regresses to
+    // a flat K-scan.
+    assert(perVector <= 4.0 * kc,
+      s"per-vector scored centroids $perVector should be ~2*sqrt($k)=${2 * kc}, got flat-scan territory")
+    assert(perVector < k / 2.0, s"must be well below flat K=$k (got $perVector)")
+
+    // and the two-level decision still produces a full partition of the
+    // collection: every vector lands in exactly one inverted list
+    val out = Ann.semanticDedup(vecs, rounds = 1, k = k)
+    assert(out.count() == 512L)
+    assert(out.select("vec_id").distinct().count() == 512L)
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
