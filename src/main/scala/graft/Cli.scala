@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
  * of CREATE TABLE DDL + a query, executed end-to-end). Usage:
  *
  *   runMain graft.Cli <script.sql> [maxRows] [--dry-run]
- *     [--emit [--object=Name] [--package=pkg]] [--serve[=port]]
+ *     [--emit [--pair] [--object=Name] [--package=pkg]] [--serve[=port]]
  *
  * The script is semicolon-separated; every statement but the last runs
  * as stock Spark SQL (DDL: CREATE TABLE ... USING parquet LOCATION,
@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
  * With `--emit` the CLI prints a GENERATED standalone Scala program for
  * the final query ([[graft.sql.Emit.program]]) — the reference CLI's
  * compile artifact, named by `--object`/`--package` exactly as its
- * options do (sqlplus-cli CliFrontendOptions). With `--serve[=port]`
+ * options do (sqlplus-cli CliFrontendOptions). `--emit --pair`
+ * additionally prints the stock-SparkSQL comparison twin
+ * ([[graft.sql.Emit.stockProgram]], `<object>SparkSQL`) — the paired
+ * artifact the reference experiment codegen emits beside every
+ * compiled program. With `--serve[=port]`
  * the CLI runs the script's DDL, then serves the web console
  * ([[graft.web.GraftServer]]) over the loaded session instead of
  * executing the final statement — the sqlplus-web workflow from the
@@ -75,6 +79,10 @@ object Cli {
       stmts.init.foreach(s =>
         if (!graft.sql.CqcSql.tryRefCreateTable(spark, s)) spark.sql(s))
       println(graft.sql.Emit.program(spark, stmts.last, objName, pkgName))
+      if (args.contains("--pair")) {
+        println(s"// ========== comparison twin: ${objName}SparkSQL ==========")
+        println(graft.sql.Emit.stockProgram(spark, stmts.last, objName, pkgName))
+      }
     } else if (dryRun) println(graft.sql.CqcSql.explainScript(spark, text))
     else graft.sql.CqcSql.script(spark, text)
       .show(rest.lift(1).map(_.toInt).getOrElse(20), truncate = false)

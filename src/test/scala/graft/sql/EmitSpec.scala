@@ -100,6 +100,54 @@ class EmitSpec extends SparkSpecBase {
       s"unexpected source handling:\n$prog")
   }
 
+  test("stock twin carries the suffixed object, plain spark.sql run, and the reference output contract") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("emit_sorders")
+    val sql = "SELECT o_orderstatus AS st, COUNT(*) AS n FROM emit_sorders GROUP BY o_orderstatus"
+    val prog = Emit.stockProgram(spark, sql, "MyQuery", "com.example.q")
+    assert(prog.contains("package com.example.q"))
+    // reference naming: QueryN -> QueryNSparkSQL beside QueryNSparkSQLPlus
+    assert(prog.contains("object MyQuerySparkSQL"))
+    // the run is STOCK — spark.sql, no graft door, no extensions
+    assert(prog.contains("spark.sql(query)"), s"stock run must be spark.sql:\n$prog")
+    assert(!prog.contains("CqcSql"), s"stock twin must not route through graft:\n$prog")
+    assert(!prog.contains("GraftExtensions"), s"stock twin must not load extensions:\n$prog")
+    // the reference twin's cnt/time output contract
+    assert(prog.contains("MyQuery-SparkSQL cnt: ") && prog.contains("MyQuery-SparkSQL time: "),
+      s"missing cnt/time contract:\n$prog")
+    // both programs of the pair register the SAME sources
+    val plus = Emit.program(spark, sql, "MyQuery", "com.example.q")
+    def readers(p: String) = p.linesIterator.filter(_.trim.startsWith("spark.read")).map(_.trim).toSeq
+    assert(readers(prog) == readers(plus), "pair must read identical sources")
+  }
+
+  test("emitted PAIR compiles and the stock twin's rows equal the graft door's") {
+    val dat = Files.createTempFile("emit_pair", ".dat")
+    Files.write(dat, "1,2\n2,3\n3,1\n2,1\n".getBytes)
+    CqcSql.tryRefCreateTable(spark,
+      s"CREATE TABLE EmitPair (src INT, dst INT) WITH ('path' = '$dat')")
+    val sql =
+      """SELECT g1.src AS a, COUNT(*) AS n
+        |FROM EmitPair g1, EmitPair g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val tb = scala.reflect.runtime.currentMirror.mkToolBox()
+    def compiled(prog: String, obj: String): Any = {
+      // ToolBox cannot compile a package declaration — strip it and
+      // evaluate to the module instance so `run` is reflectively callable
+      val src = prog.linesIterator.filterNot(_.startsWith("package ")).mkString("\n")
+      tb.compile(tb.parse(src + s"\n$obj"))()
+    }
+    def rows(mod: Any): Set[Seq[Any]] = {
+      val df = mod.getClass.getMethod("run", classOf[org.apache.spark.sql.SparkSession])
+        .invoke(mod, spark).asInstanceOf[org.apache.spark.sql.DataFrame]
+      df.collect().map(_.toSeq).toSet
+    }
+    val plusRows = rows(compiled(Emit.program(spark, sql, "PairPlus"), "PairPlus"))
+    val stockRows = rows(compiled(Emit.stockProgram(spark, sql, "PairPlus"), "PairPlusSparkSQL"))
+    assert(stockRows == plusRows, "pair must produce identical results")
+    assert(stockRows.nonEmpty)
+  }
+
   test("emitted program COMPILES (scala.tools.reflect ToolBox)") {
     Tables.orders(spark, sfDir).createOrReplaceTempView("emit_corders")
     Tables.customer(spark, sfDir).createOrReplaceTempView("emit_ccust")
