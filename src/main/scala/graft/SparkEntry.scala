@@ -1738,6 +1738,9 @@ object SparkEntry {
     // SemDeDup: IVF-clustered embedding space, within-cluster cosine
     // dup decision, keep-first-id survivors
     "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
+    // SemDeDup with the paper's keep policy: per-duplicate-run survivor
+    // is the member FARTHEST from its cluster centroid (hard examples)
+    "dedup_semantic_group" -> ((s, d) => Ann.semanticDedupGroup(Tables.embeddings(s, d))),
     // multimodal SemDeDup: stub decode -> embed -> cluster -> dedup decision
     "mm_dedup" -> ((s, d) => Multimodal.semanticDedupOverFeatures(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -2314,6 +2317,7 @@ object SparkEntry {
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
+    "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,

@@ -871,6 +871,57 @@ object Ann {
         col("dup_of"), col("sim"))
   }
 
+  /**
+   * SemDeDup with the PAPER's keep policy: one representative per
+   * duplicate run, chosen farthest from the cluster centroid (Abbas et
+   * al. 2023 §3: "we keep the examples with the lowest cosine
+   * similarity to the cluster centroid" — the published implementation
+   * sorts each cluster by centroid proximity and removes an item iff an
+   * EARLIER item in the order is a duplicate of it, i.e. the greedy
+   * order-based rule, not connected components). [[semanticDedup]]'s
+   * keep-first-id is the same greedy rule under id order; this variant
+   * re-ranks by centroid similarity ASCENDING (farthest first, ties ->
+   * lower id), so within a duplicate run the survivor is the one
+   * farthest from its centroid — the "hard example" the paper argues
+   * carries the most training signal.
+   *
+   * Same output shape as [[semanticDedup]] (`vec_id, cid, keep, dup_of,
+   * sim`; `dup_of` = the strongest earlier-ranked duplicate) and the
+   * same dataflow: one extra broadcast join against the K-row centroid
+   * table for the rank key, then the within-(cid,sub) pair join.
+   */
+  def semanticDedupGroup(emb: DataFrame, rounds: Int = 1, k: Int = ivfCentroids,
+                         clusterCap: Int = sdClusterCap): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    require(clusterCap >= 1, "positive cluster cap")
+    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+    val ranked = lists
+      .join(broadcast(cent.select(col("cid").as("__ccid"), col("c_emb"))),
+        col("cid") === col("__ccid"))
+      .withColumn("__csim", cosine(col("c_emb"), col("embedding")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("cid").orderBy(col("__csim").asc, col("vec_id").asc)))
+      .drop("__ccid", "c_emb", "__csim")
+    val sub = sdSubBucketed(ranked, clusterCap)
+    val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"),
+      col("crank").as("r1"), col("embedding").as("emb1"))
+    val b = sub.select(col("cid"), col("sub"), col("vec_id").as("d2"),
+      col("crank").as("r2"), col("embedding").as("emb2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("dup_of").asc)
+    val best = a.join(b, Seq("cid", "sub")).where(col("r1") < col("r2"))
+      .withColumn("cos", cosine(col("emb1"), col("emb2")))
+      .where(col("cos") >= sdTau)
+      .select(col("d2").as("vec_id"), col("d1").as("dup_of"), col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), round(col("cos"), 6).as("sim"))
+    lists.select(col("vec_id"), col("cid"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("sim"))
+  }
+
   /** IVF lists with the hot-cluster sub-bucket column: `sub` is always 0
     * while every cluster fits `cap` (the pair join then degenerates to
     * the uncapped cid join — byte-identical output), and `vec_id mod
@@ -928,6 +979,49 @@ object Ann {
        |best AS (
        |  SELECT d2 AS vec_id, d1 AS dup_of, cos,
        |         row_number() OVER (PARTITION BY d2 ORDER BY cos DESC, d1) AS rn
+       |  FROM pairs
+       |  QUALIFY rn = 1
+       |)
+       |SELECT l.vec_id, l.cid, b.dup_of IS NULL AS keep, b.dup_of,
+       |       round(b.cos, 6) AS sim
+       |FROM lists l LEFT JOIN best b ON b.vec_id = l.vec_id""".stripMargin
+  }
+
+  val semanticDedupGroupSql: String = semanticDedupGroupSql(1)
+
+  /** Mirror of [[semanticDedupGroup]]: the shared IVF prefix, plus the
+    * centroid-similarity rank (`csim` ASC, ties -> lower id) from the
+    * final fine-centroid CTE, with the pair join conditioned on rank
+    * order instead of id order. */
+  def semanticDedupGroupSql(rounds: Int, src: String = "embeddings",
+                            k: Int = ivfCentroids,
+                            clusterCap: Int = sdClusterCap): String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    val (prefix, fine) = ivfListsCtes(rounds, src, k)
+    s"""$prefix,
+       |ranked AS (
+       |  SELECT l.vec_id, l.embedding, l.cid,
+       |         row_number() OVER (PARTITION BY l.cid
+       |                            ORDER BY ${cosineSql("c.c_emb", "l.embedding")} ASC,
+       |                                     l.vec_id) AS crank
+       |  FROM lists l JOIN $fine c ON c.cid = l.cid
+       |),
+       |subbed AS (
+       |  SELECT vec_id, embedding, cid, crank,
+       |         ((vec_id % nb) + nb) % nb AS sub
+       |  FROM (SELECT *, greatest(1, CAST(ceil(
+       |          (count(*) OVER (PARTITION BY cid)) / $clusterCap.0) AS BIGINT)) AS nb
+       |        FROM ranked)
+       |),
+       |pairs AS (
+       |  SELECT b.vec_id AS vid, a.vec_id AS dup_of, $cos AS cos
+       |  FROM subbed a JOIN subbed b
+       |    ON b.cid = a.cid AND b.sub = a.sub AND a.crank < b.crank
+       |  WHERE $cos >= $sdTau
+       |),
+       |best AS (
+       |  SELECT vid AS vec_id, dup_of, cos,
+       |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, dup_of) AS rn
        |  FROM pairs
        |  QUALIFY rn = 1
        |)

@@ -132,4 +132,91 @@ class SemanticDedupSpec extends SparkSpecBase {
       assert(cidOf(d) == cidOf(id), s"dup_of $d in a different cluster")
     }
   }
+
+  /** The exact trained centroid for k=1, rounds=1: every vector assigns
+    * to the single seed, so the centroid is the per-dimension
+    * decimal-exact mean over the WHOLE corpus — reproducible in pure
+    * Scala (float -> DECIMAL(20,10) HALF_UP, decimal sum, double
+    * divide, 6dp HALF_UP round), which is what makes the k=1 greedy
+    * oracle below exact rather than approximate. */
+  private def k1Centroid(vecs: Seq[(Long, Array[Float])]): Array[Double] = {
+    val dim = vecs.head._2.length
+    Array.tabulate(dim) { d =>
+      val s = vecs.map(v => BigDecimal(v._2(d).toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      BigDecimal(s.toDouble / vecs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  private def cosD(a: Array[Float], b: Array[Double]): Double = {
+    val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y }
+    val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    val nb = math.sqrt(b.foldLeft(0.0)((s, y) => s + y * y))
+    dot / (na * nb)
+  }
+
+  test("group policy: greedy keep-farthest-from-centroid matches the exact k=1 oracle " +
+    "and diverges from keep-first-id where the paper says it should") {
+    // dup pair {0,1}: vec 0 tilts toward +y (the direction the rest of
+    // the corpus pulls the centroid), so 0 is CLOSER to the centroid
+    // than 1 -> the paper's policy keeps 1 (the hard example), while
+    // keep-first-id keeps 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (1L, Array(0.95f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.2f, 0.0f)),
+      (3L, Array(0.05f, 0.95f, 0.18f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.7f, 0.4f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Ann.semanticDedupGroup(df, rounds = 1, k = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("keep"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(out.size == vecs.size, "one decision row per vector")
+
+    // pure-Scala mirror of the published rule: rank ascending by cosine
+    // to the (exactly reproduced) centroid, ties by id; x is removed iff
+    // ANY earlier-ranked vector is a duplicate of it (kept or not — the
+    // triu-max rule), dup_of = the strongest such, ties -> lower id
+    val cent = k1Centroid(vecs)
+    val rank = vecs.map { case (id, e) => id -> cosD(e, cent) }
+      .sortBy { case (id, c) => (c, id) }.map(_._1).zipWithIndex.toMap
+    val emb = vecs.toMap
+    vecs.foreach { case (id, e) =>
+      val earlier = vecs.filter(v => rank(v._1) < rank(id))
+        .map(v => (v._1, cos(emb(v._1), e))).filter(_._2 >= Ann.sdTau)
+      if (earlier.isEmpty) assert(out(id) == (true, None), s"vec $id should keep")
+      else {
+        val best = earlier.minBy { case (j, c) => (-c, j) }
+        assert(out(id) == (false, Some(best._1)),
+          s"vec $id: got ${out(id)}, oracle dup_of ${best._1}")
+      }
+    }
+
+    // the advertised divergence: same drop on the {0,1} pair, OPPOSITE
+    // survivor — and the id-policy baseline confirms it
+    assert(out(1L) == (true, None), "group policy keeps the far-from-centroid member")
+    assert(out(0L) == (false, Some(1L)), "…and drops the close one onto it")
+    val byId = Ann.semanticDedup(df, rounds = 1, k = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(byId(0L) && !byId(1L), "keep-first-id keeps the other member of the pair")
+  }
+
+  test("group policy respects the hot-cluster cap: dup_of stays a same-sub-bucket mate") {
+    val n = 120
+    val vecs = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(8)(d => (1.0 + 0.001 * math.sin(i * 7 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.semanticDedupGroup(vecs, rounds = 1, k = 1, clusterCap = 40).collect()
+    assert(out.length == n, "one decision row per vector under the cap")
+    // ceil(120/40) = 3 sub-buckets on vec_id mod; near-identical vectors
+    // collapse to ONE survivor per sub-bucket
+    out.filter(!_.getAs[Boolean]("keep")).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val d = r.getAs[java.lang.Long]("dup_of").toLong
+      assert(d % 3 == id % 3, s"dup_of $d not a sub-bucket mate of $id")
+    }
+    assert(out.count(_.getAs[Boolean]("keep")) == 3, "one survivor per sub-bucket")
+  }
 }
