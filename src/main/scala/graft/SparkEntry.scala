@@ -1727,6 +1727,12 @@ object SparkEntry {
       Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0), Ann.embedIndex(emb))
     }),
     "dedup_embed_mp" -> ((s, d) => Ann.embedNearDupMultiprobe(Tables.embeddings(s, d))),
+    // multiprobe form of the embedding ingest gate: arrivals probe their
+    // bucket + every hamming-1 bucket per band (stream-side recall lever)
+    "dedup_embed_stream_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.embedStreamingFlagMultiprobe(emb.where(col("vec_id") % 10 === 0), Ann.embedIndex(emb))
+    }),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(Tables.embeddings(s, d))),
@@ -2309,6 +2315,7 @@ object SparkEntry {
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,
     "dedup_embed_stream" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
+    "dedup_embed_stream_mp" -> Ann.embedFlagMultiprobeSql("a.vec_id % 10 = 0"),
     "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
     "ann_lsh" -> Ann.lshTopKSql,

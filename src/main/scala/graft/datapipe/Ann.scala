@@ -1144,6 +1144,66 @@ object Ann {
       .select(col("vec_id"), col("corpus_id").as("dup_of"), col("band"),
         round(col("sim"), 6).as("sim"))
 
+  /**
+   * MULTIPROBE streaming gate: each arriving vector probes its own
+   * bucket PLUS every hamming-1 bucket per band against the same lean
+   * index — the stream side now has the recall lever the batch
+   * near-dup already had ([[embedNearDupMultiprobe]]): an arrival/corpus
+   * near-dup split by exactly one plane in every band (invisible to
+   * [[embedStreamingFlag]]) is recovered whenever some band is a
+   * single-plane split. Still stateless: the flip explode is a map-side
+   * projection ((planes+1)× probe rows, the multiprobe cost), the join
+   * and verify unchanged. Output rows are a strict superset of the
+   * single-probe gate's at equal bucket width — flip 0 IS the exact
+   * probe; within a band the probed buckets are distinct and a corpus
+   * member holds one key per band, so no dedup is needed and the shape
+   * stays one row per (arrival, corpus near-dup, matching band).
+   */
+  def embedStreamingFlagMultiprobe(stream: DataFrame, index: EmbedIndex): DataFrame = {
+    val flips = array((lit(0L) +: (0 until ndPlanesPerBand).map(p => lit(1L << p))): _*)
+    val probes = ndBanded(stream)
+      .select(col("vec_id"), col("embedding"), col("band"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("band"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    probes.join(index.keys, Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("corpus_id"))
+      .join(index.vecs, "corpus_id")
+      .withColumn("sim", cosine(col("embedding"), col("corpus_emb")))
+      .where(col("sim") >= ndTau)
+      .select(col("vec_id"), col("corpus_id").as("dup_of"), col("band"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[embedStreamingFlagMultiprobe]] self-probed on
+    * the embeddings table (`probePred` filters the probe side, alias
+    * `a`, like [[embedFlagSql]]). */
+  def embedFlagMultiprobeSql(probePred: String = "true"): String = {
+    val bandCtes = (0 until ndBands).map { b =>
+      s"fmk$b AS (SELECT vec_id, $b AS band, bucket FROM (${bucketsSql(ndPlanesPerBand, 100 + b * ndPlanesPerBand)}))"
+    }.mkString(",\n")
+    val unions = (0 until ndBands).map(b => s"SELECT * FROM fmk$b").mkString("\n  UNION ALL\n  ")
+    val cos = cosineSql("e1.embedding", "e2.embedding")
+    s"""WITH $bandCtes,
+       |bands AS (
+       |  $unions
+       |),
+       |probes AS (
+       |  SELECT vec_id, band,
+       |         xor(bucket, CASE WHEN f = 0 THEN 0 ELSE 1 << (f - 1) END) AS bucket
+       |  FROM bands, (SELECT unnest(range(0, ${ndPlanesPerBand + 1})) AS f)
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS dup_of, a.band
+       |  FROM probes a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id AND ($probePred)
+       |)
+       |SELECT c.vec_id, c.dup_of, c.band, round($cos, 6) AS sim
+       |FROM cand c JOIN embeddings e1 ON e1.vec_id = c.vec_id
+       |            JOIN embeddings e2 ON e2.vec_id = c.dup_of
+       |WHERE $cos >= $ndTau""".stripMargin
+  }
+
   /** DuckDB mirror of [[embedStreamingFlag]] self-probed on the
     * embeddings table, probe side filtered by `probePred` (the
     * benchmark entry models the micro-batch:corpus ratio). */

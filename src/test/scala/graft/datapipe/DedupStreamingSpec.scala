@@ -149,6 +149,57 @@ class DedupStreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty, "parity fixture must contain embedding near-dups")
   }
 
+  test("multiprobe embed gate: strict recall superset of the single-probe gate " +
+    "at equal bucket width, and parity with batch multiprobe") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = Ann.embedIndex(emb)
+    val sp = Ann.embedStreamingFlag(emb, idx)
+      .select("vec_id", "dup_of", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mp = Ann.embedStreamingFlagMultiprobe(emb, idx)
+      .select("vec_id", "dup_of", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // flip 0 IS the exact probe: every single-probe row survives
+    assert(sp.subsetOf(mp), s"multiprobe lost rows: ${sp.diff(mp)}")
+    // the recall lever is real on this corpus: hamming-1 probes recover
+    // pairs the exact-bucket gate misses
+    assert(mp.size > sp.size,
+      s"multiprobe must probe beyond the exact bucket (sp=${sp.size}, mp=${mp.size})")
+    // and the stream-side gate agrees with the batch multiprobe operator
+    // on the distinct pair set (both orientations, over all bands)
+    val mpPairs = mp.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+    val batch = Ann.embedNearDupMultiprobe(emb).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mpPairs == batch,
+      s"divergence: ${mpPairs.diff(batch)} vs ${batch.diff(mpPairs)}")
+  }
+
+  test("multiprobe embed gate runs STATELESS as a real stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.02f, 0.0f, 0.01f, 0.9f, 0.0f, 0.03f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.02f, 0.9f, 0.0f, 0.04f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Ann.embedIndex(corpus)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Ann.embedStreamingFlagMultiprobe(input.toDF().toDF("vec_id", "embedding"), idx)
+      .writeStream.format("memory").queryName("embed_flag_mp").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Array(0.98f, 0.03f, 0.01f, 0.0f, 0.91f, 0.01f, 0.02f, 0.01f)), // ~100
+        (2L, Array(-0.9f, 0.1f, -0.8f, 0.0f, -0.02f, 0.9f, -0.5f, 0.1f)))   // novel
+      q.processAllAvailable()
+      val flagged = spark.table("embed_flag_mp")
+        .select("vec_id", "dup_of", "sim").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byDoc = flagged.groupBy(_._1)
+      assert(byDoc.contains(1L) && byDoc(1L).forall(t => t._2 == 100L && t._3 >= Ann.ndTau),
+        s"semantic near-copy not flagged: ${flagged.toSeq}")
+      assert(!byDoc.contains(2L), s"novel vector falsely flagged: ${flagged.toSeq}")
+    } finally q.stop()
+  }
+
   test("the near-dup index round-trips through parquet (the cluster-scale form)") {
     // the 100 TB story says "bucket-write the index once, probe it per
     // batch"; prove the claim: flags from a parquet-persisted index are
