@@ -133,6 +133,39 @@ object CqcSql {
     } finally relsHook.remove()
   }
 
+  private val cmpsHook = new ThreadLocal[Seq[Cmp] => Unit]
+
+  /** The cross-relation comparison predicates (bound carriers) of the
+    * OUTERMOST query block — the hyperedges of the reference's
+    * comparison hypergraph (sqlplus-core graph/ComparisonHyperGraph
+    * .scala: each comparison spans the join-tree edges on the path
+    * between the relations carrying its two sides). Dry-run, like
+    * [[relations]]. */
+  def comparisons(spark: SparkSession, sql: String): Seq[Cmp] =
+    structure(spark, sql)._2
+
+  /** Relations AND comparisons of the outermost block from ONE planning
+    * run — variable names are exprId-derived and differ between runs,
+    * so a comparison's side refs only resolve against the rels of the
+    * SAME run ([[homeOf]]). */
+  def structure(spark: SparkSession, sql: String): (Seq[graft.cqc.Rel], Seq[Cmp]) = {
+    val lastRels = scala.collection.mutable.ArrayBuffer[graft.cqc.Rel]()
+    val lastCmps = scala.collection.mutable.ArrayBuffer[Cmp]()
+    relsHook.set { rels => lastRels.clear(); lastRels ++= rels }
+    cmpsHook.set { cs => lastCmps.clear(); lastCmps ++= cs }
+    try {
+      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      (lastRels.toSeq, lastCmps.toSeq)
+    } finally { relsHook.remove(); cmpsHook.remove() }
+  }
+
+  /** The relation of `rels` carrying every variable a comparison side
+    * references (None for a residual-shaped side — by construction
+    * [[comparisons]] only emits sides confined to one leaf, but the
+    * fold may have merged that leaf away). */
+  def homeOf(rels: Seq[graft.cqc.Rel], sideRefs: Set[String]): Option[graft.cqc.Rel] =
+    rels.find(r => sideRefs.subsetOf(r.vars))
+
   /** Every candidate join tree for an acyclic body — (root name,
     * describe dump) per candidate; empty for cyclic bodies (GHD picks
     * bags by coverage, there is no rerooting choice to offer).
@@ -149,10 +182,14 @@ object CqcSql {
     graft.cqc.Hypergraph.withRootHint(root)(solve(spark, sql))
 
   /** Graphviz DOT dump of the query hypergraph (bipartite form:
-    * box = relation hyperedge, ellipse = variable) — the textual
-    * equivalent of sqlplus-web's hypergraph visualization. */
+    * box = relation hyperedge, ellipse = variable), with the
+    * COMPARISON hyperedges drawn as dashed labeled edges between the
+    * relations carrying the two sides — the textual equivalent of
+    * sqlplus-web's hypergraph + comparison rendering (springboot
+    * dto/HyperGraph.java building from graph/ComparisonHyperGraph
+    * .scala). */
   def hypergraphDot(spark: SparkSession, sql: String): String = {
-    val rels = relations(spark, sql)
+    val (rels, cmps) = structure(spark, sql)
     val vars = rels.flatMap(_.vars).distinct.sorted
     val sb = new StringBuilder("graph hypergraph {\n")
     sb.append("  node [shape=box, style=filled, fillcolor=lightblue];\n")
@@ -163,6 +200,12 @@ object CqcSql {
     vars.foreach(v => sb.append(s"""  "v_$v" [label="$v"];\n"""))
     rels.foreach { r =>
       r.vars.toSeq.sorted.foreach(v => sb.append(s"""  "${r.name}" -- "v_$v";\n"""))
+    }
+    cmps.foreach { c =>
+      for {
+        from <- homeOf(rels, c.leftRefs)
+        to <- homeOf(rels, c.rightRefs)
+      } sb.append(s"""  "${from.name}" -- "${to.name}" [style=dashed, color=red, label="${c.left} ${c.op} ${c.right}"];\n""")
     }
     sb.append("}\n").toString
   }
@@ -883,6 +926,7 @@ object CqcSql {
     // inspection hook (candidates / hypergraph dump): nested blocks fire
     // inner-first, the OUTERMOST body fires last — callers keep the last
     locally { val h = relsHook.get(); if (h != null) h(foldedRels) }
+    locally { val h = cmpsHook.get(); if (h != null) h(cmps.toSeq) }
 
     // the enumeration route the evaluator will take (dry-run surface):
     // cost-gated in Yannakakis.solveWithTree — tiny bodies skip the

@@ -152,9 +152,17 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
   handle("/api/structure") { ex =>
     val sql = body(ex)
     require(sql.nonEmpty, "empty SQL body")
-    val rels = graft.sql.CqcSql.relations(spark, sql)
+    val (rels, cmps) = graft.sql.CqcSql.structure(spark, sql)
     val relsJson = rels.map { r =>
       s"""{"name":${jstr(r.name)},"vars":${r.vars.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"est":${graft.cqc.Hypergraph.estSize(r)}}"""
+    }.mkString("[", ",", "]")
+    // comparison predicates with their home relations (the endpoints of
+    // the dashed hypergraph edges; reference dto/HyperGraph.java)
+    val cmpsJson = cmps.flatMap { c =>
+      for {
+        from <- graft.sql.CqcSql.homeOf(rels, c.leftRefs)
+        to <- graft.sql.CqcSql.homeOf(rels, c.rightRefs)
+      } yield s"""{"left":${jstr(c.left)},"op":${jstr(c.op)},"right":${jstr(c.right)},"from":${jstr(from.name)},"to":${jstr(to.name)}}"""
     }.mkString("[", ",", "]")
     val cands =
       if (rels.size < 2 || !graft.cqc.Hypergraph.isAcyclic(rels)) "[]"
@@ -163,9 +171,29 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
           val p = t.parentOf(n)
           s"""{"child":${jstr(n)},"parent":${jstr(p)},"on":${t.sharedVars(n, p).map(jstr).mkString("[", ",", "]")}}"""
         }.mkString("[", ",", "]")
-        s"""{"root":${jstr(t.root)},"edges":$edges}"""
+        // the COMPARISON HYPERGRAPH of this tree (reference graph/
+        // ComparisonHyperGraph.scala): nodes are the tree's edges, each
+        // comparison's hyperedge is the set of tree edges on the path
+        // between its two home relations; degree = the max number of
+        // comparisons covering one tree edge (the CQC acyclicity bound)
+        var cover = Map[(String, String), Int]().withDefaultValue(0)
+        val cmpEdges = cmps.flatMap { c =>
+          for {
+            from <- graft.sql.CqcSql.homeOf(rels, c.leftRefs)
+            to <- graft.sql.CqcSql.homeOf(rels, c.rightRefs)
+          } yield {
+            val hops = t.path(from.name, to.name).sliding(2)
+              .filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+            hops.foreach(h => cover += h -> (cover(h) + 1))
+            val hopJson = hops.map { case (a, b) =>
+              s"""{"from":${jstr(a)},"to":${jstr(b)}}""" }.mkString("[", ",", "]")
+            s"""{"cmp":${jstr(s"${c.left} ${c.op} ${c.right}")},"path":$hopJson}"""
+          }
+        }.mkString("[", ",", "]")
+        val degree = if (cover.isEmpty) 0 else cover.values.max
+        s"""{"root":${jstr(t.root)},"edges":$edges,"comparisons":$cmpEdges,"degree":$degree}"""
       }.mkString("[", ",", "]")
-    (200, s"""{"relations":$relsJson,"candidates":$cands}""", "application/json")
+    (200, s"""{"relations":$relsJson,"comparisons":$cmpsJson,"candidates":$cands}""", "application/json")
   }
 
   handle("/api/emit") { ex =>
@@ -261,8 +289,10 @@ object GraftServer {
       |  for(const k in attrs)e.setAttribute(k,attrs[k]);return e;}
       |function txt(x,y,s,anchor){const t=svgEl('text',{x:x,y:y,'font-size':'11',
       |  'font-family':'monospace','text-anchor':anchor||'start'});t.textContent=s;return t;}
-      |// bipartite hypergraph: relation boxes left, variable nodes right
-      |function drawHyper(rels){
+      |// bipartite hypergraph: relation boxes left, variable nodes right;
+      |// comparison predicates as dashed red arcs between their home
+      |// relation boxes (the reference's comparison hypergraph view)
+      |function drawHyper(rels,cmps){
       |  const vars=[...new Set(rels.flatMap(r=>r.vars))].sort();
       |  const h=Math.max(rels.length,vars.length)*28+40;
       |  const svg=svgEl('svg',{width:560,height:h});
@@ -271,6 +301,13 @@ object GraftServer {
       |  rels.forEach((r,i)=>vars.forEach((v,j)=>{
       |    if(r.vars.includes(v))svg.appendChild(svgEl('line',
       |      {x1:150,y1:ry(i),x2:400,y2:vy(j),stroke:'#bbb'}));}));
+      |  const ri={};rels.forEach((r,i)=>ri[r.name]=i);
+      |  (cmps||[]).forEach(c=>{
+      |    const a=ry(ri[c.from]),b=ry(ri[c.to]),mid=(a+b)/2;
+      |    const p=svgEl('path',{d:'M 20 '+a+' C -10 '+a+' -10 '+b+' 20 '+b,
+      |      fill:'none',stroke:'#c33','stroke-dasharray':'4 3',class:'cmp'});
+      |    svg.appendChild(p);
+      |    svg.appendChild(txt(4,mid+3,c.op,'middle'));});
       |  rels.forEach((r,i)=>{
       |    svg.appendChild(svgEl('rect',{x:20,y:ry(i)-12,width:130,height:22,
       |      fill:'#cfe2ff',stroke:'#369'}));
@@ -294,9 +331,14 @@ object GraftServer {
       |  const pos={};Object.entries(byD).forEach(([d,l])=>l.forEach((n,i)=>{
       |    pos[n]=[20+i*110+((w-40)-(l.length-1)*110)/2,30+d*60];}));
       |  const svg=svgEl('svg',{width:w,height:hh});
+      |  // tree edges covered by a comparison path render red (the
+      |  // comparison hypergraph laid over this candidate tree)
+      |  const cov={};(c.comparisons||[]).forEach(cm=>cm.path.forEach(e=>{
+      |    cov[e.from+'|'+e.to]=cov[e.to+'|'+e.from]=true;}));
       |  c.edges.forEach(e=>{const a=pos[e.parent],b=pos[e.child];
+      |    const hot=cov[e.parent+'|'+e.child];
       |    svg.appendChild(svgEl('line',{x1:a[0]+45,y1:a[1]+8,x2:b[0]+45,y2:b[1]-12,
-      |      stroke:'#888'}));
+      |      stroke:hot?'#c33':'#888','stroke-width':hot?2:1}));
       |    svg.appendChild(txt((a[0]+b[0])/2+45,(a[1]+b[1])/2,e.on.join(','),'middle'));});
       |  order.forEach(n=>{const p=pos[n];
       |    svg.appendChild(svgEl('rect',{x:p[0],y:p[1]-12,width:90,height:20,
@@ -308,11 +350,12 @@ object GraftServer {
       |  const r=await fetch('/api/structure',{method:'POST',body:$('sql').value});
       |  const j=await r.json();
       |  if(j.error){$('out').textContent=JSON.stringify(j);return;}
-      |  $('viz').replaceChildren(drawHyper(j.relations));
+      |  $('viz').replaceChildren(drawHyper(j.relations,j.comparisons));
       |  $('trees').replaceChildren(...j.candidates.map(c=>{
       |    const d=document.createElement('div');d.className='cand';
       |    d.appendChild(drawTree(c));
-      |    const cap=document.createElement('div');cap.textContent='root '+c.root;
+      |    const cap=document.createElement('div');cap.textContent='root '+c.root+
+      |      (c.degree?(' · cmp degree '+c.degree):'');
       |    d.appendChild(cap);
       |    d.onclick=()=>{$('root').value=c.root;
       |      document.querySelectorAll('.cand').forEach(x=>x.classList.remove('picked'));

@@ -103,6 +103,37 @@ class GraftServerSpec extends SparkSpecBase {
     assert(dot.contains(" -- "), dot) // relation—variable incidence edges
   }
 
+  test("comparison hypergraph: dashed DOT edge, home endpoints, per-tree paths + degree") {
+    view()
+    // cqc_trade shape: chain join with a cross-relation comparison
+    // between the two END relations — its comparison-hypergraph edge
+    // must cover BOTH tree edges of the 3-chain in every candidate
+    val tradeSql =
+      """SELECT g1.src AS a, g3.dst AS b
+        |FROM web_edges g1, web_edges g2, web_edges g3
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src < g3.dst""".stripMargin
+    val (c, b) = post("/api/structure", tradeSql)
+    assert(c == 200, b)
+    // top-level comparison list with op and home relations
+    assert(b.contains(""""comparisons":[{"""), b)
+    assert(b.contains(""""op":"<""""), b)
+    assert(b.contains(""""from":"r0"""") && b.contains(""""to":"r2""""), b)
+    // each of the 3 candidate trees carries the comparison laid over its
+    // OWN edges: a 2-hop path and degree 1 on a 3-chain, whatever the root
+    assert(raw""""cmp":""".r.findAllIn(b).size == 3, b)
+    assert(raw""""degree":1""".r.findAllIn(b).size == 3, b)
+    assert(b.contains(""""path":[{"from":"""), b)
+    assert(!b.contains(""""degree":0"""), b)
+    // the DOT view draws the dashed comparison edge between the home boxes
+    val (cd, dot) = post("/api/hypergraph", tradeSql)
+    assert(cd == 200, dot)
+    assert(dot.contains(""""r0" -- "r2" [style=dashed"""), dot)
+    // and the SPA renders comparisons (dashed arcs + per-tree degree)
+    val (_, html) = get("/")
+    assert(html.contains("drawHyper(j.relations,j.comparisons)") &&
+      html.contains("cmp degree"), "index page renders the comparison hypergraph")
+  }
+
   test("emit endpoint returns a compilable-looking program") {
     view()
     val (c, src) = post("/api/emit?object=WebQ", joinSql)
