@@ -13,15 +13,24 @@ import graft.wcoj.{Lftj, Wcoj}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Every src_jsonl dump dir this JVM created; the single shutdown
-    * hook below sweeps them ALL. Deletion is deferred to shutdown (not
-    * done on re-invocation): a still-unconsumed lazy reader from a prior
-    * invocation, or two concurrent invocations over the same dataset,
-    * must never see its directory vanish — dump dirs are per-invocation
-    * unique, so the only cost of deferral is temp-dir footprint for the
-    * session's lifetime. */
+  /** Every src_jsonl dump dir this JVM created, oldest first. Deletion
+    * is deferred (never at re-invocation time: a still-unconsumed lazy
+    * reader from a prior invocation, or a concurrent invocation, must
+    * never see its directory vanish — dump dirs are per-invocation
+    * unique), but retention is CAPPED: past [[jsonlDumpCap]] dirs the
+    * oldest is swept, so a long-lived session's temp-disk footprint is
+    * bounded at cap × dump size. A lazy reader is therefore safe for
+    * the window of the last `cap` invocations; the shutdown hook
+    * remains the backstop for whatever is still retained. */
   private val jsonlDumps =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentLinkedDeque[java.nio.file.Path]()
+  private val jsonlDumpCap = 8
+
+  private def trackJsonlDump(p: java.nio.file.Path): Unit = {
+    jsonlDumps.addLast(p)
+    while (jsonlDumps.size > jsonlDumpCap)
+      Option(jsonlDumps.pollFirst()).foreach(deleteTree)
+  }
 
   private def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -1771,14 +1780,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
       // per-invocation unique dump dir: a fixed hash-derived path lets two
       // datasets collide and two concurrent runs race (overwrite deletes
-      // the dir another reader is scanning). Every dump lives until the
-      // ONE process-level shutdown hook sweeps them — no mid-session
-      // deletion, so an unconsumed lazy reader from a previous invocation
-      // (or a concurrent invocation in this JVM) never reads a deleted
-      // directory (repeat invocations must not stack hooks or dumps).
+      // the dir another reader is scanning). Dumps are retained FIFO up
+      // to jsonlDumpCap (oldest swept past it — bounded temp footprint
+      // for long-lived sessions), with the shutdown hook as backstop.
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
       val path = tmp.resolve("dump").toString
-      jsonlDumps.add(tmp)
+      trackJsonlDump(tmp)
       Tables.writeJsonl(docs, path)
       Tables.readJsonl(s, path, "doc_id BIGINT, text STRING, lang STRING, source STRING")
         .select(col("doc_id"), col("lang"), col("source"),

@@ -658,7 +658,10 @@ object TextOps {
    */
   def segmentDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = words(col("text"))
+    // NULL text would null the explode bound and silently DROP the doc
+    // from the one-row-per-doc output (the same contract bug chunk and
+    // spanDedup fixed); coalesce to '' keeps it as one empty segment
+    val w = words(coalesce(col("text"), lit("")))
     val nSegs = ceil(size(w) / lit(segWords.toDouble)).cast(LongType)
     val segs = docs
       .select(col("doc_id"), w.as("w"), nSegs.as("n"))
@@ -680,7 +683,7 @@ object TextOps {
 
   /** DuckDB oracle for [[segmentDedup]] over the `documents` view. */
   val segmentDedupSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
        |segs AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
        |         array_to_string(w[(i*$segWords+1):(i*$segWords+$segWords)], ' ') AS seg

@@ -300,10 +300,12 @@ object CqcSql {
     // visible alongside whatever the stock parser says next; the
     // translator must still never be the thing that crashes the door.
     case scala.util.control.NonFatal(e) =>
+      val flat = stmt.linesIterator.mkString(" ")
+      val shown = if (flat.length > 120) flat.take(120) + "..." else flat
       Console.err.println(
         s"graft: reference-DDL translation failed (${e.getClass.getSimpleName}: " +
           s"${Option(e.getMessage).getOrElse("")}) for statement " +
-          s"'${stmt.linesIterator.mkString(" ").take(120)}...'; falling back to stock SQL")
+          s"'$shown'; falling back to stock SQL")
       false
   }
 

@@ -77,6 +77,18 @@ class ParaDedupRedactSpec extends SparkSpecBase {
     assert(run(docs) == refSegDedup(docs))
   }
 
+  test("NULL-text docs keep their segment-dedup row (same guard as chunk/spanDedup)") {
+    // r11 advice fix: words(NULL) nulls the explode bound and silently
+    // drops the doc from the one-row-per-doc contract — on both the
+    // Spark side and the string_split(text) oracle; coalesce('') keeps
+    // it as a single empty segment (deduped away if '' repeats)
+    val seg = (1 to W).map(i => s"q$i").mkString(" ")
+    val got = run(Seq(1L -> null.asInstanceOf[String], 2L -> seg))
+    assert(got.contains(1L), "NULL-text doc must not vanish from the output")
+    assert(got(1L) == ((1L, 1L, Some(""))), s"one kept empty segment: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, Some(seg))))
+  }
+
   test("segment dedup plan: exactly two shuffles (keep-first window + doc regroup)") {
     val docs = (0L until 20L).map(id => id -> (1 to 45).map(i => s"t${(id + i) % 9}").mkString(" "))
     val df = TextOps.segmentDedup(docs.toDF("doc_id", "text"))
