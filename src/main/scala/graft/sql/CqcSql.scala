@@ -659,9 +659,22 @@ object CqcSql {
     // back to stock evaluation — correct, just not CQC-accelerated.
     def hasSubquery(e: Expression): Boolean =
       e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-    if ((conjuncts ++ postOuterConjuncts).exists(e => hasSubquery(e) &&
-      e.references.map(a => leafOf(a.exprId.id)).toSet.size != 1)) {
-      trace("routing: stock fallback (cross-leaf subquery predicate)")
+    // a NESTED leaf (join beneath: derived-table view) is re-evaluated
+    // recursively, so its frame loses the analyzer's exprIds and leaf
+    // filters are rebound by NAME — but a subquery predicate's plan
+    // INTERIOR (the correlated OuterReference nodes) is not reachable by
+    // the expression transform and keeps stale ids, which fails binding
+    // at execution (r11 battery find). Correct, not accelerated: stock.
+    def leafIsNested(i: Int): Boolean =
+      leaves(i).collectFirst { case j: Join => j }.isDefined &&
+        !(leaves(i) fastEquals analyzed)
+    if ((conjuncts ++ postOuterConjuncts).exists { e =>
+      hasSubquery(e) && {
+        val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
+        ls.size != 1 || leafIsNested(ls.head)
+      }
+    }) {
+      trace("routing: stock fallback (cross-leaf or nested-leaf subquery predicate)")
       return GraftSqlBridge.dataFrame(spark, analyzed)
     }
     val parent = scala.collection.mutable.Map[Long, Long]()
