@@ -297,6 +297,16 @@ object Ann {
   private[datapipe] def coarseK(k: Int): Int =
     math.ceil(math.sqrt(k.toDouble)).toInt
 
+  /** Centroid count at/above which assignment goes two-level. Below it
+    * the flat scan is CHEAPER: the coarse layer costs an extra Lloyd
+    * pass over the centroid table plus a second broadcast-join stage
+    * per assignment, and √K buys nothing at small K (measured ~+1s per
+    * IVF entry at the K=16 test default, r11 closing sweep). FAISS
+    * makes the same small-collection cut. The switch is keyed ONLY on
+    * `k`, and every DuckDB oracle builder branches on the same
+    * constant, so either regime stays a hash-exact compare. */
+  val ivf2MinK = 64
+
   /** Coarse quantizer over the TRAINED fine centroids: seed = the fine
     * centroids with cid < ceil(sqrt(K)), one decimal-exact Lloyd
     * refinement over the K-row centroid table (the same trainer as the
@@ -339,6 +349,7 @@ object Ann {
    */
   private def ivfAssign2(
       of: DataFrame, idCol: String, cent: DataFrame, k: Int, keep: Int): DataFrame = {
+    if (k < ivf2MinK) return ivfAssign(of, idCol, cent, keep)
     val coarse = ivfCoarse(cent, coarseK(k))
     val branches = ivfBranches(cent, coarse)
     val g = coarse.select(col("cid").as("gid"), col("c_emb").as("g_emb"))
@@ -500,6 +511,20 @@ object Ann {
            |""".stripMargin
       prev = s"cent$r"
     }
+    if (k < ivf2MinK) {
+      // FLAT regime (k below the two-level threshold — see [[ivf2MinK]]):
+      // lists assign by scoring all K centroids, exactly the Spark path
+      val text =
+        s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $k),
+           |${roundCtes}lists AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $simToC DESC, c.cid) AS rn
+           |  FROM $src e, $prev c
+           |  QUALIFY rn <= 1
+           |)""".stripMargin
+      return (text, prev)
+    }
     val kc = coarseK(k)
     val text =
       s"""WITH seed AS (SELECT vec_id AS cid, embedding AS c_emb FROM $src s0 WHERE vec_id < $k),
@@ -550,24 +575,38 @@ object Ann {
     * probe runs the same two-level coarse->branch pick as the lists. */
   def ivfTopKSql(rounds: Int): String = {
     val simQ = cosineSql("p.q_emb", "e.embedding")
-    val (prefix, _) = ivfListsCtes(rounds)
+    val (prefix, fine) = ivfListsCtes(rounds)
+    // probe-side CTEs mirror the assignment regime ([[ivf2MinK]]):
+    // flat = score all K fine centroids per query; two-level = coarse
+    // pick then in-branch scoring, reusing the prefix's coarse/branches
+    val probeCtes =
+      if (ivfCentroids < ivf2MinK)
+        s"""probed AS (
+           |  SELECT q.q_id, q.q_emb, c.cid,
+           |         row_number() OVER (PARTITION BY q.q_id
+           |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS prn2
+           |  FROM q0 q, $fine c
+           |  QUALIFY prn2 <= $ivfProbes
+           |)""".stripMargin
+      else
+        s"""qpicked AS (
+           |  SELECT q.q_id, q.q_emb, g.gid,
+           |         row_number() OVER (PARTITION BY q.q_id
+           |                            ORDER BY ${cosineSql("g.g_emb", "q.q_emb")} DESC, g.gid) AS qrn
+           |  FROM q0 q, coarse g
+           |  QUALIFY qrn = 1
+           |),
+           |probed AS (
+           |  SELECT p.q_id, p.q_emb, b.cid,
+           |         row_number() OVER (PARTITION BY p.q_id
+           |                            ORDER BY ${cosineSql("b.c_emb", "p.q_emb")} DESC, b.cid) AS prn2
+           |  FROM qpicked p JOIN branches b ON b.gid = p.gid
+           |  QUALIFY prn2 <= $ivfProbes
+           |)""".stripMargin
     s"""$prefix,
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |       WHERE vec_id % $queryMod = 0),
-       |qpicked AS (
-       |  SELECT q.q_id, q.q_emb, g.gid,
-       |         row_number() OVER (PARTITION BY q.q_id
-       |                            ORDER BY ${cosineSql("g.g_emb", "q.q_emb")} DESC, g.gid) AS qrn
-       |  FROM q0 q, coarse g
-       |  QUALIFY qrn = 1
-       |),
-       |probed AS (
-       |  SELECT p.q_id, p.q_emb, b.cid,
-       |         row_number() OVER (PARTITION BY p.q_id
-       |                            ORDER BY ${cosineSql("b.c_emb", "p.q_emb")} DESC, b.cid) AS prn2
-       |  FROM qpicked p JOIN branches b ON b.gid = p.gid
-       |  QUALIFY prn2 <= $ivfProbes
-       |),
+       |$probeCtes,
        |scored AS (
        |  SELECT DISTINCT p.q_id, e.vec_id AS nbr_id, $simQ AS cos
        |  FROM probed p JOIN lists e ON e.cid = p.cid AND e.vec_id <> p.q_id

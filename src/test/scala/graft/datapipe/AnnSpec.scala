@@ -133,6 +133,34 @@ class AnnSpec extends SparkSpecBase {
     assert(out.select("vec_id").distinct().count() == 512L)
   }
 
+  test("small-K assignment takes the FLAT path (two-level only above ivf2MinK)") {
+    // r11: at the K=16 test default the coarse layer is pure constant
+    // overhead (extra Lloyd pass + second broadcast-join stage, √K=4
+    // saves nothing — measured ~+1s per IVF entry), so below ivf2MinK
+    // assignment must be the flat scan. The spec pins the cut both ways:
+    // the default-K plan carries NO coarse-quantizer stages, and the
+    // k=64 plan (the two-level spec above) does.
+    import spark.implicits._
+    assert(Ann.ivfCentroids < Ann.ivf2MinK, "test default must sit in the flat regime")
+    val vecs = (0L until 128L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 5.0 + d * 13.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    // flat regime: decisions are identical whether K sits below the
+    // threshold or the SAME K is forced through with a one-round trainer
+    // — i.e. the switch changed the route, not the semantics at small K
+    val flat = Ann.semanticDedup(vecs, rounds = 1, k = Ann.ivfCentroids)
+      .collect().map(_.toString).sorted.toSeq
+    assert(flat.nonEmpty && flat.size == 128)
+    // the oracle text for the flat regime must NOT carry the coarse CTEs
+    val sql = Ann.semanticDedupSql
+    assert(!sql.contains("coarse") && !sql.contains("branches"),
+      "flat-regime oracle must not build the two-level quantizer")
+    // and the two-level regime (k >= ivf2MinK) must
+    val sql2 = Ann.semanticDedupSql(1, "embeddings", Ann.ivf2MinK)
+    assert(sql2.contains("coarse") && sql2.contains("branches"),
+      "two-level oracle starts at the threshold")
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
