@@ -174,6 +174,27 @@ class DedupStreamingSpec extends SparkSpecBase {
       s"divergence: ${mpPairs.diff(batch)} vs ${batch.diff(mpPairs)}")
   }
 
+  test("multiprobe embed gate plan: the flip explode is map-side (no extra shuffle)") {
+    // the multiprobe cost model says (planes+1)x probe ROWS, not an
+    // extra exchange: the explode must ride the same map-side projection
+    // as the banded signature. Structural pin — equal shuffle counts for
+    // the single-probe and multiprobe gates over the same index.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(plan: SparkPlan): Int = {
+      val here = plan match { case a: AdaptiveSparkPlanExec => a.executedPlan; case x => x }
+      (here match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+        here.children.map(shuffles).sum
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx = Ann.embedIndex(emb)
+    val sp = shuffles(Ann.embedStreamingFlag(emb, idx).queryExecution.executedPlan)
+    val mp = shuffles(
+      Ann.embedStreamingFlagMultiprobe(emb, idx).queryExecution.executedPlan)
+    assert(mp == sp, s"multiprobe added an exchange: $mp vs $sp")
+  }
+
   test("multiprobe embed gate runs STATELESS as a real stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
