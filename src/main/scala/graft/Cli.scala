@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
  * of CREATE TABLE DDL + a query, executed end-to-end). Usage:
  *
  *   runMain graft.Cli <script.sql> [maxRows] [--dry-run]
- *     [--emit [--pair] [--object=Name] [--package=pkg]] [--serve[=port]]
+ *     [--emit [--pair] [--output=path] [--object=Name] [--package=pkg]]
+ *     [--serve[=port]]
  *
  * The script is semicolon-separated; every statement but the last runs
  * as stock Spark SQL (DDL: CREATE TABLE ... USING parquet LOCATION,
@@ -78,10 +79,33 @@ object Cli {
       val stmts = graft.sql.CqcSql.splitStatements(text)
       stmts.init.foreach(s =>
         if (!graft.sql.CqcSql.tryRefCreateTable(spark, s)) spark.sql(s))
-      println(graft.sql.Emit.program(spark, stmts.last, objName, pkgName))
-      if (args.contains("--pair")) {
-        println(s"// ========== comparison twin: ${objName}SparkSQL ==========")
-        println(graft.sql.Emit.stockProgram(spark, stmts.last, objName, pkgName))
+      val prog = graft.sql.Emit.program(spark, stmts.last, objName, pkgName)
+      val twin =
+        if (args.contains("--pair"))
+          Some(graft.sql.Emit.stockProgram(spark, stmts.last, objName, pkgName))
+        else None
+      // reference parity: -o/--output writes the generated program to a
+      // file (sqlplus-cli CliFrontendOptions OUTPUT_OPTION, CliFrontend
+      // FileUtils.writeStringToFile); the twin lands beside it as
+      // <stem>SparkSQL.scala, the sqlplus-example pairing convention
+      args.collectFirst { case a if a.startsWith("--output=") =>
+        a.stripPrefix("--output=") } match {
+        case Some(outPath) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+            prog.getBytes("UTF-8"))
+          println(s"wrote $outPath")
+          twin.foreach { t =>
+            val p = java.nio.file.Paths.get(
+              outPath.stripSuffix(".scala") + "SparkSQL.scala")
+            java.nio.file.Files.write(p, t.getBytes("UTF-8"))
+            println(s"wrote $p")
+          }
+        case None =>
+          println(prog)
+          twin.foreach { t =>
+            println(s"// ========== comparison twin: ${objName}SparkSQL ==========")
+            println(t)
+          }
       }
     } else if (dryRun) println(graft.sql.CqcSql.explainScript(spark, text))
     else graft.sql.CqcSql.script(spark, text)

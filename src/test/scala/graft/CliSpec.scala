@@ -26,6 +26,29 @@ class CliSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS cli_lineitem")
   }
 
+  test("--emit --output writes the program file; --pair adds the stock twin beside it") {
+    // reference parity: sqlplus-cli's -o/--output writes the generated
+    // program to a file; the experiment pairing convention puts the
+    // stock twin beside it as <stem>SparkSQL.scala
+    graft.sources.Tables.edges(spark, sfDir).createOrReplaceTempView("cli_emit_edges")
+    val script =
+      """SELECT g1.src AS a, COUNT(*) AS n
+        |FROM cli_emit_edges g1, cli_emit_edges g2
+        |WHERE g1.dst = g2.src
+        |GROUP BY g1.src""".stripMargin
+    val f = Files.createTempFile("cli_emit", ".sql")
+    Files.write(f, script.getBytes)
+    val out = Files.createTempDirectory("cli_emit_out").resolve("CliQ.scala")
+    Cli.main(Array(f.toString, "--emit", "--pair", s"--output=$out", "--object=CliQ"))
+    val prog = new String(Files.readAllBytes(out), "UTF-8")
+    assert(prog.contains("object CliQ") && prog.contains("CqcSql.solve"), prog.take(400))
+    val twinPath = out.resolveSibling("CliQSparkSQL.scala")
+    assert(Files.exists(twinPath), "pair twin must land beside the output file")
+    val twin = new String(Files.readAllBytes(twinPath), "UTF-8")
+    assert(twin.contains("object CliQSparkSQL") && twin.contains("spark.sql(query)"),
+      twin.take(400))
+  }
+
   test("explainScript dry-run names the root, each join edge, and the fast path") {
     graft.sources.Tables.edges(spark, sfDir).createOrReplaceTempView("dr_edges")
     // the sql_cqc_agg_fast text (4-hop factorizable aggregate)
