@@ -885,11 +885,20 @@ object Ann {
     * trade every banded-LSH path in this module already makes. */
   val sdClusterCap = 10000
 
+  /** The IVF-family centroid table after `rounds` exact Lloyd
+    * refinements from the deterministic seed — the shared trainer of
+    * [[ivfTopK]], [[semanticDedup]] and [[semanticDedupGroup]]; exposed
+    * package-private so property specs can oracle the policies against
+    * the operator's own centroids. */
+  private[datapipe] def trainedCentroids(
+      emb: DataFrame, rounds: Int, k: Int): DataFrame =
+    (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+
   def semanticDedup(emb: DataFrame, rounds: Int, k: Int = ivfCentroids,
                     clusterCap: Int = sdClusterCap): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
     require(clusterCap >= 1, "positive cluster cap")
-    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val cent = trainedCentroids(emb, rounds, k)
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
     val sub = sdSubBucketed(lists, clusterCap)
     val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"),
@@ -933,7 +942,7 @@ object Ann {
                          clusterCap: Int = sdClusterCap): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
     require(clusterCap >= 1, "positive cluster cap")
-    val cent = (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    val cent = trainedCentroids(emb, rounds, k)
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
     val ranked = lists
       .join(broadcast(cent.select(col("cid").as("__ccid"), col("c_emb"))),

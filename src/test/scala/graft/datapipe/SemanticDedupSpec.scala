@@ -203,6 +203,51 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(byId(0L) && !byId(1L), "keep-first-id keeps the other member of the pair")
   }
 
+  test("group policy randomized battery (k=4): decisions match the greedy rule " +
+    "driven by the operator's own clusters and trained centroids") {
+    val n = 150
+    val vecs = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(12)(d =>
+        (math.sin((i % 6) * 37 + d * 5) + 0.3 * math.sin(i * 17 + d * 7)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 4
+    val out = Ann.semanticDedupGroup(df, rounds = 1, k = k).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Boolean]("keep"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))))
+      .toMap
+    assert(out.size == n, "one decision row per vector")
+    // oracle inputs straight from the operator's own machinery: the
+    // trained centroid table and the output's cluster assignment
+    val cents = Ann.trainedCentroids(df, 1, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val emb = vecs.toMap
+    val cidOf = out.map { case (id, (cid, _, _)) => id -> cid }
+    // rank ascending by cosine-to-own-centroid (farthest first, ties ->
+    // lower id), per cluster
+    val rank = vecs.map { case (id, e) => id -> cosD(e, cents(cidOf(id))) }
+      .groupBy { case (id, _) => cidOf(id) }
+      .flatMap { case (_, members) =>
+        members.sortBy { case (id, c) => (c, id) }.map(_._1).zipWithIndex
+      }
+    vecs.foreach { case (id, e) =>
+      val earlier = vecs
+        .filter(v => cidOf(v._1) == cidOf(id) && rank(v._1) < rank(id))
+        .map(v => (v._1, cos(emb(v._1), e))).filter(_._2 >= Ann.sdTau)
+      if (earlier.isEmpty)
+        assert(out(id)._2 && out(id)._3.isEmpty, s"vec $id should keep: ${out(id)}")
+      else {
+        val best = earlier.minBy { case (j, c) => (-c, j) }
+        assert(!out(id)._2 && out(id)._3.contains(best._1),
+          s"vec $id: got ${out(id)}, oracle dup_of ${best._1}")
+      }
+    }
+    // the battery is non-trivial: both keeps and drops, several clusters
+    assert(out.values.count(_._2) > 0 && out.values.count(!_._2) > 0)
+    assert(out.values.map(_._1).toSet.size > 1)
+  }
+
   test("group policy respects the hot-cluster cap: dup_of stays a same-sub-bucket mate") {
     val n = 120
     val vecs = (0L until n.toLong).map { i =>
