@@ -111,11 +111,16 @@ class EmitSpec extends SparkSpecBase {
     assert(prog.contains("spark.sql(query)"), s"stock run must be spark.sql:\n$prog")
     assert(!prog.contains("CqcSql"), s"stock twin must not route through graft:\n$prog")
     assert(!prog.contains("GraftExtensions"), s"stock twin must not load extensions:\n$prog")
-    // the reference twin's cnt/time output contract
+    // the reference twin's cnt/time output contract — and the plus
+    // program carries the matching -SparkSQLPlus labels, so the pair
+    // races under the reference experiment comparison convention
     assert(prog.contains("MyQuery-SparkSQL cnt: ") && prog.contains("MyQuery-SparkSQL time: "),
       s"missing cnt/time contract:\n$prog")
     // both programs of the pair register the SAME sources
     val plus = Emit.program(spark, sql, "MyQuery", "com.example.q")
+    assert(plus.contains("MyQuery-SparkSQLPlus cnt: ") &&
+      plus.contains("MyQuery-SparkSQLPlus time: "),
+      s"missing plus-side cnt/time contract:\n$plus")
     def readers(p: String) = p.linesIterator.filter(_.trim.startsWith("spark.read")).map(_.trim).toSeq
     assert(readers(prog) == readers(plus), "pair must read identical sources")
   }
