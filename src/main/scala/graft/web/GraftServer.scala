@@ -223,6 +223,101 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
       "application/json")
   }
 
+  /**
+   * Async experiment runner (reference: springboot component/
+   * ExperimentManager.java + controller/ExperimentController.java —
+   * start a QUEUE of named experiments, poll status, stop): one daemon
+   * worker drains the queue against this server's session, recording
+   * per-task state and wall time; stop cancels the running entry's
+   * Spark jobs through its job group and the worker skips the pending
+   * tail. The synchronous `POST /api/experiment` single-run stays for
+   * quick checks.
+   */
+  private object Experiments {
+    private val lock = new Object
+    private var state = "STOPPED" // STOPPED | RUNNING
+    // name -> (state, seconds, rows, error)
+    private val tasks =
+      scala.collection.mutable.LinkedHashMap[String, (String, Option[Double], Option[Long], Option[String])]()
+    @volatile private var stopRequested = false
+
+    def start(names: Seq[String], sf: String): Unit = lock.synchronized {
+      require(state != "RUNNING", "experiments already running")
+      require(names.nonEmpty, "empty experiment list")
+      val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+      tasks.clear()
+      names.foreach(n => tasks(n) = ("PENDING", None, None, None))
+      stopRequested = false
+      state = "RUNNING"
+      val t = new Thread(() => run(names, sf), "graft-experiments")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    private def run(names: Seq[String], sf: String): Unit = {
+      for (n <- names) {
+        val skip = lock.synchronized {
+          if (stopRequested) { tasks(n) = ("CANCELLED", None, None, None); true }
+          else { tasks(n) = ("RUNNING", None, None, None); false }
+        }
+        if (!skip) {
+          try {
+            graft.CacheRegistry.unpersistAll()
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobGroup("graft-experiment", n, interruptOnCancel = true)
+            val t0 = System.nanoTime()
+            val rows = graft.SparkEntry.queries(n)(spark, sf).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            lock.synchronized { tasks(n) = ("FINISHED", Some(sec), Some(rows), None) }
+          } catch {
+            case e: Throwable => lock.synchronized {
+              val st = if (stopRequested) "CANCELLED" else "FAILED"
+              tasks(n) = (st, None, None,
+                Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+            }
+          } finally spark.sparkContext.clearJobGroup()
+        }
+      }
+      lock.synchronized { state = "STOPPED" }
+    }
+
+    def stop(): Unit = {
+      stopRequested = true
+      spark.sparkContext.cancelJobGroup("graft-experiment")
+    }
+
+    def statusJson: String = lock.synchronized {
+      val ts = tasks.map { case (n, (st, sec, rows, err)) =>
+        s"""{"name":${jstr(n)},"state":${jstr(st)},""" +
+          s""""sec":${sec.map(_.toString).getOrElse("null")},""" +
+          s""""rows":${rows.map(_.toString).getOrElse("null")},""" +
+          s""""error":${err.map(jstr).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
+      s"""{"state":${jstr(state)},"tasks":$ts}"""
+    }
+  }
+
+  handle("/api/experiment/start") { ex =>
+    val sf = param(ex, "sf").getOrElse("/root/testdata/sf0.001")
+    // body = comma/newline-separated entry names; "*" = every entry
+    val raw = body(ex)
+    val names =
+      if (raw == "*") graft.SparkEntry.queries.keys.toSeq.sorted
+      else raw.split("[,\n]").map(_.trim).filter(_.nonEmpty).toSeq
+    Experiments.start(names, sf)
+    (200, s"""{"started":${names.length}}""", "application/json")
+  }
+
+  handle("/api/experiment/status") { _ =>
+    (200, Experiments.statusJson, "application/json")
+  }
+
+  handle("/api/experiment/stop") { _ =>
+    Experiments.stop()
+    (200, """{"stopping":true}""", "application/json")
+  }
+
   handle("/") { _ => (200, GraftServer.indexHtml, "text/html") }
 
   def start(): GraftServer = { server.setExecutor(null); server.start(); this }

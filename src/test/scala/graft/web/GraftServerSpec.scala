@@ -103,6 +103,49 @@ class GraftServerSpec extends SparkSpecBase {
     assert(dot.contains(" -- "), dot) // relation—variable incidence edges
   }
 
+  test("async experiment queue: start runs entries in order, status reports times, " +
+    "stop cancels the pending tail") {
+    // reference ExperimentManager workflow: enqueue, poll, stop
+    val (c0, b0) = post("/api/experiment/start?sf=" + sfDir, "pipe_chunk,text_quality")
+    assert(c0 == 200, b0)
+    var st = ""
+    val deadline = System.currentTimeMillis() + 120000
+    while (st != "STOPPED" && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      st = """"state":"([A-Z]+)"""".r.findFirstMatchIn(get("/api/experiment/status")._2)
+        .map(_.group(1)).getOrElse("")
+    }
+    val (_, status) = get("/api/experiment/status")
+    assert(st == "STOPPED", status)
+    assert(""""state":"FINISHED"""".r.findAllIn(status).size == 2, status)
+    assert(status.contains(""""sec":""") && !status.contains(""""sec":null"""), status)
+    assert(!status.contains(""""state":"FAILED""""), status)
+
+    // unknown names are rejected up front
+    val (cBad, bBad) = post("/api/experiment/start", "no_such_entry")
+    assert(cBad == 400 && bBad.contains("unknown queries"), bBad)
+
+    // stop: the tail of a longer queue is cancelled before it runs
+    val (c1, _) = post("/api/experiment/start?sf=" + sfDir,
+      "pipe_chunk,text_quality,text_langid,pipe_redact")
+    assert(c1 == 200)
+    val (c2, b2) = post("/api/experiment/stop", "")
+    assert(c2 == 200 && b2.contains("stopping"), b2)
+    var st2 = ""
+    val deadline2 = System.currentTimeMillis() + 120000
+    while (st2 != "STOPPED" && System.currentTimeMillis() < deadline2) {
+      Thread.sleep(200)
+      st2 = """"state":"([A-Z]+)"""".r.findFirstMatchIn(get("/api/experiment/status")._2)
+        .map(_.group(1)).getOrElse("")
+    }
+    val (_, s2) = get("/api/experiment/status")
+    assert(st2 == "STOPPED", s2)
+    // stop landed milliseconds after start: at least the last task never
+    // ran (each task costs a real Spark job), and nothing is left running
+    assert(s2.contains(""""name":"pipe_redact","state":"CANCELLED""""), s2)
+    assert(!s2.contains(""""state":"RUNNING"""") && !s2.contains(""""state":"PENDING""""), s2)
+  }
+
   test("comparison hypergraph: dashed DOT edge, home endpoints, per-tree paths + degree") {
     view()
     // cqc_trade shape: chain join with a cross-relation comparison
