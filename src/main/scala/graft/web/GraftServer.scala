@@ -201,7 +201,26 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     require(sql.nonEmpty, "empty SQL body")
     val obj = param(ex, "object").getOrElse("GraftQuery")
     val pkg = param(ex, "package").getOrElse("graft.generated")
-    (200, graft.sql.Emit.program(spark, sql, obj, pkg), "text/x-scala")
+    val prog = graft.sql.Emit.program(spark, sql, obj, pkg)
+    // ?output=path persists the artifact server-side (reference
+    // CompileController /compile/persist); &pair=1 writes the stock
+    // twin beside it as <stem>SparkSQL.scala (CLI --pair convention)
+    param(ex, "output") match {
+      case Some(outPath) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          prog.getBytes(StandardCharsets.UTF_8))
+        val twin = if (param(ex, "pair").contains("1")) {
+          val p = java.nio.file.Paths.get(
+            outPath.stripSuffix(".scala") + "SparkSQL.scala")
+          java.nio.file.Files.write(p,
+            graft.sql.Emit.stockProgram(spark, sql, obj, pkg)
+              .getBytes(StandardCharsets.UTF_8))
+          Some(p.toString)
+        } else None
+        (200, s"""{"wrote":[${(Seq(outPath) ++ twin).map(jstr).mkString(",")}]}""",
+          "application/json")
+      case None => (200, prog, "text/x-scala")
+    }
   }
 
   handle("/api/queries") { _ =>

@@ -184,6 +184,22 @@ class GraftServerSpec extends SparkSpecBase {
     assert(src.contains("object WebQ") && src.contains("def run(spark: SparkSession)"), src)
   }
 
+  test("emit ?output= persists the artifact server-side; &pair=1 writes the twin") {
+    // reference /compile/persist: the console saves generated code
+    view()
+    val dir = java.nio.file.Files.createTempDirectory("web_emit")
+    val out = dir.resolve("WebP.scala")
+    val enc = java.net.URLEncoder.encode(out.toString, "UTF-8")
+    val (c, b) = post(s"/api/emit?object=WebP&output=$enc&pair=1", joinSql)
+    assert(c == 200 && b.contains(""""wrote":["""), b)
+    val prog = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    assert(prog.contains("object WebP") && prog.contains("CqcSql.solve"), prog.take(300))
+    val twin = dir.resolve("WebPSparkSQL.scala")
+    assert(java.nio.file.Files.exists(twin), "pair twin beside the artifact")
+    assert(new String(java.nio.file.Files.readAllBytes(twin), "UTF-8")
+      .contains("object WebPSparkSQL"))
+  }
+
   test("experiment runner times a registered entry") {
     val (c, b) = get("/api/queries")
     assert(c == 200 && b.contains("\"q1_agg\""), b)
