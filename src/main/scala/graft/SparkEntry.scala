@@ -1759,6 +1759,9 @@ object SparkEntry {
     // multimodal SemDeDup: stub decode -> embed -> cluster -> dedup decision
     "mm_dedup" -> ((s, d) => Multimodal.semanticDedupOverFeatures(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // CCNet-style LM likelihood gate: char-trigram model self-trained on
+    // the corpus, mean per-trigram probability as the filter signal
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
     "pipe_clean_lang" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -2334,6 +2337,7 @@ object SparkEntry {
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,
+    "text_lm_score" -> TextOps.lmScoreSql,
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,

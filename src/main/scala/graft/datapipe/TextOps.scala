@@ -442,6 +442,112 @@ object TextOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------- LM likelihood gate
+
+  /**
+   * Character-trigram LM likelihood score — the CCNet perplexity-
+   * filtering signal (Wenzek et al., "CCNet: Extracting High Quality
+   * Monolingual Datasets from Web Crawl Data", 2020: score each
+   * document under a language model trained on a trusted reference
+   * corpus, gate on the score) as a deterministic cross-engine
+   * operator. The model is add-one-smoothed character trigrams over
+   * `ref` (defaults to the corpus itself):
+   *
+   *   p(g) = (c3(g) + 1) / (c2(prefix2(g)) + V)
+   *
+   * and a document's score is the MEAN per-trigram probability, not a
+   * log-domain perplexity: `ln` is libm-implementation-dependent, which
+   * would break the bit-exact DuckDB oracle, while mean-likelihood is
+   * pure IEEE division + the decimal-exact summation pattern the rest
+   * of the module uses — and it ranks the same gate decisions
+   * (monotone in the per-trigram likelihoods; low score = improbable
+   * character sequences = the filter's target).
+   *
+   * Scale: both model sides are map-combinable groupBy counts bounded
+   * by the charset (|chars|^3 trigram rows — broadcastable for real
+   * text corpora; a giant-charset corpus would bucket-join instead);
+   * scoring is one explode + two broadcast joins + one map-combinable
+   * aggregate, so corpus bytes shuffle only for the per-doc regroup.
+   * V (the reference charset size) is the one driver-side scalar, like
+   * the IVF centroid collect.
+   *
+   * Output: one row per doc — `(doc_id, n_trigrams, lm_score)`;
+   * sub-3-char (and NULL-text) docs keep their row with n_trigrams=0
+   * and a NULL score.
+   */
+  def lmScore(docs: DataFrame): DataFrame = lmScore(docs, docs)
+
+  def lmScore(docs: DataFrame, ref: DataFrame): DataFrame = {
+    def grams(n: Int): Column = {
+      val t = coalesce(col("text"), lit(""))
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+        .otherwise(array())
+    }
+    val tri = ref.select(explode(grams(3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val bi = ref.select(explode(grams(2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val v = ref.select(explode(grams(1)).as("ch"))
+      .agg(countDistinct(col("ch"))).head.getLong(0)
+    val docTris = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+      .withColumn("b", col("g").substr(1, 2))
+    val p = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c2"), lit(0L)) + v).cast("double")
+    val scored = docTris
+      .join(broadcast(tri), Seq("g"), "left")
+      .join(broadcast(bi), Seq("b"), "left")
+      .select(col("doc_id"), p.cast("decimal(20,10)").as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("lm_score"))
+  }
+
+  /** DuckDB mirror of [[lmScore]] self-trained on the `documents`
+    * view (range(a,b) is exclusive of b and empty when b <= a, which
+    * reproduces the sub-n-char guards). */
+  val lmScoreSql: String = {
+    def gramsSql(n: Int): String =
+      s"list_transform(range(1, len(coalesce(text, '')) - ${n - 2}), i -> substr(coalesce(text, ''), i, $n))"
+    s"""WITH tri AS (
+       |  SELECT g, COUNT(*) AS c3
+       |  FROM (SELECT unnest(${gramsSql(3)}) AS g FROM documents)
+       |  GROUP BY g
+       |),
+       |bi AS (
+       |  SELECT b, COUNT(*) AS c2
+       |  FROM (SELECT unnest(${gramsSql(2)}) AS b FROM documents)
+       |  GROUP BY b
+       |),
+       |vv AS (
+       |  SELECT COUNT(DISTINCT ch) AS v
+       |  FROM (SELECT unnest(${gramsSql(1)}) AS ch FROM documents)
+       |),
+       |dt AS (
+       |  SELECT doc_id, g, substr(g, 1, 2) AS b
+       |  FROM (SELECT doc_id, unnest(${gramsSql(3)}) AS g FROM documents)
+       |),
+       |ps AS (
+       |  SELECT dt.doc_id,
+       |         CAST(CAST(coalesce(tri.c3, 0) + 1 AS DOUBLE)
+       |              / CAST(coalesce(bi.c2, 0) + (SELECT v FROM vv) AS DOUBLE)
+       |              AS DECIMAL(20,10)) AS p
+       |  FROM dt LEFT JOIN tri USING (g) LEFT JOIN bi ON bi.b = dt.b
+       |),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_trigrams,
+       |         round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS lm_score
+       |  FROM ps GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       s.lm_score
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ repetition
 
   /** Duplicate-n-gram threshold above which a doc is gated as

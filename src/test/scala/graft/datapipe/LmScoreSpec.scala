@@ -1,0 +1,100 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Char-trigram LM likelihood gate ([[TextOps.lmScore]] — the CCNet
+  * perplexity-filtering signal as a deterministic mean-likelihood):
+  * planted smoothing/contract checks, a pure-Scala oracle battery, and
+  * the plan shape (model sides broadcast, one doc regroup). */
+class LmScoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] =
+    TextOps.lmScore(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+
+  /** Pure-Scala mirror: add-one-smoothed trigram probs, decimal-exact
+    * mean (10dp HALF_UP per p, double divide, 6dp round). */
+  private def oracle(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] = {
+    def grams(s: String, n: Int): Seq[String] =
+      if (s.length < n) Seq.empty else (0 to s.length - n).map(i => s.substring(i, i + n))
+    val c3 = docs.flatMap(d => grams(d._2, 3)).groupBy(identity).view.mapValues(_.size).toMap
+    val c2 = docs.flatMap(d => grams(d._2, 2)).groupBy(identity).view.mapValues(_.size).toMap
+    val v = docs.flatMap(d => grams(d._2, 1)).distinct.size
+    docs.map { case (id, t) =>
+      val tris = grams(t, 3)
+      if (tris.isEmpty) id -> ((0L, None))
+      else {
+        val ps = tris.map { g =>
+          val p = (c3.getOrElse(g, 0) + 1).toDouble / (c2.getOrElse(g.take(2), 0) + v).toDouble
+          BigDecimal(p).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val mean = BigDecimal(ps.sum.toDouble / tris.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((tris.size.toLong, Some(mean)))
+      }
+    }.toMap
+  }
+
+  test("planted corpus: in-model text outscores unseen-trigram gibberish; smoothing exact") {
+    // doc 2 repeats doc 0/1's character patterns; doc 3 is drawn from a
+    // disjoint alphabet, so every trigram is unseen-but-smoothed
+    val docs = Seq(
+      0L -> "the cat sat on the mat",
+      1L -> "the rat sat on the cat",
+      2L -> "the cat sat",
+      3L -> "zqxjkvzqxjkv")
+    val got = run(docs)
+    val want = oracle(docs)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(2L)._2.get > got(3L)._2.get,
+      "in-model text must outscore out-of-model gibberish")
+    // n_trigrams = len-2 for each doc
+    docs.foreach { case (id, t) => assert(got(id)._1 == math.max(0, t.length - 2)) }
+  }
+
+  test("contract rows: NULL and sub-3-char docs keep a row with zero trigrams") {
+    val got = TextOps.lmScore(Seq(
+      (1L, null.asInstanceOf[String]), (2L, "ab"), (3L, "abcd"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "one row per doc, none dropped")
+    assert(got(1L) == ((0L, None)) && got(2L) == ((0L, None)))
+    assert(got(3L)._1 == 2L && got(3L)._2.isDefined)
+  }
+
+  test("randomized battery matches the pure-Scala oracle") {
+    val rnd = new scala.util.Random(114013)
+    val alphabet = "abcdef gh"
+    val docs = (0L until 60L).map { id =>
+      id -> (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    assert(run(docs) == oracle(docs))
+  }
+
+  test("plan: model sides broadcast, corpus shuffles only for the doc regroup") {
+    def shuffles(plan: SparkPlan): Int = {
+      val here = plan match { case a: AdaptiveSparkPlanExec => a.executedPlan; case x => x }
+      (here match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+        here.children.map(shuffles).sum
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val df = TextOps.lmScore(docs)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("BroadcastNestedLoop") == false &&
+        plan.toString.contains("Broadcast"),
+      s"model joins must broadcast:\n$plan")
+    // shuffles: tri counts + bi counts (model build, bounded relations)
+    // + the per-doc score regroup + the final left join back to docs —
+    // the EXPLODED corpus trigram stream itself never exchanges before
+    // its broadcast probes
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"no sort-merge on the trigram stream:\n$plan")
+    assert(df.count() == docs.count(), "one row per doc")
+  }
+}
