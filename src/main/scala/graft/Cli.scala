@@ -91,15 +91,8 @@ object Cli {
       args.collectFirst { case a if a.startsWith("--output=") =>
         a.stripPrefix("--output=") } match {
         case Some(outPath) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-            prog.getBytes("UTF-8"))
-          println(s"wrote $outPath")
-          twin.foreach { t =>
-            val p = java.nio.file.Paths.get(
-              outPath.stripSuffix(".scala") + "SparkSQL.scala")
-            java.nio.file.Files.write(p, t.getBytes("UTF-8"))
-            println(s"wrote $p")
-          }
+          graft.sql.Emit.writePair(java.nio.file.Paths.get(outPath), prog, twin)
+            .foreach(p => println(s"wrote $p"))
         case None =>
           println(prog)
           twin.foreach { t =>

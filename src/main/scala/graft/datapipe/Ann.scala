@@ -350,8 +350,13 @@ object Ann {
   private def ivfAssign2(
       of: DataFrame, idCol: String, cent: DataFrame, k: Int, keep: Int): DataFrame = {
     if (k < ivf2MinK) return ivfAssign(of, idCol, cent, keep)
-    val coarse = ivfCoarse(cent, coarseK(k))
-    val branches = ivfBranches(cent, coarse)
+    // cache-pin the quantizer (K-row relations): coarse is referenced
+    // by both the branch map and the stage-1 pick, and ivfTopK calls
+    // this twice (inverted lists + query probe) — the pins canonically
+    // dedup in the CacheManager, so the coarse Lloyd pass trains ONCE
+    // per operator instead of per call (r11 review fix)
+    val coarse = graft.CacheRegistry.persistTracked(ivfCoarse(cent, coarseK(k)))
+    val branches = graft.CacheRegistry.persistTracked(ivfBranches(cent, coarse))
     val g = coarse.select(col("cid").as("gid"), col("c_emb").as("g_emb"))
     val wg = Window.partitionBy(idCol).orderBy(col("__gsim").desc, col("gid").asc)
     val picked = of.crossJoin(broadcast(g))

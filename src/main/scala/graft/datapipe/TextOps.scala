@@ -494,10 +494,17 @@ object TextOps {
       .withColumn("b", col("g").substr(1, 2))
     val p = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c2"), lit(0L)) + v).cast("double")
+    // DECIMAL(30,25), not the module's usual (20,10): p >= 1/(c2+V) can
+    // sit far below 1e-10 once the reference corpus passes ~10^10
+    // bigrams — a 10dp cast would floor every probability to 0 and
+    // collapse the gate's signal at exactly the scale it targets. 25
+    // fractional digits keep p exact down to corpora of 10^25 chars;
+    // 5 integer digits bound the per-doc sum (sum p <= n_trigrams),
+    // and both engines widen the SUM accumulator past it
     val scored = docTris
       .join(broadcast(tri), Seq("g"), "left")
       .join(broadcast(bi), Seq("b"), "left")
-      .select(col("doc_id"), p.cast("decimal(20,10)").as("p"))
+      .select(col("doc_id"), p.cast("decimal(30,25)").as("p"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         round(sum(col("p")).cast("double") / count(lit(1)), 6).as("lm_score"))
@@ -535,7 +542,7 @@ object TextOps {
        |  SELECT dt.doc_id,
        |         CAST(CAST(coalesce(tri.c3, 0) + 1 AS DOUBLE)
        |              / CAST(coalesce(bi.c2, 0) + (SELECT v FROM vv) AS DOUBLE)
-       |              AS DECIMAL(20,10)) AS p
+       |              AS DECIMAL(30,25)) AS p
        |  FROM dt LEFT JOIN tri USING (g) LEFT JOIN bi ON bi.b = dt.b
        |),
        |s AS (

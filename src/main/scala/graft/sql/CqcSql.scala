@@ -671,7 +671,10 @@ object CqcSql {
     if ((conjuncts ++ postOuterConjuncts).exists { e =>
       hasSubquery(e) && {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
-        ls.size != 1 || leafIsNested(ls.head)
+        // -1 = the attr lives on a PEELED outer-join side, not a leaf
+        // (the peel path applies such predicates later; indexing leaves
+        // with it would crash) — treat like the pre-guard behavior
+        ls.size != 1 || (ls.head >= 0 && leafIsNested(ls.head))
       }
     }) {
       trace("routing: stock fallback (cross-leaf or nested-leaf subquery predicate)")

@@ -184,7 +184,15 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
           } yield {
             val hops = t.path(from.name, to.name).sliding(2)
               .filter(_.size == 2).map(p => (p(0), p(1))).toSeq
-            hops.foreach(h => cover += h -> (cover(h) + 1))
+            // degree counts an UNDIRECTED tree edge once per covering
+            // comparison — normalize hop orientation so two comparisons
+            // traversing the same edge in opposite directions both land
+            // on one key (r11 review fix: direction-sensitive keys
+            // under-reported the CQC acyclicity bound)
+            hops.foreach { case (a, b) =>
+              val h = if (a <= b) (a, b) else (b, a)
+              cover += h -> (cover(h) + 1)
+            }
             val hopJson = hops.map { case (a, b) =>
               s"""{"from":${jstr(a)},"to":${jstr(b)}}""" }.mkString("[", ",", "]")
             s"""{"cmp":${jstr(s"${c.left} ${c.op} ${c.right}")},"path":$hopJson}"""
@@ -202,22 +210,25 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     val obj = param(ex, "object").getOrElse("GraftQuery")
     val pkg = param(ex, "package").getOrElse("graft.generated")
     val prog = graft.sql.Emit.program(spark, sql, obj, pkg)
-    // ?output=path persists the artifact server-side (reference
+    // ?output=name persists the artifact server-side (reference
     // CompileController /compile/persist); &pair=1 writes the stock
-    // twin beside it as <stem>SparkSQL.scala (CLI --pair convention)
+    // twin beside it as <stem>SparkSQL.scala (CLI --pair convention).
+    // CONFINED: an unauthenticated localhost server must not take
+    // arbitrary write paths (r11 review fix — a cross-origin POST could
+    // overwrite any file the server user owns), so `output` is a bare
+    // file name and every artifact lands under the server's emit dir.
     param(ex, "output") match {
-      case Some(outPath) =>
-        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-          prog.getBytes(StandardCharsets.UTF_8))
-        val twin = if (param(ex, "pair").contains("1")) {
-          val p = java.nio.file.Paths.get(
-            outPath.stripSuffix(".scala") + "SparkSQL.scala")
-          java.nio.file.Files.write(p,
-            graft.sql.Emit.stockProgram(spark, sql, obj, pkg)
-              .getBytes(StandardCharsets.UTF_8))
-          Some(p.toString)
-        } else None
-        (200, s"""{"wrote":[${(Seq(outPath) ++ twin).map(jstr).mkString(",")}]}""",
+      case Some(name) =>
+        require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+          !name.contains(".."),
+          "output must be a bare file name (artifacts land in the server emit dir)")
+        val twin =
+          if (param(ex, "pair").contains("1"))
+            Some(graft.sql.Emit.stockProgram(spark, sql, obj, pkg))
+          else None
+        val wrote = graft.sql.Emit.writePair(
+          GraftServer.emitDir.resolve(name), prog, twin)
+        (200, s"""{"wrote":[${wrote.map(p => jstr(p.toString)).mkString(",")}]}""",
           "application/json")
       case None => (200, prog, "text/x-scala")
     }
@@ -344,6 +355,12 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
 }
 
 object GraftServer {
+
+  /** The one directory server-side emit artifacts may land in
+    * (`/api/emit?output=<bare name>`). */
+  private[web] lazy val emitDir: java.nio.file.Path =
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_emit"))
 
   /** `runMain graft.web.GraftServer [port]` — serve until killed. */
   def main(args: Array[String]): Unit = {

@@ -18,7 +18,8 @@ class LmScoreSpec extends SparkSpecBase {
         ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
 
   /** Pure-Scala mirror: add-one-smoothed trigram probs, decimal-exact
-    * mean (10dp HALF_UP per p, double divide, 6dp round). */
+    * mean (25dp HALF_UP per p — wide enough that corpus-scale tiny
+    * probabilities never floor to zero — double divide, 6dp round). */
   private def oracle(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] = {
     def grams(s: String, n: Int): Seq[String] =
       if (s.length < n) Seq.empty else (0 to s.length - n).map(i => s.substring(i, i + n))
@@ -31,7 +32,7 @@ class LmScoreSpec extends SparkSpecBase {
       else {
         val ps = tris.map { g =>
           val p = (c3.getOrElse(g, 0) + 1).toDouble / (c2.getOrElse(g.take(2), 0) + v).toDouble
-          BigDecimal(p).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          BigDecimal(p).setScale(25, BigDecimal.RoundingMode.HALF_UP)
         }
         val mean = BigDecimal(ps.sum.toDouble / tris.size)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -66,6 +66,26 @@ class DoorEdge12Spec extends SparkSpecBase {
     assert(bad == 0, s"$bad shapes disagreed between routes (or went empty)")
   }
 
+  test("subquery predicate referencing a PEELED outer-join side routes, not crashes") {
+    // r11 review fix: the nested-leaf subquery guard indexed `leaves`
+    // with leafOf = -1 when the predicate's attrs live on a peeled
+    // outer-join side (in no leaf) — IndexOutOfBounds out of solvePlan.
+    // The -1 case must route like the pre-guard behavior and stay
+    // result-identical to stock.
+    import spark.implicits._
+    Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("doc_id", "lang")
+      .createOrReplaceTempView("d12p_docs")
+    Seq((1L, 3L), (2L, 1L)).toDF("doc_id", "dup_of")
+      .createOrReplaceTempView("d12p_flag")
+    val sql =
+      """SELECT x.doc_id AS doc_id, f.dup_of AS dup_of
+        |FROM d12p_docs x LEFT JOIN d12p_flag f ON f.doc_id = x.doc_id
+        |WHERE f.dup_of IN (SELECT doc_id FROM d12p_docs WHERE lang = 'en')""".stripMargin
+    val door = multiset(CqcSql.solve(spark, sql))
+    val stock = multiset(spark.sql(sql))
+    assert(door == stock && door.nonEmpty, s"door $door vs stock $stock")
+  }
+
   test("direct vs reduced vs stock agree on lean-gate / two-level-IVF compositions") {
     views()
     battery(Seq(

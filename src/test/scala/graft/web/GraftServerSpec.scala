@@ -154,19 +154,23 @@ class GraftServerSpec extends SparkSpecBase {
     val tradeSql =
       """SELECT g1.src AS a, g3.dst AS b
         |FROM web_edges g1, web_edges g2, web_edges g3
-        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g1.src < g3.dst""".stripMargin
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src
+        |  AND g1.src < g3.dst AND g3.dst > g1.src + 10""".stripMargin
     val (c, b) = post("/api/structure", tradeSql)
     assert(c == 200, b)
     // top-level comparison list with op and home relations
     assert(b.contains(""""comparisons":[{"""), b)
     assert(b.contains(""""op":"<""""), b)
     assert(b.contains(""""from":"r0"""") && b.contains(""""to":"r2""""), b)
-    // each of the 3 candidate trees carries the comparison laid over its
-    // OWN edges: a 2-hop path and degree 1 on a 3-chain, whatever the root
-    assert(raw""""cmp":""".r.findAllIn(b).size == 3, b)
-    assert(raw""""degree":1""".r.findAllIn(b).size == 3, b)
+    // each of the 3 candidate trees carries BOTH comparisons laid over
+    // its OWN edges: 2-hop paths in OPPOSITE directions (r0->r2 and
+    // r2->r0), and the degree counts the undirected edge coverage — 2,
+    // whatever the root (r11 review fix: direction-sensitive hop keys
+    // read 1 here)
+    assert(raw""""cmp":""".r.findAllIn(b).size == 6, b)
+    assert(raw""""degree":2""".r.findAllIn(b).size == 3, b)
     assert(b.contains(""""path":[{"from":"""), b)
-    assert(!b.contains(""""degree":0"""), b)
+    assert(!b.contains(""""degree":0""") && !b.contains(""""degree":1"""), b)
     // the DOT view draws the dashed comparison edge between the home boxes
     val (cd, dot) = post("/api/hypergraph", tradeSql)
     assert(cd == 200, dot)
@@ -184,20 +188,34 @@ class GraftServerSpec extends SparkSpecBase {
     assert(src.contains("object WebQ") && src.contains("def run(spark: SparkSession)"), src)
   }
 
-  test("emit ?output= persists the artifact server-side; &pair=1 writes the twin") {
-    // reference /compile/persist: the console saves generated code
+  test("emit ?output= persists into the CONFINED emit dir; &pair=1 writes the twin; " +
+    "traversal rejected") {
+    // reference /compile/persist: the console saves generated code —
+    // but only under the server's emit dir (bare file names)
     view()
-    val dir = java.nio.file.Files.createTempDirectory("web_emit")
-    val out = dir.resolve("WebP.scala")
-    val enc = java.net.URLEncoder.encode(out.toString, "UTF-8")
-    val (c, b) = post(s"/api/emit?object=WebP&output=$enc&pair=1", joinSql)
+    val (c, b) = post(s"/api/emit?object=WebP&output=WebP.scala&pair=1", joinSql)
     assert(c == 200 && b.contains(""""wrote":["""), b)
-    val prog = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    val wrote = """"([^"]+)"""".r.findAllMatchIn(b.stripPrefix("""{"wrote":["""))
+      .map(_.group(1)).toSeq
+    assert(wrote.size == 2, b)
+    assert(wrote.forall(_.startsWith(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_emit").toString)),
+      s"artifacts must land in the emit dir: $wrote")
+    val prog = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(wrote.head)), "UTF-8")
     assert(prog.contains("object WebP") && prog.contains("CqcSql.solve"), prog.take(300))
-    val twin = dir.resolve("WebPSparkSQL.scala")
-    assert(java.nio.file.Files.exists(twin), "pair twin beside the artifact")
-    assert(new String(java.nio.file.Files.readAllBytes(twin), "UTF-8")
+    assert(wrote(1).endsWith("WebPSparkSQL.scala"), wrote(1))
+    assert(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(wrote(1))), "UTF-8")
       .contains("object WebPSparkSQL"))
+    // path traversal / absolute paths are rejected, not written
+    val enc = java.net.URLEncoder.encode("../evil.scala", "UTF-8")
+    val (cBad, bBad) = post(s"/api/emit?output=$enc", joinSql)
+    assert(cBad == 400 && bBad.contains("bare file name"), bBad)
+    val encAbs = java.net.URLEncoder.encode("/tmp/evil_abs.scala", "UTF-8")
+    val (cAbs, _) = post(s"/api/emit?output=$encAbs", joinSql)
+    assert(cAbs == 400)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/evil_abs.scala")))
   }
 
   test("experiment runner times a registered entry") {
