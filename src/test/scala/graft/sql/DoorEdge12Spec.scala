@@ -29,6 +29,8 @@ class DoorEdge12Spec extends SparkSpecBase {
     Ann.embedStreamingFlag(emb, eidx).createOrReplaceTempView("d12_eflag")
     Ann.embedStreamingFlagMultiprobe(emb, eidx)
       .createOrReplaceTempView("d12_eflagmp")
+    // LM likelihood gate output (r11 growth entry) as a door relation
+    TextOps.lmScore(docs).createOrReplaceTempView("d12_lm")
     // TWO-LEVEL IVF outputs: probe ranks + both SemDeDup keep policies
     Ann.ivfTopK(emb).createOrReplaceTempView("d12_ivf")
     Ann.semanticDedup(emb).createOrReplaceTempView("d12_sem")
@@ -154,6 +156,15 @@ class DoorEdge12Spec extends SparkSpecBase {
         """SELECT x.lang AS lang, COUNT(*) AS n, MIN(p.jac) AS worst
           |FROM d12_mhpairs p, d12_docs x
           |WHERE p.d1 = x.doc_id
+          |GROUP BY x.lang""".stripMargin,
+      // LM gate scores aggregated per language over the corpus join —
+      // a NULLABLE measure (short docs carry NULL scores) through the
+      // factorized aggregate path
+      "lm_per_lang" ->
+        """SELECT x.lang AS lang, COUNT(*) AS n, MAX(l.lm_score) AS best,
+          |       SUM(l.n_trigrams) AS tri_mass
+          |FROM d12_lm l, d12_docs x
+          |WHERE l.doc_id = x.doc_id
           |GROUP BY x.lang""".stripMargin,
       // EXISTS over the lexical gate (subquery-predicate leaf)
       "gate_exists" ->
