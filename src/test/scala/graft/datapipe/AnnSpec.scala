@@ -161,6 +161,114 @@ class AnnSpec extends SparkSpecBase {
       "two-level oracle starts at the threshold")
   }
 
+  test("r12 plan pin: keep=1 assignment is a map-side argmin — no Window, fanout collapses before every exchange") {
+    // the r11 scale finding this pins closed: the row_number window over
+    // the crossJoin-exploded candidate frame shuffled sqrt(K)x (two-
+    // level) or Kx (flat) the collection's vector mass per assignment
+    // pass. The argmin form combines map-side: every exchange in the
+    // assignment plan sits ABOVE a partial aggregate (slim (id, cand,
+    // sim) rows collapse to one per id before they move) or carries the
+    // un-exploded payload once.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = (0L until 256L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 3.0 + d * 11.0).toFloat)))
+        .toDF("vec_id", "embedding")
+      def fanoutBelow(p: SparkPlan): Boolean = p match {
+        case _: BaseAggregateExec => false // partial agg collapses the fanout
+        case _: BroadcastNestedLoopJoinExec => true // the crossJoin explode
+        case other => other.children.exists(fanoutBelow)
+      }
+      for (k <- Seq(Ann.ivfCentroids, Ann.ivf2MinK)) { // flat AND two-level
+        val cent = Ann.trainedCentroids(vecs, rounds = 1, k = k)
+        val assigned = Ann.ivfAssign2(vecs, "vec_id", cent, k, 1)
+        val plan = assigned.queryExecution.executedPlan
+        assert(!plan.toString.contains("Window"),
+          s"k=$k keep=1 assignment must not rank via a window")
+        val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+        assert(exchanges.nonEmpty, "assignment does exchange (the payload re-join)")
+        exchanges.foreach { e =>
+          assert(!fanoutBelow(e.child),
+            s"k=$k: an exchange moves the exploded candidate frame:\n$e")
+        }
+        // and the pick semantics are unchanged: one row per vector
+        assert(assigned.count() == 256L)
+        assert(assigned.select("vec_id").distinct().count() == 256L)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  /** Unit vector at (polar, azimuth) degrees — spherical test geometry
+    * for the orphan-branch construction below. */
+  private def sph(polar: Double, az: Double): Array[Float] = {
+    val p = math.toRadians(polar); val a = math.toRadians(az)
+    Array((math.sin(p) * math.cos(a)).toFloat,
+      (math.sin(p) * math.sin(a)).toFloat, math.cos(p).toFloat)
+  }
+
+  test("r12 adversarial: an EMPTY coarse branch cannot swallow vectors (assignment stays total)") {
+    // r11 advice (medium): stage 1 picked a vector's nearest coarse over
+    // ALL trained coarse centroids, but stage 2 inner-joined `branches`,
+    // which only lists gids owning >= 1 fine centroid. A refined coarse
+    // centroid that ends up owning ZERO fine centroids (the classic
+    // empty-cluster case) silently DROPPED every vector whose nearest
+    // coarse it was. This constructs exactly that geometry and pins the
+    // one-decision-row-per-vector contract.
+    //
+    // Construction (3-d unit sphere, coarse seeds = fine cids 0..7):
+    // seed B = cid1 at the north pole captures exactly {itself, m=cid18
+    // at (19,180)}; its refined mean lands at ~(9.5,180). A tight
+    // cluster D refines to ~(7.4,90) — closer to the pole than refined
+    // B — and a cluster E refines to ~(24,180) — closer to m than
+    // refined B. So in the branch map B owns NOTHING: gid 1 is dead.
+    import spark.implicits._
+    val k = 64
+    val rows = Seq.newBuilder[(Long, Array[Float])]
+    rows += 0L -> sph(180, 0) // seed A: south pole
+    rows += 1L -> sph(0, 0) // seed B: north pole -> orphaned
+    rows += 2L -> sph(12, 90) // seed D
+    rows += 3L -> sph(40, 180) // seed E
+    rows += 4L -> sph(120, 0) // southern seeds F..I
+    rows += 5L -> sph(120, 90)
+    rows += 6L -> sph(140, 180)
+    rows += 7L -> sph(140, 270)
+    for (i <- 0 until 5) rows += (8L + i) -> sph(6.5, 80 + i * 5) // D members
+    for (i <- 0 until 5) rows += (13L + i) -> sph(21, 170 + i * 5) // E members
+    rows += 18L -> sph(19, 180) // m: B's only non-self capture
+    for (j <- 0 until 45) // southern filler around seeds F..I
+      rows += (19L + j) -> sph(115 + 10 * (j % 4) + (j / 4) % 5, 37 * j % 360)
+    val cent = rows.result().toDF("vec_id", "embedding")
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    assert(cent.count() == k)
+
+    // precondition: the crafted centroid table really orphans a branch
+    val coarse = Ann.ivfCoarse(cent, Ann.coarseK(k))
+    val owned = Ann.ivfBranches(cent, coarse)
+      .select("gid").distinct().as[Long].collect().toSet
+    val trained = coarse.select("cid").as[Long].collect().toSet
+    assert(trained.diff(owned).nonEmpty,
+      s"construction must empty a coarse branch (trained=$trained owned=$owned)")
+
+    // vectors probing near the dead branch's direction — plus scatter
+    val probes = (Seq(100L -> sph(9, 180), 101L -> sph(5, 170)) ++
+      (102L until 110L).map(i => i -> sph((i * 37 % 180).toDouble, (i * 91 % 360).toDouble)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.ivfAssign2(probes, "vec_id", cent, k, 1)
+    assert(out.count() == 10L, "every vector keeps its decision row")
+    assert(out.select("vec_id").distinct().count() == 10L)
+    // the near-dead-branch probe assigns into a LIVE branch's fine list
+    val cid100 = out.where(col("vec_id") === 100L).select("cid").as[Long].head()
+    assert(owned.contains(
+      Ann.ivfBranches(cent, coarse).where(col("cid") === cid100)
+        .select("gid").as[Long].head()))
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
