@@ -1726,6 +1726,19 @@ object SparkEntry {
       Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
         Dedup.minhashIndex(docs))
     }),
+    // FILE-BACKED form of the gate — the actual cluster deployment
+    // shape: the lean index is bucket-written to parquet and the probe
+    // reads it back from disk (re-listed per micro-batch, no cache
+    // pin to invalidate on corpus refresh). Timed end-to-end including
+    // the index write, so the floor records the full deployment cost.
+    "dedup_stream_flag_file" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mh_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      Dedup.minhashIndex(docs).write(dir)
+      Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
+        Dedup.MinhashIndex.read(s, dir))
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
@@ -1734,6 +1747,16 @@ object SparkEntry {
     "dedup_embed_stream" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0), Ann.embedIndex(emb))
+    }),
+    // file-backed embedding gate (cluster deployment shape — see
+    // dedup_stream_flag_file)
+    "dedup_embed_stream_file" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_emb_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      Ann.embedIndex(emb).write(dir)
+      Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
+        Ann.EmbedIndex.read(s, dir))
     }),
     "dedup_embed_mp" -> ((s, d) => Ann.embedNearDupMultiprobe(Tables.embeddings(s, d))),
     // multiprobe form of the embedding ingest gate: arrivals probe their
@@ -1762,6 +1785,12 @@ object SparkEntry {
     // CCNet-style LM likelihood gate: char-trigram model self-trained on
     // the corpus, mean per-trigram probability as the filter signal
     "text_lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
+    // the CCNet DEPLOYMENT shape: model trained on a distinct curated
+    // reference slice, every crawl document scored against it
+    "text_lm_score_ref" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.lmScore(docs, docs.where(col("doc_id") % 10 === 0))
+    }),
     "pipe_clean_lang" -> ((s, d) => TextOps.cleanCorpus(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(Tables.documents(s, d))),
@@ -2321,10 +2350,13 @@ object SparkEntry {
     "dedup_ngram" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_stream_flag" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
+    // file round-trip changes storage, not values: same oracle
+    "dedup_stream_flag_file" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,
     "dedup_embed_stream" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
+    "dedup_embed_stream_file" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
     "dedup_embed_stream_mp" -> Ann.embedFlagMultiprobeSql("a.vec_id % 10 = 0"),
     "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,
@@ -2338,6 +2370,7 @@ object SparkEntry {
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,
     "text_lm_score" -> TextOps.lmScoreSql,
+    "text_lm_score_ref" -> TextOps.lmScoreRefSql("doc_id % 10 = 0"),
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,
     "text_quality" -> TextOps.qualitySql,
     "text_tokens" -> TextOps.tokenCountsSql,

@@ -475,25 +475,66 @@ object TextOps {
    * sub-3-char (and NULL-text) docs keep their row with n_trigrams=0
    * and a NULL score.
    */
+  /** Character n-grams over `text` (empty array below n chars / NULL). */
+  private def lmGrams(n: Int): Column = {
+    val t = coalesce(col("text"), lit(""))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array())
+  }
+
+  /**
+   * Persistable trigram LM (see [[lmScore]]): `tri`/`bi` are the count
+   * relations, `vocab` the 1-row charset-size frame — all broadcast-
+   * sized for real text corpora (bounded by |charset|^3). The CCNet
+   * deployment shape trains this ONCE on a curated reference corpus and
+   * scores every crawl shard against it; write/read gives the model the
+   * same parquet-backed life cycle as `Dedup.MinhashIndex`.
+   */
+  case class LmModel(tri: DataFrame, bi: DataFrame, vocab: DataFrame) {
+    def write(dir: String): Unit = {
+      tri.write.mode("overwrite").parquet(s"$dir/tri")
+      bi.write.mode("overwrite").parquet(s"$dir/bi")
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    }
+  }
+
+  object LmModel {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): LmModel =
+      LmModel(spark.read.parquet(s"$dir/tri"), spark.read.parquet(s"$dir/bi"),
+        spark.read.parquet(s"$dir/vocab"))
+  }
+
+  /** Train the trigram LM on `ref`. All three frames are LAZY: the
+    * charset size rides as a broadcast 1-row frame (the TF-IDF corpus-
+    * size pattern at [[tfidfTopTerms]]) instead of a `.head` at
+    * operator-construction time, which made every [[lmScore]] CALL an
+    * eager full reference scan even when the returned frame was never
+    * executed (r11 finding). `greatest(·, 1)` keeps the add-one
+    * smoothing well-defined on a reference with no characters, where
+    * `1/(c2+0)` was Infinity and its DECIMAL cast silently NULLed every
+    * score (r11 advice). */
+  def lmModel(ref: DataFrame): LmModel = {
+    val tri = ref.select(explode(lmGrams(3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val bi = ref.select(explode(lmGrams(2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val vocab = ref.select(explode(lmGrams(1)).as("ch"))
+      .agg(greatest(countDistinct(col("ch")), lit(1L)).as("__v"))
+    LmModel(tri, bi, vocab)
+  }
+
   def lmScore(docs: DataFrame): DataFrame = lmScore(docs, docs)
 
-  def lmScore(docs: DataFrame, ref: DataFrame): DataFrame = {
-    def grams(n: Int): Column = {
-      val t = coalesce(col("text"), lit(""))
-      when(length(t) >= n,
-        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-        .otherwise(array())
-    }
-    val tri = ref.select(explode(grams(3)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c3"))
-    val bi = ref.select(explode(grams(2)).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c2"))
-    val v = ref.select(explode(grams(1)).as("ch"))
-      .agg(countDistinct(col("ch"))).head.getLong(0)
-    val docTris = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+  def lmScore(docs: DataFrame, ref: DataFrame): DataFrame =
+    lmScoreWith(docs, lmModel(ref))
+
+  /** Score `docs` under a (possibly file-backed) trained [[LmModel]]. */
+  def lmScoreWith(docs: DataFrame, model: LmModel): DataFrame = {
+    val docTris = docs.select(col("doc_id"), explode(lmGrams(3)).as("g"))
       .withColumn("b", col("g").substr(1, 2))
     val p = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
-      (coalesce(col("c2"), lit(0L)) + v).cast("double")
+      (coalesce(col("c2"), lit(0L)) + col("__v")).cast("double")
     // DECIMAL(30,25), not the module's usual (20,10): p >= 1/(c2+V) can
     // sit far below 1e-10 once the reference corpus passes ~10^10
     // bigrams — a 10dp cast would floor every probability to 0 and
@@ -502,8 +543,9 @@ object TextOps {
     // 5 integer digits bound the per-doc sum (sum p <= n_trigrams),
     // and both engines widen the SUM accumulator past it
     val scored = docTris
-      .join(broadcast(tri), Seq("g"), "left")
-      .join(broadcast(bi), Seq("b"), "left")
+      .join(broadcast(model.tri), Seq("g"), "left")
+      .join(broadcast(model.bi), Seq("b"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col("doc_id"), p.cast("decimal(30,25)").as("p"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
@@ -514,25 +556,29 @@ object TextOps {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("lm_score"))
   }
 
-  /** DuckDB mirror of [[lmScore]] self-trained on the `documents`
-    * view (range(a,b) is exclusive of b and empty when b <= a, which
-    * reproduces the sub-n-char guards). */
-  val lmScoreSql: String = {
+  /** DuckDB mirror of [[lmScore]]: model CTEs trained on `documents`
+    * rows passing `refPred` (the train/score separation — `true` is the
+    * self-trained form), scoring ALL documents. range(a,b) is exclusive
+    * of b and empty when b <= a, which reproduces the sub-n-char
+    * guards; greatest(v,1) mirrors the empty-reference smoothing
+    * guard. */
+  def lmScoreRefSql(refPred: String = "true"): String = {
     def gramsSql(n: Int): String =
       s"list_transform(range(1, len(coalesce(text, '')) - ${n - 2}), i -> substr(coalesce(text, ''), i, $n))"
-    s"""WITH tri AS (
+    s"""WITH ref AS (SELECT * FROM documents WHERE $refPred),
+       |tri AS (
        |  SELECT g, COUNT(*) AS c3
-       |  FROM (SELECT unnest(${gramsSql(3)}) AS g FROM documents)
+       |  FROM (SELECT unnest(${gramsSql(3)}) AS g FROM ref)
        |  GROUP BY g
        |),
        |bi AS (
        |  SELECT b, COUNT(*) AS c2
-       |  FROM (SELECT unnest(${gramsSql(2)}) AS b FROM documents)
+       |  FROM (SELECT unnest(${gramsSql(2)}) AS b FROM ref)
        |  GROUP BY b
        |),
        |vv AS (
-       |  SELECT COUNT(DISTINCT ch) AS v
-       |  FROM (SELECT unnest(${gramsSql(1)}) AS ch FROM documents)
+       |  SELECT greatest(COUNT(DISTINCT ch), 1) AS v
+       |  FROM (SELECT unnest(${gramsSql(1)}) AS ch FROM ref)
        |),
        |dt AS (
        |  SELECT doc_id, g, substr(g, 1, 2) AS b
@@ -554,6 +600,9 @@ object TextOps {
        |       s.lm_score
        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
   }
+
+  /** Self-trained form (the `text_lm_score` entry's oracle). */
+  val lmScoreSql: String = lmScoreRefSql()
 
   // ------------------------------------------------------------ repetition
 

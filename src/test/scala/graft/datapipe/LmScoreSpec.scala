@@ -77,6 +77,51 @@ class LmScoreSpec extends SparkSpecBase {
     assert(run(docs) == oracle(docs))
   }
 
+  test("r12: constructing the frame is metadata-only — no eager reference scan") {
+    // r11 finding: lmScore ran `.head` on the reference charset at
+    // operator-CONSTRUCTION time, launching a full corpus scan before
+    // the returned frame was ever executed. The pin: a reference that
+    // THROWS on any row evaluation must build fine and only fail when
+    // an action actually runs.
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val poisonRef = docs.where(raise_error(lit("eager reference scan")).isNotNull)
+    val df = TextOps.lmScore(docs, poisonRef) // must NOT throw: planning only
+    val e = intercept[Exception](df.collect())
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(rootChain(e).exists(_.contains("eager reference scan")),
+      s"action must reach the poisoned reference, got: ${rootChain(e)}")
+  }
+
+  test("r12: empty reference keeps smoothing well-defined (no NULLed scores)") {
+    // r11 advice: v=0 on an all-empty reference made p = 1/(c2+0) =
+    // Infinity, whose DECIMAL cast silently NULLed every lm_score
+    // through the public two-argument API. greatest(v,1) pins p = 1.
+    val docs = Seq((1L, "abcd"), (2L, "xy")).toDF("doc_id", "text")
+    val emptyRef = Seq((9L, ""), (10L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, emptyRef).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L)._1 == 2L)
+    assert(got(1L)._2.contains(1.0), // (0+1)/(0+1) per trigram
+      s"empty-reference smoothing must give p=1, got ${got(1L)._2}")
+    assert(got(2L) == ((0L, None)))
+  }
+
+  test("r12: file-backed model round-trips — write/read scores identically") {
+    // the CCNet deployment shape: train once on the curated reference,
+    // persist, score crawl shards against the parquet-backed model
+    val ref = Seq((1L, "the cat sat"), (2L, "the rat sat")).toDF("doc_id", "text")
+    val docs = Seq((10L, "the cat"), (11L, "zq")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+    TextOps.lmModel(ref).write(dir)
+    val fresh = TextOps.lmScore(docs, ref).collect().map(_.toString).sorted.toSeq
+    val fromDisk = TextOps.lmScoreWith(docs, TextOps.LmModel.read(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fresh == fromDisk, s"fresh=$fresh disk=$fromDisk")
+  }
+
   test("plan: model sides broadcast, corpus shuffles only for the doc regroup") {
     def shuffles(plan: SparkPlan): Int = {
       val here = plan match { case a: AdaptiveSparkPlanExec => a.executedPlan; case x => x }
