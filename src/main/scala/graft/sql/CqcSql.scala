@@ -188,24 +188,31 @@ object CqcSql {
     * sqlplus-web's hypergraph + comparison rendering (springboot
     * dto/HyperGraph.java building from graph/ComparisonHyperGraph
     * .scala). */
+  /** Escape a value for embedding inside a double-quoted DOT string:
+    * backslashes and double quotes (a comparison side can carry a
+    * string-literal bound like `c_name <> "x\"y"` — raw interpolation
+    * produced malformed DOT). */
+  private def dotq(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def hypergraphDot(spark: SparkSession, sql: String): String = {
     val (rels, cmps) = structure(spark, sql)
     val vars = rels.flatMap(_.vars).distinct.sorted
     val sb = new StringBuilder("graph hypergraph {\n")
     sb.append("  node [shape=box, style=filled, fillcolor=lightblue];\n")
     rels.foreach { r =>
-      sb.append(s"""  "${r.name}" [label="${r.name}\\n~${graft.cqc.Hypergraph.estSize(r)}B"];\n""")
+      sb.append(s"""  "${dotq(r.name)}" [label="${dotq(r.name)}\\n~${graft.cqc.Hypergraph.estSize(r)}B"];\n""")
     }
     sb.append("  node [shape=ellipse, style=solid];\n")
-    vars.foreach(v => sb.append(s"""  "v_$v" [label="$v"];\n"""))
+    vars.foreach(v => sb.append(s"""  "v_${dotq(v)}" [label="${dotq(v)}"];\n"""))
     rels.foreach { r =>
-      r.vars.toSeq.sorted.foreach(v => sb.append(s"""  "${r.name}" -- "v_$v";\n"""))
+      r.vars.toSeq.sorted.foreach(v => sb.append(s"""  "${dotq(r.name)}" -- "v_${dotq(v)}";\n"""))
     }
     cmps.foreach { c =>
       for {
         from <- homeOf(rels, c.leftRefs)
         to <- homeOf(rels, c.rightRefs)
-      } sb.append(s"""  "${from.name}" -- "${to.name}" [style=dashed, color=red, label="${c.left} ${c.op} ${c.right}"];\n""")
+      } sb.append(s"""  "${dotq(from.name)}" -- "${dotq(to.name)}" [style=dashed, color=red, label="${dotq(s"${c.left} ${c.op} ${c.right}")}"];\n""")
     }
     sb.append("}\n").toString
   }

@@ -111,15 +111,30 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
 
   handle("/health") { _ => (200, """{"status":"ok"}""", "application/json") }
 
+  /** The async experiment worker clears ALL session caches before each
+    * queue entry (cold-start timing contract, matching the reference's
+    * ExperimentManager). An interactive execution racing the drain would
+    * lose its pinned index/quantizer caches mid-flight and recompute —
+    * so the two EXECUTING endpoints (/api/query, sync /api/experiment)
+    * are gated with 409 while the queue drains; metadata-only endpoints
+    * (plan/candidates/structure/hypergraph/emit) never touch caches and
+    * stay open. */
+  private def experimentsBusy: (Int, String, String) =
+    (409, """{"error":"experiment queue is draining (caches are cleared per entry); retry when /api/experiment/status shows STOPPED"}""",
+      "application/json")
+
   handle("/api/query") { ex =>
-    val sql = body(ex)
-    require(sql.nonEmpty, "empty SQL body")
-    val limit = param(ex, "limit").map(_.toInt).getOrElse(1000).min(100000)
-    val df = param(ex, "root") match {
-      case Some(r) => graft.sql.CqcSql.solveWithRoot(spark, sql, r)
-      case None => graft.sql.CqcSql.solve(spark, sql)
+    if (Experiments.isRunning) experimentsBusy
+    else {
+      val sql = body(ex)
+      require(sql.nonEmpty, "empty SQL body")
+      val limit = param(ex, "limit").map(_.toInt).getOrElse(1000).min(100000)
+      val df = param(ex, "root") match {
+        case Some(r) => graft.sql.CqcSql.solveWithRoot(spark, sql, r)
+        case None => graft.sql.CqcSql.solve(spark, sql)
+      }
+      (200, rowsJson(df, limit), "application/json")
     }
-    (200, rowsJson(df, limit), "application/json")
   }
 
   handle("/api/plan") { ex =>
@@ -240,17 +255,20 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
   }
 
   handle("/api/experiment") { ex =>
-    val name = param(ex, "name").getOrElse(throw new IllegalArgumentException("name= required"))
-    val sf = param(ex, "sf").getOrElse("/root/testdata/sf0.001")
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown query $name"))
-    graft.CacheRegistry.unpersistAll()
-    spark.catalog.clearCache()
-    val t0 = System.nanoTime()
-    val n = fn(spark, sf).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    (200, s"""{"name":${jstr(name)},"sf":${jstr(sf)},"rows":$n,"sec":$sec}""",
-      "application/json")
+    if (Experiments.isRunning) experimentsBusy
+    else {
+      val name = param(ex, "name").getOrElse(throw new IllegalArgumentException("name= required"))
+      val sf = param(ex, "sf").getOrElse("/root/testdata/sf0.001")
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query $name"))
+      graft.CacheRegistry.unpersistAll()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sf).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (200, s"""{"name":${jstr(name)},"sf":${jstr(sf)},"rows":$n,"sec":$sec}""",
+        "application/json")
+    }
   }
 
   /**
@@ -270,6 +288,8 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     private val tasks =
       scala.collection.mutable.LinkedHashMap[String, (String, Option[Double], Option[Long], Option[String])]()
     @volatile private var stopRequested = false
+
+    def isRunning: Boolean = lock.synchronized { state == "RUNNING" }
 
     def start(names: Seq[String], sf: String): Unit = lock.synchronized {
       require(state != "RUNNING", "experiments already running")

@@ -129,6 +129,17 @@ class GraftServerSpec extends SparkSpecBase {
     val (c1, _) = post("/api/experiment/start?sf=" + sfDir,
       "pipe_chunk,text_quality,text_langid,pipe_redact")
     assert(c1 == 200)
+    // while the queue drains, the EXECUTING endpoints are gated (the
+    // worker clears all caches per entry — an interactive run racing it
+    // would recompute its pinned indexes): 409, with a retry hint.
+    // Metadata-only endpoints stay open mid-drain.
+    view()
+    val (cGate, bGate) = post("/api/query?limit=1", joinSql)
+    assert(cGate == 409 && bGate.contains("experiment queue is draining"), (cGate, bGate))
+    val (cGate2, bGate2) = post(s"/api/experiment?name=q1_agg&sf=$sfDir", "")
+    assert(cGate2 == 409, (cGate2, bGate2))
+    val (cPlan, _) = post("/api/plan", joinSql)
+    assert(cPlan == 200)
     val (c2, b2) = post("/api/experiment/stop", "")
     assert(c2 == 200 && b2.contains("stopping"), b2)
     var st2 = ""
@@ -179,6 +190,28 @@ class GraftServerSpec extends SparkSpecBase {
     val (_, html) = get("/")
     assert(html.contains("drawHyper(j.relations,j.comparisons)") &&
       html.contains("cmp degree"), "index page renders the comparison hypergraph")
+  }
+
+  test("hypergraph DOT escapes double quotes in comparison labels") {
+    view()
+    // a computed-expr comparison whose string literal carries a double
+    // quote: Catalyst .sql renders it raw, so an unescaped interpolation
+    // produced malformed DOT (label="... 'x"y' ..." terminates early)
+    val quotedSql =
+      """SELECT g1.src AS a, g2.dst AS b
+        |FROM web_edges g1, web_edges g2
+        |WHERE g1.dst = g2.src
+        |  AND concat(cast(g1.src AS string), 'x"y') < cast(g2.dst AS string)""".stripMargin
+    val (c, dot) = post("/api/hypergraph", quotedSql)
+    assert(c == 200, dot)
+    assert(dot.contains("style=dashed"), dot)
+    // every DOT line must have BALANCED unescaped quotes: strip escaped
+    // ones first, then count
+    dot.linesIterator.foreach { ln =>
+      val unescaped = ln.replace("\\\\", "").replace("\\\"", "")
+      assert(unescaped.count(_ == '"') % 2 == 0, s"unbalanced quotes in: $ln")
+    }
+    assert(dot.contains("""x\"y"""), dot) // the literal survived, escaped
   }
 
   test("emit endpoint returns a compilable-looking program") {
