@@ -675,16 +675,31 @@ object CqcSql {
     def leafIsNested(i: Int): Boolean =
       leaves(i).collectFirst { case j: Join => j }.isDefined &&
         !(leaves(i) fastEquals analyzed)
+    // a CORRELATED subquery's OuterReference nodes live INSIDE the
+    // PlanExpression's plan, unreachable by the expression transform that
+    // renames attrs — against a RE-DERIVED frame (a renamed peeled side,
+    // a nested leaf) they keep stale exprIds and fail binding at
+    // execution (r12 fuzz find: scalar subquery correlated on the peeled
+    // attr). Uncorrelated subqueries only carry outer attrs in the
+    // top-level tree (IN values, comparison sides), which the rename
+    // does reach — they stay routable.
+    def isCorrelated(e: Expression): Boolean = e.exists {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.isCorrelated
+      case _ => false
+    }
     if ((conjuncts ++ postOuterConjuncts).exists { e =>
       hasSubquery(e) && {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
         // -1 = the attr lives on a PEELED outer-join side, not a leaf
         // (the peel path applies such predicates later; indexing leaves
-        // with it would crash) — treat like the pre-guard behavior
-        ls.size != 1 || (ls.head >= 0 && leafIsNested(ls.head))
+        // with it would crash) — routable UNLESS correlated (the peel
+        // re-join renames its frame, so interior outer refs go stale)
+        ls.size != 1 || (ls.head >= 0 && leafIsNested(ls.head)) ||
+          (ls.head < 0 && isCorrelated(e))
       }
     }) {
-      trace("routing: stock fallback (cross-leaf or nested-leaf subquery predicate)")
+      trace("routing: stock fallback (cross-leaf, nested-leaf, or peel-correlated subquery predicate)")
       return GraftSqlBridge.dataFrame(spark, analyzed)
     }
     val parent = scala.collection.mutable.Map[Long, Long]()

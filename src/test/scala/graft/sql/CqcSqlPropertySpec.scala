@@ -158,6 +158,87 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nonEmpty >= 5)
   }
 
+  test("random subquery predicates over peeled/nested leaves match stock Spark") {
+    // r11's two real door crashes were both correlated-subquery-predicate-
+    // meets-outer-peel shapes, found by HAND batteries (DoorEdge12Spec).
+    // This generator fuzzes that class every round: a chain whose leaves
+    // are sometimes derived tables (nested: the stale-exprId guard path),
+    // sometimes under an OUTER peel (the leafOf == -1 guard path), with a
+    // random EXISTS / NOT EXISTS / IN / scalar subquery predicate pinned
+    // to a random leaf (correlated or not). Every query must return stock
+    // Spark's rows — via the CQC route or a traced fallback, never a crash.
+    val rnd = new scala.util.Random(120211)
+    val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("props_edges")
+    val rated = Seq.fill(120)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+      .distinct.toDF("src", "dst", "w")
+    rated.createOrReplaceTempView("props_rated")
+
+    var nonEmpty = 0
+    var nNested = 0
+    var nPeeled = 0
+    var nCorrelated = 0
+    for (i <- 1 to 12) {
+      val n = 2 + rnd.nextInt(2) // 2-3 chain leaves
+      // leaf j's FROM entry: plain, or a DERIVED table (nested leaf —
+      // filter + projection beneath, sometimes a join inside)
+      val nestedLeaf = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(n)) else None
+      if (nestedLeaf.isDefined) nNested += 1
+      def fromEntry(j: Int): String = nestedLeaf match {
+        case Some(`j`) if rnd.nextBoolean() =>
+          // derived table WITH A JOIN INSIDE: a true nested leaf
+          s"""(SELECT a.src AS src, b.dst AS dst FROM props_edges a
+             |   JOIN props_edges b ON a.dst = b.src) g$j""".stripMargin
+        case Some(`j`) =>
+          s"(SELECT src, dst FROM props_edges WHERE src < ${6 + rnd.nextInt(4)}) g$j"
+        case _ => s"props_edges g$j"
+      }
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      // sometimes peel: LEFT OUTER JOIN a rated table onto the chain end
+      val peeled = rnd.nextInt(2) == 0
+      if (peeled) nPeeled += 1
+      val peelSql = if (peeled) s"\nLEFT OUTER JOIN props_rated r ON g$n.dst = r.src" else ""
+      // the subquery predicate: target a random leaf column — or, when
+      // peeled, sometimes the PEELED side's column (the leafOf == -1 class)
+      val target =
+        if (peeled && rnd.nextInt(3) == 0) "r.w"
+        else s"g${1 + rnd.nextInt(n)}.src"
+      val correlated = rnd.nextBoolean()
+      if (correlated) nCorrelated += 1
+      val subPred = rnd.nextInt(4) match {
+        case 0 if correlated =>
+          s"EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst < 7)"
+        case 0 => s"EXISTS (SELECT 1 FROM props_edges z WHERE z.dst > 8)"
+        case 1 if correlated =>
+          s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst = 0)"
+        case 1 => s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src > 99)"
+        case 2 => s"$target IN (SELECT src FROM props_edges WHERE dst < ${4 + rnd.nextInt(5)})"
+        case _ if correlated =>
+          s"$target <= (SELECT MAX(z.dst) FROM props_edges z WHERE z.src = $target)"
+        case _ => s"$target <= (SELECT MAX(dst) FROM props_edges)"
+      }
+      val select = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j").mkString(", ") +
+        (if (peeled) ", r.w AS w" else "")
+      val sql =
+        s"""SELECT $select
+           |FROM ${(1 to n).map(fromEntry).mkString(", ")}$peelSql
+           |WHERE ${(joins :+ subPred).mkString(" AND ")}""".stripMargin
+
+      val got =
+        try CqcSql.solve(spark, sql).collect().map(_.toSeq).toSet
+        catch { case e: Throwable => fail(s"door threw ${e.getClass.getSimpleName} for: $sql", e) }
+      val want = spark.sql(sql).collect().map(_.toSeq).toSet
+      assert(got == want, s"mismatch for: $sql")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+    assert(nNested >= 2, "fuzz must cover nested (derived-table) leaves")
+    assert(nPeeled >= 3, "fuzz must cover outer-peel shapes")
+    assert(nCorrelated >= 3, "fuzz must cover correlated subqueries")
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
     val rnd = new scala.util.Random(112139)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
