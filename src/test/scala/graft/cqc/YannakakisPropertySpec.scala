@@ -22,7 +22,7 @@ class YannakakisPropertySpec extends SparkSpecBase {
     }
 
   test("aggregate family over random chains equals the enumerated oracle") {
-    var seed = Seed(110917L)
+    var seed = Seed(121733L)
     for (i <- 1 to 8) {
       val es = edgeGen.apply(Gen.Parameters.default, seed).get
       seed = seed.next
@@ -55,7 +55,7 @@ class YannakakisPropertySpec extends SparkSpecBase {
   }
 
   test("solve(path-3 + random comparison) equals naive join+filter") {
-    var seed = Seed(111013L)
+    var seed = Seed(121853L)
     val ops = Seq("<", "<=", ">", ">=")
     for (i <- 1 to 10) {
       val es = edgeGen.apply(Gen.Parameters.default, seed).get
@@ -83,7 +83,7 @@ class YannakakisPropertySpec extends SparkSpecBase {
           w <- Gen.chooseNum(1, 50)
         } yield (s, d, w.toDouble))
       }
-    var seed = Seed(111197L)
+    var seed = Seed(121993L)
     for (i <- 1 to 8) {
       val es = ratedGen.apply(Gen.Parameters.default, seed).get
         .groupBy(t => (t._1, t._2)).map(_._2.head).toList // one rating per edge

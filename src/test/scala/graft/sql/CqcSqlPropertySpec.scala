@@ -12,7 +12,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   import spark.implicits._
 
   test("random chain queries with filters/comparisons match stock Spark") {
-    val rnd = new scala.util.Random(111551)
+    val rnd = new scala.util.Random(121001)
     val edges = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("prop_edges")
@@ -41,7 +41,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random aggregate queries (fast-path shapes) match stock Spark") {
-    val rnd = new scala.util.Random(111727)
+    val rnd = new scala.util.Random(121139)
     val edges = Seq.fill(220)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propa_edges")
@@ -82,7 +82,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random CTE-wrapped aggregate queries inline and match stock Spark") {
-    val rnd = new scala.util.Random(111899)
+    val rnd = new scala.util.Random(121283)
     val edges = Seq.fill(200)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propc_edges")
@@ -119,7 +119,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
-    val rnd = new scala.util.Random(112003)
+    val rnd = new scala.util.Random(121403)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propo_edges")
@@ -240,7 +240,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
-    val rnd = new scala.util.Random(112139)
+    val rnd = new scala.util.Random(121577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
     // the case the rank()-based exact prune must survive
     val edges = Seq.fill(240)(

@@ -23,7 +23,7 @@ class LftjPropertySpec extends SparkSpecBase {
     }
 
   test("LFTJ triangle enumeration equals binary joins on random graphs") {
-    var seed = Seed(111353L)
+    var seed = Seed(122081L)
     for (i <- 1 to 15) {
       val es = edgeGen.apply(Gen.Parameters.default, seed)
         .getOrElse(fail(s"generator returned nothing at case $i"))
