@@ -1773,6 +1773,10 @@ object SparkEntry {
     // product-quantization ANN: per-subspace codebooks, map-side encode,
     // ADC (reconstruction-cosine) ranking — the memory-bound scale path
     "ann_pq" -> ((s, d) => Ann.pqTopK(Tables.embeddings(s, d))),
+    // IVFADC (FAISS IVFPQ): probed inverted lists restrict the scan,
+    // PQ reconstructions rank it — the composed 10^10-vector serving
+    // architecture; candidates served from the compressed storage form
+    "ann_ivfpq" -> ((s, d) => Ann.ivfpqTopK(Tables.embeddings(s, d))),
     // SemDeDup: IVF-clustered embedding space, within-cluster cosine
     // dup decision, keep-first-id survivors
     "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
@@ -1842,6 +1846,10 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "pipe_mix" -> ((s, d) => TextOps.mixSummary(Tables.documents(s, d))),
     "pipe_decontam" -> ((s, d) => Decontam.flagDocuments(Tables.documents(s, d))),
+    // near-duplicate decontamination: the probe slice as a broadcast
+    // minhash gate index, whole-doc shingle similarity — catches the
+    // paraphrased-benchmark class exact containment structurally misses
+    "pipe_decontam_fuzzy" -> ((s, d) => Decontam.flagFuzzyDocuments(Tables.documents(s, d))),
     "pipe_prep" -> ((s, d) => graft.datapipe.Prep.prepare(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
@@ -2365,6 +2373,7 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
+    "ann_ivfpq" -> Ann.ivfpqTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
@@ -2414,6 +2423,7 @@ object SparkEntry {
     "pipe_pack" -> TextOps.packShardsSql,
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
+    "pipe_decontam_fuzzy" -> Decontam.flagFuzzySql,
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,

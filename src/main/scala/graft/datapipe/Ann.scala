@@ -20,8 +20,9 @@ import TextOps.h60Sql
  *    never all-pairs; skewed buckets are bounded by the band bit width.
  *
  * All arithmetic is double-precision left-fold (`aggregate` over
- * `zip_with`) which DuckDB's `list_sum(list_transform(...))` reproduces
- * bit-for-bit, so oracles are exact. Hyperplane weights are md5-derived —
+ * `zip_with`) which DuckDB's ORDERED `list_reduce(list_transform(...))`
+ * reproduces bit-for-bit, so oracles are exact (r12: was `list_sum`,
+ * whose unspecified association was only luck-identical — see dotSql). Hyperplane weights are md5-derived —
  * deterministic and identical across engines.
  */
 object Ann {
@@ -48,11 +49,20 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosine(a, b)
 
+  /** Sequential left fold (`list_reduce`), NOT `list_sum`: the Spark
+    * side folds doubles left-to-right (`aggregate`'s acc, and the fused
+    * [[graft.functions.CosineSimilarity]] loop), and `list_sum` does not
+    * guarantee that association — an ADC pair whose pre-round cosine
+    * straddled a 0.5e-6 boundary hash-diverged exactly once at sf0.001
+    * (r12 find). `list_reduce` is the ordered fold, so every cosine
+    * mirror is BIT-identical to the Spark fold, not luck-identical;
+    * `0 + x1` is exact in IEEE, so the missing explicit init is free.
+    * All arrays here are fixed-dim embeddings — never empty. */
   def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc, v) -> acc + v)"
 
   def normSql(a: String): String =
-    s"sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))"
+    s"sqrt(list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (acc, v) -> acc + v))"
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
@@ -539,6 +549,13 @@ object Ann {
                            k: Int = ivfCentroids): (String, String) = {
     val simToC = cosineSql("c.c_emb", "e.embedding")
     val roundCtes = new StringBuilder
+    // FLOAT elements are cast DECIMAL through an explicit DOUBLE hop:
+    // DuckDB's direct FLOAT->DECIMAL goes via the float's shortest
+    // decimal repr (0.1f -> 0.1000000000) while Spark casts via the
+    // exact binary expansion (0.1f -> 0.1000000015) — a 10th-dp skew
+    // that r12's IVFADC entry surfaced as a half-way 6dp rounding flip
+    // in one codebook mean. FLOAT->DOUBLE->DECIMAL is the exact-binary
+    // path in both engines.
     var prev = "seed"
     for (r <- 0 until rounds) {
       roundCtes ++=
@@ -556,7 +573,7 @@ object Ann {
            |),
            |upd$r AS (
            |  SELECT cid, pos,
-           |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
+           |         round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS m
            |  FROM dims$r GROUP BY cid, pos
            |),
            |cent$r AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM upd$r GROUP BY cid),
@@ -627,42 +644,46 @@ object Ann {
     (text, prev)
   }
 
+  /** Probe-side CTEs over a `q0 (q_id, q_emb)` query CTE, mirroring the
+    * assignment regime ([[ivf2MinK]]): flat = score all K fine centroids
+    * per query; two-level = coarse pick then in-branch scoring, reusing
+    * the [[ivfListsCtes]] prefix's coarse/branches. Ends with a
+    * `probed (q_id, q_emb, cid)` CTE; shared by [[ivfTopKSql]] and
+    * [[ivfpqTopKSql]]. */
+  private def ivfProbeCtes(fine: String): String =
+    if (ivfCentroids < ivf2MinK)
+      s"""probed AS (
+         |  SELECT q.q_id, q.q_emb, c.cid,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS prn2
+         |  FROM q0 q, $fine c
+         |  QUALIFY prn2 <= $ivfProbes
+         |)""".stripMargin
+    else
+      s"""qpicked AS (
+         |  SELECT q.q_id, q.q_emb, g.gid,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |                            ORDER BY ${cosineSql("g.g_emb", "q.q_emb")} DESC, g.gid) AS qrn
+         |  FROM q0 q, glive g
+         |  QUALIFY qrn = 1
+         |),
+         |probed AS (
+         |  SELECT p.q_id, p.q_emb, b.cid,
+         |         row_number() OVER (PARTITION BY p.q_id
+         |                            ORDER BY ${cosineSql("b.c_emb", "p.q_emb")} DESC, b.cid) AS prn2
+         |  FROM qpicked p JOIN branches b ON b.gid = p.gid
+         |  QUALIFY prn2 <= $ivfProbes
+         |)""".stripMargin
+
   /** Mirror of [[ivfTopK]] with chained per-round CTEs; the query-side
     * probe runs the same two-level coarse->branch pick as the lists. */
   def ivfTopKSql(rounds: Int): String = {
     val simQ = cosineSql("p.q_emb", "e.embedding")
     val (prefix, fine) = ivfListsCtes(rounds)
-    // probe-side CTEs mirror the assignment regime ([[ivf2MinK]]):
-    // flat = score all K fine centroids per query; two-level = coarse
-    // pick then in-branch scoring, reusing the prefix's coarse/branches
-    val probeCtes =
-      if (ivfCentroids < ivf2MinK)
-        s"""probed AS (
-           |  SELECT q.q_id, q.q_emb, c.cid,
-           |         row_number() OVER (PARTITION BY q.q_id
-           |                            ORDER BY ${cosineSql("c.c_emb", "q.q_emb")} DESC, c.cid) AS prn2
-           |  FROM q0 q, $fine c
-           |  QUALIFY prn2 <= $ivfProbes
-           |)""".stripMargin
-      else
-        s"""qpicked AS (
-           |  SELECT q.q_id, q.q_emb, g.gid,
-           |         row_number() OVER (PARTITION BY q.q_id
-           |                            ORDER BY ${cosineSql("g.g_emb", "q.q_emb")} DESC, g.gid) AS qrn
-           |  FROM q0 q, glive g
-           |  QUALIFY qrn = 1
-           |),
-           |probed AS (
-           |  SELECT p.q_id, p.q_emb, b.cid,
-           |         row_number() OVER (PARTITION BY p.q_id
-           |                            ORDER BY ${cosineSql("b.c_emb", "p.q_emb")} DESC, b.cid) AS prn2
-           |  FROM qpicked p JOIN branches b ON b.gid = p.gid
-           |  QUALIFY prn2 <= $ivfProbes
-           |)""".stripMargin
     s"""$prefix,
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |       WHERE vec_id % $queryMod = 0),
-       |$probeCtes,
+       |${ivfProbeCtes(fine)},
        |scored AS (
        |  SELECT DISTINCT p.q_id, e.vec_id AS nbr_id, $simQ AS cos
        |  FROM probed p JOIN lists e ON e.cid = p.cid AND e.vec_id <> p.q_id
@@ -693,8 +714,8 @@ object Ann {
       lit(0.0), (acc, v) => acc + v)
 
   private def pqL2Sql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), " +
-      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), (acc, v) -> acc + v)"
 
   /** Subspace view: one row per (vector, subspace) with the sliced
     * sub-vector — a zero-shuffle projection + in-partition fan-out. */
@@ -830,11 +851,11 @@ object Ann {
         round(col("cos"), 6).as("asim"))
   }
 
-  /** DuckDB mirror of [[pqTopK]] (sub-slice, seed, Lloyd, encode,
-    * reconstruct, rank — every fold the deterministic list_sum form). */
-  def pqTopKSql(m: Int = pqM, k: Int = pqK, rounds: Int = 1,
-                subDimOpt: Int = -1): String = {
-    val subDim = if (subDimOpt > 0) subDimOpt else dim / m
+  /** Shared PQ oracle CTE block: sub-slice, seed, `rounds` chained Lloyd
+    * refinements, encode, reconstruct — ends with a `rec (vec_id, recon)`
+    * CTE. No leading WITH / trailing comma; used by [[pqTopKSql]] and
+    * [[ivfpqTopKSql]] (CTE names are disjoint from [[ivfListsCtes]]'s). */
+  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int): String = {
     val roundCtes = new StringBuilder
     var prev = "pq_seed"
     for (r <- 0 until rounds) {
@@ -853,15 +874,14 @@ object Ann {
            |),
            |pu$r AS (
            |  SELECT m, cid, pos,
-           |         round(CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mv
+           |         round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mv
            |  FROM pd$r GROUP BY m, cid, pos
            |),
            |pc$r AS (SELECT m, cid, list(mv ORDER BY pos) AS c_emb FROM pu$r GROUP BY m, cid),
            |""".stripMargin
       prev = s"pc$r"
     }
-    val cos = cosineSql("q.q_emb", "r.recon")
-    s"""WITH sub AS (
+    s"""sub AS (
        |  SELECT vec_id, g.range AS m,
        |         embedding[g.range * $subDim + 1 : g.range * $subDim + $subDim] AS semb
        |  FROM embeddings, range(0, $m) g
@@ -874,7 +894,16 @@ object Ann {
        |  FROM sub s JOIN $prev c ON c.m = s.m
        |  QUALIFY rn = 1
        |),
-       |rec AS (SELECT vec_id, flatten(list(c_emb ORDER BY m)) AS recon FROM enc GROUP BY vec_id),
+       |rec AS (SELECT vec_id, flatten(list(c_emb ORDER BY m)) AS recon FROM enc GROUP BY vec_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[pqTopK]] (sub-slice, seed, Lloyd, encode,
+    * reconstruct, rank — every fold the ordered list_reduce form). */
+  def pqTopKSql(m: Int = pqM, k: Int = pqK, rounds: Int = 1,
+                subDimOpt: Int = -1): String = {
+    val subDim = if (subDimOpt > 0) subDimOpt else dim / m
+    val cos = cosineSql("q.q_emb", "r.recon")
+    s"""WITH ${pqCtes(m, k, rounds, subDim)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |      WHERE vec_id % $queryMod = 0)
        |SELECT q.q_id, r.vec_id AS nbr_id,
@@ -882,6 +911,95 @@ object Ann {
        |                               ORDER BY $cos DESC, r.vec_id) AS BIGINT) AS rnk,
        |       round($cos, 6) AS asim
        |FROM q JOIN rec r ON r.vec_id <> q.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  // ------------------------------------------------ IVF + PQ (IVFADC)
+
+  /**
+   * IVFADC — the composed 10^10-vector serving architecture (Jégou et
+   * al. 2011; FAISS `IVFPQ`): the IVF coarse structure restricts each
+   * query to its probed inverted lists, and within those lists
+   * candidates are ranked by the PQ asymmetric-distance estimate (the
+   * cosine between the query's exact vector and the candidate's
+   * codebook RECONSTRUCTION) — so the collection is SERVED from the
+   * compressed storage form ([[pqCompress]]'s codes + codebook frames),
+   * never from raw vectors.
+   *
+   * Scale shape: list assignment is the two-level [[ivfAssign2]] pick
+   * (~2·√K flops/vector, one exchange of the vector mass); the PQ encode
+   * is a broadcast-codebook map-side argmin (the collection never
+   * shuffles for it); the codes⋈lists attach is one co-partitionable
+   * join on vec_id — in production both frames are bucket-written once
+   * on vec_id and the attach is zero-shuffle. Per query the scan cost
+   * is |probed lists| reconstructions of pqM codebook rows each, not
+   * N — and the candidate payload is 2 bytes/vector of codes against
+   * 256 raw. Codes here encode the RAW vector (FAISS
+   * `by_residual=false`); residual encoding (codes over `v − c_emb`) is
+   * the production accuracy lever, the same dataflow with one extra
+   * broadcast-join subtraction before [[pqSubs]].
+   * Output: `(q_id, nbr_id, rnk, asim)`, rnk by ADC cosine (ties →
+   * lower nbr_id), mirrored CTE-for-CTE by [[ivfpqTopKSql]].
+   */
+  def ivfpqTopK(emb: DataFrame): DataFrame = ivfpqTopK(emb, 1)
+
+  def ivfpqTopK(emb: DataFrame, rounds: Int, k: Int = ivfCentroids,
+                m: Int = pqM, pk: Int = pqK, pqRounds: Int = 1): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = trainedCentroids(emb, rounds, k)
+    // inverted lists, slim: the raw vector is DROPPED after assignment —
+    // candidates are served from the PQ storage form only
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+      .select(col("vec_id"), col("cid"))
+    val (codes, cb) = pqCompress(emb, m, pk, pqRounds)
+    val rec = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(broadcast(cb), Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
+    val cands = rec.join(lists, "vec_id") // (vec_id, recon, cid)
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",
+        cent, k, ivfProbes)
+      .withColumnRenamed("embedding", "q_emb") // (q_id, q_emb, cid) x probes
+    val scored = probed.join(cands, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
+  /** DuckDB mirror of [[ivfpqTopK]]: the IVF family prefix (seed, Lloyd,
+    * two-level lists when K ≥ [[ivf2MinK]]) + the PQ block ([[pqCtes]] —
+    * CTE names disjoint by construction) + the same probe CTEs as
+    * [[ivfTopKSql]], ranked by the reconstruction cosine. */
+  def ivfpqTopKSql(rounds: Int = 1): String = {
+    val (prefix, fine) = ivfListsCtes(rounds)
+    val cos = cosineSql("p.q_emb", "r.recon")
+    s"""$prefix,
+       |${pqCtes(pqM, pqK, 1, dim / pqM)},
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % $queryMod = 0),
+       |${ivfProbeCtes(fine)},
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, l.vec_id AS nbr_id, $cos AS cos
+       |  FROM probed p
+       |  JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.q_id
+       |  JOIN rec r ON r.vec_id = l.vec_id
+       |)
+       |SELECT q_id, nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk,
+       |       round(cos, 6) AS asim
+       |FROM scored
        |QUALIFY rnk <= $topK""".stripMargin
   }
 

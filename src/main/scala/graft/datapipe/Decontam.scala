@@ -111,4 +111,51 @@ object Decontam {
        |FROM dg JOIN pg USING (g)
        |GROUP BY 1""".stripMargin
   }
+
+  /**
+   * NEAR-DUPLICATE decontamination (r12) — the fuzzy twin of [[flag]]:
+   * flag corpus documents whose whole-document MinHash-LSH similarity to
+   * any probe document reaches [[Dedup.mhTau]]. Exact n-gram containment
+   * structurally CANNOT catch an eval item whose every [[probeN]]-word
+   * window was edited (reworded/reflowed benchmark copies — the
+   * paraphrase-contamination class); document-level shingle similarity
+   * survives such edits.
+   *
+   * Composition, not new machinery: the probe set is the INDEX side of
+   * the lexical ingest gate ([[Dedup.minhashIndex]] — the lean two-frame
+   * bucket+payload form, benchmark-sized so both frames broadcast), the
+   * corpus is the gate's arrival side ([[Dedup.minhashStreamingFlag]] —
+   * stateless, one corpus scan, no corpus shingle ever shuffles). The
+   * per-doc decision aggregate is the only corpus-keyed exchange.
+   * Output: one row per CONTAMINATED doc —
+   * `(doc_id, n_probes, first_probe, best_jac)`; the keep-set is the
+   * anti-join, as in [[flag]].
+   */
+  def flagFuzzy(docs: DataFrame, probes: DataFrame): DataFrame =
+    Dedup.minhashStreamingFlag(docs,
+        Dedup.minhashIndex(probes.select(col("probe_id").as("doc_id"), col("text"))))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("dup_of")).as("n_probes"),
+        min(col("dup_of")).as("first_probe"),
+        max(col("jac")).as("best_jac"))
+
+  /** The composed driver entry: corpus-derived probes (the [[flag]]
+    * slice) as the gate index, every document scored against it. The
+    * [[flagDocuments]] audit note applies: probe docs flag their own
+    * near-copies, never themselves (the gate excludes identical ids). */
+  def flagFuzzyDocuments(docs: DataFrame): DataFrame =
+    flagFuzzy(docs, probes(docs))
+
+  /** DuckDB mirror of [[flagFuzzyDocuments]]: the gate mirror
+    * ([[Dedup.minhashFlagSql]]) with the INDEX side restricted to the
+    * probe slice, aggregated to the per-doc decision. */
+  val flagFuzzySql: String =
+    s"""SELECT doc_id,
+       |       CAST(count(DISTINCT dup_of) AS BIGINT) AS n_probes,
+       |       min(dup_of) AS first_probe,
+       |       max(jac) AS best_jac
+       |FROM (
+       |${Dedup.minhashFlagSql(s"b.doc_id % $probeMod = 0")}
+       |) f
+       |GROUP BY doc_id""".stripMargin
 }

@@ -520,11 +520,22 @@ object Dedup {
     }
     val ck = sig.select(col("doc_id"), explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    // hot-bucket cap: one count window on the SAME (chunk, key) hash
-    // partitioning the candidate join shuffles on anyway
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk", "key")
-    val capped = ck.withColumn("__bsz", count(lit(1)).over(w))
-      .where(col("__bsz") <= cap).drop("__bsz")
+    // hot-bucket cap as a map-side-collapsed count + anti-join, NOT a
+    // count window: the partial aggregation reduces each bucket to one
+    // row per partition before the exchange, the over-cap key set is
+    // tiny by construction (≤ N·chunks/cap rows — AQE broadcasts it at
+    // runtime), and the candidate self-join then shuffles only the
+    // CAPPED frame — a pathological hot bucket's row mass is dropped
+    // before it ever concentrates on one reducer (r12: the same
+    // argmin-class fix as sdSubBucketed/withClusterSize, applied to the
+    // one remaining count-window in the dedup family)
+    val hot = ck.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > cap)
+      .select(col("chunk"), col("key"))
+    // re-select in ck's order: a Seq-key join leads with the join keys,
+    // and the positional toDF below labels by position
+    val capped = ck.join(hot, Seq("chunk", "key"), "left_anti")
+      .select(col("doc_id"), col("chunk"), col("key"))
     capped.toDF("d1", "chunk", "key")
       .join(capped.toDF("d2", "chunk2", "key2")
         .withColumnRenamed("chunk2", "chunk").withColumnRenamed("key2", "key"),
@@ -642,9 +653,23 @@ object Dedup {
       // long-diameter component: restart on the logarithmic-round variant
       // (p is persisted, so the pair derivation is NOT recomputed)
       return clustersStar(p, maxRounds)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    withClusterSize(lbl.select(col("v").as("doc_id"), col("lbl").as("cluster_id")))
+  }
+
+  /** Attach `cluster_size` to a (doc_id, cluster_id) decision frame via
+    * groupBy-count + join, NOT count().over(cluster_id): the partial
+    * (map-side) aggregation collapses each cluster to one row per
+    * partition before any exchange, and the attach join is
+    * AQE-skew-splittable — a pathological giant duplicate cluster never
+    * concentrates its full row mass on one reducer for a sort the size
+    * computation doesn't need. (Same fix as the r12 sdSubBucketed size
+    * pass; sizes are NOT broadcast here because the cluster count is
+    * unbounded — one row per singleton.) */
+  private def withClusterSize(decision: DataFrame): DataFrame = {
+    val sizes = decision.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    decision.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /**
@@ -720,10 +745,8 @@ object Dedup {
     require(converged, s"star contraction did not converge in $maxRounds rounds")
     // fixed point = stars: src -> component min; roots appear only as dst
     val lbl = edges.select(col("u").as("v"), col("v").as("lbl")).distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    verts.join(lbl, Seq("v"), "left_outer")
-      .select(col("v").as("doc_id"), coalesce(col("lbl"), col("v")).as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    withClusterSize(verts.join(lbl, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"), coalesce(col("lbl"), col("v")).as("cluster_id")))
   }
 
   /** DuckDB mirror of [[clusters]]: transitive closure via a recursive

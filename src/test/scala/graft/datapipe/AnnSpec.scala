@@ -278,4 +278,44 @@ class AnnSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
     assert(bk(0L) == bk(1L))
   }
+
+  test("r12 IVFADC: candidates only from probed lists; ADC estimate identical to PQ's") {
+    val many = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Ann.ivfpqTopK(many).collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Long]("rnk"), r.getAs[Double]("asim")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"ranks for q=$q")
+      assert(rs.length <= Ann.topK)
+      assert(rs.forall(_._2 != q), "self excluded")
+    }
+    // structural IVF contract: every returned neighbor's inverted list is
+    // one of its query's probed lists — IVFADC never scans outside them
+    val cent = Ann.trainedCentroids(many, 1, Ann.ivfCentroids)
+    val lists = Ann.ivfAssign2(many, "vec_id", cent, Ann.ivfCentroids, 1)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = many.where(col("vec_id") % Ann.queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val probed = Ann.ivfAssign2(q, "q_id", cent, Ann.ivfCentroids, Ann.ivfProbes)
+      .select(col("q_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (qid, nbr, _, _) =>
+      assert(probed.contains((qid, lists(nbr))),
+        s"nbr $nbr (list ${lists(nbr)}) not in q=$qid's probed lists")
+    }
+    // ADC parity: same codes + codebook as ann_pq, so for every (q, nbr)
+    // pair both operators return, the reconstruction-cosine estimates
+    // must be bit-identical — IVF only RESTRICTS the candidate set
+    val pq = Ann.pqTopK(many).collect().map(r =>
+      ((r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id")), r.getAs[Double]("asim"))).toMap
+    val common = rows.flatMap { case (qid, nbr, _, a) =>
+      pq.get((qid, nbr)).map(b => (qid, nbr, a, b)) }
+    assert(common.nonEmpty, "expected overlap between IVFADC and flat-PQ top-k")
+    common.foreach { case (qid, nbr, a, b) =>
+      assert(a == b, s"ADC estimate diverged for ($qid,$nbr): $a vs $b") }
+  }
 }

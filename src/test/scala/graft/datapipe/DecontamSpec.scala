@@ -79,4 +79,53 @@ class DecontamSpec extends SparkSpecBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(got == Set(2L))
   }
+
+  test("r12 fuzzy decontam: flags a block-scrambled probe copy exact containment misses; " +
+    "best_jac equals the pure-Scala shingle Jaccard") {
+    import spark.implicits._
+    // block-scramble: chunk into 4-word blocks, reverse block order —
+    // the longest run of original consecutive words is 4 < probeN(=5),
+    // so the scrambled copy shares a 5-gram with the probe only by a
+    // chance re-occurrence, while its word-3-shingle SET stays close.
+    // Search seeds for a witness where exact misses and the gate's LSH
+    // buckets the pair (a band's 4 minhash minima all on shared
+    // shingles); every witness is then verified against a brute-force
+    // Scala Jaccard.
+    def blockRev(words: Seq[String]): Seq[String] =
+      words.grouped(4).toSeq.reverse.flatten
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    def sh3(words: Seq[String]): Set[String] =
+      if (words.length < 3) Set.empty
+      else words.sliding(3).map(_.mkString(" ")).toSet
+    val witness = (1 to 60).iterator.flatMap { seed =>
+      graft.CacheRegistry.unpersistAll()
+      val rnd = new scala.util.Random(seed)
+      val orig = Seq.fill(48)(vocab(rnd.nextInt(vocab.length)))
+      val scr = blockRev(orig)
+      val corpus = Seq((0L, orig.mkString(" ")), (5L, scr.mkString(" ")),
+        (7L, "unrelated totally different words about nothing shared whatsoever here"))
+        .toDF("doc_id", "text")
+      val probe = Seq((0L, orig.mkString(" "))).toDF("probe_id", "text")
+      val exact = Decontam.flag(corpus, Decontam.probeIndex(probe))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      if (exact.contains(5L)) None // chance 5-gram re-occurrence: not a witness
+      else {
+        val fuzzy = Decontam.flagFuzzy(corpus, probe).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        assert(!fuzzy.contains(0L), "probe doc must never self-flag")
+        assert(!fuzzy.contains(7L), "unrelated doc must never flag")
+        fuzzy.get(5L).map(hit => (orig, scr, hit))
+      }
+    }.take(1).toSeq.headOption
+    assert(witness.isDefined,
+      "no seed gave a fuzzy catch with exact miss — gate recall or transform broken")
+    val (orig, scr, (nProbes, firstProbe, bestJac)) = witness.get
+    assert(nProbes == 1L && firstProbe == 0L)
+    val a = sh3(orig); val b = sh3(scr)
+    val want = BigDecimal((a intersect b).size.toDouble / (a union b).size.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(bestJac == want, s"best_jac $bestJac != scala jaccard $want")
+    assert(bestJac >= Dedup.mhTau && bestJac < 1.0)
+  }
 }
