@@ -81,6 +81,16 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.count() == 0)
     val uncapped = Dedup.simhashCandidates(sig, Dedup.shChunks, Dedup.shChunkBits, 30)
     assert(uncapped.count() == 435)
+    // r12 plan pin: the cap is a map-side-collapsed groupBy count + anti-
+    // join, NOT a count window — a hot bucket's row mass must never
+    // concentrate on one reducer just to be counted (and the candidate
+    // self-join then shuffles only the capped frame)
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"),
+      "simhash cap must not plan a Window")
+    assert(!Dedup.clusters(Dedup.ngramJaccard(
+        (1L to 6L).map(i => (i, s"alpha beta gamma delta epsilon zeta $i")).toDF("doc_id", "text")))
+      .queryExecution.executedPlan.toString.contains("Window"),
+      "cluster_size must not plan a Window")
   }
 
   test("corpus-size rules widen buckets/planes as N grows") {

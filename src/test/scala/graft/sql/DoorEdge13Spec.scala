@@ -48,6 +48,9 @@ class DoorEdge13Spec extends SparkSpecBase {
     Ann.ivfTopK(emb, rounds = 2).createOrReplaceTempView("d13_ivf2")
     Ann.semanticDedup(emb).createOrReplaceTempView("d13_sem")
     Ann.semanticDedupGroup(emb).createOrReplaceTempView("d13_semg")
+    // r12 growth outputs: IVFADC ranks and the fuzzy decontam decision
+    Ann.ivfpqTopK(emb).createOrReplaceTempView("d13_ivfpq")
+    Decontam.flagFuzzyDocuments(docs).createOrReplaceTempView("d13_dfz")
   }
 
   private def multiset(df: DataFrame): Map[Seq[Any], Int] =
@@ -196,6 +199,21 @@ class DoorEdge13Spec extends SparkSpecBase {
       "ivf2_sim_cmp" ->
         """SELECT i.q_id AS q_id, i.nbr_id AS nbr_id, s.sim AS dup_sim
           |FROM d13_ivf2 i, d13_sem s
-          |WHERE i.nbr_id = s.vec_id AND i.sim < s.sim""".stripMargin))
+          |WHERE i.nbr_id = s.vec_id AND i.sim < s.sim""".stripMargin,
+      // IVFADC ranks resolved to each neighbor's cluster decision,
+      // ranked chain over the ADC estimate (decimal doubles as the
+      // rank key)
+      "ivfpq_rank_semcid" ->
+        """SELECT p.q_id AS q_id, p.nbr_id AS nbr_id, p.rnk AS rnk, s.cid AS cid
+          |FROM d13_ivfpq p, d13_sem s
+          |WHERE p.nbr_id = s.vec_id
+          |ORDER BY p.asim DESC, q_id ASC, nbr_id ASC LIMIT 9""".stripMargin,
+      // fuzzy decontam decisions resolved through the corpus (aggregate
+      // over a join with a nullable-free decision frame)
+      "fuzzy_flag_langs" ->
+        """SELECT x.lang AS lang, COUNT(*) AS n, MAX(f.best_jac) AS worst
+          |FROM d13_dfz f, d13_docs x
+          |WHERE f.doc_id = x.doc_id
+          |GROUP BY x.lang""".stripMargin))
   }
 }
