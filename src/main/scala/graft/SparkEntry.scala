@@ -1777,6 +1777,9 @@ object SparkEntry {
     // PQ reconstructions rank it — the composed 10^10-vector serving
     // architecture; candidates served from the compressed storage form
     "ann_ivfpq" -> ((s, d) => Ann.ivfpqTopK(Tables.embeddings(s, d))),
+    // residual-encoded IVFADC (FAISS by_residual=true): PQ spends its
+    // bytes on the in-cell displacement the coarse quantizer localized
+    "ann_ivfpq_res" -> ((s, d) => Ann.ivfpqResTopK(Tables.embeddings(s, d))),
     // SemDeDup: IVF-clustered embedding space, within-cluster cosine
     // dup decision, keep-first-id survivors
     "dedup_semantic" -> ((s, d) => Ann.semanticDedup(Tables.embeddings(s, d))),
@@ -2374,6 +2377,7 @@ object SparkEntry {
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
+    "ann_ivfpq_res" -> Ann.ivfpqResTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,

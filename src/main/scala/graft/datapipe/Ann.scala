@@ -852,10 +852,13 @@ object Ann {
   }
 
   /** Shared PQ oracle CTE block: sub-slice, seed, `rounds` chained Lloyd
-    * refinements, encode, reconstruct — ends with a `rec (vec_id, recon)`
-    * CTE. No leading WITH / trailing comma; used by [[pqTopKSql]] and
-    * [[ivfpqTopKSql]] (CTE names are disjoint from [[ivfListsCtes]]'s). */
-  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int): String = {
+    * refinements, encode, reconstruct — ends with a `recName (vec_id,
+    * recon)` CTE over the `src` vector relation. No leading WITH /
+    * trailing comma; used by [[pqTopKSql]], [[ivfpqTopKSql]], and (over
+    * the residual CTE) [[ivfpqResTopKSql]] (CTE names are disjoint from
+    * [[ivfListsCtes]]'s). */
+  private def pqCtes(m: Int, k: Int, rounds: Int, subDim: Int,
+                     src: String = "embeddings", recName: String = "rec"): String = {
     val roundCtes = new StringBuilder
     var prev = "pq_seed"
     for (r <- 0 until rounds) {
@@ -884,7 +887,7 @@ object Ann {
     s"""sub AS (
        |  SELECT vec_id, g.range AS m,
        |         embedding[g.range * $subDim + 1 : g.range * $subDim + $subDim] AS semb
-       |  FROM embeddings, range(0, $m) g
+       |  FROM $src, range(0, $m) g
        |),
        |pq_seed AS (SELECT m, vec_id AS cid, semb AS c_emb FROM sub WHERE vec_id < $k),
        |${roundCtes}enc AS (
@@ -894,7 +897,7 @@ object Ann {
        |  FROM sub s JOIN $prev c ON c.m = s.m
        |  QUALIFY rn = 1
        |),
-       |rec AS (SELECT vec_id, flatten(list(c_emb ORDER BY m)) AS recon FROM enc GROUP BY vec_id)""".stripMargin
+       |$recName AS (SELECT vec_id, flatten(list(c_emb ORDER BY m)) AS recon FROM enc GROUP BY vec_id)""".stripMargin
   }
 
   /** DuckDB mirror of [[pqTopK]] (sub-slice, seed, Lloyd, encode,
@@ -995,6 +998,102 @@ object Ann {
        |  FROM probed p
        |  JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.q_id
        |  JOIN rec r ON r.vec_id = l.vec_id
+       |)
+       |SELECT q_id, nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk,
+       |       round(cos, 6) AS asim
+       |FROM scored
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  /**
+   * RESIDUAL-encoded IVFADC (FAISS `by_residual=true` — the production
+   * accuracy lever [[ivfpqTopK]]'s scaladoc documents): PQ encodes each
+   * vector's DISPLACEMENT from its list centroid (`v − c_emb(cid)`)
+   * instead of the raw vector, so the codebooks spend their 2 bytes on
+   * the in-cell geometry the coarse quantizer already localized —
+   * strictly finer quantization whenever the cells are tighter than the
+   * global spread. A candidate reconstructs as
+   * `c_emb(cid) + decode(codes)`; everything else (two-level list
+   * assignment, broadcast-codebook map-side encode, probed-list
+   * restriction, ADC cosine ranking) is [[ivfpqTopK]]'s dataflow with
+   * one extra broadcast-join subtraction before the subspace slice and
+   * one broadcast-join addition after decode — both map-side, the
+   * collection still crosses ONE exchange for assignment. Mirrored
+   * CTE-for-CTE by [[ivfpqResTopKSql]].
+   */
+  def ivfpqResTopK(emb: DataFrame): DataFrame = ivfpqResTopK(emb, 1)
+
+  def ivfpqResTopK(emb: DataFrame, rounds: Int, k: Int = ivfCentroids,
+                   m: Int = pqM, pk: Int = pqK, pqRounds: Int = 1): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = trainedCentroids(emb, rounds, k)
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1) // (vec_id, embedding, cid)
+    val centSlim = cent.select(col("cid"), col("c_emb"))
+    // residuals: double arrays (float minus double mean, IEEE-identical
+    // in both engines)
+    val res = lists.join(broadcast(centSlim), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+    val (codes, cb) = pqCompress(res.select(col("vec_id"), col("embedding")), m, pk, pqRounds)
+    val rres = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(broadcast(cb), Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("c_emb"))).as("rres"))
+    val rec = rres.join(res.select(col("vec_id"), col("cid")), "vec_id")
+      .join(broadcast(centSlim), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("c_emb"), col("rres"), (a, b) => a + b).as("recon"))
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",
+        cent, k, ivfProbes)
+      .withColumnRenamed("embedding", "q_emb")
+    val scored = probed.join(rec, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
+  /** DuckDB mirror of [[ivfpqResTopK]]: the IVF prefix, a residual CTE
+    * (`lists` minus the list centroid), the PQ block over it, and the
+    * centroid-plus-decoded-residual reconstruction. */
+  def ivfpqResTopKSql(rounds: Int = 1): String = {
+    val (prefix, fine) = ivfListsCtes(rounds)
+    val cos = cosineSql("p.q_emb", "r.recon")
+    s"""$prefix,
+       |res AS (
+       |  SELECT l.vec_id, l.cid,
+       |         list_transform(list_zip(l.embedding, c.c_emb),
+       |                        p -> p[1]::DOUBLE - p[2]::DOUBLE) AS embedding
+       |  FROM lists l JOIN $fine c ON c.cid = l.cid
+       |),
+       |${pqCtes(pqM, pqK, 1, dim / pqM, src = "res", recName = "rres")},
+       |rec AS (
+       |  SELECT r.vec_id, s.cid,
+       |         list_transform(list_zip(c.c_emb, r.recon),
+       |                        p -> p[1]::DOUBLE + p[2]::DOUBLE) AS recon
+       |  FROM rres r JOIN res s ON s.vec_id = r.vec_id
+       |              JOIN $fine c ON c.cid = s.cid
+       |),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % $queryMod = 0),
+       |${ivfProbeCtes(fine)},
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, r.vec_id AS nbr_id, $cos AS cos
+       |  FROM probed p
+       |  JOIN rec r ON r.cid = p.cid AND r.vec_id <> p.q_id
        |)
        |SELECT q_id, nbr_id,
        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk,
