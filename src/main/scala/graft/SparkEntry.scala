@@ -1733,8 +1733,11 @@ object SparkEntry {
     // the index write, so the floor records the full deployment cost.
     "dedup_stream_flag_file" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_mh_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      // per-invocation temp dir (r12 review fix): a fixed hashCode-keyed
+      // path let a concurrent process's mode(overwrite) delete index
+      // files under this entry's per-micro-batch re-listing (and two
+      // dataset paths could collide on the 32-bit hash)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mh_index_").toString
       Dedup.minhashIndex(docs).write(dir)
       Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
         Dedup.MinhashIndex.read(s, dir))
@@ -1752,8 +1755,8 @@ object SparkEntry {
     // dedup_stream_flag_file)
     "dedup_embed_stream_file" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_emb_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      // per-invocation temp dir — see dedup_stream_flag_file
+      val dir = java.nio.file.Files.createTempDirectory("graft_emb_index_").toString
       Ann.embedIndex(emb).write(dir)
       Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
         Ann.EmbedIndex.read(s, dir))

@@ -1031,11 +1031,14 @@ object Ann {
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1) // (vec_id, embedding, cid)
     val centSlim = cent.select(col("cid"), col("c_emb"))
     // residuals: double arrays (float minus double mean, IEEE-identical
-    // in both engines)
-    val res = lists.join(broadcast(centSlim), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("embedding"), col("c_emb"),
-          (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+    // in both engines). PINNED: referenced by both the PQ compress and
+    // the reconstruction's cid re-join — unpinned, the second lineage
+    // would re-run the collection-scale IVF assignment (r12 review fix)
+    val res = graft.CacheRegistry.persistTracked(
+      lists.join(broadcast(centSlim), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => x.cast("double") - y.cast("double")).as("embedding")))
     val (codes, cb) = pqCompress(res.select(col("vec_id"), col("embedding")), m, pk, pqRounds)
     val rres = codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))

@@ -131,9 +131,16 @@ object Decontam {
    * `(doc_id, n_probes, first_probe, best_jac)`; the keep-set is the
    * anti-join, as in [[flag]].
    */
-  def flagFuzzy(docs: DataFrame, probes: DataFrame): DataFrame =
+  def flagFuzzy(docs: DataFrame, probes: DataFrame,
+                probesShareCorpusIds: Boolean = false): DataFrame =
     Dedup.minhashStreamingFlag(docs,
-        Dedup.minhashIndex(probes.select(col("probe_id").as("doc_id"), col("text"))))
+        Dedup.minhashIndex(probes.select(col("probe_id").as("doc_id"), col("text"))),
+        // self-pair exclusion is only meaningful when probe ids ARE
+        // corpus ids (the derived-slice entry): with an EXTERNAL
+        // benchmark, a corpus doc numerically equal to a probe id is
+        // not that probe, and excluding the pair silently un-flags
+        // genuine contamination (r12 review fix)
+        excludeSelf = probesShareCorpusIds)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("dup_of")).as("n_probes"),
         min(col("dup_of")).as("first_probe"),
@@ -142,9 +149,10 @@ object Decontam {
   /** The composed driver entry: corpus-derived probes (the [[flag]]
     * slice) as the gate index, every document scored against it. The
     * [[flagDocuments]] audit note applies: probe docs flag their own
-    * near-copies, never themselves (the gate excludes identical ids). */
+    * near-copies, never themselves (probe ids ARE corpus ids here, so
+    * the gate's identical-id exclusion applies). */
   def flagFuzzyDocuments(docs: DataFrame): DataFrame =
-    flagFuzzy(docs, probes(docs))
+    flagFuzzy(docs, probes(docs), probesShareCorpusIds = true)
 
   /** DuckDB mirror of [[flagFuzzyDocuments]]: the gate mirror
     * ([[Dedup.minhashFlagSql]]) with the INDEX side restricted to the

@@ -351,7 +351,18 @@ object Dedup {
    * pair dedup downstream (the batch parity spec compares distinct
    * pairs). Works identically on a batch frame (same plan, no stream).
    */
-  def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex): DataFrame = {
+  def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex): DataFrame =
+    minhashStreamingFlag(stream, index, excludeSelf = true)
+
+  /** `excludeSelf = false` skips the `doc_id <> corpus_id` filter — for
+    * callers whose probe and index id spaces are UNRELATED (e.g. an
+    * external benchmark as the index: a corpus doc numerically equal to
+    * a probe id is NOT that probe, and dropping the pair silently
+    * un-flags genuine contamination — r12 review fix). The default
+    * matches the ingest-gate contract, where arrivals share the corpus
+    * id space. */
+  def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex,
+                           excludeSelf: Boolean): DataFrame = {
     val probe = bandKeys(shingleSets(stream))
     val inter = size(array_intersect(col("shs"), col("corpus_shs"))).cast("double")
     val union = (size(col("shs")) + size(col("corpus_shs"))).cast("double") - inter
@@ -359,7 +370,7 @@ object Dedup {
     // (each member's shingle set, held ONCE in index.sets) joins only
     // onto the hits — set mass moves per collision, not per probe row
     probe.join(index.keys, Seq("band", "key"))
-      .where(col("doc_id") =!= col("corpus_id"))
+      .where(if (excludeSelf) col("doc_id") =!= col("corpus_id") else lit(true))
       .join(index.sets, "corpus_id")
       .withColumn("jac", inter / union)
       .where(col("jac") >= mhTau)

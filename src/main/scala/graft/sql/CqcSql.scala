@@ -181,13 +181,6 @@ object CqcSql {
   def solveWithRoot(spark: SparkSession, sql: String, root: String): DataFrame =
     graft.cqc.Hypergraph.withRootHint(root)(solve(spark, sql))
 
-  /** Graphviz DOT dump of the query hypergraph (bipartite form:
-    * box = relation hyperedge, ellipse = variable), with the
-    * COMPARISON hyperedges drawn as dashed labeled edges between the
-    * relations carrying the two sides — the textual equivalent of
-    * sqlplus-web's hypergraph + comparison rendering (springboot
-    * dto/HyperGraph.java building from graph/ComparisonHyperGraph
-    * .scala). */
   /** Escape a value for embedding inside a double-quoted DOT string:
     * backslashes and double quotes (a comparison side can carry a
     * string-literal bound like `c_name <> "x\"y"` — raw interpolation
@@ -195,6 +188,13 @@ object CqcSql {
   private def dotq(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Graphviz DOT dump of the query hypergraph (bipartite form:
+    * box = relation hyperedge, ellipse = variable), with the
+    * COMPARISON hyperedges drawn as dashed labeled edges between the
+    * relations carrying the two sides — the textual equivalent of
+    * sqlplus-web's hypergraph + comparison rendering (springboot
+    * dto/HyperGraph.java building from graph/ComparisonHyperGraph
+    * .scala). */
   def hypergraphDot(spark: SparkSession, sql: String): String = {
     val (rels, cmps) = structure(spark, sql)
     val vars = rels.flatMap(_.vars).distinct.sorted

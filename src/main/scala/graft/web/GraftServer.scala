@@ -115,17 +115,31 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     * queue entry (cold-start timing contract, matching the reference's
     * ExperimentManager). An interactive execution racing the drain would
     * lose its pinned index/quantizer caches mid-flight and recompute —
-    * so the two EXECUTING endpoints (/api/query, sync /api/experiment)
-    * are gated with 409 while the queue drains; metadata-only endpoints
-    * (plan/candidates/structure/hypergraph/emit) never touch caches and
-    * stay open. */
+    * so the exclusion is MUTUAL and atomic under one lock
+    * ([[Experiments.beginInteractive]]): the two EXECUTING endpoints
+    * (/api/query, sync /api/experiment) answer 409 while the queue
+    * drains, and /api/experiment/start answers 409 while an interactive
+    * execution is in flight (r12 review fix — the one-directional gate
+    * let start() yank a running query's caches). Metadata-only
+    * endpoints (plan/candidates/structure/hypergraph/emit) never touch
+    * caches and stay open. */
   private def experimentsBusy: (Int, String, String) =
     (409, """{"error":"experiment queue is draining (caches are cleared per entry); retry when /api/experiment/status shows STOPPED"}""",
       "application/json")
 
+  private def interactiveBusy: (Int, String, String) =
+    (409, """{"error":"an interactive execution is in flight (the experiment worker clears caches per entry); retry when it completes"}""",
+      "application/json")
+
+  /** Run `f` as a gated interactive execution: 409 if the queue is
+    * draining, otherwise counted in-flight so a concurrent start() is
+    * refused until it finishes. */
+  private def interactive(f: => (Int, String, String)): (Int, String, String) =
+    if (!Experiments.beginInteractive()) experimentsBusy
+    else try f finally Experiments.endInteractive()
+
   handle("/api/query") { ex =>
-    if (Experiments.isRunning) experimentsBusy
-    else {
+    interactive {
       val sql = body(ex)
       require(sql.nonEmpty, "empty SQL body")
       val limit = param(ex, "limit").map(_.toInt).getOrElse(1000).min(100000)
@@ -255,8 +269,7 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
   }
 
   handle("/api/experiment") { ex =>
-    if (Experiments.isRunning) experimentsBusy
-    else {
+    interactive {
       val name = param(ex, "name").getOrElse(throw new IllegalArgumentException("name= required"))
       val sf = param(ex, "sf").getOrElse("/root/testdata/sf0.001")
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -288,11 +301,28 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     private val tasks =
       scala.collection.mutable.LinkedHashMap[String, (String, Option[Double], Option[Long], Option[String])]()
     @volatile private var stopRequested = false
+    // interactive executions currently in flight (query / sync
+    // experiment): start() refuses while > 0, and beginInteractive
+    // refuses while the queue drains — MUTUAL exclusion under this one
+    // lock, so neither side can slip past the other's check (r12
+    // review fix)
+    private var interactiveInFlight = 0
 
     def isRunning: Boolean = lock.synchronized { state == "RUNNING" }
 
+    /** Register an interactive execution; false = queue is draining. */
+    def beginInteractive(): Boolean = lock.synchronized {
+      if (state == "RUNNING") false
+      else { interactiveInFlight += 1; true }
+    }
+
+    def endInteractive(): Unit = lock.synchronized { interactiveInFlight -= 1 }
+
     def start(names: Seq[String], sf: String): Unit = lock.synchronized {
       require(state != "RUNNING", "experiments already running")
+      if (interactiveInFlight > 0)
+        throw new IllegalStateException(
+          "an interactive execution is in flight; retry when it completes")
       require(names.nonEmpty, "empty experiment list")
       val unknown = names.filterNot(graft.SparkEntry.queries.contains)
       require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
@@ -355,8 +385,10 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     val names =
       if (raw == "*") graft.SparkEntry.queries.keys.toSeq.sorted
       else raw.split("[,\n]").map(_.trim).filter(_.nonEmpty).toSeq
-    Experiments.start(names, sf)
-    (200, s"""{"started":${names.length}}""", "application/json")
+    try {
+      Experiments.start(names, sf)
+      (200, s"""{"started":${names.length}}""", "application/json")
+    } catch { case _: IllegalStateException => interactiveBusy }
   }
 
   handle("/api/experiment/status") { _ =>

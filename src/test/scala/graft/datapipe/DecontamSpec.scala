@@ -110,7 +110,7 @@ class DecontamSpec extends SparkSpecBase {
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       if (exact.contains(5L)) None // chance 5-gram re-occurrence: not a witness
       else {
-        val fuzzy = Decontam.flagFuzzy(corpus, probe).collect()
+        val fuzzy = Decontam.flagFuzzy(corpus, probe, probesShareCorpusIds = true).collect()
           .map(r => r.getLong(0) ->
             ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
         assert(!fuzzy.contains(0L), "probe doc must never self-flag")
@@ -127,5 +127,28 @@ class DecontamSpec extends SparkSpecBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(bestJac == want, s"best_jac $bestJac != scala jaccard $want")
     assert(bestJac >= Dedup.mhTau && bestJac < 1.0)
+  }
+
+  test("r12 review fix: external probe ids that collide numerically with corpus ids still flag") {
+    import spark.implicits._
+    // benchmark probe_id 7 is UNRELATED to corpus doc_id 7 — doc 7 is a
+    // verbatim copy of the probe and must flag; with the (pre-fix)
+    // unconditional identical-id exclusion the pair was silently dropped
+    val corpus = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog tonight"),
+      (8L, "completely unrelated words about some other topic entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq((7L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("probe_id", "text")
+    val got = Decontam.flagFuzzy(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(7L), s"expected only doc 7 flagged, got $got")
+    assert(got(7L) == 1.0)
+    // the derived-slice form keeps the exclusion: the probe doc itself
+    // never self-flags
+    val derived = Decontam.flagFuzzy(corpus,
+      corpus.where(col("doc_id") === 7L).select(col("doc_id").as("probe_id"), col("text")),
+      probesShareCorpusIds = true).collect()
+    assert(derived.isEmpty, s"derived-slice probe must not self-flag: ${derived.mkString}")
   }
 }

@@ -206,19 +206,23 @@ class CqcSqlPropertySpec extends SparkSpecBase {
         if (peeled && rnd.nextInt(3) == 0) "r.w"
         else s"g${1 + rnd.nextInt(n)}.src"
       val correlated = rnd.nextBoolean()
-      if (correlated) nCorrelated += 1
-      val subPred = rnd.nextInt(4) match {
+      // (subPred, actuallyCorrelated): case 2 is ALWAYS uncorrelated —
+      // counting the intent flag instead of the emitted shape let the
+      // coverage assertion pass without exercising the correlated guard
+      // path (r12 review fix)
+      val (subPred, isCorr) = rnd.nextInt(4) match {
         case 0 if correlated =>
-          s"EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst < 7)"
-        case 0 => s"EXISTS (SELECT 1 FROM props_edges z WHERE z.dst > 8)"
+          (s"EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst < 7)", true)
+        case 0 => (s"EXISTS (SELECT 1 FROM props_edges z WHERE z.dst > 8)", false)
         case 1 if correlated =>
-          s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst = 0)"
-        case 1 => s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src > 99)"
-        case 2 => s"$target IN (SELECT src FROM props_edges WHERE dst < ${4 + rnd.nextInt(5)})"
+          (s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src = $target AND z.dst = 0)", true)
+        case 1 => (s"NOT EXISTS (SELECT 1 FROM props_edges z WHERE z.src > 99)", false)
+        case 2 => (s"$target IN (SELECT src FROM props_edges WHERE dst < ${4 + rnd.nextInt(5)})", false)
         case _ if correlated =>
-          s"$target <= (SELECT MAX(z.dst) FROM props_edges z WHERE z.src = $target)"
-        case _ => s"$target <= (SELECT MAX(dst) FROM props_edges)"
+          (s"$target <= (SELECT MAX(z.dst) FROM props_edges z WHERE z.src = $target)", true)
+        case _ => (s"$target <= (SELECT MAX(dst) FROM props_edges)", false)
       }
+      if (isCorr) nCorrelated += 1
       val select = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j").mkString(", ") +
         (if (peeled) ", r.w AS w" else "")
       val sql =

@@ -132,12 +132,23 @@ class GraftServerSpec extends SparkSpecBase {
     // while the queue drains, the EXECUTING endpoints are gated (the
     // worker clears all caches per entry — an interactive run racing it
     // would recompute its pinned indexes): 409, with a retry hint.
-    // Metadata-only endpoints stay open mid-drain.
+    // Metadata-only endpoints stay open mid-drain. RACE-TOLERANT
+    // (r12 review fix): if the status read AFTER the gated POSTs still
+    // says RUNNING, the queue was draining when they landed and both
+    // must have been refused; if the queue already drained, either
+    // answer is legitimate and the gate is asserted by the other runs.
     view()
     val (cGate, bGate) = post("/api/query?limit=1", joinSql)
-    assert(cGate == 409 && bGate.contains("experiment queue is draining"), (cGate, bGate))
     val (cGate2, bGate2) = post(s"/api/experiment?name=q1_agg&sf=$sfDir", "")
-    assert(cGate2 == 409, (cGate2, bGate2))
+    val stMid = """"state":"([A-Z]+)"""".r
+      .findFirstMatchIn(get("/api/experiment/status")._2).map(_.group(1)).getOrElse("")
+    if (stMid == "RUNNING") {
+      assert(cGate == 409 && bGate.contains("experiment queue is draining"), (cGate, bGate))
+      assert(cGate2 == 409, (cGate2, bGate2))
+    } else {
+      assert(Set(200, 409).contains(cGate), (cGate, bGate))
+      assert(Set(200, 409).contains(cGate2), (cGate2, bGate2))
+    }
     val (cPlan, _) = post("/api/plan", joinSql)
     assert(cPlan == 200)
     val (c2, b2) = post("/api/experiment/stop", "")
@@ -190,6 +201,37 @@ class GraftServerSpec extends SparkSpecBase {
     val (_, html) = get("/")
     assert(html.contains("drawHyper(j.relations,j.comparisons)") &&
       html.contains("cmp degree"), "index page renders the comparison hypergraph")
+  }
+
+  test("reverse gate: experiment start is refused while an interactive query is in flight") {
+    // mutual exclusion (r12 review fix): start() must not yank a running
+    // interactive query's caches. Fire a query on a background thread,
+    // then try to start the queue; race-tolerant the same way as the
+    // forward gate — if the query is still in flight when start lands,
+    // it must be refused.
+    view()
+    val heavy =
+      """SELECT g1.src AS a, g2.dst AS b, g3.dst AS c, g4.dst AS d
+        |FROM web_edges g1, web_edges g2, web_edges g3, web_edges g4
+        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src""".stripMargin
+    @volatile var queryDone = false
+    val t = new Thread(() => { post("/api/query?limit=1", heavy); queryDone = true })
+    t.start()
+    Thread.sleep(150) // let the query clear the gate and start executing
+    val (cStart, bStart) = post("/api/experiment/start?sf=" + sfDir, "pipe_chunk")
+    if (!queryDone) {
+      assert(cStart == 409 && bStart.contains("interactive execution is in flight"),
+        (cStart, bStart))
+    } else assert(Set(200, 409).contains(cStart), (cStart, bStart))
+    t.join(120000)
+    // drain any queue this test may have legitimately started
+    val deadline = System.currentTimeMillis() + 120000
+    var st = ""
+    while (st != "STOPPED" && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      st = """"state":"([A-Z]+)"""".r.findFirstMatchIn(get("/api/experiment/status")._2)
+        .map(_.group(1)).getOrElse("STOPPED")
+    }
   }
 
   test("hypergraph DOT escapes double quotes in comparison labels") {
