@@ -129,6 +129,35 @@ class DecontamSpec extends SparkSpecBase {
     assert(bestJac >= Dedup.mhTau && bestJac < 1.0)
   }
 
+  test("r12 plan pin: fuzzy decontam broadcasts BOTH probe-index frames; " +
+    "no corpus exchange before the decision aggregate") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = Decontam.flagFuzzyDocuments(docs)
+    df.count() // finalize AQE
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = unwrap(p)
+      here.collect(f) ++ here.subqueries.flatMap(collectAll(_)(f))
+    }
+    val root = unwrap(df.queryExecution.executedPlan)
+    // the probe set is benchmark-sized: BOTH index frames (bucket keys
+    // AND shingle-set payloads) must ride broadcast joins — a shuffled
+    // join would move the 100 TB corpus's shingle mass for a tiny index
+    val bhj = collectAll(root) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"expected both index joins broadcast, got ${bhj.size} in:\n$root")
+    // the corpus side's only exchanges are the decision aggregate's own
+    // (partial aggregation collapsed map-side first)
+    val shuffles = collectAll(root) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"corpus must not exchange before the decision aggregate:\n$root")
+  }
+
   test("r12 review fix: external probe ids that collide numerically with corpus ids still flag") {
     import spark.implicits._
     // benchmark probe_id 7 is UNRELATED to corpus doc_id 7 — doc 7 is a

@@ -180,7 +180,11 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     var nNested = 0
     var nPeeled = 0
     var nCorrelated = 0
-    for (i <- 1 to 12) {
+    // soak knob: GRAFT_FUZZ_ITERS extends the deterministic sequence
+    // (same seed, more shapes) for out-of-band extended soaks without
+    // slowing the per-round suite
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
       val n = 2 + rnd.nextInt(2) // 2-3 chain leaves
       // leaf j's FROM entry: plain, or a DERIVED table (nested leaf —
       // filter + projection beneath, sometimes a join inside)
