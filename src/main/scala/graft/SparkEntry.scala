@@ -1857,6 +1857,10 @@ object SparkEntry {
     // paraphrased-benchmark class exact containment structurally misses
     "pipe_decontam_fuzzy" -> ((s, d) => Decontam.flagFuzzyDocuments(Tables.documents(s, d))),
     "pipe_prep" -> ((s, d) => graft.datapipe.Prep.prepare(Tables.documents(s, d))),
+    // prep with the NEAR-DUP decontamination stage: paraphrased probe
+    // copies that survive exact containment are dropped before dedup
+    "pipe_prep_fuzzy" -> ((s, d) =>
+      graft.datapipe.Prep.prepare(Tables.documents(s, d), fuzzyDecontam = true)),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2443,6 +2447,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
+    "pipe_prep_fuzzy" -> graft.datapipe.Prep.prepareFuzzySql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

@@ -47,7 +47,15 @@ object Prep {
     * materializes the result. Call [[graft.CacheRegistry.unpersistAll]]
     * afterwards (Verify/Bench do per query; the datapipe specs do in
     * afterEach) or a long session accumulates InMemoryRelations. */
-  def keptCorpus(docs: DataFrame): DataFrame = {
+  def keptCorpus(docs: DataFrame): DataFrame = keptCorpus(docs, fuzzyDecontam = false)
+
+  /** `fuzzyDecontam = true` adds the NEAR-DUP decontamination stage
+    * ([[Decontam.flagFuzzy]] — whole-doc MinHash similarity vs the probe
+    * set) after the exact containment anti-join: the paraphrased-
+    * benchmark class exact n-grams structurally miss. Runs on exact-
+    * clean survivors only; the fuzzy-flagged set is benchmark-adjacent-
+    * sized, so its anti-join broadcasts like the exact one. */
+  def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean): DataFrame = {
     import TextOps._
     // one fused scan: quality + language projections, then every gate
     val scored = langId(
@@ -76,9 +84,17 @@ object Prep {
     val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(staged)))
       .select(col("doc_id"))
     val clean = gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val decontaminated =
+      if (!fuzzyDecontam) clean
+      else {
+        val fz = Decontam.flagFuzzy(clean, Decontam.probes(staged),
+            probesShareCorpusIds = true)
+          .select(col("doc_id"))
+        clean.join(broadcast(fz), Seq("doc_id"), "left_anti")
+      }
     // exact dedup keeping the whole keeper row: rank-prune per text hash
     graft.topk.RankJoin.prunePerKey(
-        clean.withColumn("h", md5(Dedup.normText)),
+        decontaminated.withColumn("h", md5(Dedup.normText)),
         Seq("h"), Seq(col("doc_id").asc), 1)
       .drop("h")
   }
@@ -89,8 +105,10 @@ object Prep {
     * hash-gated subset of the kept corpus, not the full gates+dedup
     * census — use [[keptCorpus]] for that), `copies_out` = emitted
     * copies, `chars_out` = emitted char mass. */
-  def prepare(docs: DataFrame): DataFrame =
-    TextOps.mixEpochs(keptCorpus(docs))
+  def prepare(docs: DataFrame): DataFrame = prepare(docs, fuzzyDecontam = false)
+
+  def prepare(docs: DataFrame, fuzzyDecontam: Boolean): DataFrame =
+    TextOps.mixEpochs(keptCorpus(docs, fuzzyDecontam))
       .groupBy(col("source"), col("w").cast("double").as("w"))
       .agg(countDistinct(col("doc_id")).as("survivors"),
         count(lit(1)).as("copies_out"),
@@ -146,7 +164,16 @@ object Prep {
     Dedup.exactStreaming(clean, watermark).drop("h")
   }
 
-  val prepareSql: String = {
+  val prepareSql: String = prepareSqlWith(fuzzy = false)
+
+  /** Mirror of `prepare(docs, fuzzyDecontam = true)`: the exact-clean
+    * CTE feeds a nested [[Dedup.minhashFlagSql]] whose candidate
+    * predicate restricts the probing side to clean survivors and the
+    * index side to the probe slice (inner CTE names shadow the outer
+    * `t`; the outer `clean` stays visible inside the nested WITH). */
+  def prepareFuzzySql: String = prepareSqlWith(fuzzy = true)
+
+  private def prepareSqlWith(fuzzy: Boolean): String = {
     import TextOps._
     val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
     val hits = stopwords.map { case (lang, ws) =>
@@ -164,6 +191,19 @@ object Prep {
     def dup(k: Int): String = dupFracSql(s"g$k")
     val n = mixWeights.size
     def byIdx(f: Double => String): String = mixCaseSql(f)
+    val fuzzyCtes =
+      if (!fuzzy) ""
+      else s"""
+         |fz AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |${Dedup.minhashFlagSql(
+             s"a.doc_id IN (SELECT doc_id FROM clean) AND b.doc_id % ${Decontam.probeMod} = 0")}
+         |  ) __fzf
+         |),
+         |clean2 AS (
+         |  SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM fz)
+         |),""".stripMargin
+    val cleanSrc = if (fuzzy) "clean2" else "clean"
     s"""WITH t AS (SELECT doc_id, source, text, n_chars,
        |                  string_split(text, ' ') AS w FROM documents),
        |m AS (
@@ -204,12 +244,12 @@ object Prep {
        |),
        |clean AS (
        |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
-       |),
+       |),$fuzzyCtes
        |kept AS (
        |  SELECT doc_id, source, text, n_chars FROM (
        |    SELECT *, row_number() OVER (PARTITION BY md5(${Dedup.normTextSql})
        |                                 ORDER BY doc_id) AS rn
-       |    FROM clean)
+       |    FROM $cleanSrc)
        |  WHERE rn = 1
        |),
        |mixed AS (

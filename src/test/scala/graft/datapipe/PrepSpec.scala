@@ -64,4 +64,50 @@ class PrepSpec extends SparkSpecBase {
         s"${x.getString(0)}: w=$w survivors=$surv copies=$copies")
     }
   }
+
+  test("r12 fuzzy prep: keeps a subset of exact prep; equals the componentwise fuzzy stage") {
+    val exact = Prep.keptCorpus(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.unpersistAll()
+    val fuzzy = Prep.keptCorpus(docs, fuzzyDecontam = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.unpersistAll()
+    // the fuzzy stage only REMOVES: every fuzzy survivor survives exact
+    // prep... but dedup keeper CHOICE can shift when a lower-id keeper
+    // was fuzzy-dropped, so compare the pre-dedup decision instead:
+    // componentwise — exact-clean docs minus the flagFuzzy flags, then
+    // the same keeper rank-prune
+    val staged = docs // probes come from ALL docs in keptCorpus
+    val exactCleanIds = {
+      // exact keptCorpus without its final dedup = gated minus exact flags;
+      // reconstruct componentwise as the first spec test does
+      val q = TextOps.quality(docs)
+      val l = TextOps.langId(docs).select(col("doc_id"), col("pred_lang"))
+      val r = TextOps.repetition(docs)
+        .select(col("doc_id"), col("dup2_frac"), col("dup3_frac"))
+      val gatedIds = q.join(l, "doc_id").join(r, "doc_id")
+        .where(col("pred_lang") === TextOps.cleanLang &&
+          col("score") >= TextOps.cleanMinScore &&
+          col("n_tokens").between(TextOps.cleanMinTok, TextOps.cleanMaxTok) &&
+          col("dup2_frac") <= TextOps.repDupThreshold &&
+          col("dup3_frac") <= TextOps.repDupThreshold)
+        .select("doc_id")
+      val gated = docs.join(gatedIds, "doc_id")
+      val flagged = Decontam.flag(gated, Decontam.probeIndex(Decontam.probes(docs)))
+        .select("doc_id")
+      gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    }
+    val fzFlags = Decontam.flagFuzzy(exactCleanIds,
+        Decontam.probes(staged), probesShareCorpusIds = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantFuzzy = graft.topk.RankJoin.prunePerKey(
+        exactCleanIds.where(!col("doc_id").isin(fzFlags.toSeq: _*))
+          .withColumn("h", md5(Dedup.normText)),
+        Seq("h"), Seq(col("doc_id").asc), 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == wantFuzzy, s"componentwise mismatch: ${fuzzy diff wantFuzzy} / ${wantFuzzy diff fuzzy}")
+    // and the stage is real on this corpus OR a no-op — either way the
+    // composed pipeline equals the componentwise one; when flags exist,
+    // fuzzy survivors shrink
+    if (fzFlags.nonEmpty) assert(fuzzy != exact || fuzzy.size < exact.size)
+  }
 }
