@@ -129,7 +129,8 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     rated.createOrReplaceTempView("propo_rated")
 
     var nonEmpty = 0
-    for (_ <- 1 to 8) {
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "8").toInt
+    for (_ <- 1 to iters) {
       val twoInner = rnd.nextBoolean()
       val from = if (twoInner) "propo_edges g1, propo_edges g2" else "propo_edges g1"
       val where = if (twoInner) "\nWHERE g1.dst = g2.src" else ""
@@ -258,7 +259,8 @@ class CqcSqlPropertySpec extends SparkSpecBase {
 
     var nonEmpty = 0
     var nCyclic = 0
-    for (i <- 1 to 12) {
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
       val n = if (i % 3 == 0) 3 else 2 + rnd.nextInt(2)
       // every third query (forced n=3) CLOSES the chain into a cycle
       // (g_n.dst = g1.src): a later relation joining back to an early
