@@ -13,23 +13,26 @@ import graft.wcoj.{Lftj, Wcoj}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Every src_jsonl dump dir this JVM created, oldest first. Deletion
-    * is deferred (never at re-invocation time: a still-unconsumed lazy
-    * reader from a prior invocation, or a concurrent invocation, must
-    * never see its directory vanish — dump dirs are per-invocation
-    * unique), but retention is CAPPED: past [[jsonlDumpCap]] dirs the
-    * oldest is swept, so a long-lived session's temp-disk footprint is
-    * bounded at cap × dump size. A lazy reader is therefore safe for
-    * the window of the last `cap` invocations; the shutdown hook
-    * remains the backstop for whatever is still retained. */
-  private val jsonlDumps =
+  /** Every per-invocation temp dir this JVM created (src_jsonl dumps,
+    * file-backed gate indexes), oldest first. Deletion is deferred
+    * (never at re-invocation time: a still-unconsumed lazy reader from
+    * a prior invocation, or a concurrent invocation, must never see its
+    * directory vanish — the dirs are per-invocation unique), but
+    * retention is CAPPED: past [[tempDirCap]] dirs the oldest is swept,
+    * so a long-lived session's temp-disk footprint is bounded at
+    * cap × artifact size (r12 review fix: the gate-index dirs
+    * previously leaked one parquet index per invocation). A lazy
+    * reader is therefore safe for the window of the last `cap`
+    * invocations; the shutdown hook remains the backstop for whatever
+    * is still retained. */
+  private val tempDirs =
     new java.util.concurrent.ConcurrentLinkedDeque[java.nio.file.Path]()
-  private val jsonlDumpCap = 8
+  private val tempDirCap = 8
 
-  private def trackJsonlDump(p: java.nio.file.Path): Unit = {
-    jsonlDumps.addLast(p)
-    while (jsonlDumps.size > jsonlDumpCap)
-      Option(jsonlDumps.pollFirst()).foreach(deleteTree)
+  private def trackTempDir(p: java.nio.file.Path): Unit = {
+    tempDirs.addLast(p)
+    while (tempDirs.size > tempDirCap)
+      Option(tempDirs.pollFirst()).foreach(deleteTree)
   }
 
   private def deleteTree(root: java.nio.file.Path): Unit = {
@@ -41,7 +44,7 @@ object SparkEntry {
 
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
-    jsonlDumps.asScala.foreach(deleteTree)
+    tempDirs.asScala.foreach(deleteTree)
   }
 
   /** Flagship query (reference examples/query/q1: 3-hop path + degree
@@ -1737,7 +1740,9 @@ object SparkEntry {
       // path let a concurrent process's mode(overwrite) delete index
       // files under this entry's per-micro-batch re-listing (and two
       // dataset paths could collide on the 32-bit hash)
-      val dir = java.nio.file.Files.createTempDirectory("graft_mh_index_").toString
+      val dirP = java.nio.file.Files.createTempDirectory("graft_mh_index_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
       Dedup.minhashIndex(docs).write(dir)
       Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
         Dedup.MinhashIndex.read(s, dir))
@@ -1756,7 +1761,9 @@ object SparkEntry {
     "dedup_embed_stream_file" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // per-invocation temp dir — see dedup_stream_flag_file
-      val dir = java.nio.file.Files.createTempDirectory("graft_emb_index_").toString
+      val dirP = java.nio.file.Files.createTempDirectory("graft_emb_index_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
       Ann.embedIndex(emb).write(dir)
       Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
         Ann.EmbedIndex.read(s, dir))
@@ -1823,11 +1830,11 @@ object SparkEntry {
       // per-invocation unique dump dir: a fixed hash-derived path lets two
       // datasets collide and two concurrent runs race (overwrite deletes
       // the dir another reader is scanning). Dumps are retained FIFO up
-      // to jsonlDumpCap (oldest swept past it — bounded temp footprint
+      // to tempDirCap (oldest swept past it — bounded temp footprint
       // for long-lived sessions), with the shutdown hook as backstop.
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
       val path = tmp.resolve("dump").toString
-      trackJsonlDump(tmp)
+      trackTempDir(tmp)
       Tables.writeJsonl(docs, path)
       Tables.readJsonl(s, path, "doc_id BIGINT, text STRING, lang STRING, source STRING")
         .select(col("doc_id"), col("lang"), col("source"),

@@ -351,9 +351,6 @@ object Dedup {
    * pair dedup downstream (the batch parity spec compares distinct
    * pairs). Works identically on a batch frame (same plan, no stream).
    */
-  def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex): DataFrame =
-    minhashStreamingFlag(stream, index, excludeSelf = true)
-
   /** `excludeSelf = false` skips the `doc_id <> corpus_id` filter — for
     * callers whose probe and index id spaces are UNRELATED (e.g. an
     * external benchmark as the index: a corpus doc numerically equal to
@@ -362,7 +359,7 @@ object Dedup {
     * matches the ingest-gate contract, where arrivals share the corpus
     * id space. */
   def minhashStreamingFlag(stream: DataFrame, index: MinhashIndex,
-                           excludeSelf: Boolean): DataFrame = {
+                           excludeSelf: Boolean = true): DataFrame = {
     val probe = bandKeys(shingleSets(stream))
     val inter = size(array_intersect(col("shs"), col("corpus_shs"))).cast("double")
     val union = (size(col("shs")) + size(col("corpus_shs"))).cast("double") - inter

@@ -47,15 +47,13 @@ object Prep {
     * materializes the result. Call [[graft.CacheRegistry.unpersistAll]]
     * afterwards (Verify/Bench do per query; the datapipe specs do in
     * afterEach) or a long session accumulates InMemoryRelations. */
-  def keptCorpus(docs: DataFrame): DataFrame = keptCorpus(docs, fuzzyDecontam = false)
-
   /** `fuzzyDecontam = true` adds the NEAR-DUP decontamination stage
     * ([[Decontam.flagFuzzy]] — whole-doc MinHash similarity vs the probe
     * set) after the exact containment anti-join: the paraphrased-
     * benchmark class exact n-grams structurally miss. Runs on exact-
     * clean survivors only; the fuzzy-flagged set is benchmark-adjacent-
     * sized, so its anti-join broadcasts like the exact one. */
-  def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean): DataFrame = {
+  def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean = false): DataFrame = {
     import TextOps._
     // one fused scan: quality + language projections, then every gate
     val scored = langId(
@@ -105,9 +103,7 @@ object Prep {
     * hash-gated subset of the kept corpus, not the full gates+dedup
     * census — use [[keptCorpus]] for that), `copies_out` = emitted
     * copies, `chars_out` = emitted char mass. */
-  def prepare(docs: DataFrame): DataFrame = prepare(docs, fuzzyDecontam = false)
-
-  def prepare(docs: DataFrame, fuzzyDecontam: Boolean): DataFrame =
+  def prepare(docs: DataFrame, fuzzyDecontam: Boolean = false): DataFrame =
     TextOps.mixEpochs(keptCorpus(docs, fuzzyDecontam))
       .groupBy(col("source"), col("w").cast("double").as("w"))
       .agg(countDistinct(col("doc_id")).as("survivors"),

@@ -308,9 +308,9 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     // review fix)
     private var interactiveInFlight = 0
 
-    def isRunning: Boolean = lock.synchronized { state == "RUNNING" }
-
-    /** Register an interactive execution; false = queue is draining. */
+    /** Register an interactive execution; false = queue is draining.
+      * The ONLY way to check the gate — a bare state read would
+      * reintroduce the check-then-act race this fixes. */
     def beginInteractive(): Boolean = lock.synchronized {
       if (state == "RUNNING") false
       else { interactiveInFlight += 1; true }
@@ -402,8 +402,22 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
 
   handle("/") { _ => (200, GraftServer.indexHtml, "text/html") }
 
-  def start(): GraftServer = { server.setExecutor(null); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  // a real executor, not setExecutor(null): the default runs EVERY
+  // handler on the single dispatcher thread, so a long interactive
+  // query blocked /health and the experiment status polls — and the
+  // interactive/start mutual exclusion was only held up by that
+  // accidental serialization (r12 second-review find). With concurrent
+  // handlers the gate in [[Experiments]] is the explicit, tested
+  // guarantee.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+
+  def start(): GraftServer = { server.setExecutor(pool); server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }
 
 object GraftServer {

@@ -209,21 +209,45 @@ class GraftServerSpec extends SparkSpecBase {
     // then try to start the queue; race-tolerant the same way as the
     // forward gate — if the query is still in flight when start lands,
     // it must be refused.
-    view()
-    val heavy =
-      """SELECT g1.src AS a, g2.dst AS b, g3.dst AS c, g4.dst AS d
-        |FROM web_edges g1, web_edges g2, web_edges g3, web_edges g4
-        |WHERE g1.dst = g2.src AND g2.dst = g3.src AND g3.dst = g4.src""".stripMargin
-    @volatile var queryDone = false
-    val t = new Thread(() => { post("/api/query?limit=1", heavy); queryDone = true })
-    t.start()
-    Thread.sleep(150) // let the query clear the gate and start executing
-    val (cStart, bStart) = post("/api/experiment/start?sf=" + sfDir, "pipe_chunk")
-    if (!queryDone) {
-      assert(cStart == 409 && bStart.contains("interactive execution is in flight"),
-        (cStart, bStart))
-    } else assert(Set(200, 409).contains(cStart), (cStart, bStart))
-    t.join(120000)
+    // retry loop (r12 second-review fix): the in-flight window and the
+    // queryDone flag race each other in both directions under load —
+    // instead, keep launching a fresh query + immediate start() until
+    // ONE attempt observes the 409 (gate proven) or attempts exhaust
+    // (fail with a diagnostic). A 200 start is always legitimate (the
+    // query finished or had not begun) and its queue is drained below.
+    var proved = false
+    var attempts = 0
+    val threads = scala.collection.mutable.ArrayBuffer[Thread]()
+    while (!proved && attempts < 6) {
+      attempts += 1
+      // the in-flight call is the SYNC experiment endpoint (also gated):
+      // it clears all caches up front, so its entry recomputes from cold
+      // every attempt — a wide, warm-session-proof in-flight window,
+      // unlike a door query the memoized spec session answers in ms
+      val t = new Thread(() =>
+        post(s"/api/experiment?name=pipe_prep&sf=$sfDir", ""))
+      threads += t
+      t.start()
+      Thread.sleep(150) // let it clear the gate and start executing
+      val (cStart, bStart) = post("/api/experiment/start?sf=" + sfDir, "pipe_chunk")
+      assert(Set(200, 409).contains(cStart), (cStart, bStart))
+      if (cStart == 409) {
+        assert(bStart.contains("interactive execution is in flight"), bStart)
+        proved = true
+      } else {
+        // drained-or-not-started: wait out this attempt's query + queue
+        t.join(120000)
+        var st = ""
+        val dl = System.currentTimeMillis() + 120000
+        while (st != "STOPPED" && System.currentTimeMillis() < dl) {
+          Thread.sleep(200)
+          st = """"state":"([A-Z]+)"""".r.findFirstMatchIn(get("/api/experiment/status")._2)
+            .map(_.group(1)).getOrElse("STOPPED")
+        }
+      }
+    }
+    assert(proved, s"start() never observed the in-flight gate in $attempts attempts")
+    threads.foreach(_.join(120000))
     // drain any queue this test may have legitimately started
     val deadline = System.currentTimeMillis() + 120000
     var st = ""
