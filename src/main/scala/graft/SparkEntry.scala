@@ -314,8 +314,13 @@ object SparkEntry {
     // carry `lang` through the quality projection: ONE documents scan
     // (text + lang columns), no self-join for the stratum key
     val scored = TextOps.quality(Tables.documents(s, d), carry = Seq("lang"))
-    RankJoin.prunePerKey(scored, Seq("lang"),
-        Seq(col("score").desc, col("doc_id").asc), 3)
+    // salted two-level prune: `lang` has cardinality ~5-100 and real corpora
+    // are English-dominated — a single PARTITION BY lang window would put
+    // the dominant language's whole row set on one reducer at corpus scale.
+    // (score DESC, doc_id ASC) is a total order, so the salted form is
+    // result-identical (TopkSaltSpec pins both equality and the plan shape).
+    RankJoin.prunePerKeySalted(scored, Seq("lang"),
+        Seq(col("score").desc, col("doc_id").asc), 3, col("doc_id"))
       .select("lang", "doc_id", "score")
   }
 

@@ -208,26 +208,57 @@ object TextOps {
   /** Token budget per training shard (BPE-estimated tokens). */
   val shardBudget = 2048L
 
+  /** Doc-id block width for [[packShards]]'s distributed prefix sum: the
+    * level-1 scan partitions by `(lang, doc_id div packBlock)`, so no
+    * window partition ever holds more than [[packBlock]] rows — an
+    * UNCONDITIONAL bound (a block spans at most `packBlock` distinct
+    * doc_ids), independent of language skew or id sparsity. */
+  val packBlock: Long = 1L << 20
+
   /**
    * Greedy training-shard packing: assign each document to a shard so
    * each shard holds ~[[shardBudget]] BPE-estimated tokens, packing in
    * deterministic doc_id order WITHIN each language partition.
    * `shard_id = (running token total before this doc) div budget` — the
-   * streaming-greedy rule, one window pass. The window partitions by
-   * `lang`, so packing parallelizes across languages and there is no
-   * global sort; at 100 TB you additionally sub-salt giant languages
-   * (partition by (lang, hash(doc) % K)) and key shards (lang, k, seq).
-   * Token counts are integral, so the running sum is exact and the
-   * assignment engine-independent.
+   * streaming-greedy rule. Token counts are integral, so the running sum
+   * is exact and the assignment engine-independent.
+   *
+   * The per-language running sum is a DISTRIBUTED two-level scan, not one
+   * `PARTITION BY lang` window: real corpora are English-dominated, so a
+   * single per-lang window would land the dominant language's entire row
+   * set (10^10+ rows at 100 TB) on ONE reducer task. Level 1 scans within
+   * `(lang, doc_id div blockW)` — window partitions bounded by `blockW`
+   * rows no matter how skewed the languages are; level 2 prefix-sums the
+   * tiny per-(lang, block) totals frame (≤ idRange/blockW rows) and the
+   * exclusive block offsets broadcast-join back. Because doc_id blocks
+   * respect the doc_id order (d1 < d2 ⇒ block(d1) ≤ block(d2)), the
+   * reassembled cumulative sum — and hence every shard_id — is
+   * bit-identical to the sequential per-language scan; being derived from
+   * the DATA (not from physical partition ids), the split is
+   * deterministic across runs, engines, and AQE decisions.
    */
-  def packShards(docs: DataFrame): DataFrame = {
+  def packShards(docs: DataFrame, blockW: Long = packBlock): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokenCounts(docs).select(col("doc_id"), col("n_bpe"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"))
+    val slim = docs.select(col("doc_id"), col("lang"))
       .join(toks, "doc_id")
-      .withColumn("cum", sum(col("n_bpe")).over(w))
+      .withColumn("__blk", expr(s"doc_id div ${blockW}L"))
+    // level 1: running sum within each bounded (lang, block) cell
+    val wLocal = Window.partitionBy(col("lang"), col("__blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = slim.withColumn("__lcum", sum(col("n_bpe")).over(wLocal))
+    // level 2: exclusive prefix of per-(lang, block) totals — the only
+    // whole-language sequential scan runs over this slim frame (one row
+    // per non-empty block), then broadcasts back
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = slim.groupBy(col("lang"), col("__blk"))
+      .agg(sum(col("n_bpe")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("lang"), col("__blk"), col("__off"))
+    local.join(broadcast(offsets), Seq("lang", "__blk"))
+      .withColumn("cum", col("__lcum") + col("__off"))
       .select(col("doc_id"), col("lang"), col("n_bpe"),
         expr(s"(cum - n_bpe) div $shardBudget").as("shard_id"))
   }

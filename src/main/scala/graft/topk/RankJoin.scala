@@ -26,6 +26,32 @@ object RankJoin {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Salt fan-out for [[prunePerKeySalted]]'s first-level prune. */
+  val pruneSalts = 32
+
+  /**
+   * Skew-safe two-level per-key top-k — use instead of [[prunePerKey]]
+   * whenever `keys` has LOW cardinality over a corpus-scale frame (e.g.
+   * `lang` over 10^11 documents: real corpora are English-dominated, so a
+   * single `row_number() OVER (PARTITION BY lang)` scan lands the dominant
+   * language's entire row set on ONE reducer task). Level 1 prunes per
+   * `(keys, crc32(saltOn) % salts)` — the dominant key's mass partial-prunes
+   * across `salts` parallel tasks; level 2 re-prunes per `keys` over the
+   * ≤ salts·k survivors, a trivially small frame.
+   *
+   * Result-identical to the one-window form whenever `order` is a TOTAL
+   * order of the rows (deterministic tie-break): every global top-k row of a
+   * key group is also top-k within whatever salt bucket it hashes to, so the
+   * level-1 survivors are a superset of the answer and level 2 selects
+   * exactly the same rows.
+   */
+  def prunePerKeySalted(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                        k: Int, saltOn: Column, salts: Int = pruneSalts): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(crc32(saltOn.cast("string")), lit(salts.toLong)))
+    val local = prunePerKey(salted, keys :+ "__salt", order, k).drop("__salt")
+    prunePerKey(local, keys, order, k)
+  }
+
   /**
    * Top-k of `left` natural-join `right`, ranked by `leftRank + rightRank`
    * descending, ties broken by `tieCols` ascending (total ordering =>

@@ -87,4 +87,39 @@ class TextOpsSpec extends SparkSpecBase {
     // more than one shard must exist somewhere, else the test is vacuous
     assert(got.map(_._4).distinct.length > 1)
   }
+
+  test("packShards: distributed block scan is bit-identical across block widths") {
+    // r13: the per-lang running sum is a two-level scan partitioned by
+    // (lang, doc_id div blockW). Tiny widths force many blocks per lang
+    // (the multi-offset reassembly path); the default collapses sf0.001
+    // into one block (degenerate path). All must agree exactly.
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    def run(bw: Long) = TextOps.packShards(docsDf, bw).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bpe"), r.getAs[Long]("shard_id"))).toSet
+    val base = run(TextOps.packBlock)
+    assert(base.nonEmpty)
+    for (bw <- Seq(1L, 7L, 64L)) assert(run(bw) == base, s"blockW=$bw diverged")
+  }
+
+  test("packShards: no full-frame window partitioned by lang alone") {
+    // the 100-TB claim: the only PARTITION BY lang window runs over the
+    // per-(lang, block) totals (slim, ≤ idRange/blockW rows); the
+    // corpus-mass window carries the block key, and offsets come back via
+    // a broadcast join
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val p = TextOps.packShards(docsDf).queryExecution.executedPlan.toString()
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.size == 2, s"expected exactly two window passes:\n$p")
+    // the window summing raw n_bpe (corpus mass) must PARTITION by the
+    // block key (the printed partition-by list is `[lang#_, __blk#_]`);
+    // the per-lang window may only sum the block totals
+    val corpusWin = winLines.filter(_.contains("sum(n_bpe"))
+    assert(corpusWin.size == 1 &&
+        corpusWin.head.matches(""".*\], \[lang#\d+, __blk#\d+L\], \[doc_id.*"""),
+      s"corpus-mass window must partition by (lang, __blk):\n$p")
+    assert(winLines.exists(_.contains("sum(__tot")),
+      s"per-lang window must run over block totals only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast back:\n$p")
+  }
 }
