@@ -1867,7 +1867,11 @@ object SparkEntry {
     // near-duplicate decontamination: the probe slice as a broadcast
     // minhash gate index, whole-doc shingle similarity — catches the
     // paraphrased-benchmark class exact containment structurally misses
-    "pipe_decontam_fuzzy" -> ((s, d) => Decontam.flagFuzzyDocuments(Tables.documents(s, d))),
+    "pipe_decontam_fuzzy" -> ((s, d) =>
+      // planted near-copies of the probe slice (r13): without the plant
+      // the synthetic corpus flags NOTHING and the gate's hash compare is
+      // an empty-set tautology
+      Decontam.flagFuzzyDocuments(Decontam.plantNearDups(Tables.documents(s, d)))),
     "pipe_prep" -> ((s, d) => graft.datapipe.Prep.prepare(Tables.documents(s, d))),
     // prep with the NEAR-DUP decontamination stage: paraphrased probe
     // copies that survive exact containment are dropped before dedup
@@ -2446,7 +2450,7 @@ object SparkEntry {
     "pipe_pack" -> TextOps.packShardsSql,
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
-    "pipe_decontam_fuzzy" -> Decontam.flagFuzzySql,
+    "pipe_decontam_fuzzy" -> Decontam.flagFuzzyPlantedSql,
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,

