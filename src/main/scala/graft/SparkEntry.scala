@@ -1792,6 +1792,24 @@ object SparkEntry {
     // PQ reconstructions rank it — the composed 10^10-vector serving
     // architecture; candidates served from the compressed storage form
     "ann_ivfpq" -> ((s, d) => Ann.ivfpqTopK(Tables.embeddings(s, d))),
+    // IVFADC serving from PERSISTED codes (r13) — the deployment split of
+    // ann_ivfpq: train + encode once, bucket-write codes ⋈ lists (+ the
+    // K-row quantizer/codebook artifacts), then rank queries from the
+    // disk-resident index. Timed end-to-end including the index write, so
+    // the floor records the full deployment cost; output is identical to
+    // ann_ivfpq (same oracle).
+    "ann_ivfpq_file" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // per-invocation temp dir — see dedup_stream_flag_file
+      val dirP = java.nio.file.Files.createTempDirectory("graft_ivfpq_index_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
+      Ann.ivfpqIndex(emb).write(dir)
+      Ann.ivfpqServe(
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        Ann.IvfpqIndex.read(s, dir))
+    }),
     // residual-encoded IVFADC (FAISS by_residual=true): PQ spends its
     // bytes on the in-cell displacement the coarse quantizer localized
     "ann_ivfpq_res" -> ((s, d) => Ann.ivfpqResTopK(Tables.embeddings(s, d))),
@@ -2400,6 +2418,8 @@ object SparkEntry {
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
+    // the file-backed serving split reproduces ann_ivfpq exactly
+    "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res" -> Ann.ivfpqResTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,

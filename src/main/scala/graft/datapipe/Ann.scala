@@ -1006,6 +1006,91 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ------------------------------------------------ IVFADC persisted form
+
+  /**
+   * Persisted IVFADC index — the production artifact [[ivfpqTopK]]'s
+   * scaladoc claims ("serve from ~2-byte codes"), made concrete (r13):
+   * `packed` holds ONE slim row per collection vector — its inverted-list
+   * id and PQ code array joined on vec_id (codes ⋈ lists) — written to
+   * parquet once; `cent` (coarse quantizer) and `cb` (PQ codebook) are
+   * the K-row trained artifacts the serving side broadcasts. The raw
+   * collection vectors appear in NO persisted frame: serving
+   * reconstructs from codes only, so the on-disk index is ~2 bytes +
+   * list id per vector instead of the full embedding.
+   */
+  case class IvfpqIndex(packed: DataFrame, cent: DataFrame, cb: DataFrame) {
+    def write(dir: String): Unit = {
+      packed.write.mode("overwrite").parquet(s"$dir/packed")
+      cent.write.mode("overwrite").parquet(s"$dir/cent")
+      cb.write.mode("overwrite").parquet(s"$dir/cb")
+    }
+  }
+  object IvfpqIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): IvfpqIndex =
+      IvfpqIndex(spark.read.parquet(s"$dir/packed"),
+        spark.read.parquet(s"$dir/cent"), spark.read.parquet(s"$dir/cb"))
+  }
+
+  /** Train + encode half of the deployment split: [[ivfpqTopK]]'s exact
+    * training dataflow (same coarse quantizer, same inverted lists, same
+    * PQ codebook and codes), materialized as an [[IvfpqIndex]]. */
+  def ivfpqIndex(emb: DataFrame, rounds: Int = 1, k: Int = ivfCentroids,
+                 m: Int = pqM, pk: Int = pqK, pqRounds: Int = 1): IvfpqIndex = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = trainedCentroids(emb, rounds, k)
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+      .select(col("vec_id"), col("cid"))
+    val (codes, cb) = pqCompress(emb, m, pk, pqRounds)
+    IvfpqIndex(codes.join(lists, "vec_id"), cent, cb)
+  }
+
+  /**
+   * Serving half over a PERSISTED index (e.g. read back from parquet):
+   * probe the coarse quantizer with the query vectors, scan only the
+   * probed inverted lists, reconstruct candidates from their codes and
+   * rank by ADC cosine — output identical to [[ivfpqTopK]] over the same
+   * collection (ties, 6dp rounding and all; IvfpqFileSpec pins the
+   * equality).
+   *
+   * Zero vector-payload exchange on the collection side: reconstruction
+   * is `m` per-subspace BROADCAST joins into the packed scan (the
+   * codebook is K-row, so each join is map-side; the concatenated parts
+   * equal [[ivfpqTopK]]'s sorted-collect flatten by construction), the
+   * probe frame (queries × probes, query-sized) broadcasts onto it, and
+   * the vector columns drop in the same projection — so between the
+   * packed scan and the output, the only rows that ever shuffle are slim
+   * `(q_id, nbr_id, cos)` triples (IvfpqFileSpec pins this on the
+   * executed plan). `queries` rows are served AS-IS (`(q_id, embedding)`
+   * — any benchmark-style subsampling is the caller's slice).
+   */
+  def ivfpqServe(queries: DataFrame, idx: IvfpqIndex, k: Int = ivfCentroids,
+                 m: Int = pqM): DataFrame = {
+    val probed = ivfAssign2(
+        queries.select(col("q_id"), col("embedding")), "q_id",
+        idx.cent, k, ivfProbes)
+      .withColumnRenamed("embedding", "q_emb")
+    var cand = idx.packed
+    for (mi <- 0 until m) {
+      val cbm = idx.cb.where(col("m") === mi)
+        .select(col("cid").as(s"__c$mi"), col("c_emb").as(s"__e$mi"))
+      cand = cand.join(broadcast(cbm),
+        element_at(col("codes"), mi + 1) === col(s"__c$mi"))
+    }
+    val recon = concat((0 until m).map(mi => col(s"__e$mi")): _*)
+    val scored = cand.join(broadcast(probed), "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), recon) /
+          (norm(col("q_emb")) * norm(recon))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
   /**
    * RESIDUAL-encoded IVFADC (FAISS `by_residual=true` — the production
    * accuracy lever [[ivfpqTopK]]'s scaladoc documents): PQ encodes each

@@ -1,0 +1,88 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.types.ArrayType
+
+/**
+ * The IVFADC deployment split (r13): train + encode once into a
+ * parquet-persisted index (codes ⋈ lists + the K-row quantizer/codebook
+ * artifacts), then SERVE from the disk-resident codes. Pins the §2.2 row
+ * 25c production claim: the persisted artifact carries no raw vectors,
+ * the serving half reproduces ivfpqTopK exactly, and no collection-side
+ * exchange ever moves a vector payload.
+ */
+class IvfpqFileSpec extends SparkSpecBase {
+
+  private def vecs = {
+    import spark.implicits._
+    (0L until 256L).map(i =>
+      (i, Array.tabulate(Ann.dim)(d => math.sin(i * 3.0 + d * 11.0).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("persisted-index serving reproduces ivfpqTopK exactly (round-trip through parquet)") {
+    val emb = vecs
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
+    try {
+      Ann.ivfpqIndex(emb).write(dir)
+      val idx = Ann.IvfpqIndex.read(spark, dir)
+      val served = Ann.ivfpqServe(
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")), idx)
+        .collect().map(_.toSeq).toSet
+      graft.CacheRegistry.unpersistAll()
+      val direct = Ann.ivfpqTopK(emb).collect().map(_.toSeq).toSet
+      assert(served == direct && served.nonEmpty,
+        s"file-served ranking diverged: ${served.size} vs ${direct.size} rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("the persisted artifact is code-only: no raw vector column on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
+    try {
+      Ann.ivfpqIndex(vecs).write(dir)
+      val packed = spark.read.parquet(s"$dir/packed")
+      assert(packed.columns.sorted.toSeq == Seq("cid", "codes", "vec_id"))
+      // codes are pqM small ints — the ~2-byte storage form
+      val row = packed.select(size(col("codes"))).head()
+      assert(row.getInt(0) == Ann.pqM)
+      assert(!packed.columns.contains("embedding"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("serving plan: no exchange above the packed scan carries a vector payload") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Ann.ivfpqIndex(vecs).write(dir)
+      val idx = Ann.IvfpqIndex.read(spark, dir)
+      val served = Ann.ivfpqServe(
+        vecs.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")), idx)
+      val plan = served.queryExecution.executedPlan
+      def hasPackedScan(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("/packed"))
+      val collectionExchanges = plan.collect {
+        case e: ShuffleExchangeLike if hasPackedScan(e.child) => e
+      }
+      assert(collectionExchanges.nonEmpty,
+        "serving does exchange slim rows (distinct + rank)")
+      collectionExchanges.foreach { e =>
+        val arrays = e.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"collection-side exchange moves a vector/code payload ${arrays.map(_.name)}:\n$e")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}
