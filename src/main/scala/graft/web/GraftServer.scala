@@ -124,19 +124,54 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     * endpoints (plan/candidates/structure/hypergraph/emit) never touch
     * caches and stay open. */
   private def experimentsBusy: (Int, String, String) =
-    (409, """{"error":"experiment queue is draining (caches are cleared per entry); retry when /api/experiment/status shows STOPPED"}""",
+    (409, """{"error":"experiment queue is draining or a cache-clearing execution is in flight; retry when /api/experiment/status shows STOPPED and it completes"}""",
       "application/json")
 
   private def interactiveBusy: (Int, String, String) =
     (409, """{"error":"an interactive execution is in flight (the experiment worker clears caches per entry); retry when it completes"}""",
       "application/json")
 
-  /** Run `f` as a gated interactive execution: 409 if the queue is
-    * draining, otherwise counted in-flight so a concurrent start() is
-    * refused until it finishes. */
+  /** Hard cap on concurrently EXECUTING requests (each runs a full Spark
+    * job on the shared session): excess executing requests answer 503
+    * instead of spawning unbounded concurrent Spark executions (r12
+    * advice — the cached HTTP pool is per-request, so without this gate N
+    * concurrent /api/query calls meant N concurrent jobs). Metadata
+    * endpoints (plan/candidates/structure/hypergraph/emit) stay ungated
+    * and responsive. */
+  private val executing = new java.util.concurrent.Semaphore(4)
+
+  private def executingBusy: (Int, String, String) =
+    (503, """{"error":"too many concurrent executions; retry shortly"}""",
+      "application/json")
+
+  /** Run `f` as a gated interactive execution: 503 over the concurrency
+    * cap, 409 if the queue is draining, otherwise counted in-flight so a
+    * concurrent start() (or cache-clearing sync experiment) is refused
+    * until it finishes. */
   private def interactive(f: => (Int, String, String)): (Int, String, String) =
-    if (!Experiments.beginInteractive()) experimentsBusy
-    else try f finally Experiments.endInteractive()
+    if (!executing.tryAcquire()) executingBusy
+    else try {
+      if (!Experiments.beginInteractive()) experimentsBusy
+      else try f finally Experiments.endInteractive()
+    } finally executing.release()
+
+  /** Run `f` as an EXCLUSIVE interactive execution — for handlers that
+    * clear the session caches up front (the sync /api/experiment): it
+    * must not run while ANY other interactive execution is in flight, or
+    * it would yank that execution's pinned index/quantizer caches
+    * mid-flight (r12 advice, medium — the harm class the async queue
+    * already 409s for, previously open between the two interactive
+    * endpoints). 409 with a retry hint when anything else is executing. */
+  private def exclusive(f: => (Int, String, String)): (Int, String, String) =
+    if (!executing.tryAcquire()) executingBusy
+    else try {
+      if (!Experiments.beginExclusive()) interactiveBusyForExclusive
+      else try f finally Experiments.endExclusive()
+    } finally executing.release()
+
+  private def interactiveBusyForExclusive: (Int, String, String) =
+    (409, """{"error":"another execution is in flight and this endpoint clears all session caches; retry when it completes"}""",
+      "application/json")
 
   handle("/api/query") { ex =>
     interactive {
@@ -269,7 +304,7 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
   }
 
   handle("/api/experiment") { ex =>
-    interactive {
+    exclusive {
       val name = param(ex, "name").getOrElse(throw new IllegalArgumentException("name= required"))
       val sf = param(ex, "sf").getOrElse("/root/testdata/sf0.001")
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -301,26 +336,41 @@ final class GraftServer(spark: SparkSession, port: Int = 0) {
     private val tasks =
       scala.collection.mutable.LinkedHashMap[String, (String, Option[Double], Option[Long], Option[String])]()
     @volatile private var stopRequested = false
-    // interactive executions currently in flight (query / sync
-    // experiment): start() refuses while > 0, and beginInteractive
-    // refuses while the queue drains — MUTUAL exclusion under this one
-    // lock, so neither side can slip past the other's check (r12
-    // review fix)
+    // interactive executions currently in flight (/api/query): start()
+    // and beginExclusive() refuse while > 0, and beginInteractive
+    // refuses while the queue drains or an exclusive (cache-clearing)
+    // execution runs — MUTUAL exclusion under this one lock, so no side
+    // can slip past another's check (r12 review fix; exclusive tier
+    // r13, closing the sync-experiment-vs-query cache race the
+    // single-dispatcher-thread serialization used to mask)
     private var interactiveInFlight = 0
+    private var exclusiveInFlight = false
 
-    /** Register an interactive execution; false = queue is draining.
-      * The ONLY way to check the gate — a bare state read would
-      * reintroduce the check-then-act race this fixes. */
+    /** Register an interactive execution; false = queue is draining or
+      * a cache-clearing exclusive execution is in flight. The ONLY way
+      * to check the gate — a bare state read would reintroduce the
+      * check-then-act race this fixes. */
     def beginInteractive(): Boolean = lock.synchronized {
-      if (state == "RUNNING") false
+      if (state == "RUNNING" || exclusiveInFlight) false
       else { interactiveInFlight += 1; true }
     }
 
     def endInteractive(): Unit = lock.synchronized { interactiveInFlight -= 1 }
 
+    /** Register an EXCLUSIVE execution (one that clears all session
+      * caches up front): refused while the queue drains, while any
+      * interactive execution is in flight, or while another exclusive
+      * runs. */
+    def beginExclusive(): Boolean = lock.synchronized {
+      if (state == "RUNNING" || exclusiveInFlight || interactiveInFlight > 0) false
+      else { exclusiveInFlight = true; true }
+    }
+
+    def endExclusive(): Unit = lock.synchronized { exclusiveInFlight = false }
+
     def start(names: Seq[String], sf: String): Unit = lock.synchronized {
       require(state != "RUNNING", "experiments already running")
-      if (interactiveInFlight > 0)
+      if (interactiveInFlight > 0 || exclusiveInFlight)
         throw new IllegalStateException(
           "an interactive execution is in flight; retry when it completes")
       require(names.nonEmpty, "empty experiment list")

@@ -15,7 +15,21 @@ import org.apache.spark.sql.DataFrame
   * chains, NOT EXISTS, cross-relation decimal comparisons. Every shape
   * runs direct-eligible, forced-reduced, and stock, compared as
   * multisets. */
-class DoorEdge13Spec extends SparkSpecBase {
+class DoorEdge13Spec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
+
+  // index/model parquet dirs created by views() — deleted once in
+  // afterAll (r12 advice: repeated runs were accumulating /tmp artifacts)
+  private val tempDirs = scala.collection.mutable.ArrayBuffer[String]()
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs += d
+    d
+  }
+  override def afterAll(): Unit = {
+    tempDirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    super.afterAll()
+  }
 
   private def views(): Unit = {
     import graft.datapipe._
@@ -25,12 +39,12 @@ class DoorEdge13Spec extends SparkSpecBase {
     docs.createOrReplaceTempView("d13_docs")
     // FILE-BACKED gate outputs: index bucket-written to parquet, probe
     // reads it back (the cluster deployment shape, r12 entries)
-    val mhDir = java.nio.file.Files.createTempDirectory("d13_mh_index").toString
+    val mhDir = tempDir("d13_mh_index")
     Dedup.minhashIndex(docs).write(mhDir)
     Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
       Dedup.MinhashIndex.read(spark, mhDir))
       .createOrReplaceTempView("d13_mhfile")
-    val ebDir = java.nio.file.Files.createTempDirectory("d13_eb_index").toString
+    val ebDir = tempDir("d13_eb_index")
     Ann.embedIndex(emb).write(ebDir)
     Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
       Ann.EmbedIndex.read(spark, ebDir))
@@ -39,7 +53,7 @@ class DoorEdge13Spec extends SparkSpecBase {
     // whole corpus scored — fresh and via the parquet round-trip model
     val refSlice = docs.where(col("doc_id") % 10 === 0)
     TextOps.lmScore(docs, refSlice).createOrReplaceTempView("d13_lm")
-    val lmDir = java.nio.file.Files.createTempDirectory("d13_lm_model").toString
+    val lmDir = tempDir("d13_lm_model")
     TextOps.lmModel(refSlice).write(lmDir)
     TextOps.lmScoreWith(docs, TextOps.LmModel.read(spark, lmDir))
       .createOrReplaceTempView("d13_lmrt")

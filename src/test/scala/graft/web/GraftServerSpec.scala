@@ -329,4 +329,85 @@ class GraftServerSpec extends SparkSpecBase {
     val (c, b) = post("/api/query", "SELEC nonsense")
     assert(c == 400 && b.startsWith("""{"error":"""), (c, b))
   }
+
+  test("r13 exclusive gate: a query is refused while the cache-clearing sync experiment runs") {
+    // the sync /api/experiment clears ALL session caches up front, so no
+    // other interactive execution may overlap it (r12 advice, medium —
+    // previously masked by the single-dispatcher-thread serialization).
+    // Same race-tolerant retry-loop shape as the reverse-gate test: the
+    // cold pipe_prep experiment is a wide in-flight window; keep trying
+    // until one query attempt observes the 409.
+    var proved = false
+    var attempts = 0
+    val threads = scala.collection.mutable.ArrayBuffer[Thread]()
+    while (!proved && attempts < 6) {
+      attempts += 1
+      val t = new Thread(() =>
+        post(s"/api/experiment?name=pipe_prep&sf=$sfDir", ""))
+      threads += t
+      t.start()
+      Thread.sleep(150) // let it clear the gate and start executing
+      val (cQ, bQ) = post("/api/query",
+        "SELECT r_name FROM region WHERE r_regionkey = 0")
+      assert(Set(200, 409).contains(cQ), (cQ, bQ))
+      if (cQ == 409) {
+        assert(bQ.contains("cache-clearing execution is in flight"), bQ)
+        proved = true
+      }
+      t.join(120000)
+    }
+    assert(proved, s"query never observed the exclusive gate in $attempts attempts")
+    threads.foreach(_.join(120000))
+  }
+
+  test("r13 exclusive gate: sync experiment is refused while a query is in flight") {
+    // the reverse direction: an in-flight interactive query must refuse
+    // a concurrent sync experiment (which would yank its caches)
+    var proved = false
+    var attempts = 0
+    val threads = scala.collection.mutable.ArrayBuffer[Thread]()
+    while (!proved && attempts < 6) {
+      attempts += 1
+      // in-flight side = the sync experiment itself can't be used here;
+      // a door query on the warm session is fast, so fire FOUR of them
+      // and probe repeatedly inside the window
+      view()
+      val qs = (1 to 4).map { _ =>
+        val t = new Thread(() => post("/api/query", joinSql))
+        t.start(); t
+      }
+      threads ++= qs
+      var tries = 0
+      while (!proved && tries < 50) {
+        tries += 1
+        val (cE, bE) = post(s"/api/experiment?name=q1_agg&sf=$sfDir", "")
+        assert(Set(200, 409, 503).contains(cE), (cE, bE))
+        if (cE == 409 && bE.contains("another execution is in flight")) proved = true
+      }
+      qs.foreach(_.join(120000))
+    }
+    assert(proved, s"sync experiment never observed an in-flight query in $attempts attempts")
+    threads.foreach(_.join(120000))
+  }
+
+  test("r13 concurrency cap: an execution burst degrades to 503, never a 500, health stays up") {
+    // 12 concurrent executing requests against the 4-permit semaphore:
+    // every response must be a deliberate status (200 ok / 409 gated /
+    // 503 over cap), and the metadata plane stays responsive throughout
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val ts = (1 to 12).map { _ =>
+      val t = new Thread(() => {
+        val (c, _) = post(s"/api/experiment?name=q1_agg&sf=$sfDir", "")
+        results.add(c)
+      })
+      t.start(); t
+    }
+    val (ch, _) = get("/health")
+    assert(ch == 200, "metadata plane must stay responsive during the burst")
+    ts.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val codes = results.asScala.toList
+    assert(codes.size == 12 && codes.forall(Set(200, 409, 503).contains), codes)
+    assert(codes.contains(200), s"at least one execution must win the permits: $codes")
+  }
 }
