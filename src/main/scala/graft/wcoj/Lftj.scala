@@ -97,19 +97,40 @@ object Lftj {
       else autoSide(spark, edges.queryExecution.optimizedPlan.stats.sizeInBytes, n)
     val pats = patInfo(patterns, varOrder, side)
 
+    solveCells(replicated(edges, pats, n, side), pats, n, varOrder)
+  }
+
+  /** Hypercube replication: fix the two bound coordinates, enumerate the
+    * rest — ONE scan of the edge list feeds every pattern. Exposed
+    * package-private so the skew spec can measure realized per-cell
+    * loads (the property the |E|/side² sizing claim rests on). */
+  private[graft] def replicated(
+      edges: DataFrame, pats: Seq[(Int, Int, Int, Boolean, Int)],
+      n: Int, side: Int): org.apache.spark.sql.Dataset[CubeRow] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val Array(c1, c2) = edges.columns
     val e = edges.select(col(c1).cast("long"), col(c2).cast("long")).as[(Long, Long)]
-
-    // hypercube replication: fix the two bound coordinates, enumerate the
-    // rest — ONE scan of the edge list feeds every pattern
-    val rows = e.mapPartitions { it =>
+    e.mapPartitions { it =>
       it.flatMap { case (x, y) =>
         pats.iterator.flatMap { case (r, i, j, swapped, nCells) =>
           replicateOne(x, y, r, i, j, swapped, nCells, n, side)
         }
       }
     }
-    solveCells(rows, pats, n, varOrder)
+  }
+
+  /** Per-cell replicated-input loads for a pattern query at a given side
+    * — the skew diagnostic: `(pid, load)` rows, one per non-empty cell. */
+  private[graft] def cellLoads(
+      edges: DataFrame, patterns: Seq[(String, String)],
+      varOrder: Seq[String], cubeSide: Int): DataFrame = {
+    validate(patterns, varOrder)
+    val n = varOrder.length
+    val pats = patInfo(patterns, varOrder, cubeSide)
+    replicated(edges, pats, n, cubeSide)
+      .groupBy(col("pid"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("load"))
   }
 
   /**
