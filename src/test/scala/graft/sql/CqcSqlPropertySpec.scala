@@ -248,6 +248,108 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nCorrelated >= 3, "fuzz must cover correlated subqueries")
   }
 
+  test("random grouping-sets x subquery-peel crosses match stock Spark") {
+    // r13 (verdict item): the two newest generator families — rollup
+    // shapes (RollupFastSpec) and subquery peels (above) — had never been
+    // CROSSED, and r11/r12's real door crashes all came from
+    // feature-intersection shapes. This generator drives ROLLUP / CUBE /
+    // GROUPING SETS over chains whose leaves are sometimes derived
+    // tables, sometimes under an OUTER peel (with the peeled column
+    // sometimes a GROUPING KEY — the outer-agg interplay), with a random
+    // subquery predicate (correlated or not) pinned underneath. Every
+    // query must return stock Spark's multiset — via the fast path, the
+    // generic path, or a traced fallback, never a crash.
+    val rnd = new scala.util.Random(130813)
+    val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("propg_edges")
+    val rated = Seq.fill(120)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+      .distinct.toDF("src", "dst", "w")
+    rated.createOrReplaceTempView("propg_rated")
+
+    var nonEmpty = 0
+    var nPeeled = 0
+    var nNested = 0
+    var nCorrelated = 0
+    var nPeelKey = 0
+    var nGsets = 0
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
+      val n = 2 + rnd.nextInt(2)
+      val nestedLeaf = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(n)) else None
+      if (nestedLeaf.isDefined) nNested += 1
+      def fromEntry(j: Int): String = nestedLeaf match {
+        case Some(`j`) =>
+          s"(SELECT src, dst FROM propg_edges WHERE src < ${6 + rnd.nextInt(4)}) g$j"
+        case _ => s"propg_edges g$j"
+      }
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      val peeled = rnd.nextInt(2) == 0
+      if (peeled) nPeeled += 1
+      val peelSql =
+        if (peeled) s"\nLEFT OUTER JOIN propg_rated r ON g$n.dst = r.src" else ""
+      // subquery predicate on a random leaf (or, peeled, the peel column)
+      val target =
+        if (peeled && rnd.nextInt(3) == 0) "r.w"
+        else s"g${1 + rnd.nextInt(n)}.src"
+      val (subPred, isCorr) = rnd.nextInt(4) match {
+        case 0 =>
+          (s"EXISTS (SELECT 1 FROM propg_edges z WHERE z.src = $target AND z.dst < 7)", true)
+        case 1 =>
+          (s"NOT EXISTS (SELECT 1 FROM propg_edges z WHERE z.src = $target AND z.dst = 0)", true)
+        case 2 =>
+          (s"$target IN (SELECT src FROM propg_edges WHERE dst < ${4 + rnd.nextInt(5)})", false)
+        case _ => (s"$target <= (SELECT MAX(dst) FROM propg_edges)", false)
+      }
+      if (isCorr) nCorrelated += 1
+      // grouping keys: 1-2 chain columns; when peeled, sometimes the
+      // PEELED column itself (null group + rollup null interplay)
+      val keyPool = (1 to n).flatMap(j => Seq(s"g$j.src", s"g$j.dst"))
+      val peelKey = peeled && rnd.nextInt(3) == 0
+      if (peelKey) nPeelKey += 1
+      val keys =
+        if (peelKey) Seq("r.w") ++ rnd.shuffle(keyPool).take(rnd.nextInt(2))
+        else rnd.shuffle(keyPool).take(1 + rnd.nextInt(2)).distinct
+      val form = rnd.nextInt(3) match {
+        case 0 => s"ROLLUP(${keys.mkString(", ")})"
+        case 1 => s"CUBE(${keys.mkString(", ")})"
+        case _ =>
+          nGsets += 1
+          // full set + each single key + sometimes the empty set
+          val sets = Seq(keys.mkString("(", ", ", ")")) ++
+            keys.map(k => s"($k)") ++ (if (rnd.nextBoolean()) Seq("()") else Nil)
+          s"GROUPING SETS (${sets.distinct.mkString(", ")})"
+      }
+      val aggPool = Seq("COUNT(*)", s"SUM(g$n.dst)", "MIN(g1.dst)", s"MAX(g$n.src)") ++
+        (if (peeled) Seq("SUM(r.w)", "COUNT(r.w)") else Nil)
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(2))
+      val keySel = keys.zipWithIndex.map { case (k, j) => s"$k AS k$j" }.mkString(", ")
+      val aggSel = aggs.zipWithIndex.map { case (a, j) => s"$a AS v$j" }.mkString(", ")
+      val having = if (rnd.nextInt(4) == 0) "\nHAVING COUNT(*) > 2" else ""
+      val sql =
+        s"""SELECT $keySel, $aggSel, GROUPING_ID() AS gid
+           |FROM ${(1 to n).map(fromEntry).mkString(", ")}$peelSql
+           |WHERE ${(joins :+ subPred).mkString(" AND ")}
+           |GROUP BY $form$having""".stripMargin
+
+      val got =
+        try CqcSql.solve(spark, sql).collect().map(_.toSeq).groupBy(identity)
+        catch { case e: Throwable => fail(s"door threw ${e.getClass.getSimpleName} for: $sql", e) }
+      val want = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      assert(got.view.mapValues(_.length).toMap == want.view.mapValues(_.length).toMap,
+        s"mismatch for: $sql")
+      graft.CacheRegistry.unpersistAll()
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+    assert(nPeeled >= 3, "cross fuzz must cover outer-peel shapes")
+    assert(nNested >= 2, "cross fuzz must cover nested leaves")
+    assert(nCorrelated >= 3, "cross fuzz must cover correlated subqueries")
+    assert(nGsets >= 2, "cross fuzz must cover explicit GROUPING SETS")
+    assert(nPeelKey >= 1, "cross fuzz must group by the peeled column at least once")
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
     val rnd = new scala.util.Random(121577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
