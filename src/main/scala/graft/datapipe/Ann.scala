@@ -1305,20 +1305,29 @@ object Ann {
     require(clusterCap >= 1, "positive cluster cap")
     val cent = trainedCentroids(emb, rounds, k)
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+    // rank key ONLY, no rank: the keep policy needs the ORDER "farther
+    // from the centroid goes first" — `a before b` ⟺ (csim_a, vec_id_a) <
+    // (csim_b, vec_id_b) lexicographically, which the pair join can test
+    // directly on the carried key tuple. The previous row_number() OVER
+    // (PARTITION BY cid) materialized the rank by shuffling the WHOLE
+    // collection (vector payload included) keyed on the K-cardinality cid
+    // and sorting each cluster on one reducer — the same single-reducer
+    // window class r13 removed from pipe_topk/pipe_pack (both engines
+    // order NaN greatest and tie-break by vec_id, so the tuple test is
+    // rank-equivalent even degenerately).
     val ranked = lists
       .join(broadcast(cent.select(col("cid").as("__ccid"), col("c_emb"))),
         col("cid") === col("__ccid"))
       .withColumn("__csim", cosine(col("c_emb"), col("embedding")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("cid").orderBy(col("__csim").asc, col("vec_id").asc)))
-      .drop("__ccid", "c_emb", "__csim")
+      .drop("__ccid", "c_emb")
     val sub = sdSubBucketed(ranked, clusterCap)
     val a = sub.select(col("cid"), col("sub"), col("vec_id").as("d1"),
-      col("crank").as("r1"), col("embedding").as("emb1"))
+      col("__csim").as("c1"), col("embedding").as("emb1"))
     val b = sub.select(col("cid"), col("sub"), col("vec_id").as("d2"),
-      col("crank").as("r2"), col("embedding").as("emb2"))
+      col("__csim").as("c2"), col("embedding").as("emb2"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("dup_of").asc)
-    val best = a.join(b, Seq("cid", "sub")).where(col("r1") < col("r2"))
+    val best = a.join(b, Seq("cid", "sub"))
+      .where(struct(col("c1"), col("d1")) < struct(col("c2"), col("d2")))
       .withColumn("cos", cosine(col("emb1"), col("emb2")))
       .where(col("cos") >= sdTau)
       .select(col("d2").as("vec_id"), col("d1").as("dup_of"), col("cos"))
@@ -1404,9 +1413,10 @@ object Ann {
   val semanticDedupGroupSql: String = semanticDedupGroupSql(1)
 
   /** Mirror of [[semanticDedupGroup]]: the shared IVF prefix, plus the
-    * centroid-similarity rank (`csim` ASC, ties -> lower id) from the
-    * final fine-centroid CTE, with the pair join conditioned on rank
-    * order instead of id order. */
+    * centroid-similarity RANK KEY (`csim` ASC, ties -> lower id) from the
+    * final fine-centroid CTE, with the pair join conditioned on the
+    * lexicographic key tuple — the same order the retired row_number
+    * ranked by (r13: rank materialization removed in both engines). */
   def semanticDedupGroupSql(rounds: Int, src: String = "embeddings",
                             k: Int = ivfCentroids,
                             clusterCap: Int = sdClusterCap): String = {
@@ -1415,13 +1425,11 @@ object Ann {
     s"""$prefix,
        |ranked AS (
        |  SELECT l.vec_id, l.embedding, l.cid,
-       |         row_number() OVER (PARTITION BY l.cid
-       |                            ORDER BY ${cosineSql("c.c_emb", "l.embedding")} ASC,
-       |                                     l.vec_id) AS crank
+       |         ${cosineSql("c.c_emb", "l.embedding")} AS csim
        |  FROM lists l JOIN $fine c ON c.cid = l.cid
        |),
        |subbed AS (
-       |  SELECT vec_id, embedding, cid, crank,
+       |  SELECT vec_id, embedding, cid, csim,
        |         ((vec_id % nb) + nb) % nb AS sub
        |  FROM (SELECT *, greatest(1, CAST(ceil(
        |          (count(*) OVER (PARTITION BY cid)) / $clusterCap.0) AS BIGINT)) AS nb
@@ -1430,7 +1438,8 @@ object Ann {
        |pairs AS (
        |  SELECT b.vec_id AS vid, a.vec_id AS dup_of, $cos AS cos
        |  FROM subbed a JOIN subbed b
-       |    ON b.cid = a.cid AND b.sub = a.sub AND a.crank < b.crank
+       |    ON b.cid = a.cid AND b.sub = a.sub
+       |   AND (a.csim, a.vec_id) < (b.csim, b.vec_id)
        |  WHERE $cos >= $sdTau
        |),
        |best AS (

@@ -841,16 +841,19 @@ object TextOps {
    * This is the finer-grained sibling of whole-document dedup: boilerplate
    * shared across documents disappears while unique content survives.
    *
-   * Scale shape: segments cross the network exactly ONCE (the shuffle
-   * keyed on the segment string that decides first-occurrence); the
-   * reassembly regroups by doc_id (second shuffle, payload = surviving
-   * segments only). The keep-first decision is a window row_number —
-   * per-key state is one counter, no join-back, no driver involvement.
-   * Output: doc_id, n_segs, n_kept, text_deduped (NULL when nothing
-   * survives).
+   * Scale shape (r13): the first-occurrence pick is a PARTIAL
+   * (map-side-combinable) min(struct(doc_id, seg_idx)) per segment —
+   * a hot boilerplate segment repeated 10^6 times collapses to one
+   * struct per map partition before its decision ever shuffles — and
+   * the winners join back on the segment key (AQE-skew-splittable,
+   * unlike the row_number window this replaces, whose per-key sort
+   * funneled the hot segment's whole occurrence list through one
+   * reducer: the same class removed from pipe_span_dedup in r10 and
+   * pipe_topk/pipe_pack this round). The reassembly regroups by doc_id
+   * (second shuffle, payload = surviving segments only). Output:
+   * doc_id, n_segs, n_kept, text_deduped (NULL when nothing survives).
    */
   def segmentDedup(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // NULL text would null the explode bound and silently DROP the doc
     // from the one-row-per-doc output (the same contract bug chunk and
     // spanDedup fixed); coalesce to '' keeps it as one empty segment
@@ -862,14 +865,16 @@ object TextOps {
       .select(col("doc_id"), col("seg_idx"),
         array_join(slice(col("w"), (col("seg_idx") * segWords + 1).cast("int"), lit(segWords)), " ")
           .as("seg"))
-    val marked = segs.withColumn("rn",
-      row_number().over(Window.partitionBy(col("seg"))
-        .orderBy(col("doc_id"), col("seg_idx"))))
+    val first = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__f"))
+    val marked = segs.join(first, Seq("seg"))
+      .withColumn("__kept",
+        col("__f.doc_id") === col("doc_id") && col("__f.seg_idx") === col("seg_idx"))
     marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_segs"),
-      count(when(col("rn") === 1, 1)).as("n_kept"),
+      count(when(col("__kept"), 1)).as("n_kept"),
       { val kept = array_sort(collect_list(
-          when(col("rn") === 1, struct(col("seg_idx"), col("seg")))))
+          when(col("__kept"), struct(col("seg_idx"), col("seg")))))
         when(size(kept) === 0, lit(null: String))
           .otherwise(array_join(transform(kept, s => s("seg")), " ")).as("text_deduped") })
   }

@@ -97,6 +97,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1)
   }
 
+  test("pipe_para_dedup: first-occurrence pick is a partial min, no window (r13)") {
+    // the same skew claim as pipe_span_dedup, now for segment dedup: a
+    // boilerplate segment repeated 10^6 times must collapse map-side,
+    // not funnel one window reducer
+    val p = plan("pipe_para_dedup")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-occurrence pick must be a partial aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition(seg"),
+      s"no per-segment window in the keep-first pick:\n$p")
+  }
+
+  test("dedup_semantic_group: no collection-wide window keyed on the cluster id (r13)") {
+    // the crank rank was a row_number() OVER (PARTITION BY cid) across
+    // the WHOLE collection (vector payload included) — now the pair join
+    // tests the (csim, vec_id) key tuple directly; the only remaining
+    // window ranks candidate pairs per vec_id (bounded by the sub-bucket
+    // cap)
+    val p = plan("dedup_semantic_group")
+    assert(!p.contains("windowspecdefinition(cid"),
+      s"no cluster-keyed window in the group keep policy:\n$p")
+  }
+
   test("pipe_span_dedup: first-occurrence pick is a partial (map-side-combinable) min") {
     // the SURVEY row's skew claim: a boilerplate span repeated 10^6
     // times must PARTIAL-aggregate, not funnel one hot window

@@ -12,7 +12,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   import spark.implicits._
 
   test("random chain queries with filters/comparisons match stock Spark") {
-    val rnd = new scala.util.Random(121001)
+    val rnd = new scala.util.Random(131001)
     val edges = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("prop_edges")
@@ -41,7 +41,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random aggregate queries (fast-path shapes) match stock Spark") {
-    val rnd = new scala.util.Random(121139)
+    val rnd = new scala.util.Random(131139)
     val edges = Seq.fill(220)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propa_edges")
@@ -82,7 +82,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random CTE-wrapped aggregate queries inline and match stock Spark") {
-    val rnd = new scala.util.Random(121283)
+    val rnd = new scala.util.Random(131283)
     val edges = Seq.fill(200)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propc_edges")
@@ -119,7 +119,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
-    val rnd = new scala.util.Random(121403)
+    val rnd = new scala.util.Random(131403)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propo_edges")
@@ -168,7 +168,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // random EXISTS / NOT EXISTS / IN / scalar subquery predicate pinned
     // to a random leaf (correlated or not). Every query must return stock
     // Spark's rows — via the CQC route or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(120211)
+    val rnd = new scala.util.Random(130211)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("props_edges")
@@ -259,7 +259,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // subquery predicate (correlated or not) pinned underneath. Every
     // query must return stock Spark's multiset — via the fast path, the
     // generic path, or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(130813)
+    val rnd = new scala.util.Random(131813)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propg_edges")
@@ -351,7 +351,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
-    val rnd = new scala.util.Random(121577)
+    val rnd = new scala.util.Random(131577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
     // the case the rank()-based exact prune must survive
     val edges = Seq.fill(240)(
