@@ -1810,6 +1810,19 @@ object SparkEntry {
           .select(col("vec_id").as("q_id"), col("embedding")),
         Ann.IvfpqIndex.read(s, dir))
     }),
+    // the RESIDUAL form's deployment split (FAISS by_residual=true served
+    // from disk) — same artifact shape, codes encode v - c_emb(cid)
+    "ann_ivfpq_res_file" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dirP = java.nio.file.Files.createTempDirectory("graft_ivfpqr_index_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
+      Ann.ivfpqResIndex(emb).write(dir)
+      Ann.ivfpqResServe(
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")),
+        Ann.IvfpqIndex.read(s, dir))
+    }),
     // residual-encoded IVFADC (FAISS by_residual=true): PQ spends its
     // bytes on the in-cell displacement the coarse quantizer localized
     "ann_ivfpq_res" -> ((s, d) => Ann.ivfpqResTopK(Tables.embeddings(s, d))),
@@ -2418,8 +2431,9 @@ object SparkEntry {
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
-    // the file-backed serving split reproduces ann_ivfpq exactly
+    // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
+    "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),
     "ann_ivfpq_res" -> Ann.ivfpqResTopKSql(),
     "dedup_semantic" -> Ann.semanticDedupSql,
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,

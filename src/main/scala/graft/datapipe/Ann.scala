@@ -1065,7 +1065,22 @@ object Ann {
    * — any benchmark-style subsampling is the caller's slice).
    */
   def ivfpqServe(queries: DataFrame, idx: IvfpqIndex, k: Int = ivfCentroids,
-                 m: Int = pqM): DataFrame = {
+                 m: Int = pqM): DataFrame =
+    servePacked(queries, idx, k, m, residual = false)
+
+  /** Serving half of the RESIDUAL deployment split ([[ivfpqResIndex]]):
+    * identical dataflow to [[ivfpqServe]] with one extra map-side
+    * broadcast join — candidates reconstruct as `c_emb(cid) + decoded
+    * residual` (the K-row centroid table attaches on the packed list id
+    * in the scan stage, so the zero-vector-payload-exchange property is
+    * unchanged). Output identical to [[ivfpqResTopK]] over the same
+    * collection. */
+  def ivfpqResServe(queries: DataFrame, idx: IvfpqIndex, k: Int = ivfCentroids,
+                    m: Int = pqM): DataFrame =
+    servePacked(queries, idx, k, m, residual = true)
+
+  private def servePacked(queries: DataFrame, idx: IvfpqIndex, k: Int,
+                          m: Int, residual: Boolean): DataFrame = {
     val probed = ivfAssign2(
         queries.select(col("q_id"), col("embedding")), "q_id",
         idx.cent, k, ivfProbes)
@@ -1077,7 +1092,17 @@ object Ann {
       cand = cand.join(broadcast(cbm),
         element_at(col("codes"), mi + 1) === col(s"__c$mi"))
     }
-    val recon = concat((0 until m).map(mi => col(s"__e$mi")): _*)
+    val decoded = concat((0 until m).map(mi => col(s"__e$mi")): _*)
+    val recon =
+      if (!residual) decoded
+      else {
+        // centroid + decoded residual, attached map-side (K-row join on
+        // the packed list id)
+        val centSlim = idx.cent.select(col("cid").as("__lcid"),
+          col("c_emb").as("__lc_emb"))
+        cand = cand.join(broadcast(centSlim), col("cid") === col("__lcid"))
+        zip_with(col("__lc_emb"), decoded, (a, b) => a + b)
+      }
     val scored = cand.join(broadcast(probed), "cid")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
@@ -1089,6 +1114,29 @@ object Ann {
       .where(col("rnk") <= topK)
       .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
         round(col("cos"), 6).as("asim"))
+  }
+
+  /** Train + encode half of the RESIDUAL deployment split: the
+    * [[ivfpqResTopK]] training dataflow (residual PQ codebook over
+    * `v − c_emb(cid)`), materialized as an [[IvfpqIndex]] — same
+    * artifact shape as [[ivfpqIndex]] (codes ⋈ lists + quantizer +
+    * codebook), only the codes' meaning differs (FAISS
+    * `by_residual=true`). */
+  def ivfpqResIndex(emb: DataFrame, rounds: Int = 1, k: Int = ivfCentroids,
+                    m: Int = pqM, pk: Int = pqK, pqRounds: Int = 1): IvfpqIndex = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = trainedCentroids(emb, rounds, k)
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+    val centSlim = cent.select(col("cid"), col("c_emb"))
+    // pinned for the same reason as ivfpqResTopK's res frame: both the
+    // PQ compress and the packed join consume it
+    val res = graft.CacheRegistry.persistTracked(
+      lists.join(broadcast(centSlim), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => x.cast("double") - y.cast("double")).as("embedding")))
+    val (codes, cb) = pqCompress(res.select(col("vec_id"), col("embedding")), m, pk, pqRounds)
+    IvfpqIndex(codes.join(res.select(col("vec_id"), col("cid")), "vec_id"), cent, cb)
   }
 
   /**

@@ -57,28 +57,54 @@ class IvfpqFileSpec extends SparkSpecBase {
     }
   }
 
+  test("residual persisted-index serving reproduces ivfpqResTopK exactly") {
+    val emb = vecs
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr_spec_").toString
+    try {
+      Ann.ivfpqResIndex(emb).write(dir)
+      val idx = Ann.IvfpqIndex.read(spark, dir)
+      val served = Ann.ivfpqResServe(
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")), idx)
+        .collect().map(_.toSeq).toSet
+      graft.CacheRegistry.unpersistAll()
+      val direct = Ann.ivfpqResTopK(emb).collect().map(_.toSeq).toSet
+      assert(served == direct && served.nonEmpty,
+        s"residual file-served ranking diverged: ${served.size} vs ${direct.size} rows")
+      // the artifact stays code-only (residual codes, no raw vector)
+      val packed = spark.read.parquet(s"$dir/packed")
+      assert(packed.columns.sorted.toSeq == Seq("cid", "codes", "vec_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("serving plan: no exchange above the packed scan carries a vector payload") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Ann.ivfpqIndex(vecs).write(dir)
-      val idx = Ann.IvfpqIndex.read(spark, dir)
-      val served = Ann.ivfpqServe(
-        vecs.where(col("vec_id") % Ann.queryMod === 0)
-          .select(col("vec_id").as("q_id"), col("embedding")), idx)
-      val plan = served.queryExecution.executedPlan
+      val rdir = s"$dir/res"
+      Ann.ivfpqResIndex(vecs).write(rdir)
+      val queries = vecs.where(col("vec_id") % Ann.queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
       def hasPackedScan(p: SparkPlan): Boolean =
         p.collectLeaves().exists(_.toString.contains("/packed"))
-      val collectionExchanges = plan.collect {
-        case e: ShuffleExchangeLike if hasPackedScan(e.child) => e
-      }
-      assert(collectionExchanges.nonEmpty,
-        "serving does exchange slim rows (distinct + rank)")
-      collectionExchanges.foreach { e =>
-        val arrays = e.child.output.filter(_.dataType.isInstanceOf[ArrayType])
-        assert(arrays.isEmpty,
-          s"collection-side exchange moves a vector/code payload ${arrays.map(_.name)}:\n$e")
+      for ((label, served) <- Seq(
+          "raw" -> Ann.ivfpqServe(queries, Ann.IvfpqIndex.read(spark, dir)),
+          "residual" -> Ann.ivfpqResServe(queries, Ann.IvfpqIndex.read(spark, rdir)))) {
+        val plan = served.queryExecution.executedPlan
+        val collectionExchanges = plan.collect {
+          case e: ShuffleExchangeLike if hasPackedScan(e.child) => e
+        }
+        assert(collectionExchanges.nonEmpty,
+          s"$label serving does exchange slim rows (distinct + rank)")
+        collectionExchanges.foreach { e =>
+          val arrays = e.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.isEmpty,
+            s"$label collection-side exchange moves a vector/code payload ${arrays.map(_.name)}:\n$e")
+        }
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
