@@ -1907,7 +1907,11 @@ object SparkEntry {
     // prep with the NEAR-DUP decontamination stage: paraphrased probe
     // copies that survive exact containment are dropped before dedup
     "pipe_prep_fuzzy" -> ((s, d) =>
-      graft.datapipe.Prep.prepare(Tables.documents(s, d), fuzzyDecontam = true)),
+      // exact-immune plant (r13): block-reversed probe copies survive the
+      // exact containment stage, so the fuzzy stage provably drops a
+      // known-nonzero set — without it the stage was a verified no-op
+      graft.datapipe.Prep.prepare(
+        Decontam.plantFuzzyOnly(Tables.documents(s, d)), fuzzyDecontam = true)),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2497,7 +2501,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
-    "pipe_prep_fuzzy" -> graft.datapipe.Prep.prepareFuzzySql,
+    "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents

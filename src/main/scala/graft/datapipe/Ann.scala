@@ -1019,18 +1019,37 @@ object Ann {
    * reconstructs from codes only, so the on-disk index is ~2 bytes +
    * list id per vector instead of the full embedding.
    */
-  case class IvfpqIndex(packed: DataFrame, cent: DataFrame, cb: DataFrame) {
+  case class IvfpqIndex(packed: DataFrame, cent: DataFrame, cb: DataFrame,
+                        meta: DataFrame) {
     def write(dir: String): Unit = {
       packed.write.mode("overwrite").parquet(s"$dir/packed")
       cent.write.mode("overwrite").parquet(s"$dir/cent")
       cb.write.mode("overwrite").parquet(s"$dir/cb")
+      meta.write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    /** Train-time hyperparameters `(k, m)` from the persisted 1-row meta
+      * frame — the serving side MUST probe with the trainer's k (the
+      * flat/two-level quantizer regime keys on it) and decode with the
+      * trainer's m (a mismatched subspace count silently empties or
+      * corrupts the reconstruction join), so they ride IN the artifact
+      * instead of being free parameters (r13 review fix). One tiny
+      * driver read, the documented K-row-collect class. */
+    private[datapipe] def params: (Int, Int) = {
+      val r = meta.select(col("k"), col("m")).head()
+      (r.getInt(0), r.getInt(1))
     }
   }
   object IvfpqIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): IvfpqIndex =
       IvfpqIndex(spark.read.parquet(s"$dir/packed"),
-        spark.read.parquet(s"$dir/cent"), spark.read.parquet(s"$dir/cb"))
+        spark.read.parquet(s"$dir/cent"), spark.read.parquet(s"$dir/cb"),
+        spark.read.parquet(s"$dir/meta"))
   }
+
+  /** 1-row (k, m) hyperparameter frame persisted with every IVFADC index. */
+  private def ivfpqMeta(emb: DataFrame, k: Int, m: Int): DataFrame =
+    emb.sparkSession.range(1)
+      .select(lit(k).as("k"), lit(m).as("m"))
 
   /** Train + encode half of the deployment split: [[ivfpqTopK]]'s exact
     * training dataflow (same coarse quantizer, same inverted lists, same
@@ -1042,7 +1061,7 @@ object Ann {
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
       .select(col("vec_id"), col("cid"))
     val (codes, cb) = pqCompress(emb, m, pk, pqRounds)
-    IvfpqIndex(codes.join(lists, "vec_id"), cent, cb)
+    IvfpqIndex(codes.join(lists, "vec_id"), cent, cb, ivfpqMeta(emb, k, m))
   }
 
   /**
@@ -1064,9 +1083,10 @@ object Ann {
    * executed plan). `queries` rows are served AS-IS (`(q_id, embedding)`
    * — any benchmark-style subsampling is the caller's slice).
    */
-  def ivfpqServe(queries: DataFrame, idx: IvfpqIndex, k: Int = ivfCentroids,
-                 m: Int = pqM): DataFrame =
+  def ivfpqServe(queries: DataFrame, idx: IvfpqIndex): DataFrame = {
+    val (k, m) = idx.params
     servePacked(queries, idx, k, m, residual = false)
+  }
 
   /** Serving half of the RESIDUAL deployment split ([[ivfpqResIndex]]):
     * identical dataflow to [[ivfpqServe]] with one extra map-side
@@ -1075,9 +1095,10 @@ object Ann {
     * in the scan stage, so the zero-vector-payload-exchange property is
     * unchanged). Output identical to [[ivfpqResTopK]] over the same
     * collection. */
-  def ivfpqResServe(queries: DataFrame, idx: IvfpqIndex, k: Int = ivfCentroids,
-                    m: Int = pqM): DataFrame =
+  def ivfpqResServe(queries: DataFrame, idx: IvfpqIndex): DataFrame = {
+    val (k, m) = idx.params
     servePacked(queries, idx, k, m, residual = true)
+  }
 
   private def servePacked(queries: DataFrame, idx: IvfpqIndex, k: Int,
                           m: Int, residual: Boolean): DataFrame = {
@@ -1136,7 +1157,8 @@ object Ann {
           zip_with(col("embedding"), col("c_emb"),
             (x, y) => x.cast("double") - y.cast("double")).as("embedding")))
     val (codes, cb) = pqCompress(res.select(col("vec_id"), col("embedding")), m, pk, pqRounds)
-    IvfpqIndex(codes.join(res.select(col("vec_id"), col("cid")), "vec_id"), cent, cb)
+    IvfpqIndex(codes.join(res.select(col("vec_id"), col("cid")), "vec_id"), cent, cb,
+      ivfpqMeta(emb, k, m))
   }
 
   /**

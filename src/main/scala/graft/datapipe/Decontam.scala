@@ -182,6 +182,58 @@ object Decontam {
       .drop("__ptext")
   }
 
+  /**
+   * FUZZY-ONLY contamination witness (r13) — a frozen text pair that
+   * makes the prep pipeline's NEAR-DUP stage provably non-vacuous at
+   * every SF. [[fuzzyWitnessProbe]] replaces doc 0 (a probe: 0 %
+   * [[probeMod]] == 0) and [[fuzzyWitnessCopy]] replaces doc 1 — the
+   * copy is the probe's 4-word blocks in reversed order, so:
+   *
+   *  - EXACT containment PROVABLY misses it: every 5-gram of either
+   *    text contains a serial token (`w17xNN`) unique to one position,
+   *    and block reversal leaves no run of 5 original words — the two
+   *    texts share ZERO 5-grams (and share none with the rest of the
+   *    corpus, whose vocabulary never contains the serial tokens);
+   *  - the MinHash gate DETERMINISTICALLY catches it: the pair's
+   *    word-3-shingle jaccard is 6/17 ≈ 0.353 ≥ [[Dedup.mhTau]], and
+   *    band 1's four fixed permutations all take their minima on SHARED
+   *    shingles (searched offline against the gate's committed mhA/mhB
+   *    constants; the corpus and hashes are fixed, so the collision is
+   *    a constant of the build, not luck);
+   *  - both texts pass every prep gate: lang 'en' (24 en-stopword hits,
+   *    zero for other languages), score 0.519 ≥ cleanMinScore, 48
+   *    tokens, zero duplicate bi/trigrams.
+   *
+   * The generic residue-class scramble this replaces measured ZERO
+   * catches (block-reversal of real template docs lands at shingle
+   * jaccard ≈ 0.29, below the 4-row banding's reliable-recall band, and
+   * chance 5-gram re-occurrence exact-caught half the plants) — the
+   * frozen witness trades breadth for a guarantee.
+   */
+  val fuzzyWitnessProbe: String =
+    "the w17x00 a w17x01 of w17x02 the w17x03 a w17x04 of w17x05 the w17x06 a w17x07 of w17x08 the w17x09 a w17x10 of w17x11 the w17x12 a w17x13 of w17x14 the w17x15 a w17x16 of w17x17 the w17x18 a w17x19 of w17x20 the w17x21 a w17x22 of w17x23"
+  val fuzzyWitnessCopy: String =
+    "a w17x22 of w17x23 of w17x20 the w17x21 the w17x18 a w17x19 a w17x16 of w17x17 of w17x14 the w17x15 the w17x12 a w17x13 a w17x10 of w17x11 of w17x08 the w17x09 the w17x06 a w17x07 a w17x04 of w17x05 of w17x02 the w17x03 the w17x00 a w17x01"
+
+  /** Plant the fuzzy-only witness pair: doc 0 (probe) gets
+    * [[fuzzyWitnessProbe]], doc 1 its block-reversed near-copy. */
+  def plantFuzzyOnly(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") === 0, lit(fuzzyWitnessProbe))
+        .when(col("doc_id") === 1, lit(fuzzyWitnessCopy))
+        .otherwise(col("text")))
+
+  /** DuckDB rendering of [[plantFuzzyOnly]] as a `documents`-shadowing
+    * CTE (same pattern as [[plantNearDupsCte]]). */
+  val plantFuzzyOnlyCte: String =
+    s"""documents AS (
+       |  SELECT * REPLACE (
+       |    CASE doc_id WHEN 0 THEN '$fuzzyWitnessProbe'
+       |                WHEN 1 THEN '$fuzzyWitnessCopy'
+       |                ELSE text END AS text)
+       |  FROM main.documents
+       |)""".stripMargin
+
   /** DuckDB rendering of [[plantNearDups]] as a `documents`-shadowing CTE
     * prefix (DuckDB resolves the base table via the explicit `main.`
     * schema; every inner CTE then sees the planted frame). */
@@ -199,9 +251,6 @@ object Decontam {
        |  ) p USING (doc_id)
        |)""".stripMargin
 
-  /** DuckDB mirror of [[flagFuzzyDocuments]]: the gate mirror
-    * ([[Dedup.minhashFlagSql]]) with the INDEX side restricted to the
-    * probe slice, aggregated to the per-doc decision. */
   /** [[flagFuzzySql]] over the PLANTED corpus — the driver-entry mirror:
     * the plant CTE shadows `documents`, so the gate mirror underneath
     * needs no change and the entry's hash compare covers a
@@ -209,6 +258,9 @@ object Decontam {
   def flagFuzzyPlantedSql: String =
     s"WITH $plantNearDupsCte\n$flagFuzzySql"
 
+  /** DuckDB mirror of [[flagFuzzyDocuments]]: the gate mirror
+    * ([[Dedup.minhashFlagSql]]) with the INDEX side restricted to the
+    * probe slice, aggregated to the per-doc decision. */
   val flagFuzzySql: String =
     s"""SELECT doc_id,
        |       CAST(count(DISTINCT dup_of) AS BIGINT) AS n_probes,

@@ -169,7 +169,15 @@ object Prep {
     * `t`; the outer `clean` stays visible inside the nested WITH). */
   def prepareFuzzySql: String = prepareSqlWith(fuzzy = true)
 
-  private def prepareSqlWith(fuzzy: Boolean): String = {
+  /** [[prepareFuzzySql]] over the EXACT-IMMUNE plant
+    * ([[Decontam.plantFuzzyOnly]] as a documents-shadowing CTE) — the
+    * driver-entry mirror: without the plant the fuzzy stage drops zero
+    * rows at every SF and its hash compare verifies pipe_prep plus a
+    * no-op (the r13 vacuous-oracle class, closed for the standalone
+    * entry and here). */
+  def preparePlantedFuzzySql: String = prepareSqlWith(fuzzy = true, planted = true)
+
+  private def prepareSqlWith(fuzzy: Boolean, planted: Boolean = false): String = {
     import TextOps._
     val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
     val hits = stopwords.map { case (lang, ws) =>
@@ -200,7 +208,8 @@ object Prep {
          |  SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM fz)
          |),""".stripMargin
     val cleanSrc = if (fuzzy) "clean2" else "clean"
-    s"""WITH t AS (SELECT doc_id, source, text, n_chars,
+    val plantCte = if (planted) Decontam.plantFuzzyOnlyCte + ",\n" else ""
+    s"""WITH ${plantCte}t AS (SELECT doc_id, source, text, n_chars,
        |                  string_split(text, ' ') AS w FROM documents),
        |m AS (
        |  SELECT *, CAST(len(w) AS BIGINT) AS n_tokens,

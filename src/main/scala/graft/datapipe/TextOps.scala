@@ -238,6 +238,9 @@ object TextOps {
    * deterministic across runs, engines, and AQE decisions.
    */
   def packShards(docs: DataFrame, blockW: Long = packBlock): DataFrame = {
+    // negative widths anti-order the blocks (div truncates toward zero),
+    // silently breaking the exclusive prefix sum; zero NULLs every block
+    require(blockW >= 1, s"positive block width required, got $blockW")
     import org.apache.spark.sql.expressions.Window
     val toks = tokenCounts(docs).select(col("doc_id"), col("n_bpe"))
     val slim = docs.select(col("doc_id"), col("lang"))

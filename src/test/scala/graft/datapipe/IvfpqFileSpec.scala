@@ -42,6 +42,32 @@ class IvfpqFileSpec extends SparkSpecBase {
     }
   }
 
+  test("r13 review fix: serving derives (k, m) from the artifact, not free defaults") {
+    // an index trained with non-default hyperparameters must round-trip:
+    // k >= ivf2MinK flips the quantizer to the two-level regime and m=8
+    // changes the code length — with free serve-side defaults (k=16,
+    // m=4) the probe would route through the WRONG quantizer regime and
+    // the codebook join would silently empty (element_at past the codes
+    // array is NULL). The (k, m) meta frame rides in the artifact.
+    val emb = vecs
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
+    try {
+      Ann.ivfpqIndex(emb, k = Ann.ivf2MinK, m = 8).write(dir)
+      val idx = Ann.IvfpqIndex.read(spark, dir)
+      val served = Ann.ivfpqServe(
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding")), idx)
+        .collect().map(_.toSeq).toSet
+      graft.CacheRegistry.unpersistAll()
+      val direct = Ann.ivfpqTopK(emb, 1, Ann.ivf2MinK, 8)
+        .collect().map(_.toSeq).toSet
+      assert(served == direct && served.nonEmpty,
+        s"non-default (k, m) round-trip diverged: ${served.size} vs ${direct.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("the persisted artifact is code-only: no raw vector column on disk") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
     try {

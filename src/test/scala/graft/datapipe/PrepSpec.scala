@@ -110,4 +110,29 @@ class PrepSpec extends SparkSpecBase {
     // fuzzy survivors shrink
     if (fzFlags.nonEmpty) assert(fuzzy != exact || fuzzy.size < exact.size)
   }
+
+  test("r13 fuzzy-only witness: the fuzzy stage drops doc 1, which the exact stage passed") {
+    // the vacuous-oracle fix for the ENTRY: on the plantFuzzyOnly corpus
+    // (the frozen witness pair — doc 0 = probe text, doc 1 = its 4-word
+    // blocks reversed), exact containment must PASS doc 1 (the pair
+    // provably shares no 5-gram) and the fuzzy stage must DROP it (band
+    // 1 of the committed minhash constants collides on the pair)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val planted = Decontam.plantFuzzyOnly(docs)
+    // exact stage alone must pass the witness copy through
+    val exactFlags = Decontam.flagDocuments(planted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!exactFlags.contains(1L),
+      "exact containment must miss the block-reversed witness")
+    graft.CacheRegistry.unpersistAll()
+    val without = Prep.keptCorpus(planted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.unpersistAll()
+    val withFz = Prep.keptCorpus(planted, fuzzyDecontam = true).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dropped = without diff withFz
+    assert(dropped.contains(1L),
+      s"the fuzzy stage must drop the witness copy; dropped = $dropped")
+    assert(withFz.subsetOf(without))
+  }
 }
