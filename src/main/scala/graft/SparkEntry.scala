@@ -1912,6 +1912,11 @@ object SparkEntry {
       // known-nonzero set — without it the stage was a verified no-op
       graft.datapipe.Prep.prepare(
         Decontam.plantFuzzyOnly(Tables.documents(s, d)), fuzzyDecontam = true)),
+    // NB quality-classifier gate (r13): train on the curated slice,
+    // score the whole corpus — the fastText-style classifier companion
+    // to the LM perplexity gate, same train/score deployment shape
+    "text_nb_score" -> ((s, d) =>
+      TextOps.nbScore(Tables.documents(s, d), col("doc_id") % 10 === 0)),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2489,6 +2494,7 @@ object SparkEntry {
     "pipe_mix" -> TextOps.mixSummarySql,
     "pipe_decontam" -> Decontam.flagSql,
     "pipe_decontam_fuzzy" -> Decontam.flagFuzzyPlantedSql,
+    "text_nb_score" -> TextOps.nbScoreSql("doc_id % 10 = 0"),
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,

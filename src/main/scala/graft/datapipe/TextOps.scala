@@ -638,6 +638,138 @@ object TextOps {
   /** Self-trained form (the `text_lm_score` entry's oracle). */
   val lmScoreSql: String = lmScoreRefSql()
 
+  // ------------------------------------ NB quality-classifier gate (r13)
+
+  /** Vocabulary cap for [[nbModel]]: the top words by document frequency.
+    * Keeps the model broadcastable at ANY corpus scale (an uncapped
+    * Bernoulli vocabulary is the corpus' distinct-token set — 10^9 on web
+    * corpora) — the standard feature-selection move of the fastText-style
+    * quality classifiers this gate mirrors. */
+  val nbVocab = 4096
+
+  /**
+   * Bernoulli Naive-Bayes QUALITY CLASSIFIER — the CCNet/LLaMA-style
+   * "classifier gate" companion to the [[lmScore]] perplexity gate: train
+   * on a curated-vs-crawl label, score every document by how
+   * curated-like its vocabulary is, gate on the score.
+   *
+   * Determinism contract (the module's standard recipe): per-word
+   * curated affinity
+   *
+   *   r(w) = a / (a + b),  a = (df1+1)·(N0+2),  b = (df0+1)·(N1+2)
+   *
+   * computed as ONE IEEE double division over exactly-representable
+   * integer products (doubles multiplied identically in both engines),
+   * and the per-doc score is the MEAN of r over the doc's DISTINCT
+   * words, summed in DECIMAL(30,25) (order-invariant) with one final
+   * double division + 6dp round — no logs, same reasons as [[lmScore]].
+   * Words absent from the capped vocabulary (or unseen at train time)
+   * fall through the left join to the neutral prior
+   * r = (N0+2)/((N0+2)+(N1+2)) automatically.
+   *
+   * Scale shape: training is one labeled distinct-word scan with a
+   * map-combinable (df1, df0) aggregate plus a TakeOrdered vocabulary
+   * cut (model = [[nbVocab]] rows + a 1-row count frame — broadcast
+   * anywhere); scoring is one corpus scan, a broadcast vocab join and
+   * the per-doc decimal mean — the per-doc aggregate is the only
+   * corpus-keyed exchange. The model persists like [[LmModel]].
+   */
+  case class NbModel(vocab: DataFrame, counts: DataFrame) {
+    def write(dir: String): Unit = {
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+      counts.write.mode("overwrite").parquet(s"$dir/counts")
+    }
+  }
+  object NbModel {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel =
+      NbModel(spark.read.parquet(s"$dir/vocab"), spark.read.parquet(s"$dir/counts"))
+  }
+
+  /** Train the classifier: `curated` labels the positive class; `cap`
+    * overrides the vocabulary cut (spec aid — the default is inert on a
+    * corpus with fewer distinct words). */
+  def nbModel(docs: DataFrame, curated: Column, cap: Int = nbVocab): NbModel = {
+    val lab = when(curated, 1L).otherwise(0L)
+    val dw = docs.select(lab.as("__lab"),
+      explode(array_distinct(words(Dedup.normText))).as("w"))
+    val vocab = dw.groupBy(col("w"))
+      .agg(sum(col("__lab")).as("df1"), sum(lit(1L) - col("__lab")).as("df0"))
+      .orderBy((col("df1") + col("df0")).desc, col("w").asc)
+      .limit(cap)
+    val counts = docs.agg(sum(lab).as("n1"), sum(lit(1L) - lab).as("n0"))
+    NbModel(vocab, counts)
+  }
+
+  /** Score `docs` under a (possibly file-backed) trained [[NbModel]].
+    * Output: `(doc_id, n_words, nb_score)`; NULL-text docs keep their
+    * row with n_words = 0 and a NULL score. */
+  def nbScoreWith(docs: DataFrame, model: NbModel): DataFrame = {
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(words(Dedup.normText))).as("w"))
+    val a = (coalesce(col("df1"), lit(0L)) + 1).cast("double") *
+      (col("n0") + 2).cast("double")
+    val b = (coalesce(col("df0"), lit(0L)) + 1).cast("double") *
+      (col("n1") + 2).cast("double")
+    val scored = dw
+      .join(broadcast(model.vocab), Seq("w"), "left")
+      .crossJoin(broadcast(model.counts))
+      .select(col("doc_id"), (a / (a + b)).cast("decimal(30,25)").as("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("r")).cast("double") / count(lit(1)), 6).as("nb_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"), col("nb_score"))
+  }
+
+  /** The composed deployment shape: train on the curated slice, score
+    * the whole corpus (the driver entry uses `doc_id % 10 = 0` as the
+    * curated label, like `text_lm_score_ref`). */
+  def nbScore(docs: DataFrame, curated: Column): DataFrame =
+    nbScoreWith(docs, nbModel(docs, curated))
+
+  /** DuckDB mirror of [[nbScore]] with `curatedPred` as the label. */
+  def nbScoreSql(curatedPred: String): String = {
+    val norm = Dedup.normTextSql
+    s"""WITH dw0 AS (
+       |  SELECT doc_id, CASE WHEN $curatedPred THEN 1 ELSE 0 END AS lab,
+       |         unnest(list_distinct(string_split($norm, ' '))) AS w
+       |  FROM documents
+       |),
+       |voc AS (
+       |  SELECT w, CAST(SUM(lab) AS BIGINT) AS df1,
+       |         CAST(SUM(1 - lab) AS BIGINT) AS df0
+       |  FROM dw0 GROUP BY w
+       |  ORDER BY (SUM(lab) + SUM(1 - lab)) DESC, w ASC LIMIT $nbVocab
+       |),
+       |cnt AS (
+       |  SELECT CAST(SUM(CASE WHEN $curatedPred THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(SUM(CASE WHEN $curatedPred THEN 0 ELSE 1 END) AS BIGINT) AS n0
+       |  FROM documents
+       |),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split($norm, ' '))) AS w
+       |  FROM documents
+       |),
+       |ps AS (
+       |  SELECT dw.doc_id,
+       |         CAST((CAST(coalesce(v.df1, 0) + 1 AS DOUBLE) * CAST(n0 + 2 AS DOUBLE))
+       |              / ((CAST(coalesce(v.df1, 0) + 1 AS DOUBLE) * CAST(n0 + 2 AS DOUBLE))
+       |                 + (CAST(coalesce(v.df0, 0) + 1 AS DOUBLE) * CAST(n1 + 2 AS DOUBLE)))
+       |              AS DECIMAL(30,25)) AS r
+       |  FROM dw LEFT JOIN voc v USING (w), cnt
+       |),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |         round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS nb_score
+       |  FROM ps GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+       |       s.nb_score
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ repetition
 
   /** Duplicate-n-gram threshold above which a doc is gated as
