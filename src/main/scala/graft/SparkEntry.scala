@@ -1752,6 +1752,20 @@ object SparkEntry {
       Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
         Dedup.MinhashIndex.read(s, dir))
     }),
+    // INCREMENTAL ingest form (r13): initial index on half the corpus,
+    // second shard APPENDED file-to-file (no rebuild, existing files
+    // untouched) — per-doc signatures make the appended store
+    // content-equivalent to a full build, so the oracle is the same
+    "dedup_stream_flag_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dirP = java.nio.file.Files.createTempDirectory("graft_mh_append_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
+      Dedup.minhashIndex(docs.where(col("doc_id") % 2 === 0)).write(dir)
+      Dedup.MinhashIndex.append(dir, docs.where(col("doc_id") % 2 === 1))
+      Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
+        Dedup.MinhashIndex.read(s, dir))
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
@@ -1770,6 +1784,17 @@ object SparkEntry {
       trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
       val dir = dirP.toString
       Ann.embedIndex(emb).write(dir)
+      Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
+        Ann.EmbedIndex.read(s, dir))
+    }),
+    // incremental embedding-gate ingest (r13) — see dedup_stream_flag_append
+    "dedup_embed_stream_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dirP = java.nio.file.Files.createTempDirectory("graft_emb_append_")
+      trackTempDir(dirP) // FIFO-swept past the cap + shutdown backstop
+      val dir = dirP.toString
+      Ann.embedIndex(emb.where(col("vec_id") % 2 === 0)).write(dir)
+      Ann.EmbedIndex.append(dir, emb.where(col("vec_id") % 2 === 1))
       Ann.embedStreamingFlag(emb.where(col("vec_id") % 10 === 0),
         Ann.EmbedIndex.read(s, dir))
     }),
@@ -2426,11 +2451,14 @@ object SparkEntry {
     "dedup_stream_flag" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
     // file round-trip changes storage, not values: same oracle
     "dedup_stream_flag_file" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
+    // appended store is content-equivalent to a full build (per-doc rows)
+    "dedup_stream_flag_append" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
     "dedup_embed" -> Ann.embedNearDupSql,
     "dedup_embed_stream" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
     "dedup_embed_stream_file" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
+    "dedup_embed_stream_append" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
     "dedup_embed_stream_mp" -> Ann.embedFlagMultiprobeSql("a.vec_id % 10 = 0"),
     "dedup_embed_mp" -> Ann.embedNearDupMultiprobeSql,
     "ann_topk" -> Ann.bruteForceTopKSql,

@@ -1027,16 +1027,18 @@ object Ann {
       cb.write.mode("overwrite").parquet(s"$dir/cb")
       meta.write.mode("overwrite").parquet(s"$dir/meta")
     }
-    /** Train-time hyperparameters `(k, m)` from the persisted 1-row meta
-      * frame — the serving side MUST probe with the trainer's k (the
-      * flat/two-level quantizer regime keys on it) and decode with the
-      * trainer's m (a mismatched subspace count silently empties or
-      * corrupts the reconstruction join), so they ride IN the artifact
-      * instead of being free parameters (r13 review fix). One tiny
-      * driver read, the documented K-row-collect class. */
-    private[datapipe] def params: (Int, Int) = {
-      val r = meta.select(col("k"), col("m")).head()
-      (r.getInt(0), r.getInt(1))
+    /** Train-time hyperparameters `(k, m, residual)` from the persisted
+      * 1-row meta frame — the serving side MUST probe with the trainer's
+      * k (the flat/two-level quantizer regime keys on it), decode with
+      * the trainer's m (a mismatched subspace count silently empties or
+      * corrupts the reconstruction join), and reconstruct in the
+      * trainer's encoding (raw vs residual codes are not
+      * interchangeable), so they ride IN the artifact instead of being
+      * free parameters (r13 review fix). One tiny driver read, the
+      * documented K-row-collect class. */
+    private[datapipe] def params: (Int, Int, Boolean) = {
+      val r = meta.select(col("k"), col("m"), col("residual")).head()
+      (r.getInt(0), r.getInt(1), r.getBoolean(2))
     }
   }
   object IvfpqIndex {
@@ -1046,10 +1048,11 @@ object Ann {
         spark.read.parquet(s"$dir/meta"))
   }
 
-  /** 1-row (k, m) hyperparameter frame persisted with every IVFADC index. */
-  private def ivfpqMeta(emb: DataFrame, k: Int, m: Int): DataFrame =
+  /** 1-row (k, m, residual) hyperparameter frame persisted with every
+    * IVFADC index. */
+  private def ivfpqMeta(emb: DataFrame, k: Int, m: Int, residual: Boolean): DataFrame =
     emb.sparkSession.range(1)
-      .select(lit(k).as("k"), lit(m).as("m"))
+      .select(lit(k).as("k"), lit(m).as("m"), lit(residual).as("residual"))
 
   /** Train + encode half of the deployment split: [[ivfpqTopK]]'s exact
     * training dataflow (same coarse quantizer, same inverted lists, same
@@ -1061,7 +1064,8 @@ object Ann {
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
       .select(col("vec_id"), col("cid"))
     val (codes, cb) = pqCompress(emb, m, pk, pqRounds)
-    IvfpqIndex(codes.join(lists, "vec_id"), cent, cb, ivfpqMeta(emb, k, m))
+    IvfpqIndex(codes.join(lists, "vec_id"), cent, cb,
+      ivfpqMeta(emb, k, m, residual = false))
   }
 
   /**
@@ -1084,7 +1088,8 @@ object Ann {
    * — any benchmark-style subsampling is the caller's slice).
    */
   def ivfpqServe(queries: DataFrame, idx: IvfpqIndex): DataFrame = {
-    val (k, m) = idx.params
+    val (k, m, res) = idx.params
+    require(!res, "index holds RESIDUAL codes — serve with ivfpqResServe")
     servePacked(queries, idx, k, m, residual = false)
   }
 
@@ -1096,7 +1101,8 @@ object Ann {
     * unchanged). Output identical to [[ivfpqResTopK]] over the same
     * collection. */
   def ivfpqResServe(queries: DataFrame, idx: IvfpqIndex): DataFrame = {
-    val (k, m) = idx.params
+    val (k, m, res) = idx.params
+    require(res, "index holds RAW codes — serve with ivfpqServe")
     servePacked(queries, idx, k, m, residual = true)
   }
 
@@ -1158,7 +1164,50 @@ object Ann {
             (x, y) => x.cast("double") - y.cast("double")).as("embedding")))
     val (codes, cb) = pqCompress(res.select(col("vec_id"), col("embedding")), m, pk, pqRounds)
     IvfpqIndex(codes.join(res.select(col("vec_id"), col("cid")), "vec_id"), cent, cb,
-      ivfpqMeta(emb, k, m))
+      ivfpqMeta(emb, k, m, residual = true))
+  }
+
+  /** Encode vectors against a FROZEN per-subspace codebook — the encode
+    * half of [[pqCompress]] standing alone (broadcast-codebook map-side
+    * argmin; the collection never shuffles). The building block of
+    * [[ivfpqAppend]]'s FAISS-style `add()`. */
+  def pqEncode(emb: DataFrame, cb: DataFrame, m: Int = pqM): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"$m subspaces must divide dim=$dim")
+    pqAssign(pqSubs(emb, m, dim / m), cb)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid")))).as("p"))
+      .select(col("vec_id"), transform(col("p"), x => x.getField("cid")).as("codes"))
+  }
+
+  /**
+   * FAISS `add()` (r13): encode NEW vectors against a persisted index's
+   * FROZEN quantizer and codebook and append their packed rows — the
+   * existing artifact files and every trained parameter stay untouched,
+   * which is the production ingest contract (retraining the quantizer
+   * would invalidate every previously-encoded vector). The artifact's
+   * meta decides the encoding: raw indexes append raw codes, residual
+   * indexes subtract the list centroid before encoding (both map-side
+   * broadcast joins). The caller owns vec_id disjointness, as with the
+   * gate appends.
+   */
+  def ivfpqAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  newVecs: DataFrame): Unit = {
+    val idx = IvfpqIndex.read(spark, dir)
+    val (k, m, residual) = idx.params
+    val lists = ivfAssign2(newVecs, "vec_id", idx.cent, k, 1)
+      .select(col("vec_id"), col("cid"))
+    val toEncode =
+      if (!residual) newVecs.select(col("vec_id"), col("embedding"))
+      else {
+        val centSlim = idx.cent.select(col("cid"), col("c_emb"))
+        lists.join(newVecs.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(centSlim), "cid")
+          .select(col("vec_id"),
+            zip_with(col("embedding"), col("c_emb"),
+              (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+      }
+    pqEncode(toEncode, idx.cb, m).join(lists, "vec_id")
+      .write.mode("append").parquet(s"$dir/packed")
   }
 
   /**
@@ -1595,6 +1644,19 @@ object Ann {
   object EmbedIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): EmbedIndex =
       EmbedIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/vecs"))
+
+    /** INCREMENTAL ingest (r13): append a new shard's bucket keys and
+      * verify payloads to a file-backed index — hyperplane buckets are
+      * per-vector, so index(A ∪ B) ≡ index(A) ∪ index(B) row-for-row
+      * (same contract and caveats as [[Dedup.MinhashIndex.append]]). */
+    def append(dir: String, newVecs: DataFrame): Unit = {
+      ndBanded(newVecs).select(col("band"), col("bucket"),
+          col("vec_id").as("corpus_id"))
+        .write.mode("append").parquet(s"$dir/keys")
+      newVecs.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("corpus_emb"))
+        .write.mode("append").parquet(s"$dir/vecs")
+    }
   }
 
   /** Static embedding near-dup INDEX, LEAN form: banded hyperplane

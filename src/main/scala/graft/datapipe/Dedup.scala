@@ -48,6 +48,21 @@ object Dedup {
   object MinhashIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
       MinhashIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/sets"))
+
+    /** INCREMENTAL ingest (r13): append one new shard's index rows to a
+      * file-backed index without touching the existing files. Signatures
+      * and band keys are PER-DOCUMENT (no cross-doc state), so
+      * index(A ∪ B) ≡ index(A) ∪ index(B) row-for-row — the appended
+      * store is bit-equivalent in content to a full rebuild
+      * (DedupStreamingSpec pins gate-output equality), at the cost of
+      * one shard scan instead of a corpus scan. The caller owns shard
+      * disjointness (re-appending a doc_id duplicates its rows, the
+      * same contract as any append-only store). */
+    def append(dir: String, newDocs: org.apache.spark.sql.DataFrame): Unit = {
+      val idx = minhashIndex(newDocs)
+      idx.keys.write.mode("append").parquet(s"$dir/keys")
+      idx.sets.write.mode("append").parquet(s"$dir/sets")
+    }
   }
 
   // ----------------------------------------------------------------- exact

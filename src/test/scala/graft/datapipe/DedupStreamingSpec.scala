@@ -294,4 +294,42 @@ class DedupStreamingSpec extends SparkSpecBase {
       assert(ids == Set(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("r13 incremental append: appended file indexes gate identically to a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    // signatures/buckets are per-member, so index(A) ++ append(B) must be
+    // content-equivalent to index(A ∪ B) — gate outputs compare EXACTLY
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val mhDir = java.nio.file.Files.createTempDirectory("mh_append_spec_").toString
+    val ebDir = java.nio.file.Files.createTempDirectory("eb_append_spec_").toString
+    try {
+      Dedup.minhashIndex(docs.where(col("doc_id") % 2 === 0)).write(mhDir)
+      Dedup.MinhashIndex.append(mhDir, docs.where(col("doc_id") % 2 === 1))
+      val probe = docs.where(col("doc_id") % 10 === 0)
+      val viaAppend = Dedup.minhashStreamingFlag(probe,
+          Dedup.MinhashIndex.read(spark, mhDir))
+        .collect().map(_.toSeq).toSet
+      graft.CacheRegistry.unpersistAll()
+      val viaFull = Dedup.minhashStreamingFlag(probe, Dedup.minhashIndex(docs))
+        .collect().map(_.toSeq).toSet
+      assert(viaAppend == viaFull && viaFull.nonEmpty,
+        s"minhash appended-index gate diverged: ${viaAppend.size} vs ${viaFull.size}")
+      graft.CacheRegistry.unpersistAll()
+
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      Ann.embedIndex(emb.where(col("vec_id") % 2 === 0)).write(ebDir)
+      Ann.EmbedIndex.append(ebDir, emb.where(col("vec_id") % 2 === 1))
+      val eprobe = emb.where(col("vec_id") % 10 === 0)
+      val eViaAppend = Ann.embedStreamingFlag(eprobe, Ann.EmbedIndex.read(spark, ebDir))
+        .collect().map(_.toSeq).toSet
+      graft.CacheRegistry.unpersistAll()
+      val eViaFull = Ann.embedStreamingFlag(eprobe, Ann.embedIndex(emb))
+        .collect().map(_.toSeq).toSet
+      assert(eViaAppend == eViaFull && eViaFull.nonEmpty,
+        s"embed appended-index gate diverged: ${eViaAppend.size} vs ${eViaFull.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mhDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ebDir))
+    }
+  }
 }

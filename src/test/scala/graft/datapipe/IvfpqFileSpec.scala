@@ -105,6 +105,46 @@ class IvfpqFileSpec extends SparkSpecBase {
     }
   }
 
+  test("r13 FAISS add(): appends encode against the frozen artifacts; wrong-form serving refuses") {
+    val emb = vecs
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    val queries = emb.where(col("vec_id") % Ann.queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_add_").toString
+    try {
+      Ann.ivfpqIndex(even).write(dir)
+      Ann.ivfpqAppend(spark, dir, odd)
+      val idx = Ann.IvfpqIndex.read(spark, dir)
+      // every vector of both shards is packed exactly once
+      val packedIds = idx.packed.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(packedIds == (0L until 256L).toSeq)
+      // appended codes equal a fresh encode against the FROZEN codebook
+      val expect = Ann.pqEncode(odd, idx.cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = idx.packed.where(col("vec_id") % 2 === 1).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("codes")).toMap
+      assert(got == expect, "appended codes must come from the frozen codebook")
+      // serving sees the appended vectors as candidates (non-vacuous)
+      val served = Ann.ivfpqServe(queries, idx).collect()
+      assert(served.exists(_.getAs[Long]("nbr_id") % 2 == 1),
+        "appended vectors must be servable neighbors")
+      // artifact-form safety: residual serving refuses a RAW index
+      intercept[IllegalArgumentException] { Ann.ivfpqResServe(queries, idx) }
+      graft.CacheRegistry.unpersistAll()
+      // residual index: append auto-encodes residuals; raw serving refuses
+      val rdir = s"$dir/res"
+      Ann.ivfpqResIndex(even).write(rdir)
+      Ann.ivfpqAppend(spark, rdir, odd)
+      val ridx = Ann.IvfpqIndex.read(spark, rdir)
+      intercept[IllegalArgumentException] { Ann.ivfpqServe(queries, ridx) }
+      val rServed = Ann.ivfpqResServe(queries, ridx).collect()
+      assert(rServed.nonEmpty && rServed.exists(_.getAs[Long]("nbr_id") % 2 == 1))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("serving plan: no exchange above the packed scan carries a vector payload") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_spec_").toString
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
