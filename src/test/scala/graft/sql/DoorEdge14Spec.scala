@@ -54,6 +54,16 @@ class DoorEdge14Spec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll 
     // PLANTED fuzzy decontam decision (known-nonzero at every SF)
     Decontam.flagFuzzyDocuments(Decontam.plantNearDups(docs))
       .createOrReplaceTempView("d14_dfz")
+    // NB classifier scores (r13 late growth)
+    TextOps.nbScore(docs, col("doc_id") % 10 === 0)
+      .createOrReplaceTempView("d14_nb")
+    // APPENDED-index gate flags (the incremental-ingest deployment form)
+    val mhDir = tempDir("d14_mh_append")
+    Dedup.minhashIndex(docs.where(col("doc_id") % 2 === 0)).write(mhDir)
+    Dedup.MinhashIndex.append(mhDir, docs.where(col("doc_id") % 2 === 1))
+    Dedup.minhashStreamingFlag(docs.where(col("doc_id") % 10 === 0),
+        Dedup.MinhashIndex.read(spark, mhDir))
+      .createOrReplaceTempView("d14_mhap")
   }
 
   private def multiset(df: DataFrame): Map[Seq[Any], Int] =
@@ -165,7 +175,33 @@ class DoorEdge14Spec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll 
           |FROM d14_dfz f, d14_docs x
           |WHERE f.doc_id = x.doc_id
           |GROUP BY x.lang
-          |HAVING MAX(f.best_jac) > 0.5""".stripMargin))
+          |HAVING MAX(f.best_jac) > 0.5""".stripMargin,
+      // NB classifier scores per lang, windowed: rank docs by the gate
+      // score within language — classifier output through the door's
+      // window path, NULL scores dropped identically on all routes
+      "nb_rank_window" ->
+        """SELECT x.lang AS lang, n.doc_id AS doc_id,
+          |       ROW_NUMBER() OVER (PARTITION BY x.lang
+          |                          ORDER BY n.nb_score DESC, n.doc_id) AS rn
+          |FROM d14_nb n, d14_docs x
+          |WHERE n.doc_id = x.doc_id AND n.nb_score IS NOT NULL""".stripMargin,
+      // curated-slice mean vs crawl mean per source: CASE grouping key
+      // over the classifier decision (the gate's discrimination, as SQL)
+      "nb_source_split" ->
+        """SELECT x.source AS source,
+          |       CASE WHEN n.doc_id % 10 = 0 THEN 'curated' ELSE 'crawl' END AS split,
+          |       COUNT(*) AS n_docs, MAX(n.nb_score) AS best
+          |FROM d14_nb n, d14_docs x
+          |WHERE n.doc_id = x.doc_id AND n.nb_score IS NOT NULL
+          |GROUP BY x.source, CASE WHEN n.doc_id % 10 = 0 THEN 'curated' ELSE 'crawl' END""".stripMargin,
+      // appended-index gate flags resolved through the corpus with an
+      // EXISTS into the topk relation — incremental-ingest output meets
+      // the subquery path
+      "mhap_exists_topk" ->
+        """SELECT f.doc_id AS doc_id, f.dup_of AS dup_of, f.band AS band
+          |FROM d14_mhap f, d14_docs x
+          |WHERE f.doc_id = x.doc_id
+          |  AND EXISTS (SELECT 1 FROM d14_docs z WHERE z.doc_id = f.dup_of)""".stripMargin))
   }
 
   test("pack shard totals respect the budget through the door (every route)") {
