@@ -350,6 +350,87 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nPeelKey >= 1, "cross fuzz must group by the peeled column at least once")
   }
 
+  test("random window x subquery-peel crosses match stock Spark") {
+    // r13 second cross: the WINDOW peel path (windows lifted off the
+    // join, the join reduced beneath) had never met the subquery/outer-
+    // peel generators. Chains with derived leaves and optional OUTER
+    // peels, a random subquery predicate underneath, and a window
+    // function over a random partition key — ROW_NUMBER/RANK carry a
+    // TOTAL order (every selected column as tie-break) so results are
+    // deterministic and multiset-comparable on every route.
+    val rnd = new scala.util.Random(131909)
+    val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .distinct.toDF("src", "dst")
+    edges.createOrReplaceTempView("propw_edges")
+    val rated = Seq.fill(120)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+      .distinct.toDF("src", "dst", "w")
+    rated.createOrReplaceTempView("propw_rated")
+
+    var nonEmpty = 0
+    var nPeeled = 0
+    var nNested = 0
+    var nCorrelated = 0
+    var nAggWin = 0
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
+      val n = 2 + rnd.nextInt(2)
+      val nestedLeaf = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(n)) else None
+      if (nestedLeaf.isDefined) nNested += 1
+      def fromEntry(j: Int): String = nestedLeaf match {
+        case Some(`j`) =>
+          s"(SELECT src, dst FROM propw_edges WHERE src < ${6 + rnd.nextInt(4)}) g$j"
+        case _ => s"propw_edges g$j"
+      }
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      val peeled = rnd.nextInt(2) == 0
+      if (peeled) nPeeled += 1
+      val peelSql =
+        if (peeled) s"\nLEFT OUTER JOIN propw_rated r ON g$n.dst = r.src" else ""
+      val target =
+        if (peeled && rnd.nextInt(3) == 0) "r.w"
+        else s"g${1 + rnd.nextInt(n)}.src"
+      val (subPred, isCorr) = rnd.nextInt(3) match {
+        case 0 =>
+          (s"EXISTS (SELECT 1 FROM propw_edges z WHERE z.src = $target AND z.dst < 7)", true)
+        case 1 =>
+          (s"$target IN (SELECT src FROM propw_edges WHERE dst < ${4 + rnd.nextInt(5)})", false)
+        case _ => (s"$target <= (SELECT MAX(dst) FROM propw_edges)", false)
+      }
+      if (isCorr) nCorrelated += 1
+      val selCols = (1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j") ++
+        (if (peeled) Seq("r.w AS w") else Nil)
+      val tieCols = (1 to n).flatMap(j => Seq(s"g$j.src", s"g$j.dst")) ++
+        (if (peeled) Seq("r.w") else Nil)
+      val partKey =
+        if (peeled && rnd.nextInt(3) == 0) "r.src" else s"g${1 + rnd.nextInt(n)}.src"
+      val winFn = rnd.nextInt(4) match {
+        case 0 => s"ROW_NUMBER() OVER (PARTITION BY $partKey ORDER BY ${tieCols.mkString(", ")})"
+        case 1 => s"RANK() OVER (PARTITION BY $partKey ORDER BY g$n.dst)"
+        case 2 => nAggWin += 1; s"COUNT(*) OVER (PARTITION BY $partKey)"
+        case _ => nAggWin += 1; s"SUM(g$n.dst) OVER (PARTITION BY $partKey)"
+      }
+      val sql =
+        s"""SELECT ${selCols.mkString(", ")}, $winFn AS wv
+           |FROM ${(1 to n).map(fromEntry).mkString(", ")}$peelSql
+           |WHERE ${(joins :+ subPred).mkString(" AND ")}""".stripMargin
+
+      val got =
+        try CqcSql.solve(spark, sql).collect().map(_.toSeq).groupBy(identity)
+        catch { case e: Throwable => fail(s"door threw ${e.getClass.getSimpleName} for: $sql", e) }
+      val want = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      assert(got.view.mapValues(_.length).toMap == want.view.mapValues(_.length).toMap,
+        s"mismatch for: $sql")
+      graft.CacheRegistry.unpersistAll()
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+    assert(nPeeled >= 3, "window cross must cover outer-peel shapes")
+    assert(nNested >= 2, "window cross must cover nested leaves")
+    assert(nCorrelated >= 2, "window cross must cover correlated subqueries")
+    assert(nAggWin >= 2, "window cross must cover aggregate windows")
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
     val rnd = new scala.util.Random(131577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
