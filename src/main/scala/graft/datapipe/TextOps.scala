@@ -729,6 +729,45 @@ object TextOps {
   def nbScore(docs: DataFrame, curated: Column): DataFrame =
     nbScoreWith(docs, nbModel(docs, curated))
 
+  /**
+   * STATELESS stream form of [[nbScoreWith]] — score an ingest stream
+   * against a trained model with NO aggregate and NO state store: the
+   * model is driver-sized BY CONSTRUCTION ([[nbVocab]] affinity entries
+   * + two counts — the same legitimacy class as the IVF centroid collect
+   * and Prep's literal probe grams, with the same fail-loud bound), so
+   * it inlines as a map literal and the per-doc mean becomes an exact
+   * DECIMAL array fold in one projection (decimal addition is exact, so
+   * the fold equals the batch groupBy sum bit-for-bit; the spec pins
+   * stream == batch). Works identically on a batch frame.
+   */
+  def nbScoreStreaming(docs: DataFrame, model: NbModel): DataFrame = {
+    val vocabRows = model.vocab.collect()
+    require(vocabRows.length <= 65536,
+      s"model vocabulary ${vocabRows.length} exceeds the literal-inline bound; " +
+        "score with nbScoreWith (broadcast join) instead")
+    val cnt = model.counts.head()
+    val (n1, n0) = (cnt.getAs[Long]("n1"), cnt.getAs[Long]("n0"))
+    def ratio(df1: Long, df0: Long): Double = {
+      val a = (df1 + 1).toDouble * (n0 + 2).toDouble
+      val b = (df0 + 1).toDouble * (n1 + 2).toDouble
+      a / (a + b)
+    }
+    val rMap = vocabRows.map(r =>
+      r.getAs[String]("w") -> ratio(r.getAs[Long]("df1"), r.getAs[Long]("df0"))).toMap
+    val neutral = ratio(0L, 0L)
+    val w = array_distinct(words(Dedup.normText))
+    val rArr = transform(w, t =>
+      coalesce(element_at(typedLit(rMap), t), lit(neutral)).cast("decimal(30,25)"))
+    // the fold keeps a fixed DECIMAL(30,25) accumulator: addition widens
+    // the type, so cast back each step — exact, the sum stays < 10^5
+    val sumR = aggregate(rArr, lit(java.math.BigDecimal.ZERO).cast("decimal(30,25)"),
+      (acc, x) => (acc + x).cast("decimal(30,25)"))
+    val nW = coalesce(size(w), lit(0)).cast(LongType)
+    docs.select(col("doc_id"), nW.as("n_words"),
+      when(nW > 0, round(sumR.cast("double") / nW, 6)).otherwise(lit(null))
+        .as("nb_score"))
+  }
+
   /** DuckDB mirror of [[nbScore]] with `curatedPred` as the label. */
   def nbScoreSql(curatedPred: String): String = {
     val norm = Dedup.normTextSql

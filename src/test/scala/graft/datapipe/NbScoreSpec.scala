@@ -95,6 +95,50 @@ class NbScoreSpec extends SparkSpecBase {
     }
   }
 
+  test("r13 streaming gate: arrivals score statelessly against the file-backed model") {
+    // the deployment form: a trained NbModel on parquet, an ingest stream
+    // scored per micro-batch — stream-static broadcast joins + the
+    // per-doc mean, no state store; scores must equal the batch form
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("nb_stream_").toString
+    try {
+      TextOps.nbModel(corpus, curated).write(dir)
+      val model = TextOps.NbModel.read(spark, dir)
+      val input = MemoryStream[StreamDoc]
+      val q = TextOps.nbScoreStreaming(
+          input.toDF().select(col("doc_id"), col("text")), model)
+        .writeStream.format("memory").queryName("nb_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          StreamDoc(50L, "good clean prose here", new Timestamp(1000)),
+          StreamDoc(51L, "spam spam junk junk", new Timestamp(2000)))
+        q.processAllAvailable()
+        input.addData(StreamDoc(52L, "utterly novel words", new Timestamp(3000)))
+        q.processAllAvailable()
+        val streamed = spark.table("nb_stream").collect()
+          .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        val batch = TextOps.nbScoreWith(
+            Seq((50L, "good clean prose here"), (51L, "spam spam junk junk"),
+              (52L, "utterly novel words")).toDF("doc_id", "text"), model)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        assert(streamed == batch && streamed(50L) > streamed(51L))
+        // and the stream form equals the exploded batch form on the real
+        // corpus too (the decimal fold == the groupBy sum, bit-for-bit)
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        val viaFold = TextOps.nbScoreStreaming(docs, model)
+          .collect().map(_.toSeq).toSet
+        val viaAgg = TextOps.nbScoreWith(docs, model)
+          .collect().map(_.toSeq).toSet
+        assert(viaFold == viaAgg)
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("scoring plan: model broadcasts; the only corpus exchange is the per-doc mean") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val docs = graft.sources.Tables.documents(spark, sfDir)
