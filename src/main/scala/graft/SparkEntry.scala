@@ -1942,6 +1942,10 @@ object SparkEntry {
     // to the LM perplexity gate, same train/score deployment shape
     "text_nb_score" -> ((s, d) =>
       TextOps.nbScore(Tables.documents(s, d), col("doc_id") % 10 === 0)),
+    // the COMPLETE corpus-build composition (r13): gates -> decontam ->
+    // dedup -> shard packing -> chunking -> per-(lang, shard) audit, one
+    // lazy plan end-to-end
+    "pipe_build" -> ((s, d) => graft.datapipe.Prep.build(Tables.documents(s, d))),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2535,6 +2539,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
+    "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id

@@ -111,6 +111,27 @@ class PrepSpec extends SparkSpecBase {
     if (fzFlags.nonEmpty) assert(fuzzy != exact || fuzzy.size < exact.size)
   }
 
+  test("r13 pipe_build equals the componentwise pack+chunk over the kept corpus") {
+    val all = docs
+    val got = Prep.build(all).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.CacheRegistry.unpersistAll()
+    val keptDocs = all.join(Prep.keptCorpus(all).select("doc_id"), Seq("doc_id"), "left_semi")
+    val packed = TextOps.packShards(keptDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val chunkCounts = TextOps.chunk(keptDocs).groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = packed.groupBy(p => (p._2, p._4)).map { case (k, rows) =>
+      k -> ((rows.length.toLong, rows.map(_._3).sum,
+        rows.map(r => chunkCounts(r._1)).sum))
+    }
+    assert(got == want && got.nonEmpty,
+      s"componentwise mismatch: ${got.size} vs ${want.size} groups")
+    // sanity: every doc yields at least one chunk, so chunks >= docs
+    got.values.foreach { case (nd, _, nc) => assert(nc >= nd) }
+  }
+
   test("r13 fuzzy-only witness: the fuzzy stage drops doc 1, which the exact stage passed") {
     // the vacuous-oracle fix for the ENTRY: on the plantFuzzyOnly corpus
     // (the frozen witness pair — doc 0 = probe text, doc 1 = its 4-word
