@@ -787,12 +787,18 @@ object Ann {
     val sd = dim / m
     val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, sd))
     val cent = pqTrain(subs, k, rounds)
-    val codes = pqAssign(subs, cent)
+    val codes = pqPack(pqAssign(subs, cent))
+    (codes, cent)
+  }
+
+  /** Pack per-(vector, subspace) assignments into ordered code arrays —
+    * the ONE packing both [[pqCompress]] and [[pqEncode]] use, so a
+    * full build and a frozen-codebook append can never drift. */
+  private def pqPack(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("cid")))).as("p"))
       .select(col("vec_id"), transform(col("p"), x => x.getField("cid")).as("codes"))
-    (codes, cent)
-  }
 
   /** ANN over a PERSISTED PQ collection (codes + codebook frames, e.g.
     * read back from parquet): reconstruct each candidate from its codes
@@ -1037,7 +1043,12 @@ object Ann {
       * free parameters (r13 review fix). One tiny driver read, the
       * documented K-row-collect class. */
     private[datapipe] def params: (Int, Int, Boolean) = {
-      val r = meta.select(col("k"), col("m"), col("residual")).head()
+      // artifacts persisted before the residual flag existed are all
+      // raw-coded — default false instead of hard-breaking their reads
+      val res =
+        if (meta.columns.contains("residual")) col("residual")
+        else lit(false).as("residual")
+      val r = meta.select(col("k"), col("m"), res).head()
       (r.getInt(0), r.getInt(1), r.getBoolean(2))
     }
   }
@@ -1173,10 +1184,7 @@ object Ann {
     * [[ivfpqAppend]]'s FAISS-style `add()`. */
   def pqEncode(emb: DataFrame, cb: DataFrame, m: Int = pqM): DataFrame = {
     require(m >= 1 && dim % m == 0, s"$m subspaces must divide dim=$dim")
-    pqAssign(pqSubs(emb, m, dim / m), cb)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("cid")))).as("p"))
-      .select(col("vec_id"), transform(col("p"), x => x.getField("cid")).as("codes"))
+    pqPack(pqAssign(pqSubs(emb, m, dim / m), cb))
   }
 
   /**

@@ -59,9 +59,13 @@ object Dedup {
       * disjointness (re-appending a doc_id duplicates its rows, the
       * same contract as any append-only store). */
     def append(dir: String, newDocs: org.apache.spark.sql.DataFrame): Unit = {
-      val idx = minhashIndex(newDocs)
-      idx.keys.write.mode("append").parquet(s"$dir/keys")
-      idx.sets.write.mode("append").parquet(s"$dir/sets")
+      // UN-PINNED frames (r13 review fix): a repeated-append ingest loop
+      // must not accumulate cache pins that are used exactly once for a
+      // file write — the shard scans twice (keys pass + sets pass)
+      // instead, like EmbedIndex.append
+      val (keys, sets) = leanIndexFrom(shingles(newDocs))
+      keys.write.mode("append").parquet(s"$dir/keys")
+      sets.write.mode("append").parquet(s"$dir/sets")
     }
   }
 
@@ -329,15 +333,10 @@ object Dedup {
    * cluster-scale form) is re-listed per micro-batch and needs no such
    * step.
    */
-  def minhashIndex(corpus: DataFrame): MinhashIndex = {
-    // the index side is BATCH: signatures come from the exploded shingle
-    // relation through codegen'd groupBy mins ([[minhashSignatures]] —
-    // measured 4x cheaper than the interpreted array fold the stateless
-    // STREAM side must use), and the band keys are bit-identical to the
-    // stream side's (same permutations over the same 31-bit shingles).
-    // Docs below the shingle width have no rows here, matching the
-    // stream side's empty-set filter.
-    val sh = graft.CacheRegistry.persistTracked(shingles(corpus))
+  /** The lean index frames from a shingle relation — shared by the
+    * cache-pinned [[minhashIndex]] and the write-only un-pinned
+    * [[MinhashIndex.append]] path. */
+  private def leanIndexFrom(sh: DataFrame): (DataFrame, DataFrame) = {
     val sig = minhashSignatures(sh)
     val bandStructs = (0 until mhBands).map { b =>
       struct(lit(b).as("band"),
@@ -348,6 +347,19 @@ object Dedup {
         col("doc_id").as("corpus_id"))
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("corpus_shs"))
       .select(col("doc_id").as("corpus_id"), col("corpus_shs"))
+    (keys, sets)
+  }
+
+  def minhashIndex(corpus: DataFrame): MinhashIndex = {
+    // the index side is BATCH: signatures come from the exploded shingle
+    // relation through codegen'd groupBy mins ([[minhashSignatures]] —
+    // measured 4x cheaper than the interpreted array fold the stateless
+    // STREAM side must use), and the band keys are bit-identical to the
+    // stream side's (same permutations over the same 31-bit shingles).
+    // Docs below the shingle width have no rows here, matching the
+    // stream side's empty-set filter.
+    val sh = graft.CacheRegistry.persistTracked(shingles(corpus))
+    val (keys, sets) = leanIndexFrom(sh)
     MinhashIndex(graft.CacheRegistry.persistTracked(keys),
       graft.CacheRegistry.persistTracked(sets))
   }

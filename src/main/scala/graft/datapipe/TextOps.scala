@@ -696,7 +696,12 @@ object TextOps {
       .agg(sum(col("__lab")).as("df1"), sum(lit(1L) - col("__lab")).as("df0"))
       .orderBy((col("df1") + col("df0")).desc, col("w").asc)
       .limit(cap)
-    val counts = docs.agg(sum(lab).as("n1"), sum(lit(1L) - lab).as("n0"))
+    // sum over an EMPTY training frame is NULL — coalesce to 0 so a
+    // misconfigured curated predicate degrades to the neutral prior
+    // instead of NULL scores / a driver NPE in the streaming form (the
+    // lmModel greatest(v,1) guard class)
+    val counts = docs.agg(coalesce(sum(lab), lit(0L)).as("n1"),
+      coalesce(sum(lit(1L) - lab), lit(0L)).as("n0"))
     NbModel(vocab, counts)
   }
 
@@ -758,10 +763,13 @@ object TextOps {
     val w = array_distinct(words(Dedup.normText))
     val rArr = transform(w, t =>
       coalesce(element_at(typedLit(rMap), t), lit(neutral)).cast("decimal(30,25)"))
-    // the fold keeps a fixed DECIMAL(30,25) accumulator: addition widens
-    // the type, so cast back each step — exact, the sum stays < 10^5
-    val sumR = aggregate(rArr, lit(java.math.BigDecimal.ZERO).cast("decimal(30,25)"),
-      (acc, x) => (acc + x).cast("decimal(30,25)"))
+    // the fold accumulates in DECIMAL(38,25) — the same widened type the
+    // batch sum() aggregates in, so stream == batch up to the identical
+    // 10^13 bound (addition widens the type each step; the cast back is
+    // a pure scale-10 rescale, exact while the sum's integer digits fit,
+    // and no document has 10^13 distinct words)
+    val sumR = aggregate(rArr, lit(java.math.BigDecimal.ZERO).cast("decimal(38,25)"),
+      (acc, x) => (acc + x).cast("decimal(38,25)"))
     val nW = coalesce(size(w), lit(0)).cast(LongType)
     docs.select(col("doc_id"), nW.as("n_words"),
       when(nW > 0, round(sumR.cast("double") / nW, 6)).otherwise(lit(null))
