@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   * a compact labeled SUMMARY JSON line. Failures are reported per-query
   * in an "errors" object — never swallowed.
   *
-  * Two timing modes, reported as SEPARATE labeled sections with
-  * per-mode min-of-N (never mixed — comparing a hashed number against a
-  * count-mode floor manufactures fake regressions on projection-heavy
-  * entries; see BASELINE.md measurement-semantics caveat):
+  * Two timing modes, INTERLEAVED per query at run time (r14: count and
+  * hashed reps alternate within each query's block so a host load burst
+  * hits both modes of the same entries equally, instead of
+  * contaminating one whole mode) but reported as SEPARATE labeled
+  * sections with per-mode min-of-N (never mixed — comparing a hashed
+  * number against a count-mode floor manufactures fake regressions on
+  * projection-heavy entries; see BASELINE.md measurement-semantics
+  * caveat):
   *  - COUNT mode: `.count()` per query — comparable to every floor
   *    recorded since r3.
   *  - HASHED mode: aggregate a hash of EVERY output column, so Catalyst
@@ -67,50 +71,65 @@ object Bench {
       .filter(q => queryArgs.isEmpty || queryArgs.contains(q._1))
       .sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // COUNT-mode pass: deterministic order for cross-round comparability
-    val results = wanted.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // release TRACKED operator-internal persists so no query is timed
-        // against another query's intermediate state. Deliberately NOT a
-        // blanket clearCache: the fixed-size example-graph dimensions
-        // (SparkEntry.refGraph) are process constants — re-deriving them
-        // per rep rebuilds their InMemoryRelation, which invalidates every
-        // generated codegen unit referencing it and times the ~80-stage
-        // example plans as perpetual cold starts instead of steady state.
-        CacheRegistry.unpersistAll()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case scala.util.control.NonFatal(e) =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val errorsHashed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // INTERLEAVED per-query timing (r14): count and hashed reps run
+    // back-to-back for EACH query, alternating modes within the query's
+    // block, so both modes share that query's host conditions. The old
+    // two-full-pass layout let a single load burst contaminate one
+    // entire mode (r13: 38 hashed-only >2x readings whose count twins
+    // sat at floor; r12 had the mirror image in count) — under
+    // interleaving a hot host inflates both modes of the same entries
+    // equally, so a one-mode spike is self-evidently noise and the
+    // per-mode floors keep their gating power. Still min-of-N per mode;
+    // modes are never mixed in the reported numbers.
+    def timeCount(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // release TRACKED operator-internal persists so no query is timed
+      // against another query's intermediate state. Deliberately NOT a
+      // blanket clearCache: the fixed-size example-graph dimensions
+      // (SparkEntry.refGraph) are process constants — re-deriving them
+      // per rep rebuilds their InMemoryRelation, which invalidates every
+      // generated codegen unit referencing it and times the ~80-stage
+      // example plans as perpetual cold starts instead of steady state.
+      CacheRegistry.unpersistAll()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+      (System.nanoTime() - t0) / 1e9
     }
-    // HASHED-mode pass — FULL-EVALUATION timing: aggregate a hash of
-    // EVERY output column instead of count(). For entries whose columns
+    // HASHED mode — FULL-EVALUATION timing: aggregate a hash of EVERY
+    // output column instead of count(). For entries whose columns
     // already feed a filter/join/aggregate (every cqc/door/dedup entry)
     // this matches the count() number; for pure-projection entries
     // (text_quality, text_repetition, langid, tokens) it is the honest
     // full-read cost.
-    val errorsHashed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val resultsHashed = if (countOnly) Seq.empty[(String, Double)] else
-      wanted.map { case (name, fn) =>
-        val times = (1 to hashReps).map { _ =>
-          CacheRegistry.unpersistAll()
-          val t0 = System.nanoTime()
-          try {
-            val df = fn(spark, sfDir)
-            import org.apache.spark.sql.functions.{col, sum, xxhash64}
-            // decimal(38,0) reduction: a sum of 64-bit hashes overflows
-            // long under ANSI semantics after ~2 rows
-            df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("__h"))
-              .agg(sum("__h")).collect()
-          } catch { case scala.util.control.NonFatal(e) =>
-            errorsHashed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    def timeHashed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      CacheRegistry.unpersistAll()
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, sum, xxhash64}
+        // decimal(38,0) reduction: a sum of 64-bit hashes overflows
+        // long under ANSI semantics after ~2 rows
+        df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("__h"))
+          .agg(sum("__h")).collect()
+      } catch { case scala.util.control.NonFatal(e) =>
+        errorsHashed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timed = wanted.map { case (name, fn) =>
+      val maxReps = math.max(reps, if (countOnly) 0 else hashReps)
+      val countTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      val hashTimes = scala.collection.mutable.ArrayBuffer[Double]()
+      for (rep <- 1 to maxReps) {
+        if (rep <= reps) countTimes += timeCount(name, fn)
+        if (!countOnly && rep <= hashReps) hashTimes += timeHashed(name, fn)
       }
+      (name, countTimes.min, if (hashTimes.isEmpty) Double.NaN else hashTimes.min)
+    }
+    val results = timed.map { case (n, c, _) => n -> c }
+    val resultsHashed = if (countOnly) Seq.empty[(String, Double)]
+      else timed.map { case (n, _, h) => n -> h }
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     // locale-proof 2-decimal rounding: Double.toString always uses '.',

@@ -664,6 +664,28 @@ object SparkEntry {
         |GROUP BY g1.src""".stripMargin)
   }
 
+  /** Explicit LEFT SEMI / LEFT ANTI JOIN text syntax (r14): both peel
+    * off the CQC cluster like outers and re-apply as pure row filters
+    * on the reduced result; the factorized-aggregate fast paths are
+    * fenced (they never materialize the join rows a semi/anti must
+    * filter — DoorEdge15Spec crosses the syntax with every door
+    * feature). */
+  def qSqlCqcSemi(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("cqsm_nation")
+    Tables.customer(s, d).createOrReplaceTempView("cqsm_cust")
+    Tables.orders(s, d).createOrReplaceTempView("cqsm_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(MAX(c.c_acctbal) AS DOUBLE) AS best_bal
+        |FROM cqsm_nation n, cqsm_cust c
+        |LEFT SEMI JOIN cqsm_orders o
+        |  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        |LEFT ANTI JOIN cqsm_orders u
+        |  ON u.o_custkey = c.c_custkey AND u.o_totalprice > 450000
+        |WHERE n.n_nationkey = c.c_nationkey
+        |GROUP BY n.n_name""".stripMargin)
+  }
+
   /** COMPUTED-side equality (`g1.dst + 1 = g2.src`) lifted to a join
     * edge: each side derives onto its home leaf as a `__vj` column, the
     * hypergraph gets a real edge, and the 3-hop aggregate message-passes
@@ -1667,6 +1689,7 @@ object SparkEntry {
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
     "sql_cqc_eqexpr" -> (qSqlCqcEqexpr _),
+    "sql_cqc_semi" -> (qSqlCqcSemi _),
     "sql_cqc_cte" -> (qSqlCqcCte _),
     "sql_cqc_topk" -> (qSqlCqcTopk _),
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
@@ -1878,6 +1901,11 @@ object SparkEntry {
     // segment-level exact dedup (paragraph dedup for newline-free text):
     // first occurrence corpus-wide survives, reassembled in order
     "pipe_para_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
+    // segment-level FUZZY dedup (r14): MinHash banding at the 20-word
+    // segment level over planted reflowed boilerplate — the class exact
+    // segment dedup structurally misses
+    "pipe_para_fuzzy" -> ((s, d) =>
+      Dedup.segmentDedupFuzzy(Dedup.plantSegmentNearDups(Tables.documents(s, d)))),
     // cross-document substring-span dedup (ExactSubstr at word
     // granularity): later copies of any repeated 10-word span excised
     "pipe_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
@@ -1946,6 +1974,16 @@ object SparkEntry {
     // dedup -> shard packing -> chunking -> per-(lang, shard) audit, one
     // lazy plan end-to-end
     "pipe_build" -> ((s, d) => graft.datapipe.Prep.build(Tables.documents(s, d))),
+    // domain/URL gate (r14): blocklist broadcast anti-join + per-domain
+    // document cap — the C4/RefinedWeb source-level filter. Over-cap
+    // domains pay a salted two-level prune; everything else passes with
+    // zero shuffle
+    "pipe_domain_cap" -> ((s, d) =>
+      graft.datapipe.Domains.capDocuments(Tables.documents(s, d))),
+    // the domain gate FUSED in front of the prep pipeline's quality
+    // gates (cheapest filter first); probes derive from the gated corpus
+    "pipe_prep_domain" -> ((s, d) =>
+      graft.datapipe.Prep.prepare(Tables.documents(s, d), domainGate = true)),
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
@@ -2529,6 +2567,7 @@ object SparkEntry {
     "text_nb_score" -> TextOps.nbScoreSql("doc_id % 10 = 0"),
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
+    "pipe_para_fuzzy" -> Dedup.segmentDedupFuzzyPlantedSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,
     "pipe_chunk" -> TextOps.chunkSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL
@@ -2541,6 +2580,8 @@ object SparkEntry {
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
+    "pipe_domain_cap" -> graft.datapipe.Domains.capDocumentsSql,
+    "pipe_prep_domain" -> graft.datapipe.Prep.prepareDomainSql,
     "pipe_sample" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_id
          |FROM documents
@@ -2641,6 +2682,15 @@ object SparkEntry {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s
          |FROM $E g1, $E g2, $E g3
          |WHERE g1.dst + 1 = g2.src AND g2.dst = g3.src""".stripMargin,
+    "sql_cqc_semi" ->
+      """SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       CAST(MAX(c.c_acctbal) AS DOUBLE) AS best_bal
+        |FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders u
+        |                  WHERE u.o_custkey = c.c_custkey AND u.o_totalprice > 450000)
+        |GROUP BY n.n_name""".stripMargin,
     "sql_cqc_cte" ->
       s"""WITH e AS (SELECT src, dst FROM $E base WHERE src <> dst)
          |SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g3.dst) AS BIGINT) AS s

@@ -1048,7 +1048,14 @@ object Ann {
       val res =
         if (meta.columns.contains("residual")) col("residual")
         else lit(false).as("residual")
-      val r = meta.select(col("k"), col("m"), res).head()
+      // fail loud on a malformed meta (r13 advice fix): a stray append
+      // or partial overwrite of $dir/meta would otherwise let head()
+      // pick an arbitrary row and serve with wrong (k, m, residual)
+      val rows = meta.select(col("k"), col("m"), res).collect()
+      require(rows.length == 1,
+        s"IVFADC meta must hold exactly one row, found ${rows.length} — " +
+          "the persisted index is corrupt (partial overwrite or stray append to meta/)")
+      val r = rows(0)
       (r.getInt(0), r.getInt(1), r.getBoolean(2))
     }
   }
@@ -1214,8 +1221,12 @@ object Ann {
             zip_with(col("embedding"), col("c_emb"),
               (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
       }
-    pqEncode(toEncode, idx.cb, m).join(lists, "vec_id")
-      .write.mode("append").parquet(s"$dir/packed")
+    // staged append (r13 advice fix): the encode job commits to a
+    // staging dir first and renames into packed/ only on success, so a
+    // mid-job failure can never leave partial part-files in the live
+    // index
+    graft.sources.Tables.stagedAppend(
+      pqEncode(toEncode, idx.cb, m).join(lists, "vec_id"), s"$dir/packed")
   }
 
   /**
@@ -1658,12 +1669,13 @@ object Ann {
       * per-vector, so index(A ∪ B) ≡ index(A) ∪ index(B) row-for-row
       * (same contract and caveats as [[Dedup.MinhashIndex.append]]). */
     def append(dir: String, newVecs: DataFrame): Unit = {
-      ndBanded(newVecs).select(col("band"), col("bucket"),
-          col("vec_id").as("corpus_id"))
-        .write.mode("append").parquet(s"$dir/keys")
-      newVecs.select(col("vec_id").as("corpus_id"),
-          col("embedding").as("corpus_emb"))
-        .write.mode("append").parquet(s"$dir/vecs")
+      // staged appends — see MinhashIndex.append (r13 advice fix)
+      graft.sources.Tables.stagedAppend(
+        ndBanded(newVecs).select(col("band"), col("bucket"),
+          col("vec_id").as("corpus_id")), s"$dir/keys")
+      graft.sources.Tables.stagedAppend(
+        newVecs.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("corpus_emb")), s"$dir/vecs")
     }
   }
 

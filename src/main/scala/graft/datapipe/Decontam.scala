@@ -179,6 +179,12 @@ object Decontam {
     docs.join(broadcast(probeTexts), Seq("doc_id"), "left")
       .withColumn("text",
         when(col("__ptext").isNotNull, swapped).otherwise(col("text")))
+      // planted rows carry consistent metadata (r13 advice fix): without
+      // the recompute, a downstream audit over the planted frame would
+      // report the PRE-plant text's char mass
+      .withColumn("n_chars",
+        when(col("__ptext").isNotNull, length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
       .drop("__ptext")
   }
 
@@ -222,6 +228,11 @@ object Decontam {
       when(col("doc_id") === 0, lit(fuzzyWitnessProbe))
         .when(col("doc_id") === 1, lit(fuzzyWitnessCopy))
         .otherwise(col("text")))
+      // consistent (text, n_chars) on the planted rows — see
+      // plantNearDups (r13 advice fix)
+      .withColumn("n_chars",
+        when(col("doc_id").isin(0, 1), length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
 
   /** DuckDB rendering of [[plantFuzzyOnly]] as a `documents`-shadowing
     * CTE (same pattern as [[plantNearDupsCte]]). */
@@ -230,7 +241,10 @@ object Decontam {
        |  SELECT * REPLACE (
        |    CASE doc_id WHEN 0 THEN '$fuzzyWitnessProbe'
        |                WHEN 1 THEN '$fuzzyWitnessCopy'
-       |                ELSE text END AS text)
+       |                ELSE text END AS text,
+       |    CASE doc_id WHEN 0 THEN len('$fuzzyWitnessProbe')
+       |                WHEN 1 THEN len('$fuzzyWitnessCopy')
+       |                ELSE n_chars END AS n_chars)
        |  FROM main.documents
        |)""".stripMargin
 
@@ -242,7 +256,10 @@ object Decontam {
        |  SELECT d.* REPLACE (
        |    CASE WHEN p.w IS NOT NULL THEN
        |      array_to_string(p.w[(p.h + 1):p.n] || p.w[1:p.h], ' ')
-       |    ELSE d.text END AS text)
+       |    ELSE d.text END AS text,
+       |    CASE WHEN p.w IS NOT NULL THEN
+       |      len(array_to_string(p.w[(p.h + 1):p.n] || p.w[1:p.h], ' '))
+       |    ELSE d.n_chars END AS n_chars)
        |  FROM main.documents d
        |  LEFT JOIN (
        |    SELECT doc_id + 1 AS doc_id, w, len(w) AS n, len(w) // 2 AS h

@@ -63,9 +63,13 @@ object Dedup {
       // must not accumulate cache pins that are used exactly once for a
       // file write — the shard scans twice (keys pass + sets pass)
       // instead, like EmbedIndex.append
+      // staged appends (r13 advice fix): each write job commits to a
+      // staging dir and renames in only on success — a mid-job crash
+      // leaves the live index untouched instead of strewing partial
+      // part-files into it
       val (keys, sets) = leanIndexFrom(shingles(newDocs))
-      keys.write.mode("append").parquet(s"$dir/keys")
-      sets.write.mode("append").parquet(s"$dir/sets")
+      graft.sources.Tables.stagedAppend(keys, s"$dir/keys")
+      graft.sources.Tables.stagedAppend(sets, s"$dir/sets")
     }
   }
 
@@ -482,6 +486,239 @@ object Dedup {
        |              JOIN sizes s2 ON x.d2 = s2.doc_id
        |WHERE shared / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= $mhTau""".stripMargin
   }
+
+  // ------------------------------------------- segment-level FUZZY dedup
+
+  /** Jaccard threshold for segment-level near-dup (r14). Segments are
+    * short ([[TextOps.segWords]] words, ~18 shingles), so reflowed
+    * boilerplate keeps most of its shingles and sits WELL above this,
+    * while unrelated template segments share at most a couple. */
+  val segTau = 0.5
+
+  /** Plant period for [[plantSegmentNearDups]]. */
+  val segPlantMod = 101
+
+  /**
+   * Deterministic REFLOWED-BOILERPLATE plant (r14) — the segment-level
+   * analogue of [[Decontam.plantNearDups]]'s argument: the synthetic
+   * corpus has no natural within-segment reflows, so the raw fuzzy
+   * entry's improvement over exact segment dedup would be an empty-set
+   * tautology. Every doc with `doc_id % segPlantMod == 1` gets its text
+   * replaced by a PER-SEGMENT HALF-SWAPPED copy of doc `doc_id - 1`'s
+   * text: each [[TextOps.segWords]]-word window keeps its word SET but
+   * swaps its two halves — exact segment equality is destroyed (every
+   * full window differs from the source), while each planted segment
+   * still shares ~80% of its 3-gram shingles with its source segment,
+   * the reflow class this operator exists for. Engine-portable (the CTE
+   * mirrors it); planted rows carry recomputed n_chars.
+   */
+  def plantSegmentNearDups(docs: DataFrame): DataFrame = {
+    val W = TextOps.segWords
+    val H = W / 2
+    val srcTexts = docs.where(col("doc_id") % segPlantMod === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text").as("__ptext"))
+    val w = split(col("__ptext"), " ")
+    val n = ceil(size(w) / lit(W.toDouble)).cast("long")
+    val swapped = array_join(
+      flatten(transform(sequence(lit(0L), n - 1), i =>
+        concat(
+          slice(w, (i * W + H + 1).cast("int"), lit(W - H)),
+          slice(w, (i * W + 1).cast("int"), lit(H))))), " ")
+    docs.join(broadcast(srcTexts), Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("__ptext").isNotNull, swapped).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("__ptext").isNotNull, length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
+      .drop("__ptext")
+  }
+
+  /** DuckDB rendering of [[plantSegmentNearDups]] as a
+    * `documents`-shadowing CTE prefix. */
+  lazy val plantSegmentNearDupsCte: String = {
+    val W = TextOps.segWords
+    val H = W / 2
+    s"""documents AS (
+       |  SELECT d.* REPLACE (
+       |    CASE WHEN p.w IS NOT NULL THEN p.swapped ELSE d.text END AS text,
+       |    CASE WHEN p.w IS NOT NULL THEN len(p.swapped) ELSE d.n_chars END AS n_chars)
+       |  FROM main.documents d
+       |  LEFT JOIN (
+       |    SELECT doc_id + 1 AS doc_id, w,
+       |           array_to_string(flatten(list_transform(
+       |             range(0, CAST(ceil(len(w) / $W.0) AS BIGINT)),
+       |             i -> w[(i*$W+$H+1):(i*$W+$W)] || w[(i*$W+1):(i*$W+$H)])), ' ') AS swapped
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM main.documents WHERE doc_id % $segPlantMod = 0)
+       |  ) p USING (doc_id)
+       |)""".stripMargin
+  }
+
+  /**
+   * SEGMENT-LEVEL FUZZY dedup (r14): MinHash banding at the
+   * [[TextOps.segWords]]-word segment level — catches reflowed
+   * boilerplate that exact segment dedup ([[TextOps.segmentDedup]])
+   * structurally misses, the segment analogue of near-dup
+   * decontamination's argument over exact containment. A segment
+   * occurrence survives iff it is the FIRST exact occurrence of its
+   * segment string (by (doc_id, seg_idx)) AND no EARLIER distinct
+   * segment is banding-candidate + Jaccard ≥ [[segTau]] similar;
+   * survivors reassemble per document, same output shape as
+   * [[TextOps.segmentDedup]].
+   *
+   * Scale shape — the same no-hot-reducer contract as exact segment
+   * dedup, extended to the fuzzy stage:
+   *  - the exact collapse is the partial (map-side-combinable)
+   *    `min(struct(doc_id, seg_idx))` per segment string — a boilerplate
+   *    segment repeated 10^6× collapses to one representative per map
+   *    partition BEFORE anything shuffles, which also means the fuzzy
+   *    machinery only ever sees DISTINCT segment strings: identical
+   *    copies can never flood a band bucket;
+   *  - signatures/band keys reuse the [[minhashSignatures]] dataflow
+   *    (12 partial-aggregable mins, keyed by representative);
+   *  - the candidate self-join is banded (never all-pairs), verified by
+   *    exact Jaccard over the two ~18-shingle sets;
+   *  - decisions join back on the segment string (AQE-skew-splittable,
+   *    1 rep row per string) and on the near-unique rep key.
+   */
+  def segmentDedupFuzzy(docs: DataFrame): DataFrame = {
+    val segs = TextOps.segments(docs)
+    // exact collapse: one representative (first occurrence) per distinct
+    // segment string — partial min, no hot key (30g's machinery)
+    val reps = graft.CacheRegistry.persistTracked(
+      segs.groupBy(col("seg"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__f"))
+        .select(col("seg"), col("__f.doc_id").as("rdoc"), col("__f.seg_idx").as("ridx")))
+    // per-representative shingle sets (h60 3-gram hashes, distinct).
+    // Segments shorter than the shingle width have NO shingles: they
+    // never enter the fuzzy stage and always survive to the exact rule
+    // (same empty-set contract as bandKeys' filter).
+    val rsh = reps.select(col("rdoc"), col("ridx"),
+      array_distinct(transform(
+        TextOps.shinglesOf(words(col("seg")), shingleK), s => h60(s))).as("shs"))
+      .where(size(col("shs")) > 0)
+    val rshx = graft.CacheRegistry.persistTracked(
+      rsh.select(col("rdoc"), col("ridx"), explode(col("shs")).as("sh")))
+    // signature matrix keyed by representative — minhashSignatures'
+    // dataflow with the two-column key
+    val s31 = rshx.select(col("rdoc"), col("ridx"), (col("sh") % mhP).as("s"))
+    val aggs = (0 until mhBands * mhRows).map { j =>
+      min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
+    }
+    val sig = s31.groupBy(col("rdoc"), col("ridx")).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until mhBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
+    }
+    val bands = sig.select(col("rdoc"), col("ridx"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("rdoc"), col("ridx"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // banded candidates among EARLIER/LATER representative pairs
+    // ((d1,i1) < (d2,i2) lexicographic — total order, ids unique)
+    val cand = bands.select(col("rdoc").as("d1"), col("ridx").as("i1"),
+        col("band"), col("key"))
+      .join(bands.select(col("rdoc").as("d2"), col("ridx").as("i2"),
+        col("band"), col("key")), Seq("band", "key"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("i1") < col("i2")))
+      .select(col("d1"), col("i1"), col("d2"), col("i2")).distinct()
+    // exact-Jaccard verify over the two small shingle sets
+    val sets = rsh.select(col("rdoc"), col("ridx"), col("shs"))
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
+    val union = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
+    val dropped = cand
+      .join(sets.select(col("rdoc").as("d1"), col("ridx").as("i1"),
+        col("shs").as("__s1")), Seq("d1", "i1"))
+      .join(sets.select(col("rdoc").as("d2"), col("ridx").as("i2"),
+        col("shs").as("__s2")), Seq("d2", "i2"))
+      .where(inter / union >= segTau)
+      .select(col("d2").as("rdoc"), col("i2").as("ridx")).distinct()
+      .withColumn("__fz", lit(true))
+    // decision per occurrence: first exact occurrence AND its
+    // representative has no earlier fuzzy twin
+    val marked = segs.join(reps, Seq("seg"))
+      .join(dropped, Seq("rdoc", "ridx"), "left")
+      .withColumn("__kept",
+        col("rdoc") === col("doc_id") && col("ridx") === col("seg_idx") &&
+          col("__fz").isNull)
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      count(when(col("__kept"), 1)).as("n_kept"),
+      { val kept = array_sort(collect_list(
+          when(col("__kept"), struct(col("seg_idx"), col("seg")))))
+        when(size(kept) === 0, lit(null: String))
+          .otherwise(array_join(transform(kept, s => s("seg")), " ")).as("text_deduped") })
+  }
+
+  /** DuckDB mirror of [[segmentDedupFuzzy]] (naive one-window rank form
+    * for the exact collapse — the semantics the partial-min form equals;
+    * same [[mhA]]/[[mhB]] signature constants). */
+  lazy val segmentDedupFuzzySql: String = {
+    val W = TextOps.segWords
+    val mins = (0 until mhBands * mhRows).map { j =>
+      s"min((${mhA(j)} * s + ${mhB(j)}) % $mhP) AS mh$j"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until mhBands).map { b =>
+      val key = (0 until mhRows).map(r => s"mh${b * mhRows + r}").mkString(", '_', ")
+      s"SELECT rdoc, ridx, $b AS band, concat(${key}) AS key FROM rsig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH wt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+       |         array_to_string(w[(i*$W+1):(i*$W+$W)], ' ') AS seg
+       |  FROM wt, UNNEST(range(CAST(ceil(len(w)/$W.0) AS BIGINT))) AS t(i)),
+       |reps AS (
+       |  SELECT seg, doc_id AS rdoc, seg_idx AS ridx FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+       |    FROM segs) WHERE rn = 1),
+       |rw AS (SELECT rdoc, ridx, string_split(seg, ' ') AS sw FROM reps),
+       |rsh AS (
+       |  SELECT DISTINCT rdoc, ridx,
+       |         ${h60Sql(s"array_to_string(sw[(i + 1):(i + $shingleK)], ' ')")} AS sh
+       |  FROM (SELECT rdoc, ridx, sw,
+       |               unnest(range(0, greatest(len(sw) - ${shingleK - 1}, 0))) AS i
+       |        FROM rw)),
+       |rsig AS (
+       |  SELECT rdoc, ridx,
+       |         $mins
+       |  FROM (SELECT rdoc, ridx, sh % $mhP AS s FROM rsh) GROUP BY 1, 2),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.rdoc AS d1, a.ridx AS i1, b.rdoc AS d2, b.ridx AS i2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.rdoc < b.rdoc OR (a.rdoc = b.rdoc AND a.ridx < b.ridx)),
+       |sizes AS (SELECT rdoc, ridx, count(*) AS sz FROM rsh GROUP BY 1, 2),
+       |shared AS (
+       |  SELECT c.d1, c.i1, c.d2, c.i2, count(*) AS shared
+       |  FROM cand c
+       |  JOIN rsh a ON a.rdoc = c.d1 AND a.ridx = c.i1
+       |  JOIN rsh b ON b.rdoc = c.d2 AND b.ridx = c.i2 AND b.sh = a.sh
+       |  GROUP BY 1, 2, 3, 4),
+       |dropped AS (
+       |  SELECT DISTINCT h.d2 AS rdoc, h.i2 AS ridx
+       |  FROM shared h JOIN sizes s1 ON h.d1 = s1.rdoc AND h.i1 = s1.ridx
+       |                JOIN sizes s2 ON h.d2 = s2.rdoc AND h.i2 = s2.ridx
+       |  WHERE h.shared / CAST(s1.sz + s2.sz - h.shared AS DOUBLE) >= $segTau),
+       |mark AS (
+       |  SELECT g.doc_id, g.seg_idx, g.seg,
+       |         (g.doc_id = r.rdoc AND g.seg_idx = r.ridx
+       |          AND NOT EXISTS (SELECT 1 FROM dropped dr
+       |                          WHERE dr.rdoc = r.rdoc AND dr.ridx = r.ridx)) AS kept
+       |  FROM segs g JOIN reps r USING (seg))
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept) AS text_deduped
+       |FROM mark GROUP BY doc_id""".stripMargin
+  }
+
+  /** [[segmentDedupFuzzySql]] over the PLANTED corpus — the driver-entry
+    * mirror (known-nonzero fuzzy drop set at every SF). */
+  lazy val segmentDedupFuzzyPlantedSql: String =
+    s"WITH $plantSegmentNearDupsCte,\n" +
+      segmentDedupFuzzySql.stripPrefix("WITH ")
 
   // ---------------------------------------------------------------- SimHash
 

@@ -1,0 +1,147 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Source-level domain/URL gating (r14) — the C4/RefinedWeb-style filter
+ * that runs BEFORE any per-document quality decision: drop documents
+ * from blocklisted domains, and cap how many documents any single domain
+ * may contribute (real web corpora are hub-dominated: a handful of
+ * domains contribute an outsized share of pages, and an uncapped crawl
+ * lets one template farm swamp the training mix).
+ *
+ * Scale shape (the whole point of the operator):
+ *  - the BLOCKLIST is a curated, driver-sized relation → broadcast
+ *    anti-join; the corpus never shuffles for it.
+ *  - the CAP decision frame is DOMAIN-CARDINALITY-sized: a map-side-
+ *    combinable `groupBy(domain).count()` census (same class as
+ *    [[Sketches.heavyHitters]]'s phase-2 exact count — and deliberately
+ *    NOT its Misra-Gries candidate pass, whose recall guarantee is for
+ *    frequencies above N/m: a FIXED per-domain cap sits far below N/m at
+ *    corpus scale, so MG could silently miss over-cap domains; the exact
+ *    census after partial aggregation is one slim exchange of
+ *    (domain, count) pairs).
+ *  - only the over-cap domains' documents pay a rank prune, and it is
+ *    the salted two-level prune ([[graft.topk.RankJoin.prunePerKeySalted]]),
+ *    NOT a raw `row_number() OVER (PARTITION BY domain)` — an over-cap
+ *    domain is by construction a hot key, and the one-window form would
+ *    land its entire row set on one reducer (the single-reducer class
+ *    closed in r13). Documents of under-cap domains pass through on a
+ *    broadcast anti-join with ZERO shuffle — at 100 TB that is almost
+ *    the whole corpus.
+ *
+ * Cap semantics: keep each domain's `cap` LOWEST doc_ids (deterministic,
+ * engine-portable; production would order by fetch priority or quality —
+ * any total order slots in). Reference scope check: the reference engine
+ * (hkustDB/SparkSQLPlus) has no corpus operators at all — this section
+ * is graft's LLM-pipeline surface, designed from the C4/Gopher/
+ * RefinedWeb data-curation literature.
+ */
+object Domains {
+
+  /** Synthetic-corpus domain derivation: the test tables carry no URL
+    * column, so the driver entries derive a deterministic domain from
+    * (doc_id, source) with a REALISTIC skew profile — two hot domains
+    * (a legitimate hub and a spam farm, 25% of the corpus each) and a
+    * long tail of small domains. A real corpus swaps this projection
+    * for `parse_url(url, 'HOST')`; everything downstream is unchanged. */
+  val hotMod = 4
+  val tailSlots = 211
+  val hubDomain = "hub.example"
+  val spamDomain = "spam.example"
+
+  def domainOf: Column =
+    when(col("doc_id") % hotMod === 0, lit(hubDomain))
+      .when(col("doc_id") % hotMod === 1, lit(spamDomain))
+      .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(tailSlots.toLong)),
+        lit("."), col("source"), lit(".example")))
+
+  /** DuckDB mirror of [[domainOf]]. */
+  val domainOfSql: String =
+    s"""CASE WHEN doc_id % $hotMod = 0 THEN '$hubDomain'
+       |     WHEN doc_id % $hotMod = 1 THEN '$spamDomain'
+       |     ELSE 'd' || CAST(doc_id % $tailSlots AS VARCHAR) || '.' || source || '.example'
+       |END""".stripMargin.replace("\n", " ")
+
+  /** Driver-entry parameters: the spam farm is blocklisted, every other
+    * domain contributes at most [[defaultCap]] documents. */
+  val defaultCap = 10
+  val defaultBlocklist: Seq[String] = Seq(spamDomain)
+
+  /**
+   * The gate: `docs` with a `domain` column attached, minus blocklisted
+   * domains, capped at `cap` docs (lowest doc_id) per remaining domain.
+   * Output keeps all input columns plus `domain`.
+   *
+   * `blocklist` is a 1-column (`domain`) curated relation — broadcast
+   * by construction (a blocklist is human-maintained, thousands of rows
+   * at most).
+   */
+  def domainCap(docs: DataFrame, domain: Column, cap: Int,
+                blocklist: DataFrame): DataFrame = {
+    require(cap >= 1, "domain cap must keep at least one document")
+    val dd = docs.withColumn("domain", domain)
+    val allowed = dd.join(broadcast(blocklist.select(col("domain"))),
+      Seq("domain"), "left_anti")
+    // exact census, map-side combined: the exchange carries one
+    // (domain, count) pair per domain per partition, never documents
+    val over = allowed.groupBy(col("domain")).count()
+      .where(col("count") > cap).select(col("domain"))
+    // under-cap domains (the overwhelming majority of a real crawl)
+    // pass through on a broadcast anti-join — zero shuffle of their rows
+    val pass = allowed.join(broadcast(over), Seq("domain"), "left_anti")
+    // over-cap domains pay the salted two-level prune; doc_id is unique,
+    // so the order is total and the two-level result is identical to the
+    // one-window form (TopkSaltSpec's argument)
+    val hot = allowed.join(broadcast(over), Seq("domain"), "left_semi")
+    val kept = graft.topk.RankJoin.prunePerKeySalted(
+      hot, Seq("domain"), Seq(col("doc_id").asc), cap, saltOn = col("doc_id"))
+    pass.unionByName(kept)
+  }
+
+  /** The default-parameter gate (synthetic domains, spam blocklisted,
+    * cap [[defaultCap]]): the corpus frame that survives, original
+    * columns intact — composes in FRONT of [[Prep.keptCorpus]]'s quality
+    * gates (cheapest filter first: a blocked or over-cap document should
+    * never be scored). */
+  def gate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    domainCap(docs, domainOf, defaultCap, defaultBlocklist.toDF("domain"))
+      .drop("domain")
+  }
+
+  /** The composed driver entry: synthetic domains, spam blocklisted,
+    * cap [[defaultCap]] — one slim row per kept document. */
+  def capDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    domainCap(docs, domainOf, defaultCap, defaultBlocklist.toDF("domain"))
+      .select(col("doc_id"), col("domain"))
+  }
+
+  /** DuckDB mirror of [[capDocuments]]: the one-window rank form — the
+    * semantics the salted split-prune is proven equal to. */
+  val capDocumentsSql: String =
+    s"""SELECT doc_id, domain FROM (
+       |  SELECT doc_id, domain,
+       |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS __rn
+       |  FROM (SELECT doc_id, $domainOfSql AS domain FROM documents)
+       |  WHERE domain NOT IN (${defaultBlocklist.map(d => s"'$d'").mkString(", ")})
+       |) WHERE __rn <= $defaultCap""".stripMargin
+
+  /** [[capDocuments]]'s gate as a `documents`-shadowing CTE prefix (the
+    * [[Decontam.plantNearDupsCte]] pattern) — lets any composed oracle
+    * run over the domain-gated corpus without changing its own text. */
+  val gateCte: String =
+    s"""documents AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM (
+       |    SELECT d.*,
+       |           row_number() OVER (PARTITION BY $domainOfSql
+       |                              ORDER BY doc_id) AS __rn
+       |    FROM main.documents d
+       |    WHERE ($domainOfSql) NOT IN (${defaultBlocklist.map(x => s"'$x'").mkString(", ")})
+       |  ) WHERE __rn <= $defaultCap
+       |)""".stripMargin
+}

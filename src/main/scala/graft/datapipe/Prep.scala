@@ -53,11 +53,20 @@ object Prep {
     * benchmark class exact n-grams structurally miss. Runs on exact-
     * clean survivors only; the fuzzy-flagged set is benchmark-adjacent-
     * sized, so its anti-join broadcasts like the exact one. */
-  def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean = false): DataFrame = {
+  /** `domainGate = true` prepends the source-level domain gate
+    * ([[Domains.gate]] — blocklist anti-join + per-domain cap) BEFORE
+    * the quality gates: cheapest filter first — a blocked or over-cap
+    * document is dropped on (domain, doc_id) alone and never pays the
+    * scoring scan. The probe slice then derives from the domain-gated
+    * corpus, which is the correct decontamination census for what
+    * actually trains. */
+  def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean = false,
+                 domainGate: Boolean = false): DataFrame = {
     import TextOps._
+    val base = if (domainGate) Domains.gate(docs) else docs
     // one fused scan: quality + language projections, then every gate
     val scored = langId(
-      quality(docs, carry = Seq("text", "source", "n_chars")),
+      quality(base, carry = Seq("text", "source", "n_chars")),
       carry = Seq("n_tokens", "score", "text", "source", "n_chars"))
     // persistTracked: a materialization BARRIER as much as a reuse cache.
     // Filtering directly on the gate expressions would push the predicate
@@ -103,8 +112,9 @@ object Prep {
     * hash-gated subset of the kept corpus, not the full gates+dedup
     * census — use [[keptCorpus]] for that), `copies_out` = emitted
     * copies, `chars_out` = emitted char mass. */
-  def prepare(docs: DataFrame, fuzzyDecontam: Boolean = false): DataFrame =
-    TextOps.mixEpochs(keptCorpus(docs, fuzzyDecontam))
+  def prepare(docs: DataFrame, fuzzyDecontam: Boolean = false,
+              domainGate: Boolean = false): DataFrame =
+    TextOps.mixEpochs(keptCorpus(docs, fuzzyDecontam, domainGate))
       .groupBy(col("source"), col("w").cast("double").as("w"))
       .agg(countDistinct(col("doc_id")).as("survivors"),
         count(lit(1)).as("copies_out"),
@@ -177,11 +187,18 @@ object Prep {
     * entry and here). */
   def preparePlantedFuzzySql: String = prepareSqlWith(fuzzy = true, planted = true)
 
+  /** Mirror of `prepare(docs, domainGate = true)`: [[Domains.gateCte]]
+    * shadows `documents`, so every stage underneath — including the
+    * probe-slice CTEs — reads the domain-gated corpus, exactly as the
+    * fused Spark plan does. */
+  def prepareDomainSql: String = prepareSqlWith(fuzzy = false, domain = true)
+
   /** `keptOnly` ends the query at the kept-corpus rows (the
     * [[keptCorpus]] mirror) instead of the mix audit — the reusable
     * prefix of [[buildSql]]. */
   private def prepareSqlWith(fuzzy: Boolean, planted: Boolean = false,
-                             keptOnly: Boolean = false): String = {
+                             keptOnly: Boolean = false,
+                             domain: Boolean = false): String = {
     import TextOps._
     val stopList = qualityStop.map(s => s"'$s'").mkString(", ")
     val hits = stopwords.map { case (lang, ws) =>
@@ -212,7 +229,11 @@ object Prep {
          |  SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM fz)
          |),""".stripMargin
     val cleanSrc = if (fuzzy) "clean2" else "clean"
-    val plantCte = if (planted) Decontam.plantFuzzyOnlyCte + ",\n" else ""
+    require(!(planted && domain), "plant and domain-gate CTEs both shadow documents")
+    val plantCte =
+      if (planted) Decontam.plantFuzzyOnlyCte + ",\n"
+      else if (domain) Domains.gateCte + ",\n"
+      else ""
     s"""WITH ${plantCte}t AS (SELECT doc_id, source, text, n_chars,
        |                  string_split(text, ' ') AS w FROM documents),
        |m AS (

@@ -1035,18 +1035,25 @@ object TextOps {
    * (second shuffle, payload = surviving segments only). Output:
    * doc_id, n_segs, n_kept, text_deduped (NULL when nothing survives).
    */
-  def segmentDedup(docs: DataFrame): DataFrame = {
+  /** The segment cutter standing alone: one `(doc_id, seg_idx, seg)` row
+    * per [[segWords]]-word window — shared by [[segmentDedup]] and the
+    * fuzzy sibling [[Dedup.segmentDedupFuzzy]]. */
+  def segments(docs: DataFrame): DataFrame = {
     // NULL text would null the explode bound and silently DROP the doc
     // from the one-row-per-doc output (the same contract bug chunk and
     // spanDedup fixed); coalesce to '' keeps it as one empty segment
     val w = words(coalesce(col("text"), lit("")))
     val nSegs = ceil(size(w) / lit(segWords.toDouble)).cast(LongType)
-    val segs = docs
+    docs
       .select(col("doc_id"), w.as("w"), nSegs.as("n"))
       .select(col("doc_id"), col("w"), explode(sequence(lit(0L), col("n") - 1)).as("seg_idx"))
       .select(col("doc_id"), col("seg_idx"),
         array_join(slice(col("w"), (col("seg_idx") * segWords + 1).cast("int"), lit(segWords)), " ")
           .as("seg"))
+  }
+
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val segs = segments(docs)
     val first = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__f"))
     val marked = segs.join(first, Seq("seg"))

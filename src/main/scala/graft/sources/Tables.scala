@@ -269,6 +269,38 @@ object Tables {
   def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     tune(spark).read.schema(schemaDdl).json(path)
 
+  /**
+   * STAGED parquet append — the crash-safe form of
+   * `write.mode("append")` for persisted index directories (r13 advice
+   * fix). A plain append that dies mid-job can leave partial part-files
+   * inside the live directory, silently corrupting every later read
+   * with no validation or recovery path. Here the full write job runs
+   * against a hidden staging subdirectory first (dot-prefixed, so
+   * parquet directory listings of the live dir never see it); only
+   * after the job SUCCEEDS are the staged part-files moved into the
+   * live directory — per-file rename on the final committed outputs, so
+   * a crash at any earlier point leaves the live index untouched and
+   * the next attempt simply overwrites the stage. Part-file names embed
+   * the write job's UUID, so successive appends never collide.
+   * Concurrent appends to the SAME dir are the caller's to serialize
+   * (same contract as the appends' id-disjointness caveat).
+   */
+  def stagedAppend(df: DataFrame, dir: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(dir, ".append_stage")
+    val live = new org.apache.hadoop.fs.Path(dir)
+    df.write.mode("overwrite").parquet(stage.toString)
+    val fs = live.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+    for (p <- parts) {
+      val dst = new org.apache.hadoop.fs.Path(live, p.getPath.getName)
+      require(fs.rename(p.getPath, dst), s"staged append: commit rename failed for $dst")
+    }
+    fs.delete(stage, true)
+    ()
+  }
+
   /** Corrupt-tolerant JSONL ingest: malformed lines land in a
     * `_quarantine` column (Spark PERMISSIVE mode's corrupt-record
     * capture) instead of aborting the read or silently dropping — at

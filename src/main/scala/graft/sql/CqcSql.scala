@@ -612,6 +612,18 @@ object CqcSql {
     // null-extended) and stay in the CQC pipeline; conjuncts touching
     // outer attrs apply after the join.
     val outerJoins = scala.collection.mutable.ArrayBuffer[(LogicalPlan, Option[Expression])]()
+    // ---- explicit LEFT SEMI / LEFT ANTI JOIN text syntax peels the same
+    // way (r14): the probed side never contributes output columns, so a
+    // peeled semi/anti is a pure row FILTER on the preserved cluster —
+    // it commutes with the inner joins (its condition references only
+    // preserved-side and own-side attrs) and with the left-outer
+    // re-applications (a filter on join output applies identically
+    // before or after), so re-applying it on the CQC result AFTER the
+    // peeled outers (whose o-columns its condition may reference when
+    // the semi sat textually above them) is the original semantics.
+    // EXISTS/NOT-EXISTS subqueries reach the same plans via Spark's
+    // rewrite; this peel covers users who write the join form directly.
+    val semiJoins = scala.collection.mutable.ArrayBuffer[(LogicalPlan, Option[Expression], String)]()
     def peelOuter(p: LogicalPlan): LogicalPlan = p match {
       case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftOuter, cond, _) =>
         val inner = peelOuter(l)
@@ -621,12 +633,25 @@ object CqcSql {
         val inner = peelOuter(r)
         outerJoins += ((l, cond))
         inner
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi, cond, _) =>
+        val inner = peelOuter(l)
+        semiJoins += ((r, cond, "left_semi"))
+        inner
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti, cond, _) =>
+        val inner = peelOuter(l)
+        semiJoins += ((r, cond, "left_anti"))
+        inner
       case SubqueryAlias(_, child) => peelOuter(child)
       case other => other
     }
     val innerRoot = peelOuter(joinRoot)
+    // semi/anti sides share the o-name space: their attrs appear ONLY in
+    // their own join condition (SQL scoping hides them above the join),
+    // so varName resolves them during the re-application and nothing
+    // else ever sees them
     val outerNames: Map[Long, String] =
-      outerJoins.flatMap(_._1.output.map(a => a.exprId.id -> s"o${a.exprId.id}")).toMap
+      (outerJoins.flatMap(_._1.output.map(a => a.exprId.id -> s"o${a.exprId.id}")) ++
+        semiJoins.flatMap(_._1.output.map(a => a.exprId.id -> s"o${a.exprId.id}"))).toMap
 
     // ---- flatten the inner-join cluster into leaves + join conditions
     val leaves = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
@@ -1008,6 +1033,17 @@ object CqcSql {
           .getOrElse(functions.lit(true))
         out = out.join(rdf, joinCond, "left_outer")
       }
+      // ---- re-apply the peeled semi/anti joins (pure filters — after
+      // the outers so a condition referencing an o-column binds)
+      semiJoins.foreach { case (rplan, cond, typ) =>
+        var rdf =
+          if (rplan.collectFirst { case j: Join => j }.isDefined) solvePlan(spark, rplan)
+          else GraftSqlBridge.dataFrame(spark, rplan)
+        rplan.output.foreach(a => rdf = rdf.withColumnRenamed(a.name, outerNames(a.exprId.id)))
+        val joinCond = cond.map(c => GraftSqlBridge.column(toVarNames(c)))
+          .getOrElse(functions.lit(true))
+        out = out.join(rdf, joinCond, typ)
+      }
       postOuterConjuncts.foreach(e => out = out.where(GraftSqlBridge.column(toVarNames(e))))
       out
     }
@@ -1310,6 +1346,10 @@ object CqcSql {
     def tryFastAgg(
         groupExprs: Seq[Expression],
         aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
+      // a peeled semi/anti filters ROWS of the join result, which the
+      // factorized message-passing aggregates never materialize — the
+      // fast paths would aggregate pre-filter multiplicities (r14)
+      if (semiJoins.nonEmpty) return None
       if (outerJoins.nonEmpty)
         return tryOuterFastAgg(groupExprs, aggAliases)
       if (cmps.nonEmpty || residual.nonEmpty ||
@@ -1541,7 +1581,8 @@ object CqcSql {
     def tryRankedChain(): Option[DataFrame] = {
       val (sortOrders0, limitOpt, offsetN0) = sortLimit
       if (limitOpt.isEmpty || sortOrders0.isEmpty || aggInfo.isDefined || isDistinct ||
-        windowDefs.nonEmpty || outerJoins.nonEmpty || cmps.nonEmpty || residual.nonEmpty ||
+        windowDefs.nonEmpty || outerJoins.nonEmpty || semiJoins.nonEmpty ||
+        cmps.nonEmpty || residual.nonEmpty ||
         postOuterConjuncts.nonEmpty || leaves.size < 2) return None
       // paging: prune deep enough to rank everything under offset+limit;
       // the tail re-applies ORDER BY / OFFSET / LIMIT on this frame

@@ -47,7 +47,12 @@ object RankJoin {
    */
   def prunePerKeySalted(df: DataFrame, keys: Seq[String], order: Seq[Column],
                         k: Int, saltOn: Column, salts: Int = pruneSalts): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(crc32(saltOn.cast("string")), lit(salts.toLong)))
+    // coalesce before hashing: crc32(NULL) is NULL, so without it every
+    // NULL-saltOn row would land in ONE level-1 bucket — still correct
+    // (each row is in exactly one bucket) but silently single-reducer
+    // for a nullable salt column (r13 advice fix)
+    val salted = df.withColumn("__salt",
+      pmod(crc32(coalesce(saltOn.cast("string"), lit(""))), lit(salts.toLong)))
     val local = prunePerKey(salted, keys :+ "__salt", order, k).drop("__salt")
     prunePerKey(local, keys, order, k)
   }
