@@ -1974,6 +1974,14 @@ object SparkEntry {
     // dedup -> shard packing -> chunking -> per-(lang, shard) audit, one
     // lazy plan end-to-end
     "pipe_build" -> ((s, d) => graft.datapipe.Prep.build(Tables.documents(s, d))),
+    // tokenizer-faithful BPE counts (r14): the frozen 48-merge table
+    // applied exactly via the separator-wrapped replacement chain — a
+    // pure projection, no UDF, oracle mirrors the chain literally
+    "text_bpe" -> ((s, d) => TextOps.bpeCounts(Tables.documents(s, d))),
+    // shard packing keyed on the REAL tokenizer instead of the len/4
+    // heuristic — production-faithful shard budgets
+    "pipe_pack_bpe" -> ((s, d) =>
+      TextOps.packShards(Tables.documents(s, d), realBpe = true)),
     // domain/URL gate (r14): blocklist broadcast anti-join + per-domain
     // document cap — the C4/RefinedWeb source-level filter. Over-cap
     // domains pay a salted two-level prune; everything else passes with
@@ -2580,6 +2588,8 @@ object SparkEntry {
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
+    "text_bpe" -> TextOps.bpeCountsSql,
+    "pipe_pack_bpe" -> TextOps.packShardsBpeSql,
     "pipe_domain_cap" -> graft.datapipe.Domains.capDocumentsSql,
     "pipe_prep_domain" -> graft.datapipe.Prep.prepareDomainSql,
     "pipe_sample" ->

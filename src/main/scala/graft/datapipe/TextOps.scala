@@ -64,6 +64,131 @@ object TextOps {
       |                     t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------- BPE tokenizer
+
+  /** Intra-word token separator for the BPE repr — U+00B7, absent from
+    * the corpus charset (checked at all SFs; a production corpus would
+    * escape it during ingest). */
+  val bpeSep = "·"
+
+  /**
+   * FROZEN BPE merge table (r14) — 48 merges trained by [[bpeTrain]] on
+   * the deterministic curated slice (sf0.001 documents, doc_id % 20 == 0;
+   * BpeSpec re-trains and pins equality). Frozen-by-design: production
+   * pipelines tokenize with a FIXED published tokenizer (GPT-2's vocab
+   * does not retrain per corpus), so the merge table is a constant of
+   * the build, the oracle mirrors it literally, and every engine counts
+   * identically. The `(len+3)/4` heuristic [[tokenCounts]] keeps its
+   * entries; this is the production-faithful alternative for shard
+   * budgets and mix audits.
+   */
+  val bpeMerges: Seq[(String, String)] = Seq(("e", "r"), ("o", "r"),
+    ("i", "n"), ("s", "t"), ("o", "w"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("a", "t"), ("m", "er"), ("or", "t"), ("s", "ort"), ("d", "er"),
+    ("or", "der"), ("a", "s"), ("as", "h"), ("h", "ash"), ("a", "g"),
+    ("ag", "g"), ("a", "lu"), ("alu", "e"), ("par", "t"), ("v", "alue"),
+    ("h", "e"), ("t", "he"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("u", "p"), ("a", "n"), ("c", "an"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("e", "y"), ("in", "e"), ("k", "ey"),
+    ("l", "ine"), ("s", "can"), ("at", "c"), ("atc", "h"), ("b", "atch"))
+
+  /**
+   * Pure-Scala BPE trainer (Sennrich et al., ACL 2016): count adjacent
+   * token pairs weighted by word frequency, merge the most frequent
+   * (ties broken by lexicographically smallest pair — deterministic),
+   * repeat. Runs on a DRIVER-SIZED sample (the curated slice — the same
+   * legitimacy class as the NB vocabulary and IVF centroids): training
+   * a tokenizer is a once-per-corpus-family decision made on a sample,
+   * never a distributed full-corpus pass.
+   */
+  def bpeTrain(samples: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val freq = scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+    samples.foreach(_.split(" ").iterator.filter(_.nonEmpty).foreach(w => freq(w) += 1))
+    var reprs: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]().withDefaultValue(0L)
+      for ((w, t) <- reprs; i <- 0 until t.length - 1) pc((t(i), t(i + 1))) += freq(w)
+      if (pc.isEmpty) exhausted = true
+      else {
+        val mx = pc.values.max
+        // iterator first: collect on a Map whose result elements are
+        // THEMSELVES pairs rebuilds a Map and silently collapses tied
+        // candidates sharing a first component
+        val best = pc.iterator.collect { case (p, c) if c == mx => p }.min
+        merges += best
+        val (a, b) = best
+        reprs = reprs.map { case (w, t) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < t.length) {
+            if (i < t.length - 1 && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+            else { out += t(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /**
+   * Tokenizer-faithful token count per document — the merge table
+   * applied EXACTLY (not estimated), engine-portably, with zero UDFs:
+   *
+   * Each word renders as a separator-wrapped char sequence
+   * (`·a··b··c·` — every token carries its own `·` on BOTH sides), and
+   * each merge in rank order is ONE literal string replacement
+   * (`·a··b·` → `·ab·`). The wrapping makes the replacement exact BPE:
+   * the pattern can only match two complete adjacent tokens (a token
+   * suffix/prefix never abuts a bare separator pair), and non-
+   * overlapping left-to-right replacement of one pair is precisely the
+   * reference algorithm's leftmost-first merge of that pair — after a
+   * match consumes `·a··b·`, the following token still carries its own
+   * leading `·`, so consecutive occurrences merge in the same pass
+   * (BpeSpec pins equality against the direct iterative tokenizer).
+   * The final token count is `(#separators)/2`. The whole thing is a
+   * projection — no shuffle, no UDF, codegen-friendly, and the DuckDB
+   * oracle runs the identical replacement chain.
+   */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
+    def chain(w: Column): Column =
+      merges.foldLeft(regexp_replace(w, "(.)", s"$bpeSep$$1$bpeSep")) {
+        case (c, (a, b)) =>
+          // literal StringReplace (no regex engine) per merge step — the
+          // only regex is the initial char wrap
+          replace(c, lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"), lit(s"$bpeSep$a$b$bpeSep"))
+      }
+    val reprs = transform(words(text), w => chain(w))
+    aggregate(reprs, lit(0L), (acc, r) =>
+      acc + ((length(r) - length(replace(r, lit(bpeSep), lit("")))).cast(LongType) / 2)
+        .cast(LongType))
+  }
+
+  /** One `(doc_id, n_bpe)` row per document under the frozen tokenizer. */
+  def bpeCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** The DuckDB replacement chain over a word expression — shared by
+    * [[bpeCountsSql]] and the BPE-keyed packing oracle. */
+  private def bpeChainSql(inner: String): String =
+    bpeMerges.foldLeft(s"regexp_replace($inner, '(.)', '$bpeSep\\1$bpeSep', 'g')") {
+      case (c, (a, b)) => s"replace($c, '$bpeSep$a$bpeSep$bpeSep$b$bpeSep', '$bpeSep$a$b$bpeSep')"
+    }
+
+  /** Per-word BPE token count in DuckDB (chain once via the inner
+    * list_transform, count separators via the outer). */
+  private def bpeTokSql: String =
+    s"""CAST(coalesce(list_sum(list_transform(
+       |  list_transform(string_split(text, ' '), w -> ${bpeChainSql("w")}),
+       |  r -> (len(r) - len(replace(r, '$bpeSep', ''))) // 2)), 0) AS BIGINT)""".stripMargin
+
+  lazy val bpeCountsSql: String =
+    s"SELECT doc_id, $bpeTokSql AS n_bpe\nFROM documents"
+
   // ------------------------------------------------------------ quality score
 
   /**
@@ -237,12 +362,18 @@ object TextOps {
    * the DATA (not from physical partition ids), the split is
    * deterministic across runs, engines, and AQE decisions.
    */
-  def packShards(docs: DataFrame, blockW: Long = packBlock): DataFrame = {
+  /** `realBpe = true` keys the shard budget on the FROZEN tokenizer's
+    * exact counts ([[bpeCounts]]) instead of the `(len+3)/4` heuristic —
+    * production-faithful shard budgets (r14); the packing dataflow is
+    * identical. */
+  def packShards(docs: DataFrame, blockW: Long = packBlock,
+                 realBpe: Boolean = false): DataFrame = {
     // negative widths anti-order the blocks (div truncates toward zero),
     // silently breaking the exclusive prefix sum; zero NULLs every block
     require(blockW >= 1, s"positive block width required, got $blockW")
     import org.apache.spark.sql.expressions.Window
-    val toks = tokenCounts(docs).select(col("doc_id"), col("n_bpe"))
+    val toks = (if (realBpe) bpeCounts(docs) else tokenCounts(docs))
+      .select(col("doc_id"), col("n_bpe"))
     val slim = docs.select(col("doc_id"), col("lang"))
       .join(toks, "doc_id")
       .withColumn("__blk", expr(s"doc_id div ${blockW}L"))
@@ -266,11 +397,10 @@ object TextOps {
         expr(s"(cum - n_bpe) div $shardBudget").as("shard_id"))
   }
 
-  val packShardsSql: String =
+  private def packShardsSqlWith(tokExpr: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id,
-       |         CAST(list_sum(list_transform(string_split(text, ' '),
-       |                       t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
+       |         $tokExpr AS n_bpe
        |  FROM documents
        |)
        |SELECT d.doc_id, d.lang, t.n_bpe,
@@ -278,6 +408,13 @@ object TextOps {
        |                                ROWS UNBOUNDED PRECEDING) - t.n_bpe)
        |            // $shardBudget AS BIGINT) AS shard_id
        |FROM documents d JOIN tok t ON d.doc_id = t.doc_id""".stripMargin
+
+  val packShardsSql: String = packShardsSqlWith(
+    """CAST(list_sum(list_transform(string_split(text, ' '),
+      |                       t -> (len(t) + 3) // 4)) AS BIGINT)""".stripMargin)
+
+  /** Mirror of `packShards(docs, realBpe = true)`. */
+  lazy val packShardsBpeSql: String = packShardsSqlWith(bpeTokSql)
 
   val fingerprintsSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
