@@ -108,6 +108,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no per-segment window in the keep-first pick:\n$p")
   }
 
+  test("pipe_domain_cap: pass-through side is broadcast-anti, no bare-domain window (r14)") {
+    // the gate's scale contract: under-cap domains (≈ the whole corpus
+    // at 100 TB) pass on broadcast anti-joins with ZERO shuffle of their
+    // rows; only over-cap domains enter the salted prune, so no window
+    // may partition on the raw domain alone (the hot-key class)
+    val p = plan("pipe_domain_cap")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist/over-cap pass-through must be broadcast anti-joins:\n$p")
+    // two-level prune structure: a SALTED level-1 window must exist, so
+    // the bare-domain window that remains is level 2 over the bounded
+    // (≤ salts·k per key) survivor frame — never the raw hot-key scan
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(domain")).toSeq
+    assert(winLines.exists(_.contains("__salt")),
+      s"hot domains must level-1 prune per (domain, salt):\n$p")
+    assert(winLines.exists(l => !l.contains("__salt")),
+      s"level-2 re-prune per domain expected over the survivor frame:\n$p")
+  }
+
+  test("pipe_para_fuzzy: exact collapse is a partial min; banding sees distinct reps (r14)") {
+    val p = plan("pipe_para_fuzzy")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"representative pick must be a partial aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition(seg"),
+      s"no per-segment window anywhere in the fuzzy path:\n$p")
+  }
+
+  test("text_bpe: the merge chain is a pure projection over a 2-column scan (r14)") {
+    val df = SparkEntry.queries("text_bpe")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"BPE counting must not shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"), s"scan must prune to (doc_id, text):\n$readSchema")
+  }
+
   test("dedup_semantic_group: no collection-wide window keyed on the cluster id (r13)") {
     // the crank rank was a row_number() OVER (PARTITION BY cid) across
     // the WHOLE collection (vector payload included) — now the pair join

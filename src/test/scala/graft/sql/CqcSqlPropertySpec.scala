@@ -12,7 +12,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   import spark.implicits._
 
   test("random chain queries with filters/comparisons match stock Spark") {
-    val rnd = new scala.util.Random(131001)
+    val rnd = new scala.util.Random(141001)
     val edges = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("prop_edges")
@@ -41,7 +41,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random aggregate queries (fast-path shapes) match stock Spark") {
-    val rnd = new scala.util.Random(131139)
+    val rnd = new scala.util.Random(141139)
     val edges = Seq.fill(220)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propa_edges")
@@ -82,7 +82,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random CTE-wrapped aggregate queries inline and match stock Spark") {
-    val rnd = new scala.util.Random(131283)
+    val rnd = new scala.util.Random(141283)
     val edges = Seq.fill(200)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propc_edges")
@@ -119,7 +119,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
-    val rnd = new scala.util.Random(131403)
+    val rnd = new scala.util.Random(141403)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propo_edges")
@@ -168,7 +168,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // random EXISTS / NOT EXISTS / IN / scalar subquery predicate pinned
     // to a random leaf (correlated or not). Every query must return stock
     // Spark's rows — via the CQC route or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(130211)
+    val rnd = new scala.util.Random(140213)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("props_edges")
@@ -259,7 +259,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // subquery predicate (correlated or not) pinned underneath. Every
     // query must return stock Spark's multiset — via the fast path, the
     // generic path, or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(131813)
+    val rnd = new scala.util.Random(141813)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propg_edges")
@@ -358,7 +358,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // function over a random partition key — ROW_NUMBER/RANK carry a
     // TOTAL order (every selected column as tie-break) so results are
     // deterministic and multiset-comparable on every route.
-    val rnd = new scala.util.Random(131909)
+    val rnd = new scala.util.Random(141909)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propw_edges")
@@ -431,8 +431,88 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nAggWin >= 2, "window cross must cover aggregate windows")
   }
 
+  test("random explicit SEMI/ANTI join queries match stock Spark (r14 cross-generator)") {
+    val rnd = new scala.util.Random(142001)
+    // tiny key domain: semi probes hit and miss in the same query, and
+    // anti sides are non-trivially selective
+    val edges = Seq.fill(260)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(5).toLong))
+      .distinct.toDF("src", "dst", "w")
+    edges.createOrReplaceTempView("propsa_edges")
+
+    var nonEmpty = 0
+    var nAnti = 0
+    var nAgg = 0
+    var nOuter = 0
+    var nChained = 0
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
+      val n = 1 + rnd.nextInt(3)
+      val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+      // optional LEFT OUTER below the semi peel (the binding-order cross)
+      val outer = rnd.nextInt(3) == 0
+      if (outer) nOuter += 1
+      val outerSql =
+        if (outer) s" LEFT JOIN propsa_edges oj ON oj.src = g$n.dst AND oj.w > ${rnd.nextInt(3)}"
+        else ""
+      // 1-2 semi/anti probes, each anchored on a random chain column,
+      // optionally with an own-side restriction in the ON
+      val nProbes = 1 + rnd.nextInt(2)
+      if (nProbes == 2) nChained += 1
+      val probes = (1 to nProbes).map { p =>
+        val anti = rnd.nextBoolean()
+        if (anti) nAnti += 1
+        val anchor = s"g${1 + rnd.nextInt(n)}.${if (rnd.nextBoolean()) "src" else "dst"}"
+        // anti probes ALWAYS carry a sparse own-side restriction: every
+        // key of the 10-key domain exists somewhere, so an unrestricted
+        // anti would empty nearly every query (the generator must keep
+        // producing non-vacuous results)
+        val own =
+          if (anti) s" AND h$p.w >= ${3 + rnd.nextInt(2)}"
+          else if (rnd.nextBoolean()) s" AND h$p.w > ${rnd.nextInt(4)}"
+          else ""
+        s" LEFT ${if (anti) "ANTI" else "SEMI"} JOIN propsa_edges h$p ON h$p.src = $anchor$own"
+      }.mkString
+      val filters = (1 to n).filter(_ => rnd.nextInt(3) == 0)
+        .map(j => s"g$j.w < ${2 + rnd.nextInt(4)}")
+      val where = (joins ++ filters) match {
+        case Nil => ""
+        case cs => "\nWHERE " + cs.mkString(" AND ")
+      }
+      val from = (1 to n).map(j => s"propsa_edges g$j").mkString(", ")
+      val sql = rnd.nextInt(3) match {
+        case 0 => // plain projection (DISTINCT half the time)
+          val d = if (rnd.nextBoolean()) "DISTINCT " else ""
+          s"SELECT $d${(1 to n).map(j => s"g$j.src AS s$j, g$j.dst AS d$j").mkString(", ")}" +
+            s"\nFROM $from$outerSql$probes$where"
+        case 1 => // aggregate over the filtered cluster (the fast-path fence)
+          nAgg += 1
+          s"SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g$n.w) AS BIGINT) AS s" +
+            s"\nFROM $from$outerSql$probes$where\nGROUP BY g1.src"
+        case _ => // aggregate + HAVING on a non-selected aggregate
+          nAgg += 1
+          s"SELECT g1.src AS k, CAST(COUNT(*) AS BIGINT) AS n" +
+            s"\nFROM $from$outerSql$probes$where\nGROUP BY g1.src" +
+            s"\nHAVING MAX(g$n.w) >= ${rnd.nextInt(3)}"
+      }
+      val got =
+        try CqcSql.solve(spark, sql).collect().map(_.toSeq).groupBy(identity)
+        catch { case e: Throwable => fail(s"door threw ${e.getClass.getSimpleName} for: $sql", e) }
+      val want = spark.sql(sql).collect().map(_.toSeq).groupBy(identity)
+      assert(got.view.mapValues(_.length).toMap == want.view.mapValues(_.length).toMap,
+        s"mismatch for: $sql")
+      graft.CacheRegistry.unpersistAll()
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 5)
+    assert(nAnti >= 2, "semi/anti cross must cover ANTI probes")
+    assert(nAgg >= 3, "semi/anti cross must cover the aggregate fence")
+    assert(nOuter >= 1, "semi/anti cross must cover the outer-peel binding order")
+    assert(nChained >= 2, "semi/anti cross must cover chained probes")
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
-    val rnd = new scala.util.Random(131577)
+    val rnd = new scala.util.Random(141577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
     // the case the rank()-based exact prune must survive
     val edges = Seq.fill(240)(

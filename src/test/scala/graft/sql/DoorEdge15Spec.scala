@@ -175,4 +175,49 @@ class DoorEdge15Spec extends SparkSpecBase {
           |FROM d15_cust c LEFT SEMI JOIN d15_orders o
           |  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 450000""".stripMargin))
   }
+
+  test("r14 operator outputs as door relations, crossed with semi/anti syntax") {
+    import graft.datapipe._
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("d15_docs")
+    Domains.capDocuments(docs).createOrReplaceTempView("d15_dom")
+    Dedup.segmentDedupFuzzy(Dedup.plantSegmentNearDups(docs))
+      .createOrReplaceTempView("d15_segfz")
+    TextOps.bpeCounts(docs).createOrReplaceTempView("d15_bpe")
+    TextOps.packShards(docs, realBpe = true).createOrReplaceTempView("d15_packb")
+    battery(Seq(
+      // the domain gate's survivors semi-probed into the corpus hub rows:
+      // kept hub docs must be exactly the capped lowest ids
+      "dom_semi_hub" ->
+        """SELECT g.doc_id AS k, g.domain AS dom
+          |FROM d15_dom g LEFT SEMI JOIN d15_docs x ON x.doc_id = g.doc_id
+          |WHERE g.domain = 'hub.example'""".stripMargin,
+      // anti: corpus docs the gate DROPPED (spam + over-cap hub tail),
+      // aggregated per lang — the gate decision re-derived through the door
+      "dom_anti_dropped" ->
+        """SELECT x.lang AS lang, COUNT(*) AS n_dropped
+          |FROM d15_docs x LEFT ANTI JOIN d15_dom g ON g.doc_id = x.doc_id
+          |GROUP BY x.lang""".stripMargin,
+      // fuzzy segment dedup crossed with BPE counts: docs that LOST
+      // segments ranked by their exact token mass (window over a join)
+      "segfz_bpe_window" ->
+        """SELECT f.doc_id AS doc_id, b.n_bpe AS n_bpe,
+          |       ROW_NUMBER() OVER (ORDER BY b.n_bpe DESC, f.doc_id) AS rn
+          |FROM d15_segfz f, d15_bpe b
+          |WHERE f.doc_id = b.doc_id AND f.n_kept < f.n_segs""".stripMargin,
+      // BPE-keyed packing semi-probed by the fuzzy-survivor set with a
+      // ROLLUP audit on top — three r14 outputs in one query
+      "packb_rollup_semi" ->
+        """SELECT p.lang AS lang, p.shard_id AS shard, SUM(p.n_bpe) AS toks
+          |FROM d15_packb p
+          |LEFT SEMI JOIN d15_segfz f ON f.doc_id = p.doc_id AND f.n_kept > 0
+          |GROUP BY ROLLUP(p.lang, p.shard_id)""".stripMargin,
+      // heuristic-vs-exact token comparison through a computed predicate:
+      // docs where the heuristic UNDERCOUNTS the frozen tokenizer by >2x
+      // (chars/4 assumes ~4-char tokens; short-word text tokenizes worse)
+      "bpe_vs_heuristic_expr" ->
+        """SELECT b.doc_id AS doc_id, b.n_bpe AS n_bpe, x.n_chars AS n_chars
+          |FROM d15_bpe b, d15_docs x
+          |WHERE b.doc_id = x.doc_id AND b.n_bpe * 2 > x.n_chars""".stripMargin))
+  }
 }
