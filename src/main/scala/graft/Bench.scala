@@ -65,7 +65,10 @@ object Bench {
       a.stripPrefix("--reps=").toInt }.getOrElse(2)
     val hashReps = args.collectFirst { case a if a.startsWith("--hash-reps=") =>
       a.stripPrefix("--hash-reps=").toInt }.getOrElse(2)
-    val countOnly = args.contains("--count-only")
+    // --hash-reps=0 means the same thing as --count-only; without the
+    // guard the interleaved loop would record NaN hashed minima and
+    // serialize literal NaN into the JSON (r14 review fix)
+    val countOnly = args.contains("--count-only") || hashReps <= 0
     val queryArgs = args.filterNot(_.startsWith("--"))
     val wanted = SparkEntry.queries.toSeq
       .filter(q => queryArgs.isEmpty || queryArgs.contains(q._1))

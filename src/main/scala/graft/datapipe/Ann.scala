@@ -1061,9 +1061,12 @@ object Ann {
   }
   object IvfpqIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): IvfpqIndex =
-      IvfpqIndex(spark.read.parquet(s"$dir/packed"),
-        spark.read.parquet(s"$dir/cent"), spark.read.parquet(s"$dir/cb"),
-        spark.read.parquet(s"$dir/meta"))
+      // packed is the append-able relation (ivfpqAppend); the trained
+      // artifacts are overwrite-only but read the same way for symmetry
+      IvfpqIndex(graft.sources.Tables.readIndexDir(spark, s"$dir/packed"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/cent"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/cb"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/meta"))
   }
 
   /** 1-row (k, m, residual) hyperparameter frame persisted with every
@@ -1662,7 +1665,8 @@ object Ann {
 
   object EmbedIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): EmbedIndex =
-      EmbedIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/vecs"))
+      EmbedIndex(graft.sources.Tables.readIndexDir(spark, s"$dir/keys"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/vecs"))
 
     /** INCREMENTAL ingest (r13): append a new shard's bucket keys and
       * verify payloads to a file-backed index — hyperplane buckets are

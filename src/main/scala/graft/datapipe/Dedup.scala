@@ -47,7 +47,8 @@ object Dedup {
 
   object MinhashIndex {
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
-      MinhashIndex(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/sets"))
+      MinhashIndex(graft.sources.Tables.readIndexDir(spark, s"$dir/keys"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/sets"))
 
     /** INCREMENTAL ingest (r13): append one new shard's index rows to a
       * file-backed index without touching the existing files. Signatures
@@ -234,13 +235,28 @@ object Dedup {
    * doc, 12 mins of affine-permuted 31-bit shingle hashes — a single
    * groupBy with 12 partial-aggregable mins.
    */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val s31 = sh.select(col("doc_id"), (col("sh") % mhP).as("s"))
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    minhashSignaturesBy(sh, Seq("doc_id"))
+
+  /** [[minhashSignatures]] generalized over the member key columns —
+    * one source of truth for the affine-min dataflow (doc-level dedup
+    * keys on doc_id; segment-level fuzzy dedup keys on the (rdoc, ridx)
+    * representative — r14 review fix, was a copy). */
+  private[datapipe] def minhashSignaturesBy(sh: DataFrame, keys: Seq[String]): DataFrame = {
+    val s31 = sh.select(keys.map(col) :+ (col("sh") % mhP).as("s"): _*)
     val aggs = (0 until mhBands * mhRows).map { j =>
       min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
     }
-    s31.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    s31.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The banded key structs over a signature frame's `mh$j` columns —
+    * shared by every exploded-band consumer (same r14 de-fork). */
+  private[datapipe] def bandKeyStructs: Seq[Column] =
+    (0 until mhBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
+    }
 
   /**
    * Banded-LSH near-dup: docs agreeing on any full band of 3 signatures
@@ -252,11 +268,7 @@ object Dedup {
     // persist it once (at scale this is the materialized inverted index)
     val sh = graft.CacheRegistry.persistTracked(shingles(docs))
     val sig = minhashSignatures(sh)
-    val bandStructs = (0 until mhBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val bands = sig.select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2")
@@ -342,11 +354,7 @@ object Dedup {
     * [[MinhashIndex.append]] path. */
   private def leanIndexFrom(sh: DataFrame): (DataFrame, DataFrame) = {
     val sig = minhashSignatures(sh)
-    val bandStructs = (0 until mhBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
-    }
-    val keys = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val keys = sig.select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("doc_id").as("corpus_id"))
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("corpus_shs"))
@@ -593,25 +601,21 @@ object Dedup {
     // Segments shorter than the shingle width have NO shingles: they
     // never enter the fuzzy stage and always survive to the exact rule
     // (same empty-set contract as bandKeys' filter).
-    val rsh = reps.select(col("rdoc"), col("ridx"),
-      array_distinct(transform(
-        TextOps.shinglesOf(words(col("seg")), shingleK), s => h60(s))).as("shs"))
-      .where(size(col("shs")) > 0)
-    val rshx = graft.CacheRegistry.persistTracked(
-      rsh.select(col("rdoc"), col("ridx"), explode(col("shs")).as("sh")))
+    // persisted (r14 review fix): three consumers (the exploded
+    // signature input + both sides of the Jaccard verify) would each
+    // re-run the per-segment md5 shingling otherwise — the same reason
+    // minhashLsh persists its shingle frame
+    val rsh = graft.CacheRegistry.persistTracked(
+      reps.select(col("rdoc"), col("ridx"),
+        array_distinct(transform(
+          TextOps.shinglesOf(words(col("seg")), shingleK), s => h60(s))).as("shs"))
+        .where(size(col("shs")) > 0))
+    val rshx = rsh.select(col("rdoc"), col("ridx"), explode(col("shs")).as("sh"))
     // signature matrix keyed by representative — minhashSignatures'
-    // dataflow with the two-column key
-    val s31 = rshx.select(col("rdoc"), col("ridx"), (col("sh") % mhP).as("s"))
-    val aggs = (0 until mhBands * mhRows).map { j =>
-      min((lit(mhA(j)) * col("s") + lit(mhB(j))) % mhP).as(s"mh$j")
-    }
-    val sig = s31.groupBy(col("rdoc"), col("ridx")).agg(aggs.head, aggs.tail: _*)
-    val bandStructs = (0 until mhBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until mhRows).map(r => col(s"mh${b * mhRows + r}")): _*).as("key"))
-    }
+    // dataflow with the two-column key (shared helper)
+    val sig = minhashSignaturesBy(rshx, Seq("rdoc", "ridx"))
     val bands = sig.select(col("rdoc"), col("ridx"),
-        explode(array(bandStructs: _*)).as("bk"))
+        explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("rdoc"), col("ridx"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     // banded candidates among EARLIER/LATER representative pairs

@@ -52,16 +52,19 @@ object Domains {
   val spamDomain = "spam.example"
 
   def domainOf: Column =
+    // NULL-safe source (r14 review fix): a NULL source must not produce
+    // a NULL domain — Spark's left_anti keeps NULL-key rows while SQL's
+    // NOT IN drops them, so a NULL domain would diverge the engines
     when(col("doc_id") % hotMod === 0, lit(hubDomain))
       .when(col("doc_id") % hotMod === 1, lit(spamDomain))
       .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(tailSlots.toLong)),
-        lit("."), col("source"), lit(".example")))
+        lit("."), coalesce(col("source"), lit("")), lit(".example")))
 
   /** DuckDB mirror of [[domainOf]]. */
   val domainOfSql: String =
     s"""CASE WHEN doc_id % $hotMod = 0 THEN '$hubDomain'
        |     WHEN doc_id % $hotMod = 1 THEN '$spamDomain'
-       |     ELSE 'd' || CAST(doc_id % $tailSlots AS VARCHAR) || '.' || source || '.example'
+       |     ELSE 'd' || CAST(doc_id % $tailSlots AS VARCHAR) || '.' || coalesce(source, '') || '.example'
        |END""".stripMargin.replace("\n", " ")
 
   /** Driver-entry parameters: the spam farm is blocklisted, every other

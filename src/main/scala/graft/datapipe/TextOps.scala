@@ -162,7 +162,10 @@ object TextOps {
           // only regex is the initial char wrap
           replace(c, lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"), lit(s"$bpeSep$a$b$bpeSep"))
       }
-    val reprs = transform(words(text), w => chain(w))
+    // NULL text counts as zero tokens on BOTH engines (the oracle's
+    // coalesce(list_sum, 0) would otherwise disagree with a NULL
+    // aggregate here — r14 review fix, same contract as segments())
+    val reprs = transform(words(coalesce(text, lit(""))), w => chain(w))
     aggregate(reprs, lit(0L), (acc, r) =>
       acc + ((length(r) - length(replace(r, lit(bpeSep), lit("")))).cast(LongType) / 2)
         .cast(LongType))
@@ -183,7 +186,7 @@ object TextOps {
     * list_transform, count separators via the outer). */
   private def bpeTokSql: String =
     s"""CAST(coalesce(list_sum(list_transform(
-       |  list_transform(string_split(text, ' '), w -> ${bpeChainSql("w")}),
+       |  list_transform(string_split(coalesce(text, ''), ' '), w -> ${bpeChainSql("w")}),
        |  r -> (len(r) - len(replace(r, '$bpeSep', ''))) // 2)), 0) AS BIGINT)""".stripMargin
 
   lazy val bpeCountsSql: String =

@@ -272,18 +272,20 @@ object Tables {
   /**
    * STAGED parquet append — the crash-safe form of
    * `write.mode("append")` for persisted index directories (r13 advice
-   * fix). A plain append that dies mid-job can leave partial part-files
-   * inside the live directory, silently corrupting every later read
-   * with no validation or recovery path. Here the full write job runs
-   * against a hidden staging subdirectory first (dot-prefixed, so
-   * parquet directory listings of the live dir never see it); only
-   * after the job SUCCEEDS are the staged part-files moved into the
-   * live directory — per-file rename on the final committed outputs, so
-   * a crash at any earlier point leaves the live index untouched and
-   * the next attempt simply overwrites the stage. Part-file names embed
-   * the write job's UUID, so successive appends never collide.
-   * Concurrent appends to the SAME dir are the caller's to serialize
-   * (same contract as the appends' id-disjointness caveat).
+   * fix; commit made ATOMIC in the r14 review pass). A plain append
+   * that dies mid-job can leave partial part-files inside the live
+   * directory, silently corrupting every later read with no validation
+   * or recovery path. Here the full write job runs against a HIDDEN
+   * staging subdirectory first (dot-prefixed — invisible to every
+   * parquet listing, recursive or not); only after the job SUCCEEDS is
+   * the whole stage committed by ONE directory rename to a visible
+   * `append-<uuid>` subdirectory — a single filesystem metadata op, so
+   * there is no partially-committed state: a crash at ANY point leaves
+   * the live index reading exactly its pre-append content, and the
+   * retry simply overwrites the orphaned hidden stage (no duplicates —
+   * nothing from a failed attempt is ever visible). Readers must list
+   * recursively ([[readIndexDir]]); concurrent appends to the SAME dir
+   * remain the caller's to serialize (the id-disjointness contract).
    */
   def stagedAppend(df: DataFrame, dir: String): Unit = {
     val stage = new org.apache.hadoop.fs.Path(dir, ".append_stage")
@@ -291,15 +293,19 @@ object Tables {
     df.write.mode("overwrite").parquet(stage.toString)
     val fs = live.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-"))
-    for (p <- parts) {
-      val dst = new org.apache.hadoop.fs.Path(live, p.getPath.getName)
-      require(fs.rename(p.getPath, dst), s"staged append: commit rename failed for $dst")
-    }
-    fs.delete(stage, true)
+    val committed = new org.apache.hadoop.fs.Path(live,
+      s"append-${java.util.UUID.randomUUID().toString}")
+    require(fs.rename(stage, committed),
+      s"staged append: atomic commit rename failed for $committed")
     ()
   }
+
+  /** Read an append-able index directory: base part-files plus every
+    * committed `append-<uuid>` subdirectory ([[stagedAppend]]'s atomic
+    * commit unit). `recursiveFileLookup` skips hidden (dot/underscore)
+    * paths, so an in-flight or orphaned stage is never read. */
+  def readIndexDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
   /** Corrupt-tolerant JSONL ingest: malformed lines land in a
     * `_quarantine` column (Spark PERMISSIVE mode's corrupt-record
