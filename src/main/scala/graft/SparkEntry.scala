@@ -1901,6 +1901,12 @@ object SparkEntry {
     // segment-level exact dedup (paragraph dedup for newline-free text):
     // first occurrence corpus-wide survives, reassembled in order
     "pipe_para_dedup" -> ((s, d) => TextOps.segmentDedup(Tables.documents(s, d))),
+    // Bloom cross-refresh membership gate (r14): the even-half snapshot
+    // as an m-bounded bit-position filter, every doc probing — zero
+    // false negatives by construction, filter size independent of
+    // corpus size
+    "dedup_bloom" -> ((s, d) =>
+      Dedup.bloomFlagDocuments(Tables.documents(s, d))),
     // segment-level FUZZY dedup (r14): MinHash banding at the 20-word
     // segment level over planted reflowed boilerplate — the class exact
     // segment dedup structurally misses
@@ -2576,6 +2582,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.repetitionSql,
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
     "pipe_para_fuzzy" -> Dedup.segmentDedupFuzzyPlantedSql,
+    "dedup_bloom" -> Dedup.bloomFlagSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,
     "pipe_chunk" -> TextOps.chunkSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL

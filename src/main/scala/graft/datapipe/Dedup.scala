@@ -495,6 +495,87 @@ object Dedup {
        |WHERE shared / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= $mhTau""".stripMargin
   }
 
+  // ------------------------------------------------- Bloom membership gate
+
+  /** Filter size in bit positions and hash-function count. At 2^17 bits
+    * / 5 hashes the false-positive rate stays under 1% up to ~9k member
+    * docs; production sizes m per corpus (the filter is O(m) REGARDLESS
+    * of corpus size — the whole point vs carrying the 8-byte-per-doc
+    * exact hash set of a 10^11-doc corpus across refreshes). */
+  val bloomBits: Int = 1 << 17
+  val bloomK: Int = 5
+
+  /** The k bit positions of one document's normalized-text identity —
+    * affine permutations of the 60-bit hash under the committed
+    * [[mhA]]/[[mhB]] constants, so both engines compute the identical
+    * filter (a library Bloom's internal hashing would be oracle-opaque). */
+  private def bloomPositions: Seq[Column] = {
+    val s = h60(normText) % mhP
+    (0 until bloomK).map(i => (lit(mhA(i)) * s + lit(mhB(i))) % mhP % bloomBits)
+  }
+
+  private def bloomPositionsSql: Seq[String] = {
+    val s = s"(${h60Sql(normTextSql)} % $mhP)"
+    (0 until bloomK).map(i => s"((${mhA(i)} * $s + ${mhB(i)}) % $mhP) % $bloomBits")
+  }
+
+  /**
+   * CROSS-REFRESH membership gate (r14): a Bloom filter over a previous
+   * corpus snapshot, probed by the next refresh's arrivals — the
+   * standard way an incremental pipeline skips exact re-dedup against
+   * history without carrying history. The filter materializes as its
+   * SET BIT POSITIONS, one slim row each (≤ [[bloomBits]] rows
+   * total, independent of corpus size): trivially broadcastable,
+   * MERGEABLE by plain union (bloom(A ∪ B) ≡ distinct(bloom(A) ∪
+   * bloom(B)) — per-member positions are independent), and append-able
+   * file-to-file via [[graft.sources.Tables.stagedAppend]] with no
+   * rebuild. Zero false negatives by construction (an exact re-post
+   * hashes to the same positions); false positives are the documented
+   * Bloom trade, bounded by the m/k sizing above.
+   */
+  def bloomBuild(corpus: DataFrame): DataFrame =
+    corpus.select(explode(array(bloomPositions: _*)).as("pos")).distinct()
+
+  /** Arrivals whose EVERY position is set — the possibly-seen set
+    * (route to exact verification or drop, per pipeline policy). The
+    * probe is one broadcast join of the m-bounded filter; the filter
+    * side is re-distincted so appended/unioned position files need no
+    * pre-compaction. */
+  def bloomFlag(arrivals: DataFrame, filter: DataFrame): DataFrame = {
+    val ps = arrivals.select(col("doc_id"),
+      array_distinct(array(bloomPositions: _*)).as("__ps"))
+    ps.select(col("doc_id"), size(col("__ps")).as("__need"),
+        explode(col("__ps")).as("pos"))
+      .join(broadcast(filter.select(col("pos")).distinct()), Seq("pos"))
+      .groupBy(col("doc_id"), col("__need"))
+      .agg(count(lit(1)).as("__got"))
+      .where(col("__got") === col("__need"))
+      .select(col("doc_id"), lit(true).as("maybe_seen"))
+  }
+
+  /** The composed driver entry: the even-doc_id half is yesterday's
+    * snapshot, every document probes — output ⊇ the members (zero false
+    * negatives), plus any (deterministic) false positives. */
+  def bloomFlagDocuments(docs: DataFrame): DataFrame =
+    bloomFlag(docs, bloomBuild(docs.where(col("doc_id") % 2 === 0)))
+
+  /** DuckDB mirror of [[bloomFlagDocuments]]. */
+  lazy val bloomFlagSql: String = {
+    val posList = bloomPositionsSql.mkString("[", ", ", "]")
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest($posList) AS pos FROM documents
+       |),
+       |filt AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0),
+       |need AS (SELECT doc_id, count(DISTINCT pos) AS need FROM pos GROUP BY 1),
+       |got AS (
+       |  SELECT p.doc_id, count(DISTINCT p.pos) AS got
+       |  FROM pos p JOIN filt f ON p.pos = f.pos GROUP BY 1
+       |)
+       |SELECT g.doc_id, true AS maybe_seen
+       |FROM got g JOIN need n USING (doc_id)
+       |WHERE g.got = n.need""".stripMargin
+  }
+
   // ------------------------------------------- segment-level FUZZY dedup
 
   /** Jaccard threshold for segment-level near-dup (r14). Segments are
