@@ -1980,6 +1980,11 @@ object SparkEntry {
     // dedup -> shard packing -> chunking -> per-(lang, shard) audit, one
     // lazy plan end-to-end
     "pipe_build" -> ((s, d) => graft.datapipe.Prep.build(Tables.documents(s, d))),
+    // the fully-fused r14 pipeline: domain gate ahead of the quality
+    // gates AND shard budgets keyed on the exact frozen tokenizer —
+    // still ONE lazy plan end-to-end
+    "pipe_build_full" -> ((s, d) => graft.datapipe.Prep.build(
+      Tables.documents(s, d), domainGate = true, realBpe = true)),
     // tokenizer-faithful BPE counts (r14): the frozen 48-merge table
     // applied exactly via the separator-wrapped replacement chain — a
     // pure projection, no UDF, oracle mirrors the chain literally
@@ -2594,6 +2599,7 @@ object SparkEntry {
     "pipe_redact" -> TextOps.redactPiiSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
+    "pipe_build_full" -> graft.datapipe.Prep.buildFullSql,
     "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
     "text_bpe" -> TextOps.bpeCountsSql,
     "pipe_pack_bpe" -> TextOps.packShardsBpeSql,

@@ -310,7 +310,12 @@ object Prep {
    * between stages. Output: one row per (lang, shard_id) —
    * `(lang, shard_id, n_docs, toks, n_chunks)`.
    */
-  def build(docs: DataFrame): DataFrame = {
+  /** `domainGate` / `realBpe` fuse the r14 pieces into the same ONE
+    * lazy plan: the source-level domain cap ahead of the quality gates,
+    * and shard budgets keyed on the exact frozen tokenizer instead of
+    * the len/4 heuristic. */
+  def build(docs: DataFrame, domainGate: Boolean = false,
+            realBpe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     // the kept corpus is the pipeline's natural materialization point:
     // three downstream consumers (token counts, pack slim frame, chunk)
@@ -320,8 +325,9 @@ object Prep {
     // front-end pays for its materialization). At cluster scale this is
     // the bucket-write between pipeline stages.
     val keptDocs = graft.CacheRegistry.persistTracked(
-      docs.join(keptCorpus(docs).select("doc_id"), Seq("doc_id"), "left_semi"))
-    val packed = TextOps.packShards(keptDocs)
+      docs.join(keptCorpus(docs, domainGate = domainGate).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val packed = TextOps.packShards(keptDocs, realBpe = realBpe)
     val chunks = TextOps.chunk(keptDocs)
       .groupBy("doc_id").agg(count(lit(1)).as("__nc"))
     packed.join(chunks, Seq("doc_id"), "left")
@@ -335,20 +341,29 @@ object Prep {
     * table, then the packShards window, the chunk count and the
     * per-(lang, shard) audit — each block the component oracle's own
     * rendering. */
-  def buildSql: String = {
+  def buildSql: String = buildSqlWith(domain = false, bpe = false)
+
+  /** Mirror of `build(docs, domainGate = true, realBpe = true)` — the
+    * fully-fused r14 pipeline. */
+  def buildFullSql: String = buildSqlWith(domain = true, bpe = true)
+
+  private def buildSqlWith(domain: Boolean, bpe: Boolean): String = {
     val B = TextOps.shardBudget
     val W = TextOps.chunkWords
     val S = TextOps.chunkStride
+    val tokExpr =
+      if (bpe) TextOps.bpeTokSql
+      else """CAST(list_sum(list_transform(string_split(text, ' '),
+             |                       t -> (len(t) + 3) // 4)) AS BIGINT)""".stripMargin
     s"""WITH keptd AS (
        |  SELECT k.doc_id, d.lang, k.text
        |  FROM (
-       |${prepareSqlWith(fuzzy = false, keptOnly = true)}
-       |  ) k JOIN documents d USING (doc_id)
+       |${prepareSqlWith(fuzzy = false, keptOnly = true, domain = domain)}
+       |  ) k JOIN main.documents d USING (doc_id)
        |),
        |tok AS (
        |  SELECT doc_id,
-       |         CAST(list_sum(list_transform(string_split(text, ' '),
-       |                       t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
+       |         $tokExpr AS n_bpe
        |  FROM keptd
        |),
        |pk AS (

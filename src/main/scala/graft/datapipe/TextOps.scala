@@ -184,7 +184,7 @@ object TextOps {
 
   /** Per-word BPE token count in DuckDB (chain once via the inner
     * list_transform, count separators via the outer). */
-  private def bpeTokSql: String =
+  private[datapipe] def bpeTokSql: String =
     s"""CAST(coalesce(list_sum(list_transform(
        |  list_transform(string_split(coalesce(text, ''), ' '), w -> ${bpeChainSql("w")}),
        |  r -> (len(r) - len(replace(r, '$bpeSep', ''))) // 2)), 0) AS BIGINT)""".stripMargin

@@ -67,4 +67,14 @@ class DomainsSpec extends SparkSpecBase {
     // fused prep runs end-to-end on the gated corpus
     assert(Prep.prepare(docs, domainGate = true).count() > 0)
   }
+
+  test("fully-fused build: gated corpus is a strict subset, BPE budgets hold") {
+    val full = Prep.build(docs, domainGate = true, realBpe = true)
+      .agg(sum("n_docs"), sum("toks")).head()
+    val base = Prep.build(docs).agg(sum("n_docs"), sum("toks")).head()
+    // the domain gate can only DROP documents ahead of the gates
+    assert(full.getLong(0) < base.getLong(0))
+    // and the exact tokenizer counts differ from the len/4 heuristic
+    assert(full.getLong(1) !== base.getLong(1))
+  }
 }
