@@ -1836,6 +1836,10 @@ object SparkEntry {
     // product-quantization ANN: per-subspace codebooks, map-side encode,
     // ADC (reconstruction-cosine) ranking — the memory-bound scale path
     "ann_pq" -> ((s, d) => Ann.pqTopK(Tables.embeddings(s, d))),
+    // SQ8 scalar quantization (r14): per-dim [min,max] trained in one
+    // map-side aggregate, 1 byte/dim codes, dequantized-cosine ranking —
+    // the 4x middle ground between raw floats and PQ codes
+    "ann_sq8" -> ((s, d) => Ann.sq8TopK(Tables.embeddings(s, d))),
     // IVFADC (FAISS IVFPQ): probed inverted lists restrict the scan,
     // PQ reconstructions rank it — the composed 10^10-vector serving
     // architecture; candidates served from the compressed storage form
@@ -1936,6 +1940,24 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"),
           TextOps.h60(col("text")).as("text_h"))
     }),
+    // range-clustered layout (r14): events sort-clustered by ts, read
+    // back through a 3-day range filter — the footer min/max stats skip
+    // every non-overlapping file/row-group at scale (TablesSpec pins the
+    // disjoint per-file ranges + pushed filter); timed end-to-end
+    // including the clustered write
+    "src_clustered" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_clustered_")
+      val path = tmp.resolve("events").toString
+      trackTempDir(tmp)
+      Tables.writeClustered(Tables.events(s, d), path, "ts", 8)
+      s.read.parquet(path)
+        .where(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
+            .as("val_sum"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -1946,6 +1968,10 @@ object SparkEntry {
     "pipe_sketch_union" -> ((s, d) => Sketches.shardedCardinalityChecked(Tables.documents(s, d))),
     "pipe_quantiles" -> ((s, d) => Sketches.valueQuantilesChecked(Tables.events(s, d))),
     "pipe_heavy" -> ((s, d) => Sketches.heavyHitters(Tables.documents(s, d))),
+    // count-min sketch (r14): depth x width mergeable frequency summary
+    // over the domain stream, estimates vs the exact census — the
+    // bounded-memory sibling of pipe_heavy for unbounded key spaces
+    "pipe_cms" -> ((s, d) => Sketches.cmsDomainCounts(Tables.documents(s, d))),
     "mm_decode" -> ((s, d) => Multimodal.decodeDocuments(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeDocuments(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) => Multimodal.frameSampleDocuments(Tables.documents(s, d))),
@@ -1953,6 +1979,10 @@ object SparkEntry {
     "pipe_clean" -> (qPipeClean _),
     "pipe_pack" -> ((s, d) => TextOps.packShards(Tables.documents(s, d))),
     "pipe_mix" -> ((s, d) => TextOps.mixSummary(Tables.documents(s, d))),
+    // temperature-sampled language balancing (r14): n_l^0.5 rates from an
+    // exact census, broadcast back, per-doc copy explode + content-hash
+    // gate — rare langs up-sample, the head down-samples, N preserved
+    "pipe_mix_lang" -> ((s, d) => TextOps.mixByLanguage(Tables.documents(s, d))),
     "pipe_decontam" -> ((s, d) => Decontam.flagDocuments(Tables.documents(s, d))),
     // near-duplicate decontamination: the probe slice as a broadcast
     // minhash gate index, whole-doc shingle similarity — catches the
@@ -2528,6 +2558,7 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
+    "ann_sq8" -> Ann.sq8TopKSql,
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
@@ -2548,6 +2579,7 @@ object SparkEntry {
     "pipe_sketch_union" -> Sketches.shardedCardinalityCheckedSql,
     "pipe_quantiles" -> Sketches.valueQuantilesCheckedSql,
     "pipe_heavy" -> Sketches.heavyHittersSql,
+    "pipe_cms" -> Sketches.cmsDomainCountsSql,
     "mm_decode" -> Multimodal.decodeDocumentsSql,
     "mm_resize" -> Multimodal.resizeDocumentsSql,
     "mm_ann" -> Multimodal.annOverFeaturesSql,
@@ -2581,6 +2613,7 @@ object SparkEntry {
         |FROM surv""".stripMargin,
     "pipe_pack" -> TextOps.packShardsSql,
     "pipe_mix" -> TextOps.mixSummarySql,
+    "pipe_mix_lang" -> TextOps.mixByLanguageSql,
     "pipe_decontam" -> Decontam.flagSql,
     "pipe_decontam_fuzzy" -> Decontam.flagFuzzyPlantedSql,
     "text_nb_score" -> TextOps.nbScoreSql("doc_id % 10 = 0"),
@@ -2597,6 +2630,15 @@ object SparkEntry {
          |       ${TextOps.h60Sql("text")} AS text_h
          |FROM documents""".stripMargin,
     "pipe_redact" -> TextOps.redactPiiSql,
+    // the oracle reads the SOURCE events directly: a hash match proves the
+    // clustered write + filtered read-back lost and duplicated nothing
+    // (ms-truncation is boundary-safe: the filter bounds are ms-aligned)
+    "src_clustered" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1""".stripMargin,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_build_full" -> graft.datapipe.Prep.buildFullSql,

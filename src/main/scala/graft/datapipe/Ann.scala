@@ -923,6 +923,124 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /**
+   * SQ8 scalar quantization — the remaining classic vector storage form
+   * (FAISS `ScalarQuantizer` QT_8bit): each dimension is trained to its
+   * collection [min, max] and every float becomes ONE byte,
+   * `code = round((x - lo) / (hi - lo) * 255)`. 4x compression with a
+   * per-dimension reconstruction error bounded by (hi - lo) / 510 —
+   * cheaper to encode than PQ (no codebook training) and the standard
+   * middle ground between raw floats and PQ codes.
+   *
+   * Scale shape: training is ONE map-side-combinable min/max aggregate
+   * keyed on dimension position (output = dim rows, collapsed to a
+   * 1-row lo/hi array frame that broadcasts anywhere); encode and decode
+   * are pure per-row projections (`transform` over the array with the
+   * broadcast bounds — the collection never shuffles and nothing is
+   * exploded). Every float op is a fixed-order double chain, so the
+   * DuckDB mirror is bit-identical, not luck-identical (see [[dotSql]]).
+   *
+   * Training on the collection itself bounds `(x - lo) / (hi - lo)` in
+   * [0, 1] exactly (x = hi divides to exactly 1.0 in IEEE), so codes
+   * need no clamp HERE; [[sq8Encode]] still clamps for the serve/append
+   * case where out-of-train-range vectors arrive.
+   */
+  def sq8Stats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("s"))
+      .select(transform(col("s"), p => p.getField("lo")).as("lo"),
+        transform(col("s"), p => p.getField("hi")).as("hi"))
+
+  /** Per-row byte-code projection against a broadcast 1-row [[sq8Stats]]
+    * frame; clamped to [0, 255] for vectors OUTSIDE the trained range
+    * (an appended shard's tails saturate, as in FAISS). */
+  def sq8Encode(emb: DataFrame, stats: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val lo = element_at(col("lo"), i + 1).cast("double")
+          val hi = element_at(col("hi"), i + 1).cast("double")
+          when(hi - lo === 0.0, lit(0))
+            .otherwise(greatest(lit(0), least(lit(255),
+              round((x.cast("double") - lo) / (hi - lo) * 255).cast("int"))))
+        }).as("codes"))
+
+  /** Reconstruction `lo + (code * (hi - lo)) / 255` — the dequantized
+    * double array the ADC estimate ranks against. */
+  def sq8Decode(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("codes"), (c, i) => {
+          val lo = element_at(col("lo"), i + 1).cast("double")
+          val hi = element_at(col("hi"), i + 1).cast("double")
+          lo + (c.cast("double") * (hi - lo)) / lit(255.0)
+        }).as("recon"))
+
+  /** The persisted SQ8 collection: byte codes + the 1-row bounds frame
+    * (the two frames a production pipeline bucket-writes and serves
+    * from — spec round-trips them through parquet). */
+  def sq8Compress(emb: DataFrame): (DataFrame, DataFrame) = {
+    val stats = sq8Stats(emb)
+    (sq8Encode(emb, stats), stats)
+  }
+
+  /** SQ8 approximate top-k: exact queries ranked against the
+    * DEQUANTIZED collection (the SQ asymmetric estimate). Same serve
+    * shape as [[pqTopK]]: broadcast query set, per-query bounded top-k
+    * window, collection never shuffles. */
+  def sq8TopK(emb: DataFrame): DataFrame = {
+    val (codes, stats) = sq8Compress(emb)
+    val rec = sq8Decode(codes, stats)
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = rec.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
+  /** DuckDB mirror of [[sq8TopK]] — the train/encode/decode chain
+    * rendered with the same fixed double op order (DuckDB list lambdas
+    * index 1-based where Spark's are 0-based; both sides read the same
+    * element). */
+  val sq8TopKSql: String = {
+    val dq = "CASE WHEN st.hi[i]::DOUBLE - st.lo[i]::DOUBLE = 0 THEN st.lo[i]::DOUBLE " +
+      "ELSE st.lo[i]::DOUBLE + (round((x::DOUBLE - st.lo[i]::DOUBLE) / " +
+      "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE) * 255) * " +
+      "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE)) / 255.0 END"
+    val cos = cosineSql("q.q_emb", "r.recon")
+    s"""WITH px AS (
+       |  SELECT unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |  FROM embeddings
+       |),
+       |dimstats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos),
+       |st AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dimstats),
+       |rec AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding, (x, i) -> $dq) AS recon
+       |  FROM embeddings e, st
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id % $queryMod = 0)
+       |SELECT q.q_id, r.vec_id AS nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q.q_id
+       |                               ORDER BY $cos DESC, r.vec_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS asim
+       |FROM q JOIN rec r ON r.vec_id <> q.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
   // ------------------------------------------------ IVF + PQ (IVFADC)
 
   /**

@@ -224,4 +224,106 @@ object Sketches {
       |SELECT term, CAST(count(*) AS BIGINT) AS cnt
       |FROM toks GROUP BY term
       |HAVING CAST(count(*) AS DOUBLE) >= 0.0005 * (SELECT CAST(count(*) AS DOUBLE) FROM toks)""".stripMargin
+
+  // ------------------------------------------------- count-min sketch
+
+  /** CMS geometry: depth x width cells. Overestimate error is bounded by
+    * 2N/width with probability 1 - 2^-depth (Cormode-Muthukrishnan); at
+    * corpus scale width is sized to the tolerated absolute error — the
+    * sketch stays depth*width cells REGARDLESS of key cardinality, which
+    * is the point vs the exact census when the key space is unbounded
+    * (URLs, n-grams) rather than domain-sized. */
+  val cmsDepth = 4
+  val cmsWidth = 1024
+
+  /** Cell index of `h` (a 60-bit key hash) in sketch row `r` — affine
+    * permutations under the committed [[Dedup.mhA]]/[[Dedup.mhB]]
+    * constants, like the Bloom gate's positions: a library CMS's
+    * internal hashing would be oracle-opaque. */
+  private def cmsCell(r: Int, h: org.apache.spark.sql.Column) =
+    (lit(Dedup.mhA(r)) * (h % Dedup.mhP) + lit(Dedup.mhB(r))) % Dedup.mhP % cmsWidth
+
+  private def cmsCellSql(r: Int, h: String) =
+    s"((${Dedup.mhA(r)} * ($h % ${Dedup.mhP}) + ${Dedup.mhB(r)}) % ${Dedup.mhP}) % $cmsWidth"
+
+  /**
+   * COUNT-MIN SKETCH of a keyed occurrence stream — the mergeable
+   * frequency summary (Cormode-Muthukrishnan 2005): each occurrence
+   * increments one cell per row; a key's estimate is the MIN over its
+   * [[cmsDepth]] cells, which can only OVERCOUNT (collisions add, never
+   * subtract) — `est >= true` is a theorem, verified per key in the
+   * driver entry below.
+   *
+   * Scale shape: the build is one map-side-combinable groupBy over
+   * (row, cell) — at most depth*width result rows from any input size,
+   * and partial aggregation collapses each partition to <= depth*width
+   * cells before the shuffle. Sketches MERGE by cell-wise addition
+   * (cms(A ∪ B) = cms(A) + cms(B), spec-pinned), so per-shard sketches
+   * union without a rebuild — same contract as [[shardedCardinality]].
+   *
+   * `occurrences` must expose a string `key` column, one row per
+   * occurrence. Output: (row, cell, c).
+   */
+  def cmsBuild(occurrences: DataFrame): DataFrame = {
+    val h = TextOps.h60(col("key"))
+    occurrences
+      .select(explode(array((0 until cmsDepth).map(r =>
+        struct(lit(r).as("row"), cmsCell(r, h).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for every distinct key in `keys` (string
+    * `key` column): min over the key's depth cells. The sketch is
+    * depth*width-bounded → broadcast; the probe never shuffles the
+    * key frame beyond its own distinct. */
+  def cmsEstimate(keys: DataFrame, sketch: DataFrame): DataFrame = {
+    val h = TextOps.h60(col("key"))
+    keys.select(col("key")).distinct()
+      .select(col("key"), explode(array((0 until cmsDepth).map(r =>
+        struct(lit(r).as("row"), cmsCell(r, h).as("cell"))): _*)).as("rc"))
+      .select(col("key"), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy(col("key"))
+      .agg(min(col("c")).as("est"))
+  }
+
+  /** Driver entry: CMS over the per-document DOMAIN stream, estimates
+    * joined against the exact census — `over_est` (est >= exact) is the
+    * theorem column, `is_exact` shows where collisions actually landed
+    * at this geometry. */
+  def cmsDomainCounts(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(Domains.domainOf.as("key"))
+    val sketch = cmsBuild(keyed)
+    val census = keyed.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    cmsEstimate(keyed, sketch)
+      .join(census, Seq("key"))
+      .select(col("key").as("domain"), col("n"), col("est"),
+        (col("est") >= col("n")).as("over_est"),
+        (col("est") === col("n")).as("is_exact"))
+  }
+
+  /** DuckDB mirror of [[cmsDomainCounts]] — positions zipped via
+    * parallel unnest, same affine cell maths. */
+  val cmsDomainCountsSql: String = {
+    val h = TextOps.h60Sql("key")
+    val cells = (0 until cmsDepth).map(r => cmsCellSql(r, "h")).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT ${Domains.domainOfSql} AS key FROM documents),
+       |hk AS (SELECT key, $h AS h FROM d),
+       |pos AS (
+       |  SELECT key, unnest(range(0, $cmsDepth)) AS row, unnest($cells) AS cell
+       |  FROM hk
+       |),
+       |sk AS (SELECT row, cell, count(*) AS c FROM pos GROUP BY 1, 2),
+       |est AS (
+       |  SELECT p.key, min(s.c) AS est
+       |  FROM (SELECT DISTINCT key, row, cell FROM pos) p
+       |  JOIN sk s ON s.row = p.row AND s.cell = p.cell
+       |  GROUP BY 1
+       |),
+       |census AS (SELECT key, count(*) AS n FROM d GROUP BY 1)
+       |SELECT c.key AS domain, c.n, e.est,
+       |       e.est >= c.n AS over_est, e.est = c.n AS is_exact
+       |FROM census c JOIN est e ON e.key = c.key""".stripMargin
+  }
 }

@@ -1147,6 +1147,84 @@ object TextOps {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /**
+   * TEMPERATURE-sampled language balancing (mT5 / XLM-R style): sample
+   * language l proportionally to `n_l^alpha` so rare languages are
+   * up-sampled and the head language down-sampled. The per-document
+   * expected copy count is `c_l = N * q_l / n_l` with
+   * `q_l = n_l^alpha / sum_m n_m^alpha` — the corpus keeps its total
+   * size N in expectation while the language mix flattens.
+   *
+   * alpha is pinned to 0.5 BY DESIGN: `sqrt` is the one power IEEE 754
+   * requires to be correctly rounded, so `n_l^alpha` is bit-identical
+   * in Spark and DuckDB (a libm `pow(x, 0.3)` is only faithfully
+   * rounded and may disagree in the last ulp — the class of
+   * luck-identical oracle the r12 `list_sum` find banned). The sqrt
+   * sum crosses engines as DECIMAL(30,15) (the exact, order-free
+   * accumulator — the established DOUBLE→DECIMAL hop), and every later
+   * op is a fixed-order double chain shared with [[mixEpochs]]'s
+   * proven copy gate.
+   *
+   * Scale shape: the census is one map-side-combinable groupBy over a
+   * language-cardinality frame (dozens of rows at any corpus size); the
+   * rates broadcast back; emission is a per-row explode + content-hash
+   * gate — the corpus never shuffles. Output audits per language:
+   * input docs, the computed weight, emitted docs and char mass.
+   */
+  def mixByLanguage(docs: DataFrame): DataFrame = {
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = census.groupBy().agg(
+      sum(col("n_l")).as("n_tot"),
+      sum(sqrt(col("n_l").cast("double")).cast("decimal(30,15)")).as("s_sum"))
+    val rates = census.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_l"),
+        round((col("n_tot").cast("double") * sqrt(col("n_l").cast("double"))) /
+          (col("s_sum").cast("double") * col("n_l").cast("double")), 6).as("w"))
+    val emitted = docs.join(broadcast(rates), "lang")
+      .withColumn("__full", floor(col("w")).cast("int"))
+      .withColumn("__frac", round((col("w") - floor(col("w"))) * 1000).cast("int"))
+      .withColumn("rep", explode(sequence(lit(0), col("__full"))))
+      .where(col("rep") < col("__full") ||
+        pmod(h60(concat(lit("lt:"), col("text"), lit(":"), col("rep").cast("string"))),
+          lit(1000)) < col("__frac"))
+    emitted.groupBy(col("lang"), col("n_l"), col("w"))
+      .agg(count(lit(1)).as("docs_out"), sum(col("n_chars")).as("chars_out"))
+  }
+
+  /** DuckDB mirror of [[mixByLanguage]] — census, sqrt-temperature
+    * rates (same fixed double op order), copy explode, hash gate. */
+  val mixByLanguageSql: String =
+    s"""WITH census AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+       |tot AS (
+       |  SELECT sum(n_l) AS n_tot,
+       |         sum(CAST(sqrt(CAST(n_l AS DOUBLE)) AS DECIMAL(30,15))) AS s_sum
+       |  FROM census
+       |),
+       |rates AS (
+       |  SELECT lang, n_l,
+       |         round((CAST(n_tot AS DOUBLE) * sqrt(CAST(n_l AS DOUBLE))) /
+       |               (CAST(s_sum AS DOUBLE) * CAST(n_l AS DOUBLE)), 6) AS w
+       |  FROM census, tot
+       |),
+       |wdoc AS (
+       |  SELECT d.lang, r.n_l, r.w, d.text, d.n_chars,
+       |         CAST(floor(r.w) AS INT) AS nfull,
+       |         CAST(round((r.w - floor(r.w)) * 1000) AS INT) AS frac
+       |  FROM documents d JOIN rates r ON r.lang = d.lang
+       |),
+       |e AS (
+       |  SELECT lang, n_l, w, text, n_chars, nfull, frac,
+       |         unnest(range(0, nfull + 1)) AS rep
+       |  FROM wdoc
+       |)
+       |SELECT lang, n_l, w,
+       |       CAST(count(*) AS BIGINT) AS docs_out,
+       |       CAST(sum(n_chars) AS BIGINT) AS chars_out
+       |FROM e
+       |WHERE rep < nfull
+       |   OR (${h60Sql("'lt:' || text || ':' || rep::VARCHAR")}) % 1000 < frac
+       |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------ segment-level dedup
 
   /** Words per dedup segment (the "paragraph" unit: real pipelines split

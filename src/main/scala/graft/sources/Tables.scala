@@ -233,6 +233,27 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /**
+   * RANGE-CLUSTERED parquet write (r14) — the data-LAYOUT lever between
+   * `partitionBy` (directory pruning on low-cardinality columns) and
+   * `bucketBy` (join co-location): rows are range-partitioned on `key`
+   * via a sampled range exchange and sorted within each partition, so
+   * every output file covers a narrow, non-overlapping slice of the key
+   * domain and the parquet footer min/max statistics become surgical. A
+   * later scan with a `key` range predicate skips every non-overlapping
+   * row group at the reader level (the pushed filter is evaluated
+   * against footer stats before any page is decoded) — on a 100 TB
+   * time-ordered event store this turns a 3-day query into a read of
+   * ~3 days of files, the same discipline as Delta/Iceberg OPTIMIZE
+   * ZORDER with one dimension. TablesSpec pins the contract: per-file
+   * key ranges are pairwise disjoint and the range predicate reaches
+   * `PushedFilters`.
+   */
+  def writeClustered(df: DataFrame, path: String, key: String, files: Int): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+
   /** Bucketed parquet write: rows hash-bucketed (and sorted) by the join
     * key into `buckets` buckets, registered in the session catalog. The
     * co-location contract at 100 TB: two tables bucketed by the same key

@@ -70,4 +70,43 @@ class MixSpec extends SparkSpecBase {
     assert(out(2) > in(2))            // w = 1.5
     assert(out(3) >= 2 * in(3))       // w = 2.25: two full epochs guaranteed
   }
+
+  // --------------------------- temperature-sampled language balancing
+
+  test("temperature rates flatten the mix: head lang w < 1 < rare lang w, N preserved in expectation") {
+    val rows = TextOps.mixByLanguage(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byLang = rows.map(r => r._1 -> r).toMap
+    val n = rows.map(_._2).sum
+    // en dominates this corpus: down-sampled; every other lang up-samples
+    assert(byLang("en")._3 < 1.0)
+    rows.filter(_._1 != "en").foreach(r => assert(r._3 > 1.0, s"$r"))
+    // expectation preservation: sum n_l * w_l == N up to the 6dp rounding
+    val expected = rows.map(r => r._2 * r._3).sum
+    assert(math.abs(expected - n) < n * 1e-5, s"$expected vs $n")
+    // emitted copies bracket the guaranteed/full+1 band per lang
+    rows.foreach { case (lang, nl, w, out) =>
+      val full = w.toInt
+      assert(out >= nl * full && out <= nl * (full + 1), s"$lang: $out outside [$full, ${full + 1}] * $nl")
+    }
+  }
+
+  test("a uniform corpus is a fixed point: every lang rate is exactly 1.0, pass-through") {
+    import spark.implicits._
+    val uni = (0L until 40L).map(i =>
+      (i, s"text body $i", Seq("aa", "bb", "cc", "dd")(i.toInt % 4), s"src${i % 4}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.mixByLanguage(uni).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 4)
+    rows.foreach { case (_, nl, w, out) =>
+      assert(w == 1.0 && nl == 10L && out == 10L)
+    }
+  }
+
+  test("language balancing is deterministic: two runs produce the identical summary") {
+    val a = TextOps.mixByLanguage(docs).collect().map(_.toString).sorted.toSeq
+    val b = TextOps.mixByLanguage(docs).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

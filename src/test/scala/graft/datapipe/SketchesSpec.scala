@@ -84,4 +84,68 @@ class SketchesSpec extends SparkSpecBase {
       r.getAs[Long]("e2") == r.getAs[Long]("e4")),
       joined.map(r => (r.getString(0), r.getAs[Long]("e2"), r.getAs[Long]("e4"))).mkString(","))
   }
+
+  // ------------------------------------------------- count-min sketch
+
+  import org.apache.spark.sql.functions._
+
+  /** Pure-Scala replication of the CMS cell maths — sanity-pins the
+    * sketch against its own definition (same pattern as BloomSpec). */
+  private def cellsOf(key: String): Seq[(Int, Long)] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseUnsignedLong(md5.take(15), 16) % Dedup.mhP
+    (0 until Sketches.cmsDepth).map(r =>
+      r -> ((Dedup.mhA(r) * h + Dedup.mhB(r)) % Dedup.mhP % Sketches.cmsWidth))
+  }
+
+  test("CMS never undercounts and is bounded by depth*width cells") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.cmsDomainCounts(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("over_est"),
+        s"undercount at ${r.getAs[String]("domain")}")
+    }
+    val sketch = Sketches.cmsBuild(docs.select(Domains.domainOf.as("key")))
+    assert(sketch.count() <= Sketches.cmsDepth.toLong * Sketches.cmsWidth)
+  }
+
+  test("CMS hand oracle: collision-free keys estimate exactly, cells match the Scala maths") {
+    import spark.implicits._
+    val occ = (Seq.fill(3)("alpha") ++ Seq.fill(5)("beta") ++ Seq("gamma"))
+      .toDF("key")
+    // verify the two key sets don't collide in EVERY row (they would
+    // have to for the min to overcount)
+    val byKey = Map("alpha" -> 3L, "beta" -> 5L, "gamma" -> 1L)
+    val collisionFree = byKey.keys.forall { k =>
+      cellsOf(k).exists { case (r, c) =>
+        byKey.keys.filter(_ != k).forall(o => cellsOf(o)(r)._2 != c) }
+    }
+    assume(collisionFree) // holds for these literals under the committed constants
+    val est = Sketches.cmsEstimate(occ, Sketches.cmsBuild(occ)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == byKey)
+    // the Spark cell layout IS the Scala maths: rebuild the sketch by hand
+    val handSketch = byKey.toSeq.flatMap { case (k, n) =>
+      cellsOf(k).map { case (r, c) => (r, c, n) } }
+      .groupBy(t => (t._1, t._2)).map { case ((r, c), xs) => (r, c, xs.map(_._3).sum) }
+      .toSet
+    val sparkSketch = Sketches.cmsBuild(occ).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sparkSketch == handSketch)
+  }
+
+  test("CMS merges by cell-wise addition: cms(A) + cms(B) == cms(A ∪ B)") {
+    val docs = Tables.documents(spark, sfDir)
+    val keyed = docs.select(Domains.domainOf.as("key"), col("doc_id"))
+    val a = Sketches.cmsBuild(keyed.where(col("doc_id") % 2 === 0))
+    val b = Sketches.cmsBuild(keyed.where(col("doc_id") % 2 =!= 0))
+    val merged = a.union(b).groupBy(col("row"), col("cell"))
+      .agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Sketches.cmsBuild(keyed).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full && full.nonEmpty)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization (Ann.sq8*): train/encode/decode maths, the
+  * quantization-error bound, the out-of-range clamp, and the persisted
+  * (codes, bounds) deployment round-trip. */
+class Sq8Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 3 dims with distinct ranges; dim 2 is CONSTANT (hi == lo).
+  private def emb = Seq(
+    (0L, Array(0.0f, -2.0f, 7.5f)),
+    (1L, Array(1.0f, 2.0f, 7.5f)),
+    (2L, Array(0.25f, 0.0f, 7.5f)),
+    (3L, Array(0.75f, -1.0f, 7.5f)),
+    (50L, Array(0.26f, 0.1f, 7.5f))) // query row (vec_id % 50 == 0)
+    .toDF("vec_id", "embedding")
+
+  test("codes span exactly [0, 255]: min dims encode 0, max dims 255, constant dims 0") {
+    val (codes, _) = Ann.sq8Compress(emb)
+    val byId = codes.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    assert(byId(0L) == Seq(0, 0, 0))     // lo on dims 0,1; constant dim -> 0
+    assert(byId(1L) == Seq(255, 255, 0)) // hi on dims 0,1
+    assert(byId.values.forall(_.forall(c => c >= 0 && c <= 255)))
+  }
+
+  test("reconstruction error bounded by (hi - lo) / 510 per dimension") {
+    val (codes, stats) = Ann.sq8Compress(emb)
+    val rec = Ann.sq8Decode(codes, stats)
+    val errs = emb.join(rec, "vec_id")
+      .select(zip_with(col("embedding"), col("recon"),
+        (x, r) => abs(x.cast("double") - r)).as("e"))
+      .select(explode(col("e")))
+      .collect().map(_.getDouble(0))
+    // ranges: dim0 = 1.0, dim1 = 4.0, dim2 = 0.0 -> worst bound 4/510
+    assert(errs.forall(_ <= 4.0 / 510 + 1e-12), s"max err ${errs.max}")
+  }
+
+  test("constant dimension reconstructs exactly lo") {
+    val (codes, stats) = Ann.sq8Compress(emb)
+    val d2 = Ann.sq8Decode(codes, stats)
+      .select(element_at(col("recon"), 3)).collect().map(_.getDouble(0))
+    assert(d2.forall(_ == 7.5))
+  }
+
+  test("out-of-train-range vectors saturate at 0/255 instead of escaping the code space") {
+    val stats = Ann.sq8Stats(emb)
+    val out = Seq((9L, Array(5.0f, -100.0f, 7.5f))).toDF("vec_id", "embedding")
+    val codes = Ann.sq8Encode(out, stats).head().getAs[scala.collection.Seq[Int]]("codes").toSeq
+    assert(codes == Seq(255, 0, 0))
+  }
+
+  test("persisted deployment round-trip: parquet codes + bounds serve identical reconstructions") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8spec").toString
+    try {
+      val (codes, stats) = Ann.sq8Compress(emb)
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      val rtCodes = spark.read.parquet(s"$dir/codes")
+      val rtStats = spark.read.parquet(s"$dir/stats")
+      val direct = Ann.sq8Decode(codes, stats).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Double]]("recon").toSeq)).toSet
+      val fromDisk = Ann.sq8Decode(rtCodes, rtStats).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Double]]("recon").toSeq)).toSet
+      assert(direct == fromDisk)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("sq8TopK preserves the well-separated nearest neighbor; collection side never sort-merge joins") {
+    val ranked = Ann.sq8TopK(emb)
+    val for50 = ranked.where(col("q_id") === 50L).orderBy("rnk").collect()
+    assert(for50.head.getAs[Long]("nbr_id") == 2L) // 0.26,0.1 is nearest 0.25,0.0
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "serve joins must broadcast")
+  }
+}
