@@ -1840,6 +1840,32 @@ object SparkEntry {
     // map-side aggregate, 1 byte/dim codes, dequantized-cosine ranking —
     // the 4x middle ground between raw floats and PQ codes
     "ann_sq8" -> ((s, d) => Ann.sq8TopK(Tables.embeddings(s, d))),
+    // persisted SQ8 deployment split (r14): codes + bounds written once,
+    // serving dequantizes from the disk-resident artifact — timed
+    // end-to-end including the index write
+    "ann_sq8_file" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq8_idx_")
+      trackTempDir(tmp)
+      Ann.sq8Write(emb, tmp.toString)
+      Ann.sq8ServeFromDir(s, tmp.toString,
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    }),
+    // FAISS-style add() on the SQ8 artifact (r14): bounds train on the
+    // even half, the odd half encodes against the FROZEN bounds (the
+    // saturation clamp is live on out-of-range appends) and lands via
+    // the atomic staged append; served from disk
+    "ann_sq8_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq8_app_")
+      trackTempDir(tmp)
+      Ann.sq8Write(emb.where(col("vec_id") % 2 === 0), tmp.toString)
+      Ann.sq8Append(s, tmp.toString, emb.where(col("vec_id") % 2 =!= 0))
+      Ann.sq8ServeFromDir(s, tmp.toString,
+        emb.where(col("vec_id") % Ann.queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    }),
     // IVFADC (FAISS IVFPQ): probed inverted lists restrict the scan,
     // PQ reconstructions rank it — the composed 10^10-vector serving
     // architecture; candidates served from the compressed storage form
@@ -1911,6 +1937,14 @@ object SparkEntry {
     // corpus size
     "dedup_bloom" -> ((s, d) =>
       Dedup.bloomFlagDocuments(Tables.documents(s, d))),
+    // stateless streaming form of the bloom gate (r14): k broadcast
+    // left joins instead of explode+count — no aggregation, rides a
+    // readStream unchanged; output identical to dedup_bloom
+    "dedup_bloom_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomFlagStateless(docs,
+        Dedup.bloomBuild(docs.where(col("doc_id") % 2 === 0)))
+    }),
     // segment-level FUZZY dedup (r14): MinHash banding at the 20-word
     // segment level over planted reflowed boilerplate — the class exact
     // segment dedup structurally misses
@@ -2558,7 +2592,12 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
-    "ann_sq8" -> Ann.sq8TopKSql,
+    "ann_sq8" -> Ann.sq8TopKSql(),
+    // the file-backed SQ8 serving split reproduces ann_sq8 exactly; the
+    // append form trains bounds on the even half only (frozen-bounds
+    // encode, saturation clamp live on the appended tail)
+    "ann_sq8_file" -> Ann.sq8TopKSql(),
+    "ann_sq8_append" -> Ann.sq8TopKSql("vec_id % 2 = 0"),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
@@ -2621,6 +2660,7 @@ object SparkEntry {
     "pipe_para_dedup" -> TextOps.segmentDedupSql,
     "pipe_para_fuzzy" -> Dedup.segmentDedupFuzzyPlantedSql,
     "dedup_bloom" -> Dedup.bloomFlagSql,
+    "dedup_bloom_stream" -> Dedup.bloomFlagSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,
     "pipe_chunk" -> TextOps.chunkSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL

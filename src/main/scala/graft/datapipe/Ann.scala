@@ -989,15 +989,11 @@ object Ann {
     (sq8Encode(emb, stats), stats)
   }
 
-  /** SQ8 approximate top-k: exact queries ranked against the
-    * DEQUANTIZED collection (the SQ asymmetric estimate). Same serve
-    * shape as [[pqTopK]]: broadcast query set, per-query bounded top-k
-    * window, collection never shuffles. */
-  def sq8TopK(emb: DataFrame): DataFrame = {
-    val (codes, stats) = sq8Compress(emb)
-    val rec = sq8Decode(codes, stats)
-    val q = emb.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  /** The SQ8 serve phase standing alone: exact queries (`q_id, q_emb`)
+    * ranked against a dequantized `(vec_id, recon)` collection — same
+    * shape as [[pqTopK]]'s: broadcast query set, per-query bounded
+    * top-k window, collection never shuffles. */
+  def sq8Rank(rec: DataFrame, q: DataFrame): DataFrame = {
     val scored = rec.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
         (dot(col("q_emb"), col("recon")) /
@@ -1009,20 +1005,66 @@ object Ann {
         round(col("cos"), 6).as("asim"))
   }
 
+  /** SQ8 approximate top-k: exact queries ranked against the
+    * DEQUANTIZED collection (the SQ asymmetric estimate). */
+  def sq8TopK(emb: DataFrame): DataFrame = {
+    val (codes, stats) = sq8Compress(emb)
+    sq8Rank(sq8Decode(codes, stats),
+      emb.where(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+  }
+
+  /** PERSISTED SQ8 deployment split (the [[ivfpqIndex]] pattern at the
+    * scalar-quantizer tier): byte codes + the 1-row bounds frame
+    * bucket-written once; serving dequantizes and ranks from the
+    * disk-resident artifact — 1 byte/dim on disk, no raw float vector
+    * in any persisted frame. */
+  def sq8Write(emb: DataFrame, dir: String): Unit = {
+    val (codes, stats) = sq8Compress(emb)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** FAISS-style `add()` for the persisted SQ8 artifact: new vectors
+    * encode against the FROZEN per-dimension bounds (out-of-range tails
+    * SATURATE at 0/255 — the documented clamp contract, exactly FAISS's
+    * trained-ScalarQuantizer behavior) and append atomically via
+    * [[graft.sources.Tables.stagedAppend]]. The bounds are NOT
+    * retrained — vec_id disjointness is the caller's contract, as with
+    * [[ivfpqAppend]]. */
+  def sq8Append(spark: org.apache.spark.sql.SparkSession, dir: String,
+                newVecs: DataFrame): Unit = {
+    val stats = spark.read.parquet(s"$dir/stats")
+    graft.sources.Tables.stagedAppend(sq8Encode(newVecs, stats), s"$dir/codes")
+  }
+
+  /** Serve top-k from the disk-resident SQ8 artifact (codes read
+    * recursively so [[sq8Append]] shards are visible). */
+  def sq8ServeFromDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      q: DataFrame): DataFrame =
+    sq8Rank(sq8Decode(graft.sources.Tables.readIndexDir(spark, s"$dir/codes"),
+      spark.read.parquet(s"$dir/stats")), q)
+
   /** DuckDB mirror of [[sq8TopK]] — the train/encode/decode chain
     * rendered with the same fixed double op order (DuckDB list lambdas
     * index 1-based where Spark's are 0-based; both sides read the same
-    * element). */
-  val sq8TopKSql: String = {
+    * element). `trainPred` restricts the BOUNDS training set (the
+    * frozen-bounds append deployment: bounds from the base shard,
+    * everything encoded against them — out-of-range appends exercise
+    * the saturation clamp, mirrored here exactly as [[sq8Encode]]
+    * computes it). */
+  def sq8TopKSql(trainPred: String = "true"): String = {
+    val code = "greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE), " +
+      "round((x::DOUBLE - st.lo[i]::DOUBLE) / " +
+      "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE) * 255)))"
     val dq = "CASE WHEN st.hi[i]::DOUBLE - st.lo[i]::DOUBLE = 0 THEN st.lo[i]::DOUBLE " +
-      "ELSE st.lo[i]::DOUBLE + (round((x::DOUBLE - st.lo[i]::DOUBLE) / " +
-      "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE) * 255) * " +
+      s"ELSE st.lo[i]::DOUBLE + ($code * " +
       "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE)) / 255.0 END"
     val cos = cosineSql("q.q_emb", "r.recon")
     s"""WITH px AS (
        |  SELECT unnest(embedding) AS x,
        |         unnest(range(1, len(embedding) + 1)) AS pos
-       |  FROM embeddings
+       |  FROM embeddings WHERE $trainPred
        |),
        |dimstats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos),
        |st AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dimstats),

@@ -559,6 +559,31 @@ object Dedup {
   def bloomFlagDocuments(docs: DataFrame): DataFrame =
     bloomFlag(docs, bloomBuild(docs.where(col("doc_id") % 2 === 0)))
 
+  /**
+   * STATELESS streaming form of the Bloom gate (r14): [[bloomFlag]]'s
+   * explode → per-doc count aggregation is state-store territory in a
+   * stream; here the k=bloomK membership tests run as k SEPARATE
+   * broadcast left joins of the m-bounded filter (one per position),
+   * flagged when ALL k hit — pure stream-static joins, no aggregation,
+   * no watermark, so the gate rides a `readStream` unchanged (the same
+   * contract as [[minhashStreamingFlag]]). Output is IDENTICAL to
+   * [[bloomFlag]]'s (spec-pinned batch == stream): a position array is
+   * all-set iff each of its k members is set. The filter side is
+   * re-distincted (a static-side aggregate — allowed) so appended
+   * position files need no pre-compaction.
+   */
+  def bloomFlagStateless(arrivals: DataFrame, filter: DataFrame): DataFrame = {
+    val dedupFilter = filter.select(col("pos")).distinct()
+    val withPos = arrivals.select(col("doc_id") +: bloomPositions.zipWithIndex
+      .map { case (p, i) => p.as(s"__p$i") }: _*)
+    (0 until bloomK).foldLeft(withPos) { (df, i) =>
+      df.join(broadcast(dedupFilter.select(col("pos").as(s"__hit$i"))),
+        col(s"__p$i") === col(s"__hit$i"), "left")
+    }
+      .where((0 until bloomK).map(i => col(s"__hit$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"), lit(true).as("maybe_seen"))
+  }
+
   /** DuckDB mirror of [[bloomFlagDocuments]]. */
   lazy val bloomFlagSql: String = {
     val posList = bloomPositionsSql.mkString("[", ", ", "]")

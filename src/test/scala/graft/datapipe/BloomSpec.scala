@@ -70,4 +70,45 @@ class BloomSpec extends SparkSpecBase {
       assert(full.exceptAll(appended).isEmpty && appended.exceptAll(full).isEmpty)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("stateless gate equals the aggregate gate row-for-row, with no aggregation in its plan") {
+    val filter = Dedup.bloomBuild(docs.where(col("doc_id") % 2 === 0))
+    val agg = Dedup.bloomFlag(docs, filter)
+    val stateless = Dedup.bloomFlagStateless(docs, filter)
+    assert(agg.exceptAll(stateless).isEmpty && stateless.exceptAll(agg).isEmpty)
+    assert(agg.count() > 0)
+    // the stream-side plan carries joins only — the property that lets
+    // it ride a readStream without a state store (the filter side's
+    // distinct is static and allowed)
+    val streamSide = stateless.queryExecution.analyzed.toString
+    assert(!streamSide.split("Join").head.contains("Aggregate"),
+      s"aggregation above the probe joins:\n$streamSide")
+  }
+
+  test("stateless gate rides a real stream: members flag, novels pass, across batches") {
+    implicit val ctx = spark.sqlContext
+    val memberText = docs.where(col("doc_id") % 2 === 0)
+      .select("text").as[String].head()
+    val filter = Dedup.bloomBuild(docs.where(col("doc_id") % 2 === 0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.bloomFlagStateless(
+        input.toDF().toDF("doc_id", "text"), filter)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((100001L, memberText), (100002L, "zz novel unseen alpha"))
+      q.processAllAvailable()
+      input.addData((100003L, memberText))
+      q.processAllAvailable()
+      val flagged = spark.table("bloom_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged.contains(100001L) && flagged.contains(100003L))
+      assert(!flagged.contains(100002L) ||
+        // an FP on the novel is possible in principle; accept only if
+        // the batch gate agrees (determinism, not zero-FP, is the claim)
+        Dedup.bloomFlagStateless(
+          Seq((100002L, "zz novel unseen alpha")).toDF("doc_id", "text"),
+          filter).count() == 1)
+    } finally q.stop()
+  }
 }

@@ -71,6 +71,39 @@ class Sq8Spec extends SparkSpecBase {
     }
   }
 
+  test("file-backed serving reproduces sq8TopK exactly; frozen-bounds append saturates and serves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq8file").toString
+    val q = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    try {
+      // deployment split: write once, serve from disk — identical ranks
+      Ann.sq8Write(emb, s"$dir/full")
+      val direct = Ann.sq8TopK(emb).collect().map(_.toSeq).toSet
+      val served = Ann.sq8ServeFromDir(spark, s"$dir/full", q)
+        .collect().map(_.toSeq).toSet
+      assert(direct == served && served.nonEmpty)
+      // frozen-bounds add(): bounds from the even half only; the odd
+      // half's out-of-range dim saturates instead of escaping the code
+      // space, and appended vectors are servable
+      Ann.sq8Write(emb.where(col("vec_id") % 2 === 0), s"$dir/base")
+      Ann.sq8Append(spark, s"$dir/base", emb.where(col("vec_id") % 2 =!= 0))
+      val codes = graft.sources.Tables.readIndexDir(spark, s"$dir/base/codes")
+      assert(codes.select("vec_id").as[Long].collect().toSet ==
+        Set(0L, 1L, 2L, 3L, 50L))
+      // even-trained dim-2 range is [-2.0, 0.1] (ids 0,2,50); vec 1's
+      // 2.0 exceeds hi -> code must saturate at 255
+      val v1 = codes.where(col("vec_id") === 1L).head()
+        .getAs[scala.collection.Seq[Int]]("codes").toSeq
+      assert(v1(1) == 255, s"expected saturation, got $v1")
+      val servedAll = Ann.sq8ServeFromDir(spark, s"$dir/base", q)
+      assert(servedAll.where(col("nbr_id") % 2 =!= 0).count() > 0,
+        "appended vectors must be servable")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("sq8TopK preserves the well-separated nearest neighbor; collection side never sort-merge joins") {
     val ranked = Ann.sq8TopK(emb)
     val for50 = ranked.where(col("q_id") === 50L).orderBy("rnk").collect()
