@@ -1992,6 +1992,28 @@ object SparkEntry {
           expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
             .as("val_sum"))
     }),
+    // Z-ORDER layout (r14): events Morton-clustered by (user_id,
+    // minute-of-month) so a range filter on EITHER dimension prunes
+    // files; read back through a user_id range — the dimension a pure
+    // ts-clustering could not prune at all
+    "src_zorder" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      val path = tmp.resolve("events").toString
+      trackTempDir(tmp)
+      val minuteOfMonth = expr("unix_millis(ts) div 60000") - lit(28401120L)
+      // user_id scales x43 onto the same 16-bit width as minute-of-month
+      // (max 1500 users x 43 < 2^16) — unscaled, the minute bits would
+      // dominate every interleave position and the curve degenerates to
+      // single-dim time clustering
+      Tables.writeClusteredBy(Tables.events(s, d), path,
+        Tables.zorderKey(col("user_id") * 43, minuteOfMonth), 8)
+      s.read.parquet(path)
+        .where(col("user_id").between(3, 7))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
+            .as("val_sum"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2678,6 +2700,14 @@ object SparkEntry {
         |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1""".stripMargin,
+    // the z-order re-layout must lose/duplicate nothing either; the
+    // filtered dimension is user_id (unprunable under pure ts order)
+    "src_zorder" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7
         |GROUP BY 1""".stripMargin,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,

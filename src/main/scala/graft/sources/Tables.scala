@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -250,9 +250,34 @@ object Tables {
    * `PushedFilters`.
    */
   def writeClustered(df: DataFrame, path: String, key: String, files: Int): Unit =
-    df.repartitionByRange(files, col(key))
+    writeClusteredBy(df, path, col(key), files)
+
+  /** [[writeClustered]] over an arbitrary key EXPRESSION (the z-order
+    * form passes [[zorderKey]]); the key never lands in the file — it
+    * exists only in the exchange + in-partition sort. */
+  def writeClusteredBy(df: DataFrame, path: String, key: Column, files: Int): Unit =
+    df.repartitionByRange(files, key)
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /**
+   * Z-ORDER (Morton) key of two bounded non-negative dimensions: bit i
+   * of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting by
+   * the key clusters BOTH dimensions at once — each output file of a
+   * [[writeClusteredBy]] covers a bounded rectangle in (a, b) space and
+   * a range predicate on EITHER column prunes via footer min/max stats
+   * (the multi-dimension generalization of single-key clustering;
+   * Delta/Iceberg OPTIMIZE ZORDER). Both inputs must fit in `bits`
+   * bits — the caller maps raw domains down (bucket, scale, or offset);
+   * a fail-loud width check belongs there because this expression runs
+   * per row in codegen.
+   */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
 
   /** Bucketed parquet write: rows hash-bucketed (and sorted) by the join
     * key into `buckets` buckets, registered in the session catalog. The

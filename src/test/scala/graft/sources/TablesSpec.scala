@@ -87,6 +87,51 @@ class TablesSpec extends SparkSpecBase {
     assert(back.count() == 4)
   }
 
+  test("zorderKey interleaves bits: hand cases and monotone quadrant prefixes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (2L, 0L, 4L), (3L, 3L, 15L), (65535L, 65535L, (1L << 32) - 1))
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(Tables.zorderKey(col("a"), col("b")).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq == cases.map(_._3))
+  }
+
+  test("z-order clustering prunes BOTH dimensions at once; single-key clustering cannot") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // deterministic 64x64 grid, both dims 6 bits
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    def boxes(path: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    try {
+      Tables.writeClusteredBy(grid, s"$dir/z",
+        Tables.zorderKey(col("a"), col("b"), 6), 16)
+      Tables.writeClustered(grid, s"$dir/a", "a", 16)
+      val zb = boxes(s"$dir/z"); val ab = boxes(s"$dir/a")
+      assert(zb.length >= 8 && ab.length >= 8)
+      // a corner query a<16 AND ALSO a corner query b<16 each overlap at
+      // most half the z-files (its area is 1/4 the grid; sampled range
+      // boundaries may straddle quadrants, hence the slack)...
+      assert(zb.count(f => f._1 <= 15) <= zb.length / 2, zb.mkString(","))
+      assert(zb.count(f => f._3 <= 15) <= zb.length / 2, zb.mkString(","))
+      // ...while single-key clustering on `a` leaves EVERY file fully
+      // spanning b — the b-corner query reads the whole table
+      assert(ab.count(f => f._3 <= 15) == ab.length)
+      // and the re-layout loses nothing
+      assert(spark.read.parquet(s"$dir/z").count() == 4096)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("range-clustered write yields pairwise-disjoint per-file key ranges and a pushed range filter") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_clustered").toString
