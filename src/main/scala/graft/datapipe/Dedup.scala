@@ -548,7 +548,13 @@ object Dedup {
         explode(col("__ps")).as("pos"))
       .join(broadcast(filter.select(col("pos")).distinct()), Seq("pos"))
       .groupBy(col("doc_id"), col("__need"))
-      .agg(count(lit(1)).as("__got"))
+      // count DISTINCT, not rows (r14 review fix): a doc_id arriving
+      // TWICE in one batch groups its copies together — a plain count
+      // reads 2k hits against need=k and silently false-negatives the
+      // one gate that advertises zero false negatives. One row per
+      // distinct flagged doc_id; the stateless form (below) flags per
+      // ROW instead — identical membership, per-arrival multiplicity.
+      .agg(countDistinct(col("pos")).as("__got"))
       .where(col("__got") === col("__need"))
       .select(col("doc_id"), lit(true).as("maybe_seen"))
   }
@@ -566,9 +572,12 @@ object Dedup {
    * broadcast left joins of the m-bounded filter (one per position),
    * flagged when ALL k hit — pure stream-static joins, no aggregation,
    * no watermark, so the gate rides a `readStream` unchanged (the same
-   * contract as [[minhashStreamingFlag]]). Output is IDENTICAL to
-   * [[bloomFlag]]'s (spec-pinned batch == stream): a position array is
-   * all-set iff each of its k members is set. The filter side is
+   * contract as [[minhashStreamingFlag]]). Membership is IDENTICAL to
+   * [[bloomFlag]]'s (spec-pinned: a position array is all-set iff each
+   * of its k members is set); multiplicity differs by design on
+   * duplicate doc_id arrivals — this form flags every arriving ROW,
+   * the aggregate form emits one row per distinct flagged doc_id
+   * (spec-pinned too). The filter side is
    * re-distincted (a static-side aggregate — allowed) so appended
    * position files need no pre-compaction.
    */

@@ -276,16 +276,22 @@ object Sketches {
   /** Point-query the sketch for every distinct key in `keys` (string
     * `key` column): min over the key's depth cells. The sketch is
     * depth*width-bounded → broadcast; the probe never shuffles the
-    * key frame beyond its own distinct. */
+    * key frame beyond its own distinct. The join is LEFT (r14 review
+    * fix): the sketch frame materializes only INCREMENTED cells, so a
+    * key absent from the build stream — the point of querying an
+    * unbounded key space — hits empty cells that have no row; the
+    * canonical CMS estimator mins over those zeros (usually est=0 for
+    * a never-seen key), it does not skip them (an inner join would
+    * either drop the key or min only its collided cells). */
   def cmsEstimate(keys: DataFrame, sketch: DataFrame): DataFrame = {
     val h = TextOps.h60(col("key"))
     keys.select(col("key")).distinct()
       .select(col("key"), explode(array((0 until cmsDepth).map(r =>
         struct(lit(r).as("row"), cmsCell(r, h).as("cell"))): _*)).as("rc"))
       .select(col("key"), col("rc.row").as("row"), col("rc.cell").as("cell"))
-      .join(broadcast(sketch), Seq("row", "cell"))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy(col("key"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   /** Driver entry: CMS over the per-document DOMAIN stream, estimates
@@ -316,9 +322,9 @@ object Sketches {
        |),
        |sk AS (SELECT row, cell, count(*) AS c FROM pos GROUP BY 1, 2),
        |est AS (
-       |  SELECT p.key, min(s.c) AS est
+       |  SELECT p.key, min(coalesce(s.c, 0)) AS est
        |  FROM (SELECT DISTINCT key, row, cell FROM pos) p
-       |  JOIN sk s ON s.row = p.row AND s.cell = p.cell
+       |  LEFT JOIN sk s ON s.row = p.row AND s.cell = p.cell
        |  GROUP BY 1
        |),
        |census AS (SELECT key, count(*) AS n FROM d GROUP BY 1)

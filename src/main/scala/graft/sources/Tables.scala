@@ -268,16 +268,30 @@ object Tables {
    * a range predicate on EITHER column prunes via footer min/max stats
    * (the multi-dimension generalization of single-key clustering;
    * Delta/Iceberg OPTIMIZE ZORDER). Both inputs must fit in `bits`
-   * bits — the caller maps raw domains down (bucket, scale, or offset);
-   * a fail-loud width check belongs there because this expression runs
-   * per row in codegen.
+   * bits — the caller maps raw domains down (bucket, scale, or offset)
+   * — and the fit is ENFORCED per row (r14 review fix): an input
+   * outside [0, 2^bits) raises instead of silently truncating, because
+   * truncation aliases distant keys onto the same curve position and a
+   * negative sign-extends to all-ones — either way the clustering
+   * quietly degenerates while every result stays correct-looking (one
+   * scale-factor step past the caller's margin is all it takes). The
+   * guard is two comparisons per row inside codegen.
    */
-  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    def checked(c: Column, name: String): Column = {
+      val wide = c.cast("long")
+      when(wide < 0L || wide >= (1L << bits),
+        raise_error(concat(
+          lit(s"zorderKey: $name out of [0, 2^$bits): "), wide.cast("string"))))
+        .otherwise(wide)
+    }
+    val (ca, cb) = (checked(a, "a"), checked(b, "b"))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
 
   /** Bucketed parquet write: rows hash-bucketed (and sorted) by the join
     * key into `buckets` buckets, registered in the session catalog. The

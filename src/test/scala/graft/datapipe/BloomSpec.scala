@@ -85,6 +85,22 @@ class BloomSpec extends SparkSpecBase {
       s"aggregation above the probe joins:\n$streamSide")
   }
 
+  test("duplicate doc_id arrivals: aggregate form flags once per distinct id, stateless per row (r14 review pin)") {
+    val memberText = docs.where(col("doc_id") % 2 === 0)
+      .select("text").as[String].head()
+    val filter = Dedup.bloomBuild(docs.where(col("doc_id") % 2 === 0))
+    // the same doc_id re-posted within one batch — a plain hit count
+    // would read 2k hits vs need=k and silently false-negative
+    val dup = Seq((7L, memberText), (7L, memberText), (8L, memberText))
+      .toDF("doc_id", "text")
+    val agg = Dedup.bloomFlag(dup, filter)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(agg == Seq(7L, 8L), s"aggregate form false-negatived: $agg")
+    val stateless = Dedup.bloomFlagStateless(dup, filter)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(stateless == Seq(7L, 7L, 8L), s"stateless multiplicity: $stateless")
+  }
+
   test("stateless gate rides a real stream: members flag, novels pass, across batches") {
     implicit val ctx = spark.sqlContext
     val memberText = docs.where(col("doc_id") % 2 === 0)

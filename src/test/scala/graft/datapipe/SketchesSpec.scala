@@ -136,6 +136,25 @@ class SketchesSpec extends SparkSpecBase {
     assert(sparkSketch == handSketch)
   }
 
+  test("CMS point query of a NEVER-SEEN key mins over its empty cells (r14 review pin)") {
+    import spark.implicits._
+    val built = Seq.fill(4)("alpha").toDF("key")
+    val sketch = Sketches.cmsBuild(built)
+    // probe keys absent from the build: the canonical estimator includes
+    // the zero (un-materialized) cells — a key whose cells all miss must
+    // report 0, and one sharing SOME cells must still report the min
+    // INCLUDING its empty cells, not min over collisions only
+    val probes = (1 to 20).map(i => s"unseen-$i").toDF("key")
+    val est = Sketches.cmsEstimate(probes, sketch).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 20, "absent keys must not vanish from the output")
+    val alphaCells = cellsOf("alpha").toSet
+    est.foreach { case (k, e) =>
+      val expected = if (cellsOf(k).forall(alphaCells.contains)) 4L else 0L
+      assert(e == expected, s"$k: est $e, expected $expected")
+    }
+  }
+
   test("CMS merges by cell-wise addition: cms(A) + cms(B) == cms(A ∪ B)") {
     val docs = Tables.documents(spark, sfDir)
     val keyed = docs.select(Domains.domainOf.as("key"), col("doc_id"))

@@ -95,6 +95,15 @@ class TablesSpec extends SparkSpecBase {
     val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
       .select(Tables.zorderKey(col("a"), col("b")).as("z"))
     assert(df.collect().map(_.getLong(0)).toSeq == cases.map(_._3))
+    // out-of-width and negative inputs FAIL LOUD instead of silently
+    // aliasing distant keys onto the same curve position (r14 review pin)
+    for (bad <- Seq((65536L, 0L), (0L, -1L))) {
+      val ex = intercept[Exception] {
+        Seq(bad).toDF("a", "b")
+          .select(Tables.zorderKey(col("a"), col("b")).as("z")).collect()
+      }
+      assert(ex.getMessage.contains("zorderKey"), ex.getMessage)
+    }
   }
 
   test("z-order clustering prunes BOTH dimensions at once; single-key clustering cannot") {

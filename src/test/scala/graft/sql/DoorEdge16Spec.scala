@@ -119,14 +119,17 @@ class DoorEdge16Spec extends SparkSpecBase {
           |WHERE m.lang = d.lang AND d.domain = c.domain
           |  AND (m.w > 1.1 OR m.w < 0.9)
           |  AND c.n > 100""".stripMargin,
-      // semi + anti CROSS: languages that survive the mix gate but have
-      // at least one never-seen doc — both r14 peels in one tree
+      // semi + anti CROSS: languages that survive the mix gate AND have
+      // more than 50 never-seen docs — both r14 peels in one tree, with
+      // a HAVING above the anti join making the subquery genuinely
+      // selective (only the head language clears 50 unseen at sf0.001;
+      // the r14 review killed the previous provably-empty-subquery form)
       "semi_anti_cross" ->
         """SELECT m.lang AS lang, m.docs_out AS kept
           |FROM d16_mixlang m
           |LEFT SEMI JOIN d16_docs x ON x.lang = m.lang
-          |WHERE m.lang NOT IN (SELECT x2.lang FROM d16_docs x2
-          |                     LEFT SEMI JOIN d16_bloom b ON b.doc_id = x2.doc_id
-          |                     WHERE x2.lang IS NULL)""".stripMargin))
+          |WHERE m.lang IN (SELECT x2.lang FROM d16_docs x2
+          |                 LEFT ANTI JOIN d16_bloom b ON b.doc_id = x2.doc_id
+          |                 GROUP BY x2.lang HAVING COUNT(*) > 50)""".stripMargin))
   }
 }
