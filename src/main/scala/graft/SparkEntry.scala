@@ -1870,6 +1870,10 @@ object SparkEntry {
     // PQ reconstructions rank it — the composed 10^10-vector serving
     // architecture; candidates served from the compressed storage form
     "ann_ivfpq" -> ((s, d) => Ann.ivfpqTopK(Tables.embeddings(s, d))),
+    // IVFSQ (r14): inverted lists restrict, SQ8 dequantizations rank —
+    // the scalar-quantizer storage tier inside the composed serving
+    // architecture (no codebook training, one bounds aggregate)
+    "ann_ivfsq8" -> ((s, d) => Ann.ivfSq8TopK(Tables.embeddings(s, d))),
     // IVFADC serving from PERSISTED codes (r13) — the deployment split of
     // ann_ivfpq: train + encode once, bucket-write codes ⋈ lists (+ the
     // K-row quantizer/codebook artifacts), then rank queries from the
@@ -2621,6 +2625,7 @@ object SparkEntry {
     "ann_sq8_file" -> Ann.sq8TopKSql(),
     "ann_sq8_append" -> Ann.sq8TopKSql("vec_id % 2 = 0"),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
+    "ann_ivfsq8" -> Ann.ivfSq8TopKSql(),
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),

@@ -1053,33 +1053,100 @@ object Ann {
     * everything encoded against them — out-of-range appends exercise
     * the saturation clamp, mirrored here exactly as [[sq8Encode]]
     * computes it). */
-  def sq8TopKSql(trainPred: String = "true"): String = {
+  /** Shared SQ8 oracle CTE block: bounds training (over `trainPred`),
+    * clamped encode, dequantize — ends with `sq8rec (vec_id, recon)`.
+    * No leading WITH / trailing comma; CTE names disjoint from
+    * [[pqCtes]]'s and [[ivfListsCtes]]'s so the blocks compose. */
+  private def sq8RecCtes(trainPred: String): String = {
     val code = "greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE), " +
       "round((x::DOUBLE - st.lo[i]::DOUBLE) / " +
       "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE) * 255)))"
     val dq = "CASE WHEN st.hi[i]::DOUBLE - st.lo[i]::DOUBLE = 0 THEN st.lo[i]::DOUBLE " +
       s"ELSE st.lo[i]::DOUBLE + ($code * " +
       "(st.hi[i]::DOUBLE - st.lo[i]::DOUBLE)) / 255.0 END"
-    val cos = cosineSql("q.q_emb", "r.recon")
-    s"""WITH px AS (
+    s"""px AS (
        |  SELECT unnest(embedding) AS x,
        |         unnest(range(1, len(embedding) + 1)) AS pos
        |  FROM embeddings WHERE $trainPred
        |),
        |dimstats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM px GROUP BY pos),
        |st AS (SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dimstats),
-       |rec AS (
+       |sq8rec AS (
        |  SELECT e.vec_id,
        |         list_transform(e.embedding, (x, i) -> $dq) AS recon
        |  FROM embeddings e, st
-       |),
+       |)""".stripMargin
+  }
+
+  def sq8TopKSql(trainPred: String = "true"): String = {
+    val cos = cosineSql("q.q_emb", "r.recon")
+    s"""WITH ${sq8RecCtes(trainPred)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |      WHERE vec_id % $queryMod = 0)
        |SELECT q.q_id, r.vec_id AS nbr_id,
        |       CAST(row_number() OVER (PARTITION BY q.q_id
        |                               ORDER BY $cos DESC, r.vec_id) AS BIGINT) AS rnk,
        |       round($cos, 6) AS asim
-       |FROM q JOIN rec r ON r.vec_id <> q.q_id
+       |FROM q JOIN sq8rec r ON r.vec_id <> q.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
+  /**
+   * IVFSQ — inverted lists RESTRICT the scan, SQ8 dequantizations RANK
+   * it (FAISS `IVFScalarQuantizer`): the same composed serving
+   * architecture as [[ivfpqTopK]] with the scalar quantizer in the
+   * storage tier — 1 byte/dim codes instead of PQ's sub-codebooks, no
+   * codebook training, one map-side bounds aggregate. Same scale shape:
+   * list assignment exchanges the vector mass once, the SQ8 encode and
+   * decode are pure projections against the broadcast bounds, the
+   * probe join carries slim (q_id, nbr_id, cos) rows only.
+   */
+  def ivfSq8TopK(emb: DataFrame, rounds: Int = 1,
+                 k: Int = ivfCentroids): DataFrame = {
+    require(rounds >= 1, "at least one Lloyd refinement")
+    val cent = trainedCentroids(emb, rounds, k)
+    val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
+      .select(col("vec_id"), col("cid"))
+    val (codes, stats) = sq8Compress(emb)
+    val cands = sq8Decode(codes, stats).join(lists, "vec_id")
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",
+        cent, k, ivfProbes)
+      .withColumnRenamed("embedding", "q_emb")
+    val scored = probed.join(cands, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("asim"))
+  }
+
+  /** DuckDB mirror of [[ivfSq8TopK]]: the IVF family prefix + the SQ8
+    * dequantize block + the shared probe CTEs. */
+  def ivfSq8TopKSql(rounds: Int = 1): String = {
+    val (prefix, fine) = ivfListsCtes(rounds)
+    val cos = cosineSql("p.q_emb", "r.recon")
+    s"""$prefix,
+       |${sq8RecCtes("true")},
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id % $queryMod = 0),
+       |${ivfProbeCtes(fine)},
+       |scored AS (
+       |  SELECT DISTINCT p.q_id, l.vec_id AS nbr_id, $cos AS cos
+       |  FROM probed p
+       |  JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.q_id
+       |  JOIN sq8rec r ON r.vec_id = l.vec_id
+       |)
+       |SELECT q_id, nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk,
+       |       round(cos, 6) AS asim
+       |FROM scored
        |QUALIFY rnk <= $topK""".stripMargin
   }
 

@@ -104,6 +104,34 @@ class Sq8Spec extends SparkSpecBase {
     }
   }
 
+  test("IVFSQ: candidates confined to probed lists, estimates bit-identical to flat SQ8's on shared pairs") {
+    val embFull = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Ann.ivfSq8TopK(embFull)
+    // structural contract: every served neighbor lives in one of its
+    // query's probed inverted lists
+    val cent = Ann.trainedCentroids(embFull, 1, Ann.ivfCentroids)
+    val lists = Ann.ivfAssign2(embFull, "vec_id", cent, Ann.ivfCentroids, 1)
+      .select(col("vec_id").as("nbr_id"), col("cid").as("nbr_cid"))
+    val q = embFull.where(col("vec_id") % Ann.queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val probes = Ann.ivfAssign2(q, "q_id", cent, Ann.ivfCentroids, Ann.ivfProbes)
+      .select(col("q_id"), col("cid").as("q_cid"))
+    // every (q_id, nbr_id) must have SOME probe with a matching cid
+    val bad = out.join(lists, "nbr_id")
+      .join(probes.withColumnRenamed("q_cid", "pcid"), "q_id")
+      .groupBy(col("q_id"), col("nbr_id"))
+      .agg(max(when(col("nbr_cid") === col("pcid"), 1).otherwise(0)).as("hit"))
+      .where(col("hit") === 0)
+    assert(bad.isEmpty, "neighbor outside every probed list")
+    // ADC estimates are the SAME maths as flat SQ8: shared pairs agree
+    val flat = Ann.sq8TopK(embFull)
+      .select(col("q_id"), col("nbr_id"), col("asim").as("flat_asim"))
+    val joined = out.join(flat, Seq("q_id", "nbr_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(
+      r.getAs[Double]("asim") == r.getAs[Double]("flat_asim")))
+  }
+
   test("sq8TopK preserves the well-separated nearest neighbor; collection side never sort-merge joins") {
     val ranked = Ann.sq8TopK(emb)
     val for50 = ranked.where(col("q_id") === 50L).orderBy("rnk").collect()
