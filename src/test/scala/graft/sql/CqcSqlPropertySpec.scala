@@ -511,6 +511,80 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     assert(nChained >= 2, "semi/anti cross must cover chained probes")
   }
 
+  test("random set-operation x semi/anti crosses match stock Spark (r14 second cross-generator)") {
+    // the untested feature intersection after the r14 semi/anti peel:
+    // UNION/INTERSECT/EXCEPT [ALL] route each branch through the door
+    // INDEPENDENTLY, and a branch may now carry explicit semi/anti
+    // probes, aggregates, or both — per-branch routing must keep
+    // multiset semantics exact under every combination operator
+    val rnd = new scala.util.Random(142157)
+    val edges = Seq.fill(260)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(5).toLong))
+      .distinct.toDF("src", "dst", "w")
+    edges.createOrReplaceTempView("propso_edges")
+
+    var nonEmpty = 0
+    var nAnti = 0
+    var nAgg = 0
+    var nIntersect = 0
+    var nExcept = 0
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
+    for (i <- 1 to iters) {
+      val nBranches = 2 + rnd.nextInt(2)
+      def branch(bi: Int): String = {
+        val n = 1 + rnd.nextInt(2)
+        val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
+        val probe =
+          if (rnd.nextInt(3) != 0) {
+            val anti = rnd.nextBoolean()
+            if (anti) nAnti += 1
+            val anchor = s"g${1 + rnd.nextInt(n)}.${if (rnd.nextBoolean()) "src" else "dst"}"
+            val own = if (anti) s" AND h.w >= ${3 + rnd.nextInt(2)}"
+                      else s" AND h.w > ${rnd.nextInt(3)}"
+            s" LEFT ${if (anti) "ANTI" else "SEMI"} JOIN propso_edges h ON h.src = $anchor$own"
+          } else ""
+        val filters = (1 to n).filter(_ => rnd.nextInt(3) == 0)
+          .map(j => s"g$j.w < ${2 + rnd.nextInt(4)}")
+        val where = (joins ++ filters) match {
+          case Nil => ""
+          case cs => " WHERE " + cs.mkString(" AND ")
+        }
+        val agg = rnd.nextInt(3) == 0
+        if (agg) nAgg += 1
+        val select =
+          if (agg) s"g1.src AS a, COUNT(*) AS b"
+          else s"g1.src AS a, g$n.dst AS b"
+        s"""SELECT $select FROM ${(1 to n).map(j => s"propso_edges g$j").mkString(", ")}$probe$where${if (agg) " GROUP BY g1.src" else ""}"""
+      }
+      val ops = (1 until nBranches).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => nIntersect += 1; "INTERSECT"
+          case 1 => nExcept += 1; "EXCEPT"
+          case 2 => "INTERSECT ALL"
+          case 3 => "EXCEPT ALL"
+          case _ => if (rnd.nextBoolean()) "UNION ALL" else "UNION"
+        }
+      }
+      val combo = (1 until nBranches).foldLeft(branch(1)) { (acc, j) =>
+        s"$acc\n${ops(j - 1)}\n${branch(j + 1)}"
+      }
+      val tail = if (rnd.nextBoolean())
+        s"\nORDER BY a ASC, b ASC LIMIT ${3 + rnd.nextInt(12)}" else ""
+      val sql = combo + tail
+      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = spark.sql(sql).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want, s"mismatch for: $sql")
+      graft.CacheRegistry.unpersistAll()
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= iters / 2)
+    assert(nAnti >= 2, "must cover anti branches")
+    assert(nAgg >= 2, "must cover aggregate branches")
+    assert(nIntersect + nExcept >= 2, "must cover dedup set ops")
+  }
+
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
     val rnd = new scala.util.Random(141577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
