@@ -916,6 +916,42 @@ object TextOps {
         .as("nb_score"))
   }
 
+  /**
+   * STATELESS streaming form of the LM likelihood gate (r14 — the
+   * [[nbScoreStreaming]] recipe applied to [[lmScoreWith]]): the
+   * trained tri/bi counts inline as literal maps (fail-loud bound —
+   * a charset-cubed model that outgrows the inline belongs on the
+   * broadcast-join form), the per-document mean accumulates as an
+   * exact DECIMAL(38,25) fold over the trigram array — bit-equal to
+   * the batch `sum()` (same widened accumulator type, same addition
+   * order per document since the array is ordered), so a stream
+   * micro-batch scores exactly what the batch pass would. Pure
+   * projection: no aggregation, no state store, no watermark.
+   */
+  def lmScoreStreaming(docs: DataFrame, model: LmModel): DataFrame = {
+    val triRows = model.tri.collect()
+    val biRows = model.bi.collect()
+    require(triRows.length + biRows.length <= 65536,
+      s"model size ${triRows.length + biRows.length} exceeds the " +
+        "literal-inline bound; score with lmScoreWith (broadcast join) instead")
+    val v = model.vocab.head().getAs[Long]("__v")
+    val triMap = triRows.map(r => r.getAs[String]("g") -> r.getAs[Long]("c3")).toMap
+    val biMap = biRows.map(r => r.getAs[String]("b") -> r.getAs[Long]("c2")).toMap
+    val tris = lmGrams(3)
+    val pArr = transform(tris, g => {
+      val c3 = coalesce(element_at(typedLit(triMap), g), lit(0L))
+      val c2 = coalesce(element_at(typedLit(biMap), g.substr(1, 2)), lit(0L))
+      ((c3 + 1).cast("double") / (c2 + lit(v)).cast("double"))
+        .cast("decimal(30,25)")
+    })
+    val sumP = aggregate(pArr, lit(java.math.BigDecimal.ZERO).cast("decimal(38,25)"),
+      (acc, x) => (acc + x).cast("decimal(38,25)"))
+    val n = coalesce(size(tris), lit(0)).cast(LongType)
+    docs.select(col("doc_id"), n.as("n_trigrams"),
+      when(n > 0, round(sumP.cast("double") / n, 6)).otherwise(lit(null))
+        .as("lm_score"))
+  }
+
   /** DuckDB mirror of [[nbScore]] with `curatedPred` as the label. */
   def nbScoreSql(curatedPred: String): String = {
     val norm = Dedup.normTextSql

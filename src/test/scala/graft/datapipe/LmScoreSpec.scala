@@ -143,4 +143,39 @@ class LmScoreSpec extends SparkSpecBase {
       s"no sort-merge on the trigram stream:\n$plan")
     assert(df.count() == docs.count(), "one row per doc")
   }
+
+  test("stateless streaming LM gate: fold == batch sum bit-for-bit, rides a MemoryStream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val model = TextOps.lmModel(docs.where(col("doc_id") % 10 === 0))
+    // the stream form equals the exploded-groupBy batch form on the
+    // whole corpus (exact decimal fold == the sum accumulator)
+    val viaFold = TextOps.lmScoreStreaming(docs, model)
+      .collect().map(_.toSeq).toSet
+    val viaAgg = TextOps.lmScoreWith(docs, model)
+      .collect().map(_.toSeq).toSet
+    assert(viaFold == viaAgg && viaFold.nonEmpty)
+    // and it runs on a real stream, statelessly, across batches
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextOps.lmScoreStreaming(
+        input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((900L, docs.select("text").as[String].head()), (901L, "zq"))
+      q.processAllAvailable()
+      input.addData((902L, "xxyyzz gibberish qqq"))
+      q.processAllAvailable()
+      val rows = spark.table("lm_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      assert(rows.keySet == Set(900L, 901L, 902L))
+      assert(rows(901L)._1 == 0L && rows(901L)._2 == null) // sub-trigram text
+      val batch = TextOps.lmScoreWith(
+          Seq((902L, "xxyyzz gibberish qqq")).toDF("doc_id", "text"), model)
+        .collect().head
+      assert(rows(902L) == (batch.getLong(1), batch.getDouble(2)))
+    } finally q.stop()
+  }
 }
