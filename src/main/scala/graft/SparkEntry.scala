@@ -2099,6 +2099,11 @@ object SparkEntry {
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
     "stream_topk" -> ((s, d) => EventStreams.topkPerWindow(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d))),
+    // LEFT OUTER interval join (r14): unattributed views null-extend
+    // (in streaming, emitted once the watermark proves no in-window
+    // purchase can still arrive)
+    "stream_join_outer" -> ((s, d) =>
+      EventStreams.viewPurchaseJoinOuter(Tables.events(s, d))),
     "stream_enrich" -> ((s, d) =>
       EventStreams.enrichedSegmentAgg(Tables.events(s, d), Tables.customer(s, d)))
   )
@@ -2737,6 +2742,7 @@ object SparkEntry {
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_topk" -> EventStreams.topkPerWindowSql(),
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
+    "stream_join_outer" -> EventStreams.viewPurchaseJoinOuterSql,
     "stream_enrich" -> EventStreams.enrichedSegmentAggSql,
     "sql_cqc_topk" ->
       s"""SELECT g1.src AS a, g1.dst AS b, g2.dst AS c

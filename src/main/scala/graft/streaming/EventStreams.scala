@@ -135,6 +135,42 @@ object EventStreams {
         unix_millis(col("vts")).as("vts_ms"), unix_millis(col("pts")).as("pts_ms"))
   }
 
+  /**
+   * LEFT OUTER stream-stream interval join (r14): every view emits —
+   * attributed views carry their purchase, unattributed views
+   * null-extend. In streaming, Spark holds an unmatched view in state
+   * until the watermark proves no in-window purchase can still arrive,
+   * THEN emits the null-extended row — the spec drives that emission
+   * with a watermark-advancing tail event. State stays bounded by the
+   * same watermark + interval condition as the inner form. Output adds
+   * an `attributed` flag so the unmatched half is first-class.
+   */
+  def viewPurchaseJoinOuter(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr(s"INTERVAL $attributionWindow"), "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_millis(col("vts")).as("vts_ms"), unix_millis(col("pts")).as("pts_ms"),
+        col("purchase_id").isNotNull.as("attributed"))
+  }
+
+  val viewPurchaseJoinOuterSql: String =
+    s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       |       epoch_ns(v.ts) // 1000000 AS vts_ms, epoch_ns(p.ts) // 1000000 AS pts_ms,
+       |       p.event_id IS NOT NULL AS attributed
+       |FROM (SELECT * FROM events WHERE event_type = 'view') v
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+       |  ON v.user_id = p.user_id
+       | AND epoch_ns(p.ts) // 1000000 >= epoch_ns(v.ts) // 1000000
+       | AND epoch_ns(p.ts) // 1000000 <= epoch_ns(v.ts) // 1000000 + $attributionWindowMs""".stripMargin
+
   val viewPurchaseJoinSql: String =
     s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
        |       epoch_ns(v.ts) // 1000000 AS vts_ms, epoch_ns(p.ts) // 1000000 AS pts_ms

@@ -120,6 +120,52 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join: unattributed views null-extend once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val min = 60L * 1000
+    val events = Seq(
+      IdEvent(1L, 7L, "view", ts(10 * hour)),
+      IdEvent(2L, 7L, "purchase", ts(10 * hour + 10 * min)), // attributes view 1
+      IdEvent(4L, 8L, "view", ts(10 * hour)))                // never attributed
+    val input = MemoryStream[IdEvent]
+    val q = EventStreams.viewPurchaseJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("join_outer_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // the matched row may emit, but view 4's null-extension CANNOT
+      // yet: the watermark hasn't proven its window empty
+      val early = spark.table("join_outer_out").collect().map(_.toSeq).toSet
+      assert(!early.exists(r => r(1) == 4L && r(2) == null),
+        "outer row emitted before the watermark closed its window")
+      // advance the watermark far past view 4's attribution window — on
+      // BOTH sides: the outer-emission watermark is the min across the
+      // two streams, so a view-only advance leaves the purchase side's
+      // watermark (and therefore view 4's state) frozen
+      input.addData(IdEvent(9L, 9L, "view", ts(14 * hour)),
+        IdEvent(11L, 9L, "purchase", ts(14 * hour)))
+      q.processAllAvailable()
+      input.addData(IdEvent(12L, 9L, "view", ts(15 * hour)),
+        IdEvent(13L, 9L, "purchase", ts(15 * hour)))
+      q.processAllAvailable()
+      val streamed = spark.table("join_outer_out").collect().map(_.toSeq).toSet
+      val attributed = streamed.filter(_(5) == true)
+      val outer = streamed.filter(_(5) == false)
+      assert(attributed.exists(r => r(1) == 1L && r(2) == 2L))
+      assert(outer.exists(r => r(1) == 4L && r(2) == null && r(4) == null),
+        s"missing null-extended view 4 in $streamed")
+      // batch parity on the same frame (modulo emission timing)
+      val batch = EventStreams.viewPurchaseJoinOuter(
+          (events ++ Seq(IdEvent(9L, 9L, "view", ts(14 * hour)),
+            IdEvent(11L, 9L, "purchase", ts(14 * hour)),
+            IdEvent(12L, 9L, "view", ts(15 * hour)),
+            IdEvent(13L, 9L, "purchase", ts(15 * hour)))).toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
