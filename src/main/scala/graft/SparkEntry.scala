@@ -2018,6 +2018,23 @@ object SparkEntry {
           expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
             .as("val_sum"))
     }),
+    // small-file compaction (r14): events fragmented into 64 shards,
+    // compacted to ~target-sized files, read back — timed end-to-end
+    // including the fragmented write, the compaction rewrite, and the
+    // verification read (nothing lost or duplicated by the re-binning)
+    "src_compact" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+      val frag = tmp.resolve("frag").toString
+      val out = tmp.resolve("compacted").toString
+      trackTempDir(tmp)
+      Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      Tables.compact(s, frag, out, 8L * 1024 * 1024)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
+            .as("val_sum"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2710,6 +2727,13 @@ object SparkEntry {
         |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1""".stripMargin,
+    // the fragmented write + compaction rewrite must lose/duplicate
+    // nothing: the oracle aggregates the SOURCE events directly
+    "src_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+        |FROM events
         |GROUP BY 1""".stripMargin,
     // the z-order re-layout must lose/duplicate nothing either; the
     // filtered dimension is user_id (unprunable under pure ts order)

@@ -261,6 +261,43 @@ object Tables {
       .write.mode("overwrite").parquet(path)
 
   /**
+   * SMALL-FILE COMPACTION (r14) — the other half of data layout
+   * management: streaming ingests, partitioned writes, and incremental
+   * appends accumulate files far below the optimal scan unit, and at
+   * 100 TB the driver-side listing + per-file open cost of a
+   * million-file table dominates the scan itself (the classic
+   * small-files problem; Delta/Iceberg OPTIMIZE's compaction half).
+   * Rewrites `dir` into `ceil(totalBytes / targetBytes)` files of
+   * roughly `targetBytes` each. Returns (filesBefore, filesAfter).
+   *
+   * Sizing reads the FILESYSTEM listing (exact, no sampling); the
+   * rewrite is one round-robin exchange — contents are re-binned, not
+   * re-sorted, so pair compaction with [[writeClusteredBy]] when footer
+   * pruning must survive (compact FIRST, cluster SECOND, or cluster
+   * directly at the right file count).
+   */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "positive target size")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    (parts.length, outParts)
+  }
+
+  /**
    * Z-ORDER (Morton) key of two bounded non-negative dimensions: bit i
    * of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting by
    * the key clusters BOTH dimensions at once — each output file of a

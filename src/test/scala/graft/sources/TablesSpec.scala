@@ -141,6 +141,33 @@ class TablesSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction re-bins small files toward the target size without losing a row") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val events = Tables.events(spark, sfDir)
+    try {
+      events.repartition(32).write.mode("overwrite").parquet(s"$dir/frag")
+      val fragBytes = new java.io.File(s"$dir/frag").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+      val target = math.max(1L, fragBytes / 4)
+      val (before, after) = Tables.compact(spark, s"$dir/frag", s"$dir/out", target)
+      assert(before == 32)
+      // ceil(total/target) = 4 (and at least 3 if parquet re-encoding
+      // shrinks the data — the bound that matters is "far fewer files")
+      assert(after <= 5 && after >= 2, s"after=$after")
+      // nothing lost or duplicated by the re-binning
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() == events.count())
+      assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+      // degenerate target: everything fits one file
+      val (_, one) = Tables.compact(spark, s"$dir/frag", s"$dir/one", Long.MaxValue)
+      assert(one == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("range-clustered write yields pairwise-disjoint per-file key ranges and a pushed range filter") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_clustered").toString
