@@ -2113,6 +2113,8 @@ object SparkEntry {
     "pipe_sample" -> (qPipeSample _),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
+    // sliding windows (r14): 1h windows every 15min, each event in 4
+    "stream_window_slide" -> ((s, d) => EventStreams.slidingAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
     "stream_topk" -> ((s, d) => EventStreams.topkPerWindow(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d))),
@@ -2763,6 +2765,7 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY d.lang
          |                           ORDER BY q.score DESC, q.doc_id) <= 3""".stripMargin,
     "stream_window" -> EventStreams.windowedAggSql,
+    "stream_window_slide" -> EventStreams.slidingAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
     "stream_topk" -> EventStreams.topkPerWindowSql(),
     "stream_join" -> EventStreams.viewPurchaseJoinSql,

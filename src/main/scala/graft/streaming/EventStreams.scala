@@ -40,6 +40,39 @@ object EventStreams {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /**
+   * SLIDING-window aggregate (r14): one-hour windows sliding every 15
+   * minutes — each event lands in exactly 4 overlapping windows, the
+   * monitoring/alerting shape tumbling windows can't express (a spike
+   * straddling an hour boundary vanishes into two half-counts). Spark's
+   * `window(ts, len, slide)` replicates each row into its len/slide
+   * windows map-side; state in streaming is bounded by active windows ×
+   * groups, same watermark story as the tumbling form. The oracle
+   * mirrors the epoch-aligned window arithmetic: window starts are
+   * `floor(t / slide) * slide − k·slide` for k in [0, len/slide).
+   */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("val_sum"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n_events"), col("val_sum"))
+
+  val slidingAggSql: String = {
+    val s = 15L * 60 * 1000
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |         (epoch_ns(ts) // 1000000 // $s) * $s - o.k * $s AS ws_ms
+       |  FROM events, (SELECT unnest(range(0, 4)) AS k) o
+       |)
+       |SELECT ws_ms, event_type,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+       |FROM e
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Session gap shared by the batch and streaming forms. */
   val sessionGap = "30 minutes"
   val sessionGapMs = 30L * 60 * 1000

@@ -41,6 +41,33 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sliding windows: every event lands in exactly 4 windows, stream equals batch") {
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      RawEvent(ts(10 * hour + 100), "view", 1.5),
+      RawEvent(ts(10 * hour + 200), "view", 2.5),
+      RawEvent(ts(10 * hour + 59 * 60 * 1000), "purchase", 10.0), // straddles 10h/11h
+      RawEvent(ts(11 * hour + 100), "view", 4.0))
+    val batch = EventStreams.slidingAgg(events.toDF()).collect()
+    // mass conservation x4: each event contributes to exactly len/slide windows
+    assert(batch.map(_.getLong(2)).sum == 4L * events.length)
+    // the straddling purchase appears in windows on BOTH sides of 11h —
+    // the shape tumbling windows halve
+    val pWins = batch.filter(_.getString(1) == "purchase").map(_.getLong(0))
+    assert(pWins.exists(_ < 11 * hour) && pWins.exists(_ + 3600000 > 11 * hour))
+    val input = MemoryStream[RawEvent]
+    val q = EventStreams.slidingAgg(input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("slide_out").outputMode("complete").start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch.map(_.toSeq).toSet && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("parquet file sink with checkpoint: append stream lands exactly once") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
