@@ -1108,23 +1108,7 @@ object Ann {
     val lists = ivfAssign2(emb, "vec_id", cent, k, 1)
       .select(col("vec_id"), col("cid"))
     val (codes, stats) = sq8Compress(emb)
-    val cands = sq8Decode(codes, stats).join(lists, "vec_id")
-    val q = emb.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",
-        cent, k, ivfProbes)
-      .withColumnRenamed("embedding", "q_emb")
-    val scored = probed.join(cands, "cid")
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nbr_id"),
-        (dot(col("q_emb"), col("recon")) /
-          (norm(col("q_emb")) * norm(col("recon")))).as("cos"))
-      .distinct()
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topK)
-      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
-        round(col("cos"), 6).as("asim"))
+    ivfRankRecon(emb, sq8Decode(codes, stats).join(lists, "vec_id"), cent, k)
   }
 
   /** DuckDB mirror of [[ivfSq8TopK]]: the IVF family prefix + the SQ8
@@ -1195,7 +1179,18 @@ object Ann {
       .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
       .select(col("vec_id"),
         flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
-    val cands = rec.join(lists, "vec_id") // (vec_id, recon, cid)
+    ivfRankRecon(emb, rec.join(lists, "vec_id"), cent, k)
+  }
+
+  /** Shared IVF reconstruction ranker (r14 review de-dup — this tail
+    * existed in three near-identical copies): queries subsample →
+    * probe assignment → cid-join with self-exclusion → reconstruction
+    * cosine (DISTINCT: multiprobe can reach a candidate through two
+    * lists) → per-query bounded top-k. `cands` is (vec_id, recon, cid);
+    * used by [[ivfpqTopK]] (PQ reconstructions) and [[ivfSq8TopK]]
+    * (SQ8 dequantizations). */
+  private def ivfRankRecon(emb: DataFrame, cands: DataFrame,
+                           cent: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probed = ivfAssign2(q.withColumnRenamed("q_emb", "embedding"), "q_id",

@@ -903,13 +903,17 @@ object TextOps {
     val w = array_distinct(words(Dedup.normText))
     val rArr = transform(w, t =>
       coalesce(element_at(typedLit(rMap), t), lit(neutral)).cast("decimal(30,25)"))
-    // the fold accumulates in DECIMAL(38,25) — the same widened type the
-    // batch sum() aggregates in, so stream == batch up to the identical
-    // 10^13 bound (addition widens the type each step; the cast back is
-    // a pure scale-10 rescale, exact while the sum's integer digits fit,
-    // and no document has 10^13 distinct words)
-    val sumR = aggregate(rArr, lit(java.math.BigDecimal.ZERO).cast("decimal(38,25)"),
-      (acc, x) => (acc + x).cast("decimal(38,25)"))
+    // the fold accumulator is DECIMAL(37,25), NOT (38,25) (r14 review
+    // fix): (38,25) + (30,25) exceeds precision 38 and Spark's ANSI
+    // reduction types it (38,24) — HALF-UP ROUNDING the 25th digit on
+    // EVERY step, which made the claimed bit-equality with the batch
+    // sum() merely luck-identical (the banned r12 class). (37,25) +
+    // (30,25) types (38,25) — max(12,5) integer digits + 25 + 1 = 38,
+    // no reduction, addition EXACT — and the cast back to (37,25) is a
+    // same-scale no-op while the running sum stays under 10^12 (each
+    // element is <= 1, so that is 10^12 distinct words per document).
+    val sumR = aggregate(rArr, lit(java.math.BigDecimal.ZERO).cast("decimal(37,25)"),
+      (acc, x) => (acc + x).cast("decimal(37,25)"))
     val nW = coalesce(size(w), lit(0)).cast(LongType)
     docs.select(col("doc_id"), nW.as("n_words"),
       when(nW > 0, round(sumR.cast("double") / nW, 6)).otherwise(lit(null))
@@ -944,8 +948,12 @@ object TextOps {
       ((c3 + 1).cast("double") / (c2 + lit(v)).cast("double"))
         .cast("decimal(30,25)")
     })
-    val sumP = aggregate(pArr, lit(java.math.BigDecimal.ZERO).cast("decimal(38,25)"),
-      (acc, x) => (acc + x).cast("decimal(38,25)"))
+    // DECIMAL(37,25) accumulator for the same exactness reason as
+    // [[nbScoreStreaming]]'s (see the comment there): (37,25) + (30,25)
+    // adds exactly in (38,25); a (38,25) accumulator would round every
+    // step through Spark's (38,24) reduction
+    val sumP = aggregate(pArr, lit(java.math.BigDecimal.ZERO).cast("decimal(37,25)"),
+      (acc, x) => (acc + x).cast("decimal(37,25)"))
     val n = coalesce(size(tris), lit(0)).cast(LongType)
     docs.select(col("doc_id"), n.as("n_trigrams"),
       when(n > 0, round(sumP.cast("double") / n, 6)).otherwise(lit(null))

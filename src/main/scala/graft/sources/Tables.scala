@@ -281,12 +281,29 @@ object Tables {
     require(targetBytes > 0, "positive target size")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(path).filter { st =>
+    // RECURSIVE listing (r14 review fix): a hive-partitioned directory —
+    // the canonical small-files producer — holds its part-files under
+    // key=value subdirectories; a flat listStatus would size it as 0
+    // bytes and silently rewrite a multi-GB table into one file. Note
+    // the rewrite still FLATTENS partition directories (the columns
+    // survive in the files, the layout does not) — at scale, compact
+    // per partition or re-partitionBy after.
+    val it = fs.listFiles(path, true)
+    var nIn = 0
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      if (st.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")) {
+        nIn += 1
+        totalBytes += st.getLen
+      }
     }
-    val totalBytes = parts.map(_.getLen).sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // overflow-safe ceil (r14 review fix): totalBytes + targetBytes can
+    // wrap past Long.MaxValue for huge targets and mis-size the output
+    val nOut = (if (totalBytes == 0) 1L
+                else 1L + (totalBytes - 1) / targetBytes).toInt
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
     val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
@@ -294,7 +311,7 @@ object Tables {
         val n = st.getPath.getName
         st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
-    (parts.length, outParts)
+    (nIn, outParts)
   }
 
   /**

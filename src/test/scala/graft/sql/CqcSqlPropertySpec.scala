@@ -531,7 +531,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "12").toInt
     for (i <- 1 to iters) {
       val nBranches = 2 + rnd.nextInt(2)
-      def branch(bi: Int): String = {
+      def branch(): String = {
         val n = 1 + rnd.nextInt(2)
         val joins = (1 until n).map(j => s"g$j.dst = g${j + 1}.src")
         val probe =
@@ -565,14 +565,16 @@ class CqcSqlPropertySpec extends SparkSpecBase {
           case _ => if (rnd.nextBoolean()) "UNION ALL" else "UNION"
         }
       }
-      val combo = (1 until nBranches).foldLeft(branch(1)) { (acc, j) =>
-        s"$acc\n${ops(j - 1)}\n${branch(j + 1)}"
+      val combo = (1 until nBranches).foldLeft(branch()) { (acc, j) =>
+        s"$acc\n${ops(j - 1)}\n${branch()}"
       }
       val tail = if (rnd.nextBoolean())
         s"\nORDER BY a ASC, b ASC LIMIT ${3 + rnd.nextInt(12)}" else ""
       val sql = combo + tail
-      val got = CqcSql.solve(spark, sql).collect().map(_.toSeq)
-        .groupBy(identity).view.mapValues(_.size).toMap
+      val got =
+        try CqcSql.solve(spark, sql).collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        catch { case e: Throwable => fail(s"door threw ${e.getMessage} for: $sql") }
       val want = spark.sql(sql).collect().map(_.toSeq)
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(got == want, s"mismatch for: $sql")
