@@ -2035,6 +2035,20 @@ object SparkEntry {
           expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
             .as("val_sum"))
     }),
+    // CDC MERGE (r14 wave 4): apply a deterministic change batch
+    // (updates, deletes, inserts, a superseding second update, a
+    // re-insert after delete) onto the orders snapshot — latest change
+    // per key wins via one partial max(struct) aggregate, merged as
+    // anti-join + union (no window, base never shuffles under AQE
+    // broadcast). Output = the full merged snapshot, row-hashed.
+    "src_merge" -> ((s, d) => {
+      val merged = Tables.merge(Tables.orders(s, d),
+        Tables.ordersChanges(s, d), Seq("o_orderkey"))
+      merged.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_orderpriority"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2745,6 +2759,11 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7
         |GROUP BY 1""".stripMargin,
+    // the oracle replays the identical change batch + merge semantics
+    // in SQL (latest-per-key as a window — the oracle only has to be
+    // correct); a hash match proves every update/delete/insert/
+    // supersede/re-insert path row-for-row
+    "src_merge" -> Tables.mergeOrdersSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_build_full" -> graft.datapipe.Prep.buildFullSql,

@@ -421,6 +421,118 @@ object Tables {
   def readIndexDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
+  /**
+   * CDC MERGE (r14 wave 4) — Delta/Iceberg `MERGE INTO`, materialized as
+   * ONE declarative plan: apply a change batch to a base snapshot.
+   * `changes` carries the base schema plus `seqCol` (the change-log
+   * position: monotonically increasing, UNIQUE per key — the caller's
+   * CDC ordering contract; ties would break arbitrarily-but-
+   * deterministically on the payload struct order) and `opCol`
+   * (`'U'` upsert / `'D'` delete). Semantics:
+   *
+   *   - the LATEST change per key wins (a delete followed by a
+   *     re-insert at a higher seq survives; an early update superseded
+   *     by a later one disappears entirely);
+   *   - base rows whose key appears in ANY change are replaced by that
+   *     latest change (or dropped if it is a delete);
+   *   - untouched base rows pass through unchanged.
+   *
+   * Latest-per-key is ONE map-side-combinable `max(struct(seq, op,
+   * payload…))` aggregate — deliberately not a window: a hot key folds
+   * in partial aggregates instead of sorting on one reducer (the closed
+   * r13 single-reducer class). The merged result is
+   * `base ANTI-JOIN changedKeys  UNION  latest WHERE op != 'D'`. At
+   * 100 TB the change batch is typically executor-small next to the
+   * snapshot, so AQE broadcasts the anti-join's key side and the base
+   * NEVER crosses the network; the one exchange in the plan carries
+   * only the change batch. Idempotent: re-applying the same batch is a
+   * no-op (MergeSpec pins this plus the window-free plan).
+   */
+  def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
+            seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    require((keys ++ payload ++ Seq(seqCol, opCol)).forall(changes.columns.contains),
+      s"merge: changes must carry the base schema plus $seqCol/$opCol")
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__last"))
+      .select(keys.map(col) ++
+        (opCol +: payload).map(c => col(s"__last.`$c`").as(c)): _*)
+    val kept = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = latest.where(col(opCol) =!= "D")
+      .select(base.columns.toSeq.map(col): _*)
+    kept.unionByName(upserts)
+  }
+
+  /**
+   * Deterministic CDC change batch over `orders` for the `src_merge`
+   * entry (the corpus ships no change log, so one derives from the keys
+   * — the oracle SQL mirrors the derivation literally). Exercises every
+   * merge path: updates (`%10==3` → status P, +1000), deletes
+   * (`%10==7`), inserts (fresh keys offset by 10^6), a SECOND update
+   * superseding the first (`%20==3` → status Q, +3000 — latest-wins),
+   * and a re-insert after a delete (`%40==7` → status R). (key, seq)
+   * is unique by construction: the seq-1 sets are disjoint mod 10 and
+   * the insert keys are offset out of range.
+   */
+  def ordersChanges(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def ch(filter: Column, seq: Long, op: String, key: Column,
+           status: Column, price: Column): DataFrame =
+      o.where(filter).select(key.as("o_orderkey"), lit(seq).as("seq"),
+        lit(op).as("op"), col("o_custkey"), status.as("o_orderstatus"),
+        price.as("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    ch(col("o_orderkey") % 10 === 3, 1L, "U", col("o_orderkey"),
+        lit("P"), col("o_totalprice") + 1000.0)
+      .unionByName(ch(col("o_orderkey") % 10 === 7, 1L, "D", col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+      .unionByName(ch(col("o_orderkey") % 100 === 11, 1L, "U",
+        col("o_orderkey") + 1000000L, lit("N"), col("o_totalprice") * 2.0))
+      .unionByName(ch(col("o_orderkey") % 20 === 3, 2L, "U", col("o_orderkey"),
+        lit("Q"), col("o_totalprice") + 3000.0))
+      .unionByName(ch(col("o_orderkey") % 40 === 7, 2L, "U", col("o_orderkey"),
+        lit("R"), col("o_totalprice")))
+  }
+
+  /** The identical change batch + merge as ANSI SQL (DuckDB oracle).
+    * Latest-per-key mirrors as a row_number window — fine in the
+    * oracle, which only has to be CORRECT, not scale. */
+  val mergeOrdersSql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey, 'P' AS o_orderstatus,
+      |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'D', o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 1, 'U', o_custkey, 'N', o_totalprice * 2.0,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 100 = 11
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, 'Q', o_totalprice + 3000.0,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 20 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, 'R', o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 40 = 7
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |    FROM ch) WHERE rn = 1
+      |), merged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM latest WHERE op <> 'D'
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       epoch_ns(o_orderdate) // 1000000 AS odate_ms, o_orderpriority
+      |FROM merged""".stripMargin
+
   /** Corrupt-tolerant JSONL ingest: malformed lines land in a
     * `_quarantine` column (Spark PERMISSIVE mode's corrupt-record
     * capture) instead of aborting the read or silently dropping — at

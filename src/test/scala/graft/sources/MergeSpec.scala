@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE contract (Tables.merge): latest-change-wins semantics on a
+  * hand-checkable base, idempotence, and the window-free scale plan. */
+class MergeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+
+  // change log: update k=1, delete k=2, insert k=9, update-then-update
+  // k=3 (seq 1 then 2 — only seq 2 may survive), delete-then-reinsert
+  // k=4 (the row must SURVIVE with the seq-2 payload)
+  private def changes: DataFrame =
+    Seq(
+      (1L, 1L, "U", "a2", 11.0),
+      (2L, 1L, "D", "b", 20.0),
+      (9L, 1L, "U", "new", 99.0),
+      (3L, 1L, "U", "stale", -1.0),
+      (3L, 2L, "U", "c2", 33.0),
+      (4L, 1L, "D", "d", 40.0),
+      (4L, 2L, "U", "d2", 44.0)
+    ).toDF("k", "seq", "op", "name", "v")
+
+  test("merge applies update / delete / insert / supersede / re-insert") {
+    val out = Tables.merge(base, changes, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a2", 11.0), // updated
+      // 2 deleted
+      (3L, "c2", 33.0), // second update wins; "stale" gone entirely
+      (4L, "d2", 44.0), // re-inserted after delete
+      (9L, "new", 99.0) // inserted
+    ))
+  }
+
+  test("merge of an empty change batch is the identity") {
+    val out = Tables.merge(base, changes.limit(0), Seq("k"))
+    assert(out.orderBy("k").collect().toSeq ==
+      base.orderBy("k").collect().toSeq)
+  }
+
+  test("merge is idempotent: re-applying the same batch is a no-op") {
+    val once = Tables.merge(base, changes, Seq("k"))
+    val twice = Tables.merge(once, changes, Seq("k"))
+    assert(twice.orderBy("k").collect().toSeq ==
+      once.orderBy("k").collect().toSeq)
+  }
+
+  test("merge plan has no window and the base side carries no exchange") {
+    val plan = Tables.merge(base, changes, Seq("k"))
+      .queryExecution.executedPlan.toString()
+    // latest-per-key must be the partial max(struct) aggregate, never a
+    // per-key sort window (the closed r13 single-reducer class)
+    assert(!plan.contains("Window"), plan)
+    // the anti-join's key side is broadcast (executor-small change
+    // batch), so the base snapshot never crosses the network
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+
+  test("entry-shaped merge over orders: counts reconcile path by path") {
+    val o = Tables.orders(spark, sfDir)
+    val merged = Tables.merge(o, Tables.ordersChanges(spark, sfDir), Seq("o_orderkey"))
+    val n = o.count()
+    val deleted = o.where("o_orderkey % 10 = 7 AND o_orderkey % 40 != 7").count()
+    val inserted = o.where("o_orderkey % 100 = 11").count()
+    assert(merged.count() == n - deleted + inserted)
+    // latest-wins: every %20==3 key shows the seq-2 status Q, never P
+    assert(merged.where("o_orderkey % 20 = 3 AND o_orderstatus != 'Q'").count() == 0)
+    assert(merged.where("o_orderkey % 40 = 7 AND o_orderstatus != 'R'").count() == 0)
+    // untouched rows pass through bit-identical
+    val untouched = merged.join(o.where("o_orderkey % 10 NOT IN (3, 7)")
+        .select(col("o_orderkey").as("uk")), $"o_orderkey" === $"uk", "left_semi")
+    val orig = o.where("o_orderkey % 10 NOT IN (3, 7)")
+    assert(untouched.exceptAll(orig).count() == 0 &&
+      orig.exceptAll(untouched).count() == 0)
+  }
+}
