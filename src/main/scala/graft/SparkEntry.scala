@@ -2130,6 +2130,17 @@ object SparkEntry {
     // sliding windows (r14): 1h windows every 15min, each event in 4
     "stream_window_slide" -> ((s, d) => EventStreams.slidingAgg(Tables.events(s, d))),
     "stream_session" -> ((s, d) => EventStreams.sessionize(Tables.events(s, d))),
+    // streaming exact-dedup gate (r14 wave 4), batch twin: plant
+    // at-least-once redeliveries (every 5th event re-arrives +90s),
+    // keep the first delivery per event_id via one partial min(struct)
+    // — the streaming form (dropDuplicatesWithinWatermark, watermark-
+    // bounded state) is proven row-equal in EventStreamsSpec
+    "stream_dedup" -> ((s, d) => {
+      val deduped = EventStreams.dedupEvents(
+        EventStreams.plantRedelivery(Tables.events(s, d)))
+      deduped.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+    }),
     "stream_topk" -> ((s, d) => EventStreams.topkPerWindow(Tables.events(s, d))),
     "stream_join" -> ((s, d) => EventStreams.viewPurchaseJoin(Tables.events(s, d))),
     // LEFT OUTER interval join (r14): unattributed views null-extend
@@ -2786,6 +2797,7 @@ object SparkEntry {
     "stream_window" -> EventStreams.windowedAggSql,
     "stream_window_slide" -> EventStreams.slidingAggSql,
     "stream_session" -> EventStreams.sessionizeSql,
+    "stream_dedup" -> EventStreams.dedupEventsSql,
     "stream_topk" -> EventStreams.topkPerWindowSql(),
     "stream_join" -> EventStreams.viewPurchaseJoinSql,
     "stream_join_outer" -> EventStreams.viewPurchaseJoinOuterSql,

@@ -247,6 +247,69 @@ object EventStreams {
       }
   }
 
+  /**
+   * Deterministic at-least-once REDELIVERY plant (r14 wave 4): every
+   * fifth event re-arrives 90 seconds later with the same event_id and
+   * payload — the duplicate shape an at-least-once source (Kafka
+   * producer retry, checkpoint replay) actually produces. The corpus
+   * itself is exactly-once, so the dedup entry plants its own
+   * duplicates; the oracle replays the identical plant.
+   */
+  def plantRedelivery(events: DataFrame): DataFrame =
+    events.unionByName(
+      events.where(col("event_id") % 5 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 90 SECONDS")))
+
+  /**
+   * Exact event dedup, batch form: one row per event_id, FIRST delivery
+   * wins — a map-side-combinable `min(struct(ts, payload…))` aggregate
+   * (never a window: a hot key folds in partial aggregates; the closed
+   * r13 single-reducer class). This is the batch twin the streaming
+   * gate ([[dedupEventsStreaming]]) must agree with — EventStreamsSpec
+   * pins row-set equality over a MemoryStream run with cross-batch
+   * duplicates.
+   */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("ts"), col("user_id"), col("event_type"),
+        col("value"))).as("__first"))
+      .select(col("event_id"), col("__first.ts").as("ts"),
+        col("__first.user_id").as("user_id"),
+        col("__first.event_type").as("event_type"),
+        col("__first.value").as("value"))
+
+  /**
+   * STREAMING exact-dedup gate: `dropDuplicatesWithinWatermark` keeps
+   * the first arrival per event_id and — unlike plain
+   * `dropDuplicates`, whose key state lives FOREVER — evicts a key's
+   * state once the watermark passes its event time, so state is
+   * bounded by (event rate × watermark horizon), not stream lifetime.
+   * The contract this buys at 100 TB/day: any redelivery within the
+   * watermark window is suppressed exactly; a redelivery arriving
+   * LATER than the watermark horizon is the source's exactly-once
+   * violation to fix, not the gate's. First-arrival == min-ts when the
+   * source delivers in event-time order (the spec's arrangement and
+   * the usual at-least-once reality — retries trail originals).
+   */
+  def dedupEventsStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The planted-redelivery dedup as ANSI SQL: duplicates differ only
+    * in ts, so first-wins reduces to min(ts) per key. */
+  val dedupEventsSql: String =
+    """WITH planted AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000 + 90000, value
+      |  FROM events WHERE event_id % 5 = 0
+      |)
+      |SELECT event_id, user_id, event_type, min(ts_ms) AS ts_ms, value
+      |FROM planted
+      |GROUP BY event_id, user_id, event_type, value""".stripMargin
+
   /** Top-k events by value per (hour window, event type) — batch form
     * (the driver's oracle-checked shape): rank inside each group, keep
     * the k best. Ties break on event_id so the result is deterministic. */

@@ -12,6 +12,10 @@ case class RawEvent(ts: Timestamp, event_type: String, value: Double)
 /** An identified event for the stream-stream join run. */
 case class IdEvent(event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
 
+/** A full-shape event for the streaming dedup gate run. */
+case class FullEvent(event_id: Long, user_id: Long, event_type: String,
+  ts: Timestamp, value: Double)
+
 class EventStreamsSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -66,6 +70,52 @@ class EventStreamsSpec extends SparkSpecBase {
       val streamed = spark.table("slide_out").collect().map(_.toSeq).toSet
       assert(streamed == batch.map(_.toSeq).toSet && streamed.nonEmpty)
     } finally q.stop()
+  }
+
+  test("streaming dedup gate suppresses redeliveries within and across batches") {
+    implicit val ctx = spark.sqlContext
+    val min = 60L * 1000
+    val originals = Seq(
+      FullEvent(1L, 7L, "view", ts(10 * hour), 1.5),
+      FullEvent(2L, 8L, "view", ts(10 * hour + min), 2.5),
+      FullEvent(3L, 7L, "purchase", ts(10 * hour + 2 * min), 10.0))
+    // redeliveries trail their originals by 90s — event 1 re-arrives in
+    // the SAME batch, event 2 in a LATER batch (state must carry over)
+    val dup1 = FullEvent(1L, 7L, "view", ts(10 * hour + 90 * 1000), 1.5)
+    val dup2 = FullEvent(2L, 8L, "view", ts(10 * hour + min + 90 * 1000), 2.5)
+    val input = MemoryStream[FullEvent]
+    val q = EventStreams.dedupEventsStreaming(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(originals(0), dup1, originals(1)))
+      q.processAllAvailable()
+      input.addData(Seq(dup2, originals(2)))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect().map(_.toSeq).toSet
+      // every event exactly once, each with its FIRST-delivery payload —
+      // and row-for-row what the batch twin computes on the same input
+      val batch = EventStreams.dedupEvents(
+          (originals ++ Seq(dup1, dup2)).toDF())
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed == originals.map(e =>
+        Seq(e.event_id, e.user_id, e.event_type, e.ts, e.value)).toSet)
+    } finally q.stop()
+  }
+
+  test("dedup of the planted redelivery stream recovers the original events exactly") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val roundTrip = EventStreams.dedupEvents(EventStreams.plantRedelivery(ev))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    assert(roundTrip.exceptAll(ev).count() == 0 && ev.exceptAll(roundTrip).count() == 0)
+    // the dedup aggregate must be the partial min(struct), never a window
+    val plan = roundTrip.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), plan)
   }
 
   test("parquet file sink with checkpoint: append stream lands exactly once") {
