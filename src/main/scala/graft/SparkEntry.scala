@@ -1960,6 +1960,12 @@ object SparkEntry {
     // context-window chunking: sliding word windows for fixed-context
     // training sequences (overlapping, last chunk clamped)
     "pipe_chunk" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
+    // C4-style line-level cleaning (r14 wave 4): plant newline structure
+    // (the corpus is single-line), then short-line rule + blacklist rule
+    // + within-doc line dedup + minimum-surviving-lines doc gate, lines
+    // reassembled in order
+    "pipe_line_clean" -> ((s, d) =>
+      TextOps.lineClean(TextOps.plantLines(Tables.documents(s, d)))),
     // JSONL round-trip: dump documents as newline-delimited JSON, read
     // back schema'd, prove byte-exact text fidelity via the h60 hash
     "src_jsonl" -> ((s, d) => {
@@ -2739,6 +2745,7 @@ object SparkEntry {
     "dedup_bloom_stream" -> Dedup.bloomFlagSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,
     "pipe_chunk" -> TextOps.chunkSql,
+    "pipe_line_clean" -> TextOps.lineCleanSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL
     // dump + schema'd re-read preserved every byte of every text
     "src_jsonl" ->

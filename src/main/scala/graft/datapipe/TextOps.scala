@@ -1344,6 +1344,125 @@ object TextOps {
        |       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text_deduped
        |FROM mark GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- line-level cleaning
+
+  /** Minimum words for a line to survive [[lineClean]] (C4 keeps only
+    * lines of >= 5 words / ending in punctuation; the corpus has no
+    * punctuation, so the word floor carries the rule). */
+  val minLineWords = 4
+
+  /** Word-level line blacklist — the C4 "javascript"/"lorem ipsum"
+    * class: a line containing any of these tokens is boilerplate. */
+  val lineBlacklist = Seq("dup", "slow")
+
+  /** Minimum surviving lines for the DOCUMENT to survive (C4 drops
+    * pages with < 3 retained sentences; scaled to the corpus). */
+  val minDocLines = 2
+
+  /**
+   * Deterministic LINE-STRUCTURE plant: the corpus ships single-line
+   * documents, so the line-cleaning entry synthesizes newline structure
+   * first — each doc is re-wrapped at `3 + doc_id % 7` words per line
+   * (width varies ACROSS docs, so the short-line rule fires on whole
+   * short-width docs, on tail lines, and not at all on wide docs). A
+   * pure projection: the wrap is transform+slice over the word array,
+   * no explode, no shuffle. The oracle replays it literally.
+   */
+  def plantLines(docs: DataFrame): DataFrame =
+    docs.withColumn("text", expr(
+      """array_join(
+        |  transform(
+        |    sequence(0, cast(ceil(size(split(coalesce(text, ''), ' '))
+        |                          / cast(3 + pmod(doc_id, 7) as double)) as bigint) - 1),
+        |    i -> array_join(slice(split(coalesce(text, ''), ' '),
+        |                          cast(i * (3 + pmod(doc_id, 7)) + 1 as int),
+        |                          cast(3 + pmod(doc_id, 7) as int)), ' ')),
+        |  '\n')""".stripMargin))
+
+  /**
+   * C4-STYLE LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2, adapted to
+   * the corpus): documents are cleaned line by line BEFORE any
+   * document-level decision —
+   *
+   *   1. a line survives only with >= [[minLineWords]] words (C4's
+   *      short-line rule; terminal-punctuation is vacuous here);
+   *   2. a line containing a [[lineBlacklist]] token is boilerplate
+   *      and dropped (C4's "javascript"/policy-text rule);
+   *   3. surviving DUPLICATE lines within a document keep only their
+   *      first occurrence (C4 dedups three-sentence spans per page);
+   *   4. the document itself is dropped when < [[minDocLines]] lines
+   *      survive (C4's empty-page rule) — `doc_kept` false,
+   *      `text_clean` NULL.
+   *
+   * Scale shape: rules 1–2 are per-row projections on the exploded
+   * line frame; rule 3 is a partial min(line_idx) per (doc_id, line) —
+   * within-doc keep-first needs no corpus-wide key, so the hot key is
+   * at worst one document's repeats, map-side combined (never a
+   * window); rule 4 and the reassembly are one groupBy(doc_id) whose
+   * payload is surviving lines only. Line order is preserved through
+   * `string_agg`-equivalent sorted reassembly. Output: (doc_id,
+   * n_lines, n_kept, doc_kept, text_clean).
+   */
+  def lineClean(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n")))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+    val w = split(col("line"), " ")
+    val ok = lines.where(size(w) >= minLineWords &&
+      !lineBlacklist.map(b => array_contains(w, b)).reduce(_ || _))
+    // within-doc keep-first: ONE partial aggregate emits the kept set
+    // directly (no join-back — distinct surviving lines ARE the output)
+    val keptLines = ok.groupBy(col("doc_id"), col("line"))
+      .agg(min(col("line_idx")).as("line_idx"))
+    val perKept = keptLines.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        s => s("line")), "\n").as("__text"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(perKept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)) >= minDocLines).as("doc_kept"),
+        when(coalesce(col("n_kept"), lit(0L)) >= minDocLines, col("__text"))
+          .as("text_clean"))
+  }
+
+  /** [[plantLines]] + [[lineClean]] as one DuckDB query (the oracle). */
+  lazy val lineCleanSql: String = {
+    val bl = lineBlacklist
+      .map(b => s"NOT list_contains(string_split(line, ' '), '$b')")
+      .mkString(" AND ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, array_to_string(
+       |    list_transform(range(0, CAST(ceil(len(w) / CAST(3 + doc_id % 7 AS DOUBLE)) AS BIGINT)),
+       |      i -> array_to_string(w[(i*(3 + doc_id % 7)+1):(i*(3 + doc_id % 7)+(3 + doc_id % 7))], ' ')),
+       |    chr(10)) AS text
+       |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents)
+       |), lines AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_idx, ls[i] AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+       |       UNNEST(range(1, len(ls) + 1)) AS t(i)
+       |), ok AS (
+       |  SELECT * FROM lines
+       |  WHERE len(string_split(line, ' ')) >= $minLineWords AND $bl
+       |), keptl AS (
+       |  SELECT doc_id, line, min(line_idx) AS line_idx
+       |  FROM ok GROUP BY doc_id, line
+       |), perkept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
+       |  FROM keptl GROUP BY doc_id
+       |)
+       |SELECT a.doc_id, a.n_lines, coalesce(k.n_kept, 0) AS n_kept,
+       |       coalesce(k.n_kept, 0) >= $minDocLines AS doc_kept,
+       |       CASE WHEN coalesce(k.n_kept, 0) >= $minDocLines THEN k.text_clean END AS text_clean
+       |FROM (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id) a
+       |LEFT JOIN perkept k USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------- substring-span dedup
 
   /** Repeated-span width in words for [[spanDedup]]. */
