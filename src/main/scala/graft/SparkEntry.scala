@@ -1836,6 +1836,10 @@ object SparkEntry {
     // product-quantization ANN: per-subspace codebooks, map-side encode,
     // ADC (reconstruction-cosine) ranking — the memory-bound scale path
     "ann_pq" -> ((s, d) => Ann.pqTopK(Tables.embeddings(s, d))),
+    // refine re-rank (r14 wave 4): PQ/ADC proposes a 4k shortlist from
+    // the codes, only those candidates fetch raw vectors for an EXACT
+    // cosine re-rank — quantization recall repaired at bounded cost
+    "ann_refine" -> ((s, d) => Ann.refineTopK(Tables.embeddings(s, d))),
     // SQ8 scalar quantization (r14): per-dim [min,max] trained in one
     // map-side aggregate, 1 byte/dim codes, dequantized-cosine ranking —
     // the 4x middle ground between raw floats and PQ codes
@@ -2673,6 +2677,7 @@ object SparkEntry {
     "ann_multiprobe" -> Ann.lshMultiprobeTopKSql,
     "ann_ivf2" -> Ann.ivfTopKSql(2),
     "ann_pq" -> Ann.pqTopKSql(),
+    "ann_refine" -> Ann.refineTopKSql(),
     "ann_sq8" -> Ann.sq8TopKSql(),
     // the file-backed SQ8 serving split reproduces ann_sq8 exactly; the
     // append form trains bounds on the even half only (frozen-bounds

@@ -923,6 +923,90 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ---------------------------------------------- refine re-rank (RFlat)
+
+  /** Shortlist width multiplier for [[refineTopK]] — the FAISS
+    * `IndexRefineFlat` k_factor: ADC proposes `refineFactor * topK`
+    * candidates, the exact pass keeps topK. */
+  val refineFactor = 4
+
+  /**
+   * REFINE re-rank (FAISS `IndexRefineFlat`, r14 wave 4) — the standard
+   * two-stage serving pattern that repairs quantization recall at a
+   * bounded exact-compute cost: the PQ/ADC estimate proposes a per-query
+   * SHORTLIST of [[refineFactor]]·topK candidates from the compressed
+   * codes, then ONLY those candidates are re-scored against their RAW
+   * vectors and re-ranked exactly. An ADC near-miss inside the shortlist
+   * is repaired; the final ordering and similarities are exact cosine,
+   * not estimates.
+   *
+   * Scale shape: stage 1 is [[pqTopK]]'s plan (broadcast codebook,
+   * per-query bounded rank window); stage 2's raw-vector fetch is a join
+   * of the SLIM shortlist (queries × 4k id pairs — executor-small,
+   * AQE-broadcast) against the collection, so raw vector mass moves
+   * only for shortlisted candidates: per query the exact work is 4k
+   * D-dim cosines instead of N. This is how a 10^10-vector deployment
+   * gets exact-quality top-k without ever scanning raw floats.
+   */
+  def refineTopK(emb: DataFrame, m: Int = pqM, k: Int = pqK): DataFrame = {
+    val (codes, cent) = pqCompress(emb, m, k)
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // stage 1 — ADC shortlist from the compressed codes
+    val recon = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(broadcast(cent), Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cid"), col("c_emb")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("c_emb"))).as("recon"))
+    val est = recon.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("q_emb"), col("recon")) /
+          (norm(col("q_emb")) * norm(col("recon")))).as("est"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("est").desc, col("nbr_id").asc)
+    val shortlist = est.withColumn("srnk", row_number().over(w1))
+      .where(col("srnk") <= refineFactor * topK)
+      .select(col("q_id"), col("nbr_id")) // slim: ids only
+    // stage 2 — exact re-rank of the shortlist against raw vectors
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("n_emb")), "nbr_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("nbr_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    exact.withColumn("rnk", row_number().over(w2))
+      .where(col("rnk") <= topK)
+      .select(col("q_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of [[refineTopK]]: the pq CTE chain proposes the
+    * shortlist, the outer query re-ranks it by exact cosine. */
+  def refineTopKSql(m: Int = pqM, k: Int = pqK): String = {
+    val subDim = dim / m
+    val estCos = cosineSql("q.q_emb", "r.recon")
+    val cos = cosineSql("q.q_emb", "e.embedding")
+    s"""WITH ${pqCtes(m, k, 1, subDim)},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id % $queryMod = 0),
+       |shortlist AS (
+       |  SELECT q.q_id, r.vec_id AS nbr_id,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |                            ORDER BY $estCos DESC, r.vec_id) AS srnk
+       |  FROM q JOIN rec r ON r.vec_id <> q.q_id
+       |  QUALIFY srnk <= ${refineFactor * topK}
+       |)
+       |SELECT s.q_id, s.nbr_id,
+       |       CAST(row_number() OVER (PARTITION BY s.q_id
+       |                               ORDER BY $cos DESC, s.nbr_id) AS BIGINT) AS rnk,
+       |       round($cos, 6) AS sim
+       |FROM shortlist s
+       |JOIN embeddings e ON e.vec_id = s.nbr_id
+       |JOIN q ON q.q_id = s.q_id
+       |QUALIFY rnk <= $topK""".stripMargin
+  }
+
   // ------------------------------------------- scalar quantization (SQ8)
 
   /**

@@ -53,6 +53,37 @@ class AnnSpec extends SparkSpecBase {
     assert(rMulti > rSingle, s"expected strict recall gain ($rMulti vs $rSingle)")
   }
 
+  test("refine re-rank: exact sims, recall >= raw PQ, shortlist bounded") {
+    val many = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"))).toSet
+    val truth = Ann.bruteForceTopK(many).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id")) ->
+        r.getAs[Double]("sim")).toMap
+    val pq = pairs(Ann.pqTopK(many))
+    val refined = Ann.refineTopK(many).collect()
+    // stage 2 is EXACT: every refined pair that is a true-top-k pair
+    // carries the identical exact similarity brute force computes
+    refined.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"))
+      truth.get(key).foreach { s =>
+        assert(r.getAs[Double]("sim") == s, s"sim drift at $key")
+      }
+    }
+    // recall repaired: refine finds at least as many true neighbors as
+    // the raw ADC ranking it re-ranks
+    val rPq = (truth.keySet intersect pq).size
+    val rRef = (truth.keySet intersect refined.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("nbr_id"))).toSet).size
+    assert(rRef >= rPq && rRef > 0, s"refine recall $rRef < pq $rPq")
+    // output is exactly topK per query, ranks contiguous
+    refined.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to Ann.topK).toSeq)
+    }
+  }
+
   test("near-dup multiprobe pairs are a superset of the single-probe pairs") {
     val many = (0L until 150L).map { i =>
       // clustered vectors: base direction per i%10 with small noise
