@@ -601,6 +601,25 @@ object SparkEntry {
     * the join beneath gets CQC semijoin reduction, and the windows
     * re-apply on the reduced result (running decimal sum — exact and
     * order-stable on the unique (date, orderkey) sort). */
+  /** QUALIFY clause through the door (r14 wave 4): top-2 orders per
+    * BUILDING customer by price — the window predicate filters AFTER
+    * window evaluation, then the tail ORDER BY + LIMIT applies on the
+    * filtered rows (the Snowflake/DuckDB evaluation order the rewrite
+    * must preserve). DuckDB parses QUALIFY natively, so the oracle is
+    * the same text over the base tables. */
+  def qSqlCqcQualify(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("qlf_orders")
+    Tables.customer(s, d).createOrReplaceTempView("qlf_customer")
+    graft.sql.CqcSql.solve(s,
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM qlf_orders o, qlf_customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+        |          ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 2
+        |ORDER BY custkey, orderkey LIMIT 500""".stripMargin)
+  }
+
   def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("winq_orders")
     Tables.customer(s, d).createOrReplaceTempView("winq_customer")
@@ -1685,6 +1704,7 @@ object SparkEntry {
     "sql_cqc_q13" -> (qSqlCqcQ13 _),
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
+    "sql_cqc_qualify" -> (qSqlCqcQualify _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
@@ -2873,6 +2893,17 @@ object SparkEntry {
         |  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
         |                      FROM lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // DuckDB parses QUALIFY natively — the oracle is the entry's own
+    // text over the base tables (the door must reproduce the native
+    // QUALIFY evaluation order: windows, filter, ORDER BY, LIMIT)
+    "sql_cqc_qualify" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o, customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+        |          ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 2
+        |ORDER BY custkey, orderkey LIMIT 500""".stripMargin,
     "sql_cqc_window" ->
       """SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY o.o_custkey

@@ -51,12 +51,111 @@ object CqcSql {
   private final class UnsupportedFrame extends RuntimeException
 
   def solve(spark: SparkSession, sql: String): DataFrame =
-    hintedRoot(spark, sql) match {
-      case Some(r) if graft.cqc.Hypergraph.activeRootHint.isEmpty =>
-        graft.cqc.Hypergraph.withRootHint(r)(
-          solvePlan(spark, spark.sql(sql).queryExecution.analyzed))
-      case _ => solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+    qualifySplit(sql) match {
+      case Some((rewritten, qcol)) =>
+        // QUALIFY: the window predicate rides the select list as a
+        // boolean carrier (the door's window peel routes it), the frame
+        // filters on it and drops it — see [[qualifySplit]]
+        trace("QUALIFY clause: predicate moved to select-list carrier + post-filter")
+        solve(spark, rewritten).drop(qcol)
+      case None => hintedRoot(spark, sql) match {
+        case Some(r) if graft.cqc.Hypergraph.activeRootHint.isEmpty =>
+          graft.cqc.Hypergraph.withRootHint(r)(
+            solvePlan(spark, spark.sql(sql).queryExecution.analyzed))
+        case _ => solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      }
     }
+
+  // ---- QUALIFY clause (r14 wave 4): Snowflake/DuckDB/BigQuery syntax
+  // Spark's parser lacks — `[GROUP BY/HAVING] QUALIFY <pred> [ORDER BY/
+  // LIMIT]` filters rows on window functions AFTER they are computed.
+  // The door rewrites the TEXT before parsing: the predicate moves into
+  // the select list as a boolean carrier column (window expressions are
+  // legal there and see exactly the rows QUALIFY's windows see), and
+  // [[solve]] applies WHERE carrier + drops it on the built frame — so
+  // every door route (window peel, fast aggregates' fallback, stock)
+  // inherits the clause. Scope: the OUTERMOST query block only (the
+  // scan is depth-0 — a QUALIFY inside a subquery or CTE body sits
+  // inside parens and is left alone, so Spark reports its parse error
+  // loudly instead of a silent half-rewrite). Refused loudly: SELECT
+  // DISTINCT (the carrier would change the distinct-set) and depth-0
+  // set operations (the carrier would land in the wrong branch).
+
+  /** Depth-0 keyword occurrences of `kw` in `sql` — outside string
+    * literals, backtick identifiers, comments, and parens. Returns
+    * start offsets; `kw` must be word-isolated. */
+  private def topLevelKw(sql: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    def wordCh(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote != '`' && i + 1 < sql.length && sql.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        } else if (c == '\\' && quote != '`') i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end >= 0) end + 1 else sql.length
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && kw.length <= sql.length - i &&
+        sql.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !wordCh(sql.charAt(i - 1))) &&
+        (i + kw.length >= sql.length || !wordCh(sql.charAt(i + kw.length)))) {
+        out += i
+        i += kw.length - 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Split a top-level QUALIFY off `sql`: Some((rewritten text, carrier
+    * column name)) when present, None otherwise. See the block comment
+    * above for the rewrite contract. */
+  private[sql] def qualifySplit(sql: String): Option[(String, String)] = {
+    val quals = topLevelKw(sql, "QUALIFY")
+    if (quals.isEmpty) return None
+    require(quals.size == 1, "more than one top-level QUALIFY clause")
+    require(Seq("UNION", "INTERSECT", "EXCEPT")
+        .forall(topLevelKw(sql, _).isEmpty),
+      "QUALIFY over a top-level set operation is not supported by the door " +
+        "(wrap the branch in a subquery)")
+    val qStart = quals.head
+    val selects = topLevelKw(sql, "SELECT")
+    require(selects.nonEmpty && selects.head < qStart,
+      "QUALIFY without a top-level SELECT")
+    val afterSel = sql.drop(selects.head + "SELECT".length)
+    require(!afterSel.stripLeading().toUpperCase.startsWith("DISTINCT"),
+      "QUALIFY over SELECT DISTINCT is not supported by the door " +
+        "(the carrier column would change the distinct-set)")
+    val froms = topLevelKw(sql, "FROM").filter(_ > selects.head)
+    require(froms.nonEmpty, "QUALIFY without a top-level FROM")
+    val fromAt = froms.head
+    require(fromAt < qStart, "malformed QUALIFY placement")
+    val tailKw = (topLevelKw(sql, "ORDER") ++ topLevelKw(sql, "LIMIT"))
+      .filter(_ > qStart)
+    val predEnd = if (tailKw.isEmpty) sql.length else tailKw.min
+    val pred = sql.substring(qStart + "QUALIFY".length, predEnd).trim
+    require(pred.nonEmpty, "empty QUALIFY predicate")
+    // the carrier block nests INSIDE a wrapper that filters on it, so a
+    // trailing ORDER BY / LIMIT applies AFTER the qualify filter (the
+    // Snowflake evaluation order) — the wrapper's WHERE references only
+    // the subquery's output, and solve() drops the carrier column
+    val tail = if (predEnd < sql.length) " " + sql.substring(predEnd) else ""
+    val rewritten = "SELECT * FROM (" +
+      sql.substring(0, fromAt) + s", ($pred) AS __qualify " +
+      sql.substring(fromAt, qStart) +
+      ") __qualified WHERE __qualify" + tail
+    Some((rewritten, "__qualify"))
+  }
 
   // ---- SQL-comment join-tree hint (reference convert/HintHandler.scala:10
   // reached from plain text instead of the web/API pin): `/*+ ROOT(x) */`
@@ -127,8 +226,10 @@ object CqcSql {
   def relations(spark: SparkSession, sql: String): Seq[graft.cqc.Rel] = {
     val last = scala.collection.mutable.ArrayBuffer[graft.cqc.Rel]()
     relsHook.set { rels => last.clear(); last ++= rels }
+    // QUALIFY texts inspect through the same rewrite solve() executes
+    val sql2 = qualifySplit(sql).map(_._1).getOrElse(sql)
     try {
-      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      solvePlan(spark, spark.sql(sql2).queryExecution.analyzed)
       last.toSeq
     } finally relsHook.remove()
   }
@@ -153,8 +254,9 @@ object CqcSql {
     val lastCmps = scala.collection.mutable.ArrayBuffer[Cmp]()
     relsHook.set { rels => lastRels.clear(); lastRels ++= rels }
     cmpsHook.set { cs => lastCmps.clear(); lastCmps ++= cs }
+    val sql2 = qualifySplit(sql).map(_._1).getOrElse(sql)
     try {
-      solvePlan(spark, spark.sql(sql).queryExecution.analyzed)
+      solvePlan(spark, spark.sql(sql2).queryExecution.analyzed)
       (lastRels.toSeq, lastCmps.toSeq)
     } finally { relsHook.remove(); cmpsHook.remove() }
   }
