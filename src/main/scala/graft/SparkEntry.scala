@@ -620,6 +620,30 @@ object SparkEntry {
         |ORDER BY custkey, orderkey LIMIT 500""".stripMargin)
   }
 
+  /** WITH RECURSIVE reachability (r14 wave 4): bounded-depth transitive
+    * closure over the fixed example graph — the one query family the
+    * CQC decomposition structurally cannot express (unbounded-length
+    * paths need a fixpoint, not a join tree). Spark 4's recursive CTE
+    * (UnionLoop) executes it natively; the door accepts the text and
+    * falls back to stock evaluation of the recursion — the guarded-
+    * fallback contract, proven equal to DuckDB's WITH RECURSIVE. The
+    * depth bound keeps the cyclic graph's path count finite; min_depth
+    * and n_paths summarize multiplicity deterministically. */
+  def qSqlRecursive(s: SparkSession, d: String): DataFrame = {
+    Tables.edgesRef(s, d).createOrReplaceTempView("rec_edges")
+    graft.sql.CqcSql.solve(s,
+      """WITH RECURSIVE reach AS (
+        |  SELECT src, dst, 1 AS depth FROM rec_edges WHERE src % 20 = 4
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.depth + 1
+        |  FROM reach r JOIN rec_edges e ON r.dst = e.src
+        |  WHERE r.depth < 3
+        |)
+        |SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth,
+        |       CAST(count(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY src, dst""".stripMargin)
+  }
+
   def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("winq_orders")
     Tables.customer(s, d).createOrReplaceTempView("winq_customer")
@@ -1705,6 +1729,7 @@ object SparkEntry {
     "sql_cqc_subq" -> (qSqlCqcSubq _),
     "sql_cqc_window" -> (qSqlCqcWindow _),
     "sql_cqc_qualify" -> (qSqlCqcQualify _),
+    "sql_recursive" -> (qSqlRecursive _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
@@ -2893,6 +2918,20 @@ object SparkEntry {
         |  AND l.l_quantity < (SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
         |                      FROM lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // DuckDB's native WITH RECURSIVE replays the identical bounded
+    // fixpoint over the same derived graph
+    "sql_recursive" ->
+      s"""WITH RECURSIVE rec_edges AS (${Tables.edgesRefSql}),
+         |reach AS (
+         |  SELECT src, dst, 1 AS depth FROM rec_edges WHERE src % 20 = 4
+         |  UNION ALL
+         |  SELECT r.src, e.dst, r.depth + 1
+         |  FROM reach r JOIN rec_edges e ON r.dst = e.src
+         |  WHERE r.depth < 3
+         |)
+         |SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM reach GROUP BY src, dst""".stripMargin,
     // DuckDB parses QUALIFY natively — the oracle is the entry's own
     // text over the base tables (the door must reproduce the native
     // QUALIFY evaluation order: windows, filter, ORDER BY, LIMIT)
