@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cqc.{Cmp, Rel, Yannakakis}
 import graft.datapipe.{Ann, Decontam, Dedup, Multimodal, Sketches, TextOps}
 import graft.sources.Tables
+import graft.joins.TemporalJoins
 import graft.streaming.EventStreams
 import graft.topk.RankJoin
 import graft.wcoj.{Lftj, Wcoj}
@@ -186,6 +187,49 @@ object SparkEntry {
     out.select(col("eid1"), col("eid2"), col("user_id"),
       unix_millis(col("ts1")).as("ts1_ms"), unix_millis(col("ts2")).as("ts2_ms"),
       col("val1"), col("val2"))
+  }
+
+  /** AS-OF join (r14 wave 5): each purchase picks the user's most recent
+    * view at-or-before it (DuckDB `ASOF LEFT JOIN` semantics) — the
+    * two-level blocked carry-forward in [[TemporalJoins.asofJoin]], so
+    * no user's history ever sits in one reducer partition. Views
+    * sharing (user, ts) collapse to max event_id in both engines. */
+  def qAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("view_ts_ms"), col("event_id").as("view_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofJoin(purch, views, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("view_id"), col("view_ts_ms"))
+  }
+
+  /** Band join with NO equi key (r14 wave 5): per error event, the count
+    * and value mass of ALL purchases (any user) in the hour before it —
+    * the global temporal-correlation shape Spark plans as a nested-loop
+    * join; [[TemporalJoins.bandJoin]] buckets time at the band width so
+    * it runs as one shuffled equi-join. Zero-match errors keep n=0 with
+    * a NULL sum (LEFT semantics); the value sum crosses engines on the
+    * established DECIMAL(18,6)+round hop (stream_enrich's idiom —
+    * Spark's double→decimal cast routes through the double's shortest
+    * string while DuckDB expands the binary value, so wide-scale
+    * decimal casts of doubles diverge in the tail). */
+  def qBandJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("value").as("p_val"))
+    val pairs = TemporalJoins.bandJoin(errs, purch, "e_ts", "p_ts", 3600L * 1000000L)
+    val agg = pairs.groupBy(col("e_id"))
+      .agg(count(col("p_id")).as("n_purch"),
+        round(sum(col("p_val").cast("decimal(18,6)")), 4).cast("double").as("sum_val"))
+    errs.join(agg, Seq("e_id"), "left")
+      .select(col("e_id"), unix_millis(col("e_ts")).as("e_ts_ms"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"), col("sum_val"))
   }
 
   /** Ranked top-k join (reference convert/TopK.scala L2 shape):
@@ -1744,6 +1788,8 @@ object SparkEntry {
     "sql_cqc_outer_minmax" -> (qSqlCqcOuterMinmax _),
     "sql_cqc_disj" -> (qSqlCqcDisj _),
     "skew_join" -> (qSkewJoin _),
+    "q_asof" -> (qAsof _),
+    "q_band_join" -> (qBandJoin _),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -3018,6 +3064,35 @@ object SparkEntry {
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    // AS-OF join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — the
+    // two-level blocked carry-forward must reproduce the textbook
+    // semantics exactly, nulls included
+    "q_asof" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS view_ts_ms,
+        |         max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, epoch_ns(p.ts) // 1000000 AS ts_ms,
+        |       p.value, v.view_id, v.view_ts_ms
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    // band join: DuckDB evaluates the raw inequality join (its IEJoin);
+    // the binned equi-join + residual filter must produce the same pairs
+    "q_band_join" ->
+      """WITH e AS (SELECT event_id AS e_id, ts AS e_ts FROM events
+        |           WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS p_id, ts AS p_ts, value AS p_val FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT e.e_id, epoch_ns(e.e_ts) // 1000000 AS e_ts_ms,
+        |       count(p.p_id) AS n_purch,
+        |       CAST(ROUND(sum(CAST(p.p_val AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_val
+        |FROM e LEFT JOIN p
+        |  ON p.p_ts >= e.e_ts - INTERVAL 1 HOUR AND p.p_ts <= e.e_ts
+        |GROUP BY e.e_id, e.e_ts""".stripMargin,
     "skew_join" ->
       s"""WITH e AS (${Tables.edgesSkewedSql}),
          |w AS (SELECT dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY dst)

@@ -1,0 +1,148 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark's optimizer has no native plan for:
+ *
+ *  - [[asofJoin]] — the kdb/pandas/DuckDB AS-OF join: each probe row
+ *    picks the single build row with the greatest timestamp at-or-before
+ *    its own, per key. Spark would need a per-key sort + merge the
+ *    planner doesn't know; the naive window form puts each key's entire
+ *    history in one reducer partition (the single-reducer class this
+ *    repo closed in r13).
+ *  - [[bandJoin]] — a pure range-band join with NO equi key: Spark plans
+ *    `a.ts BETWEEN b.ts - band AND b.ts` as BroadcastNestedLoopJoin /
+ *    CartesianProduct (O(|A|·|B|) pair evaluations). Bucketing time into
+ *    band-width blocks turns it into an ordinary shuffled equi-join plus
+ *    an exact residual filter.
+ *
+ * Both express the physical trick declaratively (DataFrame ops only) so
+ * Catalyst/AQE still own partitioning, skew splitting, and join
+ * strategy selection.
+ */
+object TemporalJoins {
+
+  /** Exact floor block id of a micros column for width `w` (plain `div`
+    * truncates toward zero, which anti-orders pre-epoch timestamps). All
+    * arithmetic stays in longs — no double hop, so the id is exact for
+    * the full timestamp range, not just below 2^53 micros. */
+  private def blockOf(musCol: String, w: Long): Column =
+    expr(s"($musCol - pmod($musCol, ${w}L)) div ${w}L")
+
+  /** Default as-of block width: one day of micros. The level-1 window
+    * partition then holds (key rate × 1 day) rows — the same
+    * rate-times-horizon bound Structured Streaming state carries — and
+    * the level-2 frame one row per (key, active day). */
+  val asofBlockMicros: Long = 86400L * 1000000L
+
+  /**
+   * AS-OF (backward) join, `>=` match semantics like DuckDB's
+   * `ASOF JOIN`: for every probe row, attach the payload of the build
+   * row with the greatest `tsCol` ≤ the probe's `tsCol` within the same
+   * `keys`; probes with no earlier build row null-extend (LEFT
+   * semantics). `build` must carry exactly `keys ++ tsCol ++ payload`;
+   * payload column names must not collide with probe columns (expose
+   * the matched build timestamp by projecting it under a second name
+   * before the call). Build rows sharing (keys, ts) collapse to the
+   * lexicographically greatest payload tuple — a deterministic,
+   * engine-portable tie rule.
+   *
+   * Scale shape — a DISTRIBUTED two-level carry-forward, not one
+   * `PARTITION BY key` window (a hot key's entire history on one
+   * reducer):
+   *  level 1: probe and build rows union-tag into one frame, blocked by
+   *           `ts div blockMicros`; within each bounded (key, block)
+   *           cell a window ordered by (ts, tag) carries the last
+   *           non-null build payload forward — build tag 0 sorts before
+   *           probe tag 1 at equal ts, which IS the `>=` rule.
+   *  level 2: the per-(key, block) LATEST build payload is a slim
+   *           aggregate (one row per active cell); a per-key window
+   *           over THAT frame — bounded by blocks-per-key, not
+   *           rows-per-key — carries it across blocks, and an ordinary
+   *           equi-join (AQE-sized, deliberately not forced broadcast:
+   *           the frame is (key × active-block)-cardinality) hands each
+   *           cell its previous-blocks carry.
+   * A probe's match is then coalesce(within-block carry, prior-block
+   * carry) — bit-identical to the sequential per-key scan because
+   * blocks respect ts order.
+   */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+               tsCol: String, blockMicros: Long = asofBlockMicros): DataFrame = {
+    require(blockMicros >= 1, s"positive block width required, got $blockMicros")
+    val payCols = build.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payCols.nonEmpty, "build side carries no payload columns")
+    val collide = payCols.toSet.intersect(probe.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with probe columns: $collide")
+    // one deterministic build row per (keys, ts): greatest payload tuple
+    val build1 = build.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(max(struct(payCols.map(col): _*)).as("__pay"))
+    val payT = build1.schema("__pay").dataType
+    val probeT = probe.schema
+    val keyCols = keys.map(col)
+    val probeTagged = probe.select(
+      keyCols ++ Seq(col(tsCol).as("__ts"), lit(1).as("__tag"),
+        struct(probe.columns.map(col): _*).as("__pr"),
+        lit(null).cast(payT).as("__pay")): _*)
+    val buildTagged = build1.select(
+      keyCols ++ Seq(col(tsCol).as("__ts"), lit(0).as("__tag"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(probeT.fields)).as("__pr"),
+        col("__pay")): _*)
+    val tagged = probeTagged.unionByName(buildTagged)
+      .withColumn("__mus", unix_micros(col("__ts")))
+      .withColumn("__blk", blockOf("__mus", blockMicros))
+    // level 1: carry within the bounded (keys, block) cell
+    val w1 = Window.partitionBy((keys :+ "__blk").map(col): _*)
+      .orderBy(col("__mus"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged.withColumn("__loc", last(col("__pay"), ignoreNulls = true).over(w1))
+    // level 2: latest build payload per active cell, carried across
+    // blocks on the slim frame only
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = tagged.groupBy((keys :+ "__blk").map(col): _*)
+      .agg(max(when(col("__tag") === 0, struct(col("__mus"), col("__pay")))).as("__lastb"))
+      .withColumn("__prevb", last(col("__lastb"), ignoreNulls = true).over(w2))
+      .select((keys :+ "__blk").map(col) :+ col("__prevb.__pay").as("__prev"): _*)
+    local.join(cells, keys :+ "__blk")
+      .where(col("__tag") === 1)
+      .withColumn("__m", coalesce(col("__loc"), col("__prev")))
+      .select(probe.columns.map(c => col(s"__pr.`$c`").as(c)) ++
+        payCols.map(c => col(s"__m.`$c`").as(c)): _*)
+  }
+
+  /**
+   * Range-band join with NO equi key: all pairs where
+   * `l.tsL - band ≤ r.tsR ≤ l.tsL`. Column names must be disjoint
+   * across the two inputs (project before the call).
+   *
+   * Spark plans the raw inequality as BroadcastNestedLoopJoin (or a
+   * cartesian product when neither side broadcasts) — every left row
+   * against every right row, dead at 100 TB. Blocking time at the band
+   * width makes every matching right row live in the left row's own
+   * block or the one before it (band == block width, so the window
+   * spans at most two block boundaries); replicating only the LEFT side
+   * ×2 turns the whole thing into one shuffled equi-join on the block
+   * id plus an exact micros residual filter. A traffic burst makes a
+   * hot block on BOTH sides of the same key — exactly the shape AQE's
+   * skew-join split handles.
+   */
+  def bandJoin(left: DataFrame, right: DataFrame, tsL: String, tsR: String,
+               bandMicros: Long): DataFrame = {
+    require(bandMicros >= 1, s"positive band required, got $bandMicros")
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+    require(collide.isEmpty, s"column names must be disjoint, both sides have: $collide")
+    val l = left.withColumn("__lmus", unix_micros(col(tsL)))
+      .withColumn("__b0", blockOf("__lmus", bandMicros))
+      .withColumn("__blk", explode(array(col("__b0") - 1, col("__b0"))))
+      .drop("__b0")
+    val r = right.withColumn("__rmus", unix_micros(col(tsR)))
+      .withColumn("__blk", blockOf("__rmus", bandMicros))
+    l.join(r, "__blk")
+      .where(col("__rmus") >= col("__lmus") - lit(bandMicros) &&
+        col("__rmus") <= col("__lmus"))
+      .select((left.columns ++ right.columns).map(col): _*)
+  }
+}

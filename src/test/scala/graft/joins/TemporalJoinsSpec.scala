@@ -1,0 +1,151 @@
+package graft.joins
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AS-OF and band-join contracts: hand-checkable semantics, the
+  * two-level distributed form == the naive one-window / cross-join
+  * forms at every block width, and the plans that make them scale
+  * (no per-key single-reducer window; no nested-loop join). */
+class TemporalJoinsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // probe: purchases; build: quotes per key with payload (px, src)
+  private def probe: DataFrame = Seq(
+    (1L, "k1", ts("2024-01-01 10:00:00")),
+    (2L, "k1", ts("2024-01-01 10:00:05")),
+    (3L, "k1", ts("2024-01-03 00:00:01")), // blocks away from any quote
+    (4L, "k2", ts("2024-01-01 09:00:00")), // before every k2 quote -> null
+    (5L, "k2", ts("2024-01-01 12:00:00")),
+    (6L, "k3", ts("2024-01-01 12:00:00")) // key with no quotes at all
+  ).toDF("pid", "k", "t")
+
+  private def build: DataFrame = Seq(
+    ("k1", ts("2024-01-01 09:59:59"), 100L, "a"),
+    ("k1", ts("2024-01-01 10:00:00"), 101L, "b"), // equal-ts: must match pid=1
+    ("k1", ts("2024-01-01 10:00:04"), 102L, "c"),
+    ("k2", ts("2024-01-01 11:00:00"), 200L, "d"),
+    ("k2", ts("2024-01-01 11:30:00"), 201L, "e")
+  ).toDF("k", "t", "px", "src")
+
+  /** Naive reference: cross join + max-earlier pick, blind to blocking. */
+  private def naiveAsof(p: DataFrame, b: DataFrame): Map[Long, Option[(Long, String)]] = {
+    val bs = b.as[(String, java.sql.Timestamp, Long, String)].collect()
+    p.as[(Long, String, java.sql.Timestamp)].collect().map { case (pid, k, t) =>
+      val cands = bs.filter(r => r._1 == k && !r._2.after(t))
+      pid -> (if (cands.isEmpty) None
+              else { val m = cands.map(r => (r._2.getTime, r._3, r._4)).max
+                     Some((m._2, m._3)) })
+    }.toMap
+  }
+
+  private def run(p: DataFrame, b: DataFrame, blockMicros: Long): Map[Long, Option[(Long, String)]] =
+    TemporalJoins.asofJoin(p, b, Seq("k"), "t", blockMicros)
+      .select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (pid, px, src) => pid -> px.map(v => (v, src.get)) }.toMap
+
+  test("asof matches the naive per-key scan at every block width") {
+    val want = naiveAsof(probe, build)
+    for (w <- Seq(1000000L, 7L * 1000000L, 3600L * 1000000L, TemporalJoins.asofBlockMicros))
+      assert(run(probe, build, w) == want, s"block width $w")
+  }
+
+  test("asof semantics: >= match, cross-block carry, left null-extension") {
+    val got = run(probe, build, 60L * 1000000L) // 1-minute blocks
+    assert(got(1L) == Some((101L, "b"))) // equal ts matches (>= rule)
+    assert(got(2L) == Some((102L, "c")))
+    assert(got(3L) == Some((102L, "c"))) // carried across empty blocks/days
+    assert(got(4L) == None) // probe before every build row
+    assert(got(5L) == Some((201L, "e")))
+    assert(got(6L) == None) // key with no build rows at all
+  }
+
+  test("asof build ties on (key, ts) keep the greatest payload tuple") {
+    val b2 = build.unionByName(
+      Seq(("k1", ts("2024-01-01 10:00:00"), 150L, "z")).toDF("k", "t", "px", "src"))
+    val got = run(probe, b2, TemporalJoins.asofBlockMicros)
+    assert(got(1L) == Some((150L, "z"))) // (150,z) > (101,b) lexicographically
+  }
+
+  test("asof rejects payload/probe column collisions and empty payloads") {
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(probe, build.withColumnRenamed("px", "pid"), Seq("k"), "t")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(probe, build.select("k", "t"), Seq("k"), "t")
+    }
+  }
+
+  test("asof plan: every window partitions on (key, block), never key alone") {
+    val plan = TemporalJoins.asofJoin(probe, build, Seq("k"), "t")
+      .queryExecution.optimizedPlan.toString()
+    // the level-1 carry (__loc, over the row-level union frame) must be
+    // blocked — partitioned by (key, block), never key alone; the only
+    // per-key window (__prevb) runs over the slim per-(key, block) cells
+    // frame (reads __lastb), whose size is blocks-per-key, not
+    // rows-per-key
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val rowLevel = winLines.filter(_.contains("__loc"))
+    assert(rowLevel.nonEmpty && rowLevel.forall(l =>
+      l.contains("windowspecdefinition(k#") &&
+        l.substring(l.indexOf("windowspecdefinition")).contains("__blk")),
+      s"row-level carry not blocked:\n${winLines.mkString("\n")}")
+    val keyAlone = winLines.filterNot(_.contains("__loc"))
+    assert(keyAlone.forall(_.contains("__lastb")),
+      s"key-alone window over a non-slim frame:\n${keyAlone.mkString("\n")}")
+  }
+
+  // ------------------------------------------------------------- band join
+
+  private def lefts: DataFrame = Seq(
+    (10L, ts("2024-01-01 10:00:00")),
+    (11L, ts("2024-01-01 11:00:00")),
+    (12L, ts("2024-01-02 00:00:30"))
+  ).toDF("lid", "lt")
+
+  private def rights: DataFrame = Seq(
+    (20L, ts("2024-01-01 09:00:00")), // exactly band before lid=10 (inclusive)
+    (21L, ts("2024-01-01 08:59:59")), // one second too early
+    (22L, ts("2024-01-01 10:00:00")), // equal ts (inclusive)
+    (23L, ts("2024-01-01 10:00:01")), // after lid=10, within band of lid=11
+    (24L, ts("2024-01-01 23:30:00"))  // crosses midnight into lid=12's band
+  ).toDF("rid", "rt")
+
+  private val hour = 3600L * 1000000L
+
+  test("band join matches the cross-join filter exactly, bounds inclusive") {
+    val got = TemporalJoins.bandJoin(lefts, rights, "lt", "rt", hour)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = lefts.crossJoin(rights)
+      .where(col("rt") >= col("lt") - expr("INTERVAL 1 HOUR") && col("rt") <= col("lt"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got == Set((10L, 20L), (10L, 22L), (11L, 23L), (11L, 22L), (12L, 24L)))
+  }
+
+  test("band join emits each matching pair exactly once (no block-overlap dupes)") {
+    val got = TemporalJoins.bandJoin(lefts, rights, "lt", "rt", hour)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+  }
+
+  test("band join plan is an equi-join, never a nested loop or cartesian") {
+    val plan = TemporalJoins.bandJoin(lefts, rights, "lt", "rt", hour)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the block id is the join key
+    assert(plan.contains("__blk"))
+  }
+
+  test("band join rejects overlapping column names") {
+    intercept[IllegalArgumentException] {
+      TemporalJoins.bandJoin(lefts, lefts, "lt", "lt", hour)
+    }
+  }
+}
