@@ -2136,6 +2136,25 @@ object SparkEntry {
           expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
             .as("val_sum"))
     }),
+    // ORC sink/source (r14 wave 5): the OTHER columnar warehouse format
+    // — events written partitioned by event_type (directory pruning) and
+    // read back through a partition filter + a pushed value range (ORC
+    // row-group stats skip before decode; TablesSpec pins both in the
+    // plan), aggregated per user — nothing lost or retyped by the
+    // format hop, timestamps included
+    "src_orc" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_")
+      val path = tmp.resolve("events_orc").toString
+      trackTempDir(tmp)
+      Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").orc(path)
+      s.read.orc(path)
+        .where(col("event_type") === "purchase" && col("value") >= lit(50.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)")
+            .as("val_sum"))
+    }),
     // CDC MERGE (r14 wave 4): apply a deterministic change batch
     // (updates, deletes, inserts, a superseding second update, a
     // re-insert after delete) onto the orders snapshot — latest change
@@ -2877,6 +2896,14 @@ object SparkEntry {
     // in SQL (latest-per-key as a window — the oracle only has to be
     // correct); a hash match proves every update/delete/insert/
     // supersede/re-insert path row-for-row
+    // the ORC hop must lose/duplicate/retype nothing: the oracle reads
+    // the SOURCE parquet — only a byte-faithful round-trip matches
+    "src_orc" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE event_type = 'purchase' AND value >= 50.0
+        |GROUP BY 1""".stripMargin,
     "src_merge" -> Tables.mergeOrdersSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,

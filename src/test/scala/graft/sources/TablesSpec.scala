@@ -209,4 +209,29 @@ class TablesSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("orc round-trip: partition pruning, predicate pushdown, byte fidelity") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val events = Tables.events(spark, sfDir)
+    try {
+      events.write.mode("overwrite").partitionBy("event_type").orc(s"$dir/ev")
+      val back = spark.read.orc(s"$dir/ev")
+      assert(back.count() == events.count())
+      val one = back.where(col("event_type") === "purchase" && col("value") >= lit(50.0))
+      val plan = one.queryExecution.executedPlan.toString
+      // event_type prunes DIRECTORIES; the value range reaches the ORC
+      // reader as a pushed filter (row-group stats skip before decode)
+      assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"), plan)
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(value"), plan)
+      val direct = events.where(col("event_type") === "purchase" && col("value") >= 50.0)
+      assert(one.count() == direct.count() && direct.count() > 0)
+      // full-row fidelity through the format hop, timestamps included
+      val cols = events.columns.toSeq
+      assert(one.select(cols.map(col): _*).orderBy("event_id").collect().toSeq ==
+        direct.select(cols.map(col): _*).orderBy("event_id").collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
