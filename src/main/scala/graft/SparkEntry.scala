@@ -2169,6 +2169,27 @@ object SparkEntry {
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
         col("o_orderpriority"))
     }),
+    // STREAMING CDC apply (r14 wave 5), batch twin: the same change log
+    // folds into a VERSIONED snapshot store batch-by-batch (v0 = base,
+    // v1 = seq-1 changes, v2 = seq-2 changes) through the exact code
+    // path the foreachBatch sink runs (applyChangeBatch → readSnapshot);
+    // the final snapshot must equal the ONE-SHOT merge, so the oracle is
+    // src_merge's — sequential == single-batch application when the log
+    // is seq-ordered across batches. MergeSpec runs the real
+    // MemoryStream form and pins stream == fold == one-shot.
+    "stream_merge" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
+      val dir = tmp.resolve("orders_snap").toString
+      trackTempDir(tmp)
+      Tables.initSnapshot(Tables.orders(s, d), dir)
+      val ch = Tables.ordersChanges(s, d)
+      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
+      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      Tables.readSnapshot(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_orderpriority"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2905,6 +2926,9 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND value >= 50.0
         |GROUP BY 1""".stripMargin,
     "src_merge" -> Tables.mergeOrdersSql,
+    // sequential batch-by-batch application of a seq-ordered change log
+    // must land exactly where the one-shot merge does
+    "stream_merge" -> Tables.mergeOrdersSql,
     "pipe_prep" -> graft.datapipe.Prep.prepareSql,
     "pipe_build" -> graft.datapipe.Prep.buildSql,
     "pipe_build_full" -> graft.datapipe.Prep.buildFullSql,

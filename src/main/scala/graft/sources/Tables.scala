@@ -464,6 +464,61 @@ object Tables {
     kept.unionByName(upserts)
   }
 
+  // ------------------------------------------------ streaming CDC apply
+
+  /** Write the initial snapshot as version 0 of a versioned snapshot
+    * store (`dir/v0`, `dir/v1`, … — each version a complete, immutable
+    * parquet snapshot; the Delta-style layout minus the log file). */
+  def initSnapshot(base: DataFrame, dir: String): Unit =
+    base.write.mode("overwrite").parquet(s"$dir/v0")
+
+  /** Read the LATEST COMPLETE snapshot version: the highest `v<N>`
+    * subdirectory carrying Spark's `_SUCCESS` commit marker. A version
+    * mid-write (or torn by a crash) has no marker and is invisible to
+    * readers — snapshot isolation from the filesystem contract alone. */
+  def readSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop(1).toLong)
+    require(versions.nonEmpty, s"no complete snapshot version under $dir")
+    s.read.parquet(s"$dir/v${versions.max}")
+  }
+
+  /** Apply one CDC change batch to the latest snapshot and commit the
+    * result as `version`. Writing a NEW version dir (never in place)
+    * makes a foreachBatch RETRY safe twice over: re-merging the same
+    * batch is a no-op ([[merge]] is idempotent) and re-writing the same
+    * version dir just replaces an identical snapshot. */
+  def applyChangeBatch(batch: DataFrame, keys: Seq[String], snapshotDir: String,
+                       version: Long): Unit = {
+    val merged = merge(readSnapshot(batch.sparkSession, snapshotDir), batch, keys)
+    merged.write.mode("overwrite").parquet(s"$snapshotDir/v$version")
+  }
+
+  /**
+   * STREAMING CDC apply — the Delta `MERGE INTO` sink as a Structured
+   * Streaming query: each micro-batch of changes folds into the
+   * versioned snapshot store via [[applyChangeBatch]] (version =
+   * batchId + 1; version 0 is the [[initSnapshot]] base). Stateless by
+   * design: the snapshot IS the state, the checkpoint only tracks
+   * source offsets, so a restart resumes from the last committed
+   * version with no state-store recovery. The batch entry `stream_merge`
+   * replays the identical fold batch-by-batch and hash-verifies the
+   * final snapshot against the ONE-SHOT merge oracle — sequential
+   * application must equal single-batch application when the change
+   * log is seq-ordered across batches (MergeSpec pins the streaming
+   * run itself over a real MemoryStream).
+   */
+  def mergeStreaming(changes: DataFrame, keys: Seq[String], snapshotDir: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChangeBatch(batch, keys, snapshotDir, batchId + 1)
+      }
+      .start()
+
   /**
    * Deterministic CDC change batch over `orders` for the `src_merge`
    * entry (the corpus ships no change log, so one derives from the keys

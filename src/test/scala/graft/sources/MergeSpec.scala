@@ -81,4 +81,67 @@ class MergeSpec extends SparkSpecBase {
     assert(untouched.exceptAll(orig).count() == 0 &&
       orig.exceptAll(untouched).count() == 0)
   }
+
+  // ------------------------------------------------ streaming CDC apply
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.as[(Long, String, Double)].collect().toSet
+
+  test("versioned batch-by-batch apply equals the one-shot merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      assert(rows(Tables.readSnapshot(spark, dir)) ==
+        rows(Tables.merge(base, changes, Seq("k"))))
+      // every intermediate version stays readable (snapshot isolation)
+      assert(rows(spark.read.parquet(s"$dir/v0")) == rows(base))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("readSnapshot ignores a torn version (no _SUCCESS marker)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      // a crash mid-write leaves v7 without its commit marker
+      base.limit(1).write.parquet(s"$dir/v7")
+      assert(new java.io.File(s"$dir/v7/_SUCCESS").delete())
+      assert(rows(Tables.readSnapshot(spark, dir)) == rows(base))
+      intercept[IllegalArgumentException] {
+        Tables.readSnapshot(spark, java.nio.file.Files.createTempDirectory("graft_empty").toString)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("mergeStreaming folds MemoryStream micro-batches into the snapshot store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      val input = MemoryStream[ChangeRow]
+      val q = Tables.mergeStreaming(input.toDF(), Seq("k"), dir, ckpt)
+      try {
+        // batch 0: the seq-1 changes; batch 1: the seq-2 changes
+        input.addData(changes.where($"seq" === 1).as[ChangeRow].collect().toSeq)
+        q.processAllAvailable()
+        input.addData(changes.where($"seq" === 2).as[ChangeRow].collect().toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // stream == one-shot, and the store holds v0..v2 all committed
+      assert(rows(Tables.readSnapshot(spark, dir)) ==
+        rows(Tables.merge(base, changes, Seq("k"))))
+      val versions = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.matches("v\\d+")).map(_.getName).sorted
+      assert(versions.toSeq == Seq("v0", "v1", "v2"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
+
+/** One CDC change row for the MemoryStream run (base schema + seq/op). */
+case class ChangeRow(k: Long, seq: Long, op: String, name: String, v: Double)
