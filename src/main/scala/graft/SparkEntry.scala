@@ -2266,6 +2266,10 @@ object SparkEntry {
     "pipe_prep_domain" -> ((s, d) =>
       graft.datapipe.Prep.prepare(Tables.documents(s, d), domainGate = true)),
     "pipe_sample" -> (qPipeSample _),
+    // deterministic epoch shuffle (r14 wave 5): reproducible global
+    // permutation via the two-level blocked rank, dealt onto 8 workers
+    "pipe_shuffle" -> ((s, d) =>
+      graft.datapipe.Shuffle.epochShuffle(Tables.documents(s, d))),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     // sliding windows (r14): 1h windows every 15min, each event in 4
@@ -2942,6 +2946,9 @@ object SparkEntry {
          |FROM documents
          |WHERE (${graft.datapipe.TextOps.h60Sql("text")}) % 100 < 10
          |GROUP BY 1""".stripMargin,
+    // the two-level blocked rank must reproduce the sequential global
+    // permutation position for position, worker for worker
+    "pipe_shuffle" -> graft.datapipe.Shuffle.epochShuffleSql(),
     "pipe_topk" ->
       s"""SELECT d.lang, q.doc_id, q.score
          |FROM (${TextOps.qualitySql}) q
