@@ -688,6 +688,27 @@ object SparkEntry {
         |FROM reach GROUP BY src, dst""".stripMargin)
   }
 
+  /** LATERAL correlated derived table (r14 wave 5): top-2 orders per
+    * BUILDING customer via a per-row correlated subquery in FROM — the
+    * third window-free top-k-per-group syntax after QUALIFY and the
+    * windowed subquery. Spark's analyzer decorrelates the LateralJoin
+    * into a ranked join; the door accepts the text and falls back to
+    * stock evaluation under the guarded-fallback contract, proven equal
+    * to DuckDB's native LATERAL. */
+  def qSqlLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("lat_orders")
+    Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+        |       CAST(t.o_totalprice AS DOUBLE) AS price
+        |FROM lat_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM lat_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("winq_orders")
     Tables.customer(s, d).createOrReplaceTempView("winq_customer")
@@ -1774,6 +1795,7 @@ object SparkEntry {
     "sql_cqc_window" -> (qSqlCqcWindow _),
     "sql_cqc_qualify" -> (qSqlCqcQualify _),
     "sql_recursive" -> (qSqlRecursive _),
+    "sql_lateral" -> (qSqlLateral _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
@@ -3036,6 +3058,17 @@ object SparkEntry {
          |SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth,
          |       CAST(count(*) AS BIGINT) AS n_paths
          |FROM reach GROUP BY src, dst""".stripMargin,
+    // DuckDB executes LATERAL natively — the oracle is the entry's own
+    // text over the base tables
+    "sql_lateral" ->
+      """SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+        |       CAST(t.o_totalprice AS DOUBLE) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
     // DuckDB parses QUALIFY natively — the oracle is the entry's own
     // text over the base tables (the door must reproduce the native
     // QUALIFY evaluation order: windows, filter, ORDER BY, LIMIT)
