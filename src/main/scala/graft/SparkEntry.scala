@@ -1812,6 +1812,10 @@ object SparkEntry {
     "skew_join" -> (qSkewJoin _),
     "q_asof" -> (qAsof _),
     "q_band_join" -> (qBandJoin _),
+    // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
+    // example graph, scaled-integer arithmetic so the oracle is exact
+    "q_pagerank" -> ((s, d) =>
+      graft.graphs.PageRank.pagerank(Tables.edges(s, d))),
     "q1_agg" -> (qQ1Agg _),
     "q3_top" -> (qQ3Top _),
     "q4_exists" -> (qQ4Exists _),
@@ -3155,6 +3159,9 @@ object SparkEntry {
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    // the chained-CTE replay of the same scaled-integer fixed point —
+    // generated from the same parameters, so the sides cannot drift
+    "q_pagerank" -> graft.graphs.PageRank.pagerankSql(Tables.edgesSql),
     // AS-OF join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — the
     // two-level blocked carry-forward must reproduce the textbook
     // semantics exactly, nulls included
