@@ -44,9 +44,15 @@ object Shuffle {
   def epochShuffle(docs: DataFrame, epoch: Int = 1, workers: Int = 8,
                    blocks: Int = 1 << 16): DataFrame = {
     require(workers >= 1, s"positive worker count required, got $workers")
-    require(blocks >= 1 && blocks <= (1 << 28), s"blocks out of range: $blocks")
+    // the offsets frame broadcasts: one row per block, so the bound is
+    // a broadcast-size contract (2^22 slim rows ≈ 64 MB), not a maths one
+    require(blocks >= 1 && blocks <= (1 << 22), s"blocks out of range: $blocks")
+    // NULL-safe key: a NULL doc_id must hash to a real key — a NULL
+    // block id would silently DROP the row at the offsets join, and a
+    // shuffle must be a permutation of its input, never a filter
     val keyed = docs.select(col("doc_id"),
-      h60(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))).as("__key"))
+      h60(concat(lit(s"ep$epoch:"),
+        coalesce(col("doc_id").cast("string"), lit("")))).as("__key"))
       .withColumn("__blk", expr(s"__key div ${blockWidth(blocks)}L"))
     // level 1: rank within the hash-bounded block
     val w1 = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("doc_id"))

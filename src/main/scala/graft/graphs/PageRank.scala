@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
  */
 object PageRank {
 
-  val scale = 1000000000000L // 10^12: 85 * n * scale stays far under 2^63
+  // 10^12: a node's incoming mass is bounded by the TOTAL mass, which
+  // the fixed point keeps ≤ scale (it only ever loses dangling/rounding
+  // mass), so the largest intermediate is 85 · scale ≈ 8.5e13 ≪ 2^63 —
+  // the bound is per-node mass, NOT 85·n·scale (that would overflow
+  // beyond ~10^5 nodes and is not what the arithmetic computes)
+  val scale = 1000000000000L
 
   def pagerank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")

@@ -76,8 +76,16 @@ object TemporalJoins {
     require(payCols.nonEmpty, "build side carries no payload columns")
     val collide = payCols.toSet.intersect(probe.columns.toSet)
     require(collide.isEmpty, s"payload columns collide with probe columns: $collide")
+    // NULL build rows: `=`/`>=` never match a NULL, so a build row with
+    // a NULL timestamp OR a NULL key can match nothing and is dropped
+    // here — otherwise it would pair with same-NULL probes through the
+    // window partition (which, unlike an equi-join, groups NULLs as
+    // equal), diverging from the comparison semantics. NULL probes
+    // null-extend instead (see the sentinel block and left join below).
     // one deterministic build row per (keys, ts): greatest payload tuple
-    val build1 = build.groupBy((keys :+ tsCol).map(col): _*)
+    val build1 = build
+      .where((tsCol +: keys).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((keys :+ tsCol).map(col): _*)
       .agg(max(struct(payCols.map(col): _*)).as("__pay"))
     val payT = build1.schema("__pay").dataType
     val probeT = probe.schema
@@ -90,9 +98,20 @@ object TemporalJoins {
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(org.apache.spark.sql.types.StructType(probeT.fields)).as("__pr"),
         col("__pay")): _*)
-    val tagged = probeTagged.unionByName(buildTagged)
-      .withColumn("__mus", unix_micros(col("__ts")))
-      .withColumn("__blk", blockOf("__mus", blockMicros))
+    // the union frame feeds BOTH the level-1 window and the slim cells
+    // aggregate — independent subtrees whose exchanges differ, so
+    // ReuseExchange cannot dedupe them; a tracked persist keeps the two
+    // input scans + the build1 aggregation from running twice (callers
+    // release via CacheRegistry.unpersistAll, the repo-wide contract)
+    val tagged = graft.CacheRegistry.persistTracked(
+      probeTagged.unionByName(buildTagged)
+        .withColumn("__mus", unix_micros(col("__ts")))
+        // NULL-ts probes take a sentinel block that sorts before every
+        // real one and carries no build mass (NULL build rows are
+        // filtered above) — a NULL block id would silently DROP the
+        // probe at the cells join (NULL keys never equi-match)
+        .withColumn("__blk",
+          coalesce(blockOf("__mus", blockMicros), lit(Long.MinValue))))
     // level 1: carry within the bounded (keys, block) cell
     val w1 = Window.partitionBy((keys :+ "__blk").map(col): _*)
       .orderBy(col("__mus"), col("__tag"))
@@ -106,7 +125,10 @@ object TemporalJoins {
       .agg(max(when(col("__tag") === 0, struct(col("__mus"), col("__pay")))).as("__lastb"))
       .withColumn("__prevb", last(col("__lastb"), ignoreNulls = true).over(w2))
       .select((keys :+ "__blk").map(col) :+ col("__prevb.__pay").as("__prev"): _*)
-    local.join(cells, keys :+ "__blk")
+    // LEFT join: a NULL-key probe has no cells row (NULL keys never
+    // equi-match) but must still null-extend, not vanish — the LEFT
+    // semantics DuckDB's ASOF LEFT JOIN gives the same row
+    local.join(cells, keys :+ "__blk", "left")
       .where(col("__tag") === 1)
       .withColumn("__m", coalesce(col("__loc"), col("__prev")))
       .select(probe.columns.map(c => col(s"__pr.`$c`").as(c)) ++

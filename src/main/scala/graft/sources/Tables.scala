@@ -472,27 +472,48 @@ object Tables {
   def initSnapshot(base: DataFrame, dir: String): Unit =
     base.write.mode("overwrite").parquet(s"$dir/v0")
 
+  /** Committed (`_SUCCESS`-marked) version numbers under a snapshot
+    * store, listed through the path's Hadoop FileSystem — the store
+    * must work wherever Spark writes (hdfs://, s3a://, file:), not just
+    * the driver's local POSIX view. */
+  private def snapshotVersions(s: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
+  }
+
   /** Read the LATEST COMPLETE snapshot version: the highest `v<N>`
     * subdirectory carrying Spark's `_SUCCESS` commit marker. A version
     * mid-write (or torn by a crash) has no marker and is invisible to
     * readers — snapshot isolation from the filesystem contract alone. */
   def readSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .map(_.getName.drop(1).toLong)
+    val versions = snapshotVersions(s, dir)
     require(versions.nonEmpty, s"no complete snapshot version under $dir")
     s.read.parquet(s"$dir/v${versions.max}")
   }
 
-  /** Apply one CDC change batch to the latest snapshot and commit the
-    * result as `version`. Writing a NEW version dir (never in place)
-    * makes a foreachBatch RETRY safe twice over: re-merging the same
-    * batch is a no-op ([[merge]] is idempotent) and re-writing the same
-    * version dir just replaces an identical snapshot. */
+  /** Apply one CDC change batch on top of snapshot `version - 1` and
+    * commit the result as `version`. The parent is addressed EXPLICITLY
+    * (never "the latest"): after a crash between the version write and
+    * the stream's offset commit, the replayed batch must re-merge onto
+    * its original parent — reading the latest would hand it its own
+    * output, which is both semantically wrong (the batch applies twice
+    * if merge ever becomes non-idempotent) and physically fatal (Spark
+    * refuses to overwrite a path it is reading). With the explicit
+    * parent a retry is safe twice over: re-merging the same batch onto
+    * the same parent is the identical frame, and re-writing the version
+    * dir just replaces it. */
   def applyChangeBatch(batch: DataFrame, keys: Seq[String], snapshotDir: String,
                        version: Long): Unit = {
-    val merged = merge(readSnapshot(batch.sparkSession, snapshotDir), batch, keys)
+    require(version >= 1, s"version 0 is the initSnapshot base, got $version")
+    val s = batch.sparkSession
+    require(snapshotVersions(s, snapshotDir).contains(version - 1),
+      s"parent snapshot v${version - 1} not committed under $snapshotDir")
+    val merged = merge(s.read.parquet(s"$snapshotDir/v${version - 1}"), batch, keys)
     merged.write.mode("overwrite").parquet(s"$snapshotDir/v$version")
   }
 

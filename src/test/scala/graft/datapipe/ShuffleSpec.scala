@@ -52,6 +52,16 @@ class ShuffleSpec extends SparkSpecBase {
     assert(counts.max - counts.min <= 1)
   }
 
+  test("a NULL doc_id still shuffles (permutation, never a filter)") {
+    val withNull = docs.select(when(col("doc_id") === 3L, lit(null))
+      .otherwise(col("doc_id")).as("doc_id"))
+    val out = Shuffle.epochShuffle(withNull)
+    assert(out.count() == n)
+    assert(out.where(col("doc_id").isNull).count() == 1)
+    // positions remain the exact permutation
+    assert(out.select("pos").as[Long].collect().sorted.toSeq == (0L until n).toSeq)
+  }
+
   test("plan: row-level rank is blocked; only the slim counts frame has a global window") {
     val plan = Shuffle.epochShuffle(docs).queryExecution.optimizedPlan.toString()
     val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

@@ -33,8 +33,11 @@ class PageRankSpec extends SparkSpecBase {
     val leaves = (2L to 9L)
     val got = run(leaves.map(l => (l, 1L)) ++ Seq((1L, 2L)), 3)
     assert(leaves.forall(l => got(1L) > got(l)))
-    // all pure leaves tie exactly (identical in-neighborhoods)
-    assert(leaves.drop(1).forall(l => got(l) == got(3L) || l == 2L))
+    // pure leaves (all but 2, which also receives the center's edge)
+    // tie exactly: identical in-neighborhoods, identical integer maths
+    val pure = leaves.filter(_ != 2L)
+    assert(pure.forall(l => got(l) == got(pure.head)))
+    assert(got(2L) > got(pure.head)) // 2 gets the center's mass on top
   }
 
   test("total mass never exceeds the scale and never collapses") {

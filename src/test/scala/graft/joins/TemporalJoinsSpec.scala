@@ -72,6 +72,32 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got(1L) == Some((150L, "z"))) // (150,z) > (101,b) lexicographically
   }
 
+  test("asof NULL timestamps: probes null-extend, build rows match nothing") {
+    // >= never matches a NULL: a NULL-ts probe pairs with no build row,
+    // and a NULL-ts build row must not leak to NULL-ts probes through a
+    // shared NULL block
+    val pN = probe.unionByName(
+      Seq((7L, "k1", null.asInstanceOf[java.sql.Timestamp])).toDF("pid", "k", "t"))
+    val bN = build.unionByName(
+      Seq(("k1", null.asInstanceOf[java.sql.Timestamp], 999L, "n")).toDF("k", "t", "px", "src"))
+    val got = run(pN, bN, 60L * 1000000L)
+    assert(got(7L) == None) // NULL probe: no match, row kept (left semantics)
+    assert(got(1L) == Some((101L, "b"))) // non-null rows unaffected
+    assert(got.values.forall(_ != Some((999L, "n")))) // NULL build matches nothing
+  }
+
+  test("asof NULL keys: probes null-extend (never vanish), build rows match nothing") {
+    val pN = probe.unionByName(
+      Seq((8L, null.asInstanceOf[String], ts("2024-01-01 10:00:00"))).toDF("pid", "k", "t"))
+    val bN = build.unionByName(
+      Seq((null.asInstanceOf[String], ts("2024-01-01 09:00:00"), 888L, "q"))
+        .toDF("k", "t", "px", "src"))
+    val got = run(pN, bN, 60L * 1000000L)
+    assert(got.contains(8L) && got(8L) == None) // kept, null-extended
+    assert(got(1L) == Some((101L, "b")))
+    assert(got.values.forall(_ != Some((888L, "q")))) // NULL-key build inert
+  }
+
   test("asof rejects payload/probe column collisions and empty payloads") {
     intercept[IllegalArgumentException] {
       TemporalJoins.asofJoin(probe, build.withColumnRenamed("px", "pid"), Seq("k"), "t")

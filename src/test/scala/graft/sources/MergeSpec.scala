@@ -100,6 +100,24 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("applyChangeBatch retry re-merges onto the ORIGINAL parent, not its own output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      val afterFirst = rows(spark.read.parquet(s"$dir/v1"))
+      // a foreachBatch replay after a crash-between-write-and-offset-commit:
+      // same batch, same version — must succeed (reading the latest would
+      // hand the merge its own output and Spark would refuse the overwrite)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      assert(rows(spark.read.parquet(s"$dir/v1")) == afterFirst)
+      // and a batch whose parent never committed fails loud
+      intercept[IllegalArgumentException] {
+        Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 9L)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readSnapshot ignores a torn version (no _SUCCESS marker)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     try {
