@@ -2296,6 +2296,10 @@ object SparkEntry {
     // permutation via the two-level blocked rank, dealt onto 8 workers
     "pipe_shuffle" -> ((s, d) =>
       graft.datapipe.Shuffle.epochShuffle(Tables.documents(s, d))),
+    // GPT-style sample packing (r14 wave 5): docs laid end-to-end into
+    // 512-token sequences over the shared blocked prefix scan — small
+    // docs share a sequence, boundary docs split across two
+    "pipe_pack_ctx" -> ((s, d) => TextOps.ctxPack(Tables.documents(s, d))),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     // sliding windows (r14): 1h windows every 15min, each event in 4
@@ -2975,6 +2979,7 @@ object SparkEntry {
     // the two-level blocked rank must reproduce the sequential global
     // permutation position for position, worker for worker
     "pipe_shuffle" -> graft.datapipe.Shuffle.epochShuffleSql(),
+    "pipe_pack_ctx" -> TextOps.ctxPackSql(),
     "pipe_topk" ->
       s"""SELECT d.lang, q.doc_id, q.score
          |FROM (${TextOps.qualitySql}) q

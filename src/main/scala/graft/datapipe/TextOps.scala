@@ -370,7 +370,17 @@ object TextOps {
     * production-faithful shard budgets (r14); the packing dataflow is
     * identical. */
   def packShards(docs: DataFrame, blockW: Long = packBlock,
-                 realBpe: Boolean = false): DataFrame = {
+                 realBpe: Boolean = false): DataFrame =
+    cumTokens(docs, blockW, realBpe)
+      .select(col("doc_id"), col("lang"), col("n_bpe"),
+        expr(s"(cum - n_bpe) div $shardBudget").as("shard_id"))
+
+  /** The shared distributed prefix scan behind [[packShards]] and
+    * [[ctxPack]]: per-language running token total in deterministic
+    * doc_id order, as (doc_id, lang, n_bpe, cum) — cum INCLUDES the
+    * row's own tokens, so a doc occupies [cum - n_bpe, cum). */
+  private def cumTokens(docs: DataFrame, blockW: Long,
+                        realBpe: Boolean): DataFrame = {
     // negative widths anti-order the blocks (div truncates toward zero),
     // silently breaking the exclusive prefix sum; zero NULLs every block
     require(blockW >= 1, s"positive block width required, got $blockW")
@@ -396,9 +406,61 @@ object TextOps {
       .select(col("lang"), col("__blk"), col("__off"))
     local.join(broadcast(offsets), Seq("lang", "__blk"))
       .withColumn("cum", col("__lcum") + col("__off"))
-      .select(col("doc_id"), col("lang"), col("n_bpe"),
-        expr(s"(cum - n_bpe) div $shardBudget").as("shard_id"))
+      .select(col("doc_id"), col("lang"), col("n_bpe"), col("cum"))
   }
+
+  /** Tokens per packed training sequence for [[ctxPack]]. */
+  val ctxBudget = 512L
+
+  /**
+   * GPT-style SAMPLE PACKING: lay documents end-to-end into fixed
+   * `ctx`-token training sequences — token t of the language's stream
+   * lands in sequence `t div ctx` at offset `t mod ctx`, so small docs
+   * share a sequence (no padding waste) and a doc straddling a boundary
+   * SPLITS across consecutive sequences (the GPT data layout, vs
+   * [[chunkDocs]] which windows each doc separately). Emits per doc:
+   * its stream interval [start_tok, start_tok + n_bpe), the first
+   * sequence + offset, and `n_seqs` — how many sequences the doc spans
+   * (0 for an empty doc: it occupies no slots). The mapping is pure
+   * arithmetic over the [[cumTokens]] prefix scan, so packing inherits
+   * its scale shape (bounded windows, slim offsets frame) and its
+   * engine-exactness (integral sums in deterministic doc_id order).
+   * Sequence space is per language, mirroring shard packing; mixed
+   * batches compose this with the mixing stream.
+   */
+  def ctxPack(docs: DataFrame, ctx: Long = ctxBudget, blockW: Long = packBlock,
+              realBpe: Boolean = false): DataFrame = {
+    require(ctx >= 1, s"positive context budget required, got $ctx")
+    cumTokens(docs, blockW, realBpe)
+      .withColumn("start_tok", col("cum") - col("n_bpe"))
+      .select(col("doc_id"), col("lang"), col("n_bpe"), col("start_tok"),
+        expr(s"start_tok div ${ctx}L").as("seq_id"),
+        expr(s"start_tok % ${ctx}L").as("seq_off"),
+        when(col("n_bpe") === 0, lit(0L))
+          .otherwise(expr(s"((start_tok + n_bpe - 1) div ${ctx}L) - (start_tok div ${ctx}L) + 1L"))
+          .as("n_seqs"))
+  }
+
+  /** Mirror of [[ctxPack]] (heuristic counts) for the DuckDB oracle. */
+  def ctxPackSql(ctx: Long = ctxBudget): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |                       t -> (len(t) + 3) // 4)) AS BIGINT) AS n_bpe
+       |  FROM documents
+       |), c AS (
+       |  SELECT d.doc_id, d.lang, t.n_bpe,
+       |         sum(t.n_bpe) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - t.n_bpe AS start_tok
+       |  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+       |)
+       |SELECT doc_id, lang, n_bpe, CAST(start_tok AS BIGINT) AS start_tok,
+       |       CAST(start_tok // $ctx AS BIGINT) AS seq_id,
+       |       CAST(start_tok % $ctx AS BIGINT) AS seq_off,
+       |       CAST(CASE WHEN n_bpe = 0 THEN 0
+       |            ELSE ((start_tok + n_bpe - 1) // $ctx) - (start_tok // $ctx) + 1
+       |            END AS BIGINT) AS n_seqs
+       |FROM c""".stripMargin
 
   private def packShardsSqlWith(tokExpr: String): String =
     s"""WITH tok AS (

@@ -102,6 +102,45 @@ class TextOpsSpec extends SparkSpecBase {
     for (bw <- Seq(1L, 7L, 64L)) assert(run(bw) == base, s"blockW=$bw diverged")
   }
 
+  test("ctxPack: hand-checkable layout with a boundary-straddling doc") {
+    import spark.implicits._
+    // single-char words => heuristic token count == word count exactly
+    def txt(n: Int) = Seq.fill(n)("a").mkString(" ")
+    val docs = Seq(
+      (1L, txt(300), "en"), (2L, txt(300), "en"), (3L, txt(100), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.ctxPack(docs, ctx = 512L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_tok"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_off"), r.getAs[Long]("n_seqs")))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 1L)))
+    assert(got(2L) == ((300L, 0L, 300L, 2L))) // 300..599 straddles seq 0|1
+    assert(got(3L) == ((600L, 1L, 88L, 1L)))
+  }
+
+  test("ctxPack: stream intervals tile each language exactly (no gap, no overlap)") {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val rows = TextOps.ctxPack(docsDf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_bpe")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous in doc_id order: each start is the previous end
+      sorted.foldLeft(0L) { case (expect, (_, id, start, n)) =>
+        assert(start == expect, s"$lang doc $id starts at $start, expected $expect")
+        start + n
+      }
+    }
+    // block-width invariance rides the shared cumTokens scan
+    val base = rows.toSet
+    for (bw <- Seq(1L, 64L))
+      assert(TextOps.ctxPack(docsDf, blockW = bw).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("n_bpe"))).toSet == base,
+        s"blockW=$bw diverged")
+  }
+
   test("packShards: no full-frame window partitioned by lang alone") {
     // the 100-TB claim: the only PARTITION BY lang window runs over the
     // per-(lang, block) totals (slim, ≤ idRange/blockW rows); the
