@@ -206,6 +206,25 @@ object SparkEntry {
         col("value"), col("view_id"), col("view_ts_ms"))
   }
 
+  /** Forward AS-OF with tolerance (r14 wave 5): each purchase picks the
+    * user's NEXT view at-or-after it, null-extended when it is more than
+    * two days out — pandas merge_asof(direction='forward', tolerance).
+    * Same two-level machinery on a negated time axis; the tolerance has
+    * no DuckDB ASOF equivalent, so the oracle CASEs the matched
+    * distance. */
+  def qAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("nview_ts_ms"), col("event_id").as("nview_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofJoin(purch, views, Seq("user_id"), "ts",
+        direction = "forward", tolerance = Some(2L * 86400L * 1000000L))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("nview_id"), col("nview_ts_ms"))
+  }
+
   /** Band join with NO equi key (r14 wave 5): per error event, the count
     * and value mass of ALL purchases (any user) in the hour before it —
     * the global temporal-correlation shape Spark plans as a nested-loop
@@ -1811,6 +1830,7 @@ object SparkEntry {
     "sql_cqc_disj" -> (qSqlCqcDisj _),
     "skew_join" -> (qSkewJoin _),
     "q_asof" -> (qAsof _),
+    "q_asof_fwd" -> (qAsofFwd _),
     "q_band_join" -> (qBandJoin _),
     // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
     // example graph, scaled-integer arithmetic so the oracle is exact
@@ -3183,6 +3203,29 @@ object SparkEntry {
         |       p.value, v.view_id, v.view_ts_ms
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    // forward as-of: DuckDB's ASOF with p.ts <= v.ts picks the FIRST
+    // later view; the tolerance (absent from ASOF) CASEs on the matched
+    // distance — beyond-tolerance matches null-extend, rows never drop
+    "q_asof_fwd" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS nview_ts_ms,
+        |         max(event_id) AS nview_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         v.nview_id, v.nview_ts_ms, v.ts AS vts
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts <= v.ts
+        |)
+        |SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value,
+        |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN nview_id END
+        |         AS nview_id,
+        |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN nview_ts_ms END
+        |         AS nview_ts_ms
+        |FROM m""".stripMargin,
     // band join: DuckDB evaluates the raw inequality join (its IEJoin);
     // the binned equi-join + residual filter must produce the same pairs
     "q_band_join" ->

@@ -39,16 +39,22 @@ object TemporalJoins {
   val asofBlockMicros: Long = 86400L * 1000000L
 
   /**
-   * AS-OF (backward) join, `>=` match semantics like DuckDB's
-   * `ASOF JOIN`: for every probe row, attach the payload of the build
-   * row with the greatest `tsCol` ≤ the probe's `tsCol` within the same
-   * `keys`; probes with no earlier build row null-extend (LEFT
-   * semantics). `build` must carry exactly `keys ++ tsCol ++ payload`;
-   * payload column names must not collide with probe columns (expose
-   * the matched build timestamp by projecting it under a second name
-   * before the call). Build rows sharing (keys, ts) collapse to the
-   * lexicographically greatest payload tuple — a deterministic,
-   * engine-portable tie rule.
+   * AS-OF join, DuckDB `ASOF JOIN` / pandas `merge_asof` semantics: for
+   * every probe row, attach the payload of the NEAREST build row within
+   * the same `keys` — `direction = "backward"` (default) takes the
+   * greatest build ts ≤ the probe's (`>=` match), `"forward"` the
+   * smallest build ts ≥ it (`<=` match); `tolerance` (micros) null-
+   * extends matches farther than the bound instead of dropping the row
+   * (merge_asof's tolerance, absent from DuckDB's ASOF — its oracle is
+   * a CASE over the matched distance). Probes with no qualifying build
+   * row null-extend (LEFT semantics). `build` must carry exactly
+   * `keys ++ tsCol ++ payload`; payload column names must not collide
+   * with probe columns (expose the matched build timestamp by
+   * projecting it under a second name before the call). Build rows
+   * sharing (keys, ts) collapse to the lexicographically greatest
+   * payload tuple — a deterministic, engine-portable tie rule.
+   * Internally forward is the backward machinery on a NEGATED time
+   * axis — one code path, both directions.
    *
    * Scale shape — a DISTRIBUTED two-level carry-forward, not one
    * `PARTITION BY key` window (a hot key's entire history on one
@@ -70,8 +76,17 @@ object TemporalJoins {
    * blocks respect ts order.
    */
   def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-               tsCol: String, blockMicros: Long = asofBlockMicros): DataFrame = {
+               tsCol: String, blockMicros: Long = asofBlockMicros,
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(blockMicros >= 1, s"positive block width required, got $blockMicros")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    tolerance.foreach(t => require(t >= 0, s"negative tolerance: $t"))
+    // the whole pipeline runs on a signed axis: backward keeps real
+    // micros, forward negates them, turning "greatest ts <= probe" into
+    // the same scan
+    val sign = if (direction == "backward") 1L else -1L
     val payCols = build.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     require(payCols.nonEmpty, "build side carries no payload columns")
     val collide = payCols.toSet.intersect(probe.columns.toSet)
@@ -105,32 +120,46 @@ object TemporalJoins {
     // release via CacheRegistry.unpersistAll, the repo-wide contract)
     val tagged = graft.CacheRegistry.persistTracked(
       probeTagged.unionByName(buildTagged)
-        .withColumn("__mus", unix_micros(col("__ts")))
+        .withColumn("__mus", lit(sign) * unix_micros(col("__ts")))
         // NULL-ts probes take a sentinel block that sorts before every
         // real one and carries no build mass (NULL build rows are
         // filtered above) — a NULL block id would silently DROP the
         // probe at the cells join (NULL keys never equi-match)
         .withColumn("__blk",
           coalesce(blockOf("__mus", blockMicros), lit(Long.MinValue))))
+    // the carried unit is (matched build axis-time, payload): tolerance
+    // needs the distance, and a struct of a NON-NULL probe mus would
+    // defeat ignoreNulls, hence the when(tag=0) wrap
+    val buildUnit = when(col("__tag") === 0,
+      struct(col("__mus").as("__bm"), col("__pay").as("__bp")))
     // level 1: carry within the bounded (keys, block) cell
     val w1 = Window.partitionBy((keys :+ "__blk").map(col): _*)
       .orderBy(col("__mus"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = tagged.withColumn("__loc", last(col("__pay"), ignoreNulls = true).over(w1))
-    // level 2: latest build payload per active cell, carried across
+    val local = tagged.withColumn("__loc", last(buildUnit, ignoreNulls = true).over(w1))
+    // level 2: latest build unit per active cell, carried across
     // blocks on the slim frame only
     val w2 = Window.partitionBy(keyCols: _*).orderBy(col("__blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cells = tagged.groupBy((keys :+ "__blk").map(col): _*)
-      .agg(max(when(col("__tag") === 0, struct(col("__mus"), col("__pay")))).as("__lastb"))
+      .agg(max(buildUnit).as("__lastb"))
       .withColumn("__prevb", last(col("__lastb"), ignoreNulls = true).over(w2))
-      .select((keys :+ "__blk").map(col) :+ col("__prevb.__pay").as("__prev"): _*)
+      .select((keys :+ "__blk").map(col) :+ col("__prevb").as("__prev"): _*)
     // LEFT join: a NULL-key probe has no cells row (NULL keys never
     // equi-match) but must still null-extend, not vanish — the LEFT
     // semantics DuckDB's ASOF LEFT JOIN gives the same row
+    val chosen = coalesce(col("__loc"), col("__prev"))
+    // distance on the signed axis is |real difference| and ≥ 0 by the
+    // match rule; beyond-tolerance matches null-extend (merge_asof), the
+    // row itself is never dropped
+    val matched = tolerance match {
+      case Some(t) => when(chosen.isNotNull &&
+        col("__mus") - chosen.getField("__bm") <= t, chosen)
+      case None => chosen
+    }
     local.join(cells, keys :+ "__blk", "left")
       .where(col("__tag") === 1)
-      .withColumn("__m", coalesce(col("__loc"), col("__prev")))
+      .withColumn("__m", matched.getField("__bp"))
       .select(probe.columns.map(c => col(s"__pr.`$c`").as(c)) ++
         payCols.map(c => col(s"__m.`$c`").as(c)): _*)
   }

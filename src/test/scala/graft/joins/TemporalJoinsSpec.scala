@@ -86,6 +86,37 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got.values.forall(_ != Some((999L, "n")))) // NULL build matches nothing
   }
 
+  test("asof forward direction: nearest at-or-after, across blocks, null past the end") {
+    val got = TemporalJoins.asofJoin(probe, build, Seq("k"), "t",
+        blockMicros = 60L * 1000000L, direction = "forward")
+      .select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (pid, px, src) => pid -> px.map(v => (v, src.get)) }.toMap
+    assert(got(1L) == Some((101L, "b"))) // equal ts matches (<= rule)
+    assert(got(2L) == None) // 10:00:05 — no k1 build at-or-after
+    assert(got(3L) == None) // Jan 3 — past every build row
+    assert(got(4L) == Some((200L, "d"))) // 09:00 → next is 11:00, blocks away
+    assert(got(5L) == None)
+    assert(got(6L) == None)
+  }
+
+  test("asof tolerance null-extends distant matches without dropping rows") {
+    // backward with a 10-second bound: pid=3 (days past the last build)
+    // loses its match but keeps its row; close matches are untouched
+    val got = TemporalJoins.asofJoin(probe, build, Seq("k"), "t",
+        tolerance = Some(10L * 1000000L))
+      .select("pid", "px").as[(Long, Option[Long])].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) == Some(101L) && got(2L) == Some(102L))
+    assert(got(3L) == None) // match exists but is ~2 days away
+    assert(got(5L) == None) // 12:00 vs 11:30 = 30 min > 10 s
+    // forward + tolerance compose: pid=4 (09:00) → 11:00 is 2h away
+    val fwd = TemporalJoins.asofJoin(probe, build, Seq("k"), "t",
+        direction = "forward", tolerance = Some(3600L * 1000000L))
+      .select("pid", "px").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(4L) == None && fwd(1L) == Some(101L))
+  }
+
   test("asof NULL keys: probes null-extend (never vanish), build rows match nothing") {
     val pN = probe.unionByName(
       Seq((8L, null.asInstanceOf[String], ts("2024-01-01 10:00:00"))).toDF("pid", "k", "t"))
