@@ -728,6 +728,25 @@ object SparkEntry {
         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
+  /** PIVOT through the door (r14 wave 6): order totals spread into one
+    * column per status — Spark parses the PIVOT clause natively (the
+    * analyzer plans it as an Aggregate over `pivotfirst`); the door
+    * accepts the text under the guarded-fallback contract. DuckDB's
+    * PIVOT dialect differs, so the oracle is the equivalent CASE
+    * aggregation — which is also exactly what the pivot computes. */
+  def qSqlPivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("pvt_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT o_orderpriority,
+        |       CAST(ROUND(open_t, 2) AS DOUBLE) AS open_total,
+        |       CAST(ROUND(done_t, 2) AS DOUBLE) AS done_total
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM pvt_orders
+        |) PIVOT (SUM(p) FOR o_orderstatus IN ('O' AS open_t, 'F' AS done_t))""".stripMargin)
+  }
+
   def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("winq_orders")
     Tables.customer(s, d).createOrReplaceTempView("winq_customer")
@@ -1815,6 +1834,7 @@ object SparkEntry {
     "sql_cqc_qualify" -> (qSqlCqcQualify _),
     "sql_recursive" -> (qSqlRecursive _),
     "sql_lateral" -> (qSqlLateral _),
+    "sql_pivot" -> (qSqlPivot _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
@@ -3087,6 +3107,17 @@ object SparkEntry {
          |SELECT src, dst, CAST(min(depth) AS BIGINT) AS min_depth,
          |       CAST(count(*) AS BIGINT) AS n_paths
          |FROM reach GROUP BY src, dst""".stripMargin,
+    // DuckDB's PIVOT dialect differs from Spark's, so the oracle is the
+    // CASE aggregation the pivot is defined as
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(ROUND(sum(CASE WHEN o_orderstatus = 'O'
+        |                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+        |            AS DOUBLE) AS open_total,
+        |       CAST(ROUND(sum(CASE WHEN o_orderstatus = 'F'
+        |                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+        |            AS DOUBLE) AS done_total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // DuckDB executes LATERAL natively — the oracle is the entry's own
     // text over the base tables
     "sql_lateral" ->
