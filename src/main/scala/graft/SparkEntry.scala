@@ -206,6 +206,41 @@ object SparkEntry {
         col("value"), col("view_id"), col("view_ts_ms"))
   }
 
+  /** Shared oracle for the two as-of forms: DuckDB's NATIVE ASOF LEFT
+    * JOIN — the two-level carry-forward (q_asof) and the stateless
+    * SCD2 array lookup (stream_asof) must both reproduce it exactly. */
+  private val asofOracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS view_ts_ms,
+      |         max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+      |), p AS (
+      |  SELECT event_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, epoch_ns(p.ts) // 1000000 AS ts_ms,
+      |       p.value, v.view_id, v.view_ts_ms
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
+  /** Stateless as-of (r14 wave 6): the same purchase←view lookup as
+    * [[qAsof]] through [[TemporalJoins.asofStatic]] — the dimension's
+    * per-key history compacts into one sorted array row, each probe
+    * picks its entry with pure array projections; on a stream this is a
+    * stateless stream-static join (MemoryStream spec pins stream ==
+    * batch with zero state operators). */
+  def qStreamAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("view_ts_ms"), col("event_id").as("view_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofStatic(purch, views, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("view_id"), col("view_ts_ms"))
+  }
+
   /** Forward AS-OF with tolerance (r14 wave 5): each purchase picks the
     * user's NEXT view at-or-after it, null-extended when it is more than
     * two days out — pandas merge_asof(direction='forward', tolerance).
@@ -1851,6 +1886,7 @@ object SparkEntry {
     "skew_join" -> (qSkewJoin _),
     "q_asof" -> (qAsof _),
     "q_asof_fwd" -> (qAsofFwd _),
+    "stream_asof" -> (qStreamAsof _),
     "q_band_join" -> (qBandJoin _),
     // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
     // example graph, scaled-integer arithmetic so the oracle is exact
@@ -3221,19 +3257,9 @@ object SparkEntry {
     // AS-OF join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — the
     // two-level blocked carry-forward must reproduce the textbook
     // semantics exactly, nulls included
-    "q_asof" ->
-      """WITH v AS (
-        |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS view_ts_ms,
-        |         max(event_id) AS view_id
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
-        |), p AS (
-        |  SELECT event_id, user_id, ts, value
-        |  FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT p.event_id, p.user_id, epoch_ns(p.ts) // 1000000 AS ts_ms,
-        |       p.value, v.view_id, v.view_ts_ms
-        |FROM p ASOF LEFT JOIN v
-        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q_asof" -> asofOracleSql,
+    // the stateless SCD2/array form must land on the identical result
+    "stream_asof" -> asofOracleSql,
     // forward as-of: DuckDB's ASOF with p.ts <= v.ts picks the FIRST
     // later view; the tolerance (absent from ASOF) CASEs on the matched
     // distance — beyond-tolerance matches null-extend, rows never drop

@@ -165,6 +165,47 @@ object TemporalJoins {
   }
 
   /**
+   * STATIC-DIMENSION as-of lookup — the SCD Type-2 point-in-time join,
+   * and the STREAMING form of [[asofJoin]]: the build side compacts to
+   * ONE row per key holding its sorted (ts, payload) history, and each
+   * probe row picks the last history entry at-or-before its timestamp
+   * with pure array projections. No window, no watermark, no state
+   * store — on a stream this is a stateless stream-static join, so it
+   * rides `readStream` unchanged and each micro-batch sees the
+   * dimension as-of join time.
+   *
+   * Contract vs [[asofJoin]]: the build side must be DIMENSION-shaped —
+   * per-key history small enough to hold in one row (version chains of
+   * a dimension table; thousands, not billions). Event-scale build
+   * sides take the two-level [[asofJoin]]; this form trades that
+   * generality for statelessness. Same matching semantics: `>=` rule,
+   * (key, ts) ties collapse to the greatest payload tuple, NULL-ts/key
+   * build rows match nothing, probes without a match null-extend.
+   */
+  def asofStatic(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 tsCol: String): DataFrame = {
+    val payCols = build.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payCols.nonEmpty, "build side carries no payload columns")
+    val collide = payCols.toSet.intersect(probe.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with probe columns: $collide")
+    val hist = build
+      .where((tsCol +: keys).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((keys :+ tsCol).map(col): _*)
+      .agg(max(struct(payCols.map(col): _*)).as("__pay"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(unix_micros(col(tsCol)).as("__bm"),
+        col("__pay").as("__bp")))).as("__hist"))
+    val probeM = probe.withColumn("__pm", unix_micros(col(tsCol)))
+    // guarded positive index: ANSI mode (Spark 4 default) makes
+    // element_at THROW on an empty array rather than return NULL
+    val eligible = filter(col("__hist"), h => h.getField("__bm") <= col("__pm"))
+    val matched = when(size(eligible) > 0, element_at(eligible, size(eligible)))
+    probeM.join(broadcast(hist), keys, "left")
+      .withColumn("__m", matched.getField("__bp"))
+      .select(probe.columns.map(col) ++ payCols.map(c => col(s"__m.`$c`").as(c)): _*)
+  }
+
+  /**
    * Range-band join with NO equi key: all pairs where
    * `l.tsL - band ≤ r.tsR ≤ l.tsL`. Column names must be disjoint
    * across the two inputs (project before the call).

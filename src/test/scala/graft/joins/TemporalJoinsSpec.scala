@@ -157,6 +157,39 @@ class TemporalJoinsSpec extends SparkSpecBase {
       s"key-alone window over a non-slim frame:\n${keyAlone.mkString("\n")}")
   }
 
+  test("asofStatic (SCD2 array form) equals the two-level asofJoin, nulls included") {
+    val pN = probe.unionByName(
+      Seq((7L, "k1", null.asInstanceOf[java.sql.Timestamp])).toDF("pid", "k", "t"))
+    val bN = build.unionByName(
+      Seq(("k1", null.asInstanceOf[java.sql.Timestamp], 999L, "n")).toDF("k", "t", "px", "src"))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(collect(TemporalJoins.asofStatic(pN, bN, Seq("k"), "t")) ==
+      collect(TemporalJoins.asofJoin(pN, bN, Seq("k"), "t")))
+  }
+
+  test("asofStatic rides a real stream statelessly, row-equal to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[ProbeRow]
+    val out = TemporalJoins.asofStatic(input.toDF(), build, Seq("k"), "t")
+    val q = out.writeStream.format("memory").queryName("asof_stream").start()
+    try {
+      input.addData(probe.as[ProbeRow].collect().take(3).toSeq)
+      q.processAllAvailable()
+      input.addData(probe.as[ProbeRow].collect().drop(3).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream").select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      val batch = TemporalJoins.asofStatic(probe, build, Seq("k"), "t")
+        .select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      assert(streamed == batch)
+      // stateless: a stream-static join keeps NO state store operators
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------- band join
 
   private def lefts: DataFrame = Seq(
@@ -206,3 +239,6 @@ class TemporalJoinsSpec extends SparkSpecBase {
     }
   }
 }
+
+/** One probe row for the MemoryStream run. */
+case class ProbeRow(pid: Long, k: String, t: java.sql.Timestamp)
