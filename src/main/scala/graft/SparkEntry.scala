@@ -286,6 +286,32 @@ object SparkEntry {
         coalesce(col("n_purch"), lit(0L)).as("n_purch"), col("sum_val"))
   }
 
+  /** Interval-overlap join (r14 wave 6): each error's activity interval
+    * [ts, ts + floor(value) minutes] against every purchase interval of
+    * the same shape, ANY user — the two-sided generalization of the
+    * band join, emitted exactly once per overlapping pair through
+    * [[TemporalJoins.intervalJoin]]'s first-shared-block rule. floor()
+    * BEFORE the bigint cast on both engines: Spark's double→long cast
+    * truncates while DuckDB's rounds, the known cross-engine trap. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_s"),
+        (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
+          .as("e_e"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_s"),
+        (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
+          .as("p_e"))
+    val pairs = TemporalJoins.intervalJoin(errs, purch,
+      "e_s", "e_e", "p_s", "p_e", 3600L * 1000000L)
+    val agg = pairs.groupBy(col("e_id"))
+      .agg(count(col("p_id")).as("n_overlap"), min(col("p_id")).as("first_p"))
+    errs.join(agg, Seq("e_id"), "left")
+      .select(col("e_id"), expr("e_s div 1000L").as("e_ts_ms"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("first_p"))
+  }
+
   /** Ranked top-k join (reference convert/TopK.scala L2 shape):
     * 2-hop paths ordered by total rating, k=10, no full materialization. */
   def qTopkJoin(s: SparkSession, d: String): DataFrame = {
@@ -1888,6 +1914,7 @@ object SparkEntry {
     "q_asof_fwd" -> (qAsofFwd _),
     "stream_asof" -> (qStreamAsof _),
     "q_band_join" -> (qBandJoin _),
+    "q_interval_join" -> (qIntervalJoin _),
     // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
     // example graph, scaled-integer arithmetic so the oracle is exact
     "q_pagerank" -> ((s, d) =>
@@ -3283,6 +3310,24 @@ object SparkEntry {
         |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN nview_ts_ms END
         |         AS nview_ts_ms
         |FROM m""".stripMargin,
+    // interval overlap: DuckDB evaluates the raw two-sided inequality;
+    // the first-shared-block rule must emit each pair exactly once
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS e_id, epoch_ns(ts) // 1000 AS e_s,
+        |         epoch_ns(ts) // 1000
+        |           + CAST(FLOOR(value) AS BIGINT) * 60000000 AS e_e
+        |  FROM events WHERE event_type = 'error'
+        |), p AS (
+        |  SELECT event_id AS p_id, epoch_ns(ts) // 1000 AS p_s,
+        |         epoch_ns(ts) // 1000
+        |           + CAST(FLOOR(value) AS BIGINT) * 60000000 AS p_e
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT e.e_id, e.e_s // 1000 AS e_ts_ms,
+        |       count(p.p_id) AS n_overlap, min(p.p_id) AS first_p
+        |FROM e LEFT JOIN p ON e.e_s <= p.p_e AND p.p_s <= e.e_e
+        |GROUP BY e.e_id, e.e_s""".stripMargin,
     // band join: DuckDB evaluates the raw inequality join (its IEJoin);
     // the binned equi-join + residual filter must produce the same pairs
     "q_band_join" ->

@@ -206,6 +206,40 @@ object TemporalJoins {
   }
 
   /**
+   * INTERVAL-OVERLAP join with NO equi key: all pairs whose intervals
+   * `[sL, eL]` and `[sR, eR]` (inclusive micros-long columns — pass
+   * `unix_micros` projections) intersect — the two-sided general form
+   * of [[bandJoin]], the genomics/observability overlap query Spark
+   * also plans as a nested loop. Each interval replicates to every
+   * block it covers (fan-out = length/block + 1 — size `blockMicros`
+   * near the typical interval length), the join runs on the block id,
+   * and a pair is emitted EXACTLY ONCE: at the first block both cover,
+   * `greatest(firstBlock(L), firstBlock(R))` — which any overlapping
+   * pair provably shares, because max(sL, sR) lies in both intervals.
+   * Empty intervals (e < s) match nothing and are dropped; column
+   * names must be disjoint.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   sL: String, eL: String, sR: String, eR: String,
+                   blockMicros: Long): DataFrame = {
+    require(blockMicros >= 1, s"positive block width required, got $blockMicros")
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+    require(collide.isEmpty, s"column names must be disjoint, both sides have: $collide")
+    def blocked(df: DataFrame, s: String, e: String, bs: String): DataFrame =
+      df.where(col(e) >= col(s))
+        .withColumn(bs, blockOf(s, blockMicros))
+        .withColumn("__be", blockOf(e, blockMicros))
+        .withColumn("__blk", explode(sequence(col(bs), col("__be"))))
+        .drop("__be")
+    val l = blocked(left, sL, eL, "__lbs")
+    val r = blocked(right, sR, eR, "__rbs")
+    l.join(r, Seq("__blk"))
+      .where(col(sL) <= col(eR) && col(sR) <= col(eL) &&
+        col("__blk") === greatest(col("__lbs"), col("__rbs")))
+      .select((left.columns ++ right.columns).map(col): _*)
+  }
+
+  /**
    * Range-band join with NO equi key: all pairs where
    * `l.tsL - band ≤ r.tsR ≤ l.tsL`. Column names must be disjoint
    * across the two inputs (project before the call).

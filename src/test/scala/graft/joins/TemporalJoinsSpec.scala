@@ -233,6 +233,43 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(plan.contains("__blk"))
   }
 
+  // -------------------------------------------------------- interval join
+
+  private def ivs(rows: Seq[(Long, Long, Long)], id: String, a: String, b: String) = {
+    import spark.implicits._
+    rows.toDF(id, a, b)
+  }
+
+  test("interval join matches the cross-join filter, endpoints inclusive, exactly once") {
+    val M = 1000000L
+    val L = ivs(Seq((1L, 0L * M, 100L * M), (2L, 500L * M, 500L * M), // point interval
+      (3L, 7000L * M, 7200L * M), (4L, 10L * M, 5L * M)), // empty: e < s
+      "lid", "ls", "le")
+    val R = ivs(Seq((10L, 100L * M, 200L * M), // touches lid=1 at the endpoint
+      (11L, 400L * M, 600L * M), (12L, 7199L * M, 9000L * M),
+      (13L, 0L * M, 20000L * M)), // spans everything
+      "rid", "rs", "re")
+    val got = TemporalJoins.intervalJoin(L, R, "ls", "le", "rs", "re", 60L * M)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    val want = L.where(col("le") >= col("ls")).crossJoin(R)
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want)
+    assert(got.toSet == Set((1L, 10L), (1L, 13L), (2L, 11L), (2L, 13L),
+      (3L, 12L), (3L, 13L))) // lid=4 empty -> nothing
+  }
+
+  test("interval join plan is an equi-join on the block id") {
+    val M = 1000000L
+    val L = ivs(Seq((1L, 0L, 100L * M)), "lid", "ls", "le")
+    val R = ivs(Seq((10L, 50L * M, 60L * M)), "rid", "rs", "re")
+    val plan = TemporalJoins.intervalJoin(L, R, "ls", "le", "rs", "re", 60L * M)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__blk"))
+  }
+
   test("band join rejects overlapping column names") {
     intercept[IllegalArgumentException] {
       TemporalJoins.bandJoin(lefts, lefts, "lt", "lt", hour)
