@@ -2403,6 +2403,11 @@ object SparkEntry {
     // 512-token sequences over the shared blocked prefix scan — small
     // docs share a sequence, boundary docs split across two
     "pipe_pack_ctx" -> ((s, d) => TextOps.ctxPack(Tables.documents(s, d))),
+    // URL canonical dedup (r14 wave 6): decorated URL variants collapse
+    // onto their canonical form, keep-lowest-doc_id per canonical — one
+    // partial min aggregate, the C4 crawl stage before any text look
+    "pipe_url_dedup" -> ((s, d) =>
+      graft.datapipe.Domains.urlDedup(Tables.documents(s, d))),
     "pipe_topk" -> (qPipeTopk _),
     "stream_window" -> ((s, d) => EventStreams.windowedAgg(Tables.events(s, d))),
     // sliding windows (r14): 1h windows every 15min, each event in 4
@@ -3083,6 +3088,7 @@ object SparkEntry {
     // permutation position for position, worker for worker
     "pipe_shuffle" -> graft.datapipe.Shuffle.epochShuffleSql(),
     "pipe_pack_ctx" -> TextOps.ctxPackSql(),
+    "pipe_url_dedup" -> graft.datapipe.Domains.urlDedupSql,
     "pipe_topk" ->
       s"""SELECT d.lang, q.doc_id, q.score
          |FROM (${TextOps.qualitySql}) q

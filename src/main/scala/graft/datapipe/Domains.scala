@@ -134,6 +134,98 @@ object Domains {
        |  WHERE domain NOT IN (${defaultBlocklist.map(d => s"'$d'").mkString(", ")})
        |) WHERE __rn <= $defaultCap""".stripMargin
 
+  // ----------------------------------------------------- URL canonical dedup
+
+  /** Synthetic URL with a REALISTIC decoration profile: mixed-case
+    * authority, explicit default port, and per-row variants (trailing
+    * slash / pure-tracking query / fragment) over a shared canonical target
+    * (`doc_id div 3` → up to 3 differently-decorated copies of one
+    * logical URL). A real corpus replaces this projection with its url
+    * column; everything downstream is unchanged. */
+  def urlOf: Column = {
+    // host derives from the GROUP id (doc_id div 3) — the three docs of
+    // a group share host + path and differ only in decoration, so the
+    // canonical actually collides; a per-doc host would never collide
+    val g = expr("doc_id div 3L")
+    val host = when(g % hotMod === 0, lit(hubDomain))
+      .when(g % hotMod === 1, lit(spamDomain))
+      .otherwise(concat(lit("d"), pmod(g, lit(tailSlots.toLong)),
+        lit("."), coalesce(col("source"), lit("")), lit(".example")))
+    concat(lit("HTTPS://"),
+      when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+      lit(":443/p/"), g,
+      when(col("doc_id") % 4 === 0, lit("/"))
+        .when(col("doc_id") % 4 === 1, lit("?utm_source=x"))
+        .when(col("doc_id") % 4 === 2, lit("#frag"))
+        .otherwise(lit("")))
+  }
+
+  /** DuckDB mirror of [[urlOf]]. */
+  val urlOfSql: String = {
+    val hostSql =
+      s"""CASE WHEN (doc_id // 3) % $hotMod = 0 THEN '$hubDomain'
+         |     WHEN (doc_id // 3) % $hotMod = 1 THEN '$spamDomain'
+         |     ELSE 'd' || CAST((doc_id // 3) % $tailSlots AS VARCHAR)
+         |          || '.' || coalesce(source, '') || '.example'
+         |END""".stripMargin.replace("\n", " ")
+    s"""'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN upper($hostSql)
+       |                   ELSE $hostSql END
+       | || ':443/p/' || CAST(doc_id // 3 AS VARCHAR)
+       | || CASE WHEN doc_id % 4 = 0 THEN '/'
+       |         WHEN doc_id % 4 = 1 THEN '?utm_source=x'
+       |         WHEN doc_id % 4 = 2 THEN '#frag'
+       |         ELSE '' END""".stripMargin.replace("\n", " ")
+  }
+
+  /**
+   * C4-style URL canonicalization: lowercase the scheme+authority,
+   * strip the default https port, the fragment, tracking (`utm_*`)
+   * params, and a trailing slash. Each step is ONE regex application
+   * whose pattern can match at most once (anchored, or — for the utm
+   * strip — one param by the synthetic contract): Spark's
+   * `regexp_replace` replaces ALL matches while DuckDB's replaces the
+   * FIRST, so multi-match patterns are the cross-engine trap this
+   * chain deliberately avoids. Pure projection — no shuffle.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val auth = lower(regexp_extract(url, "^([^/]*//[^/]*)", 1))
+    val rest = regexp_replace(url, "^[^/]*//[^/]*", "")
+    val noPort = regexp_replace(auth, ":443$", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+    val noSlash = regexp_replace(noUtm, "/$", "")
+    concat(noPort, noSlash)
+  }
+
+  /** DuckDB mirror of [[canonicalUrl]] applied to `$x`. */
+  def canonicalUrlSql(x: String): String =
+    s"""regexp_replace(lower(regexp_extract($x, '^([^/]*//[^/]*)', 1)), ':443$$', '')
+       | || regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace($x, '^[^/]*//[^/]*', ''),
+       |      '#.*$$', ''), '[?&]utm_[^&#]*', ''), '/$$', '')""".stripMargin
+      .replace("\n", " ")
+
+  /**
+   * URL-level exact dedup (the C4 crawl stage BEFORE any text look):
+   * group by canonical URL, keep the lowest doc_id — one partial
+   * min(struct) aggregate, never a window. Emits one row per canonical
+   * URL: the kept doc and how many decorated variants collapsed into
+   * it (the dedup evidence a crawl report wants).
+   */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), canonicalUrl(urlOf).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_variants"))
+
+  /** DuckDB mirror of [[urlDedup]]. */
+  val urlDedupSql: String =
+    s"""WITH u AS (SELECT doc_id, ${canonicalUrlSql(s"($urlOfSql)")} AS canon_url
+       |           FROM documents)
+       |SELECT canon_url, min(doc_id) AS keep_id,
+       |       CAST(count(*) AS BIGINT) AS n_variants
+       |FROM u GROUP BY canon_url""".stripMargin
+
   /** [[capDocuments]]'s gate as a `documents`-shadowing CTE prefix (the
     * [[Decontam.plantNearDupsCte]] pattern) — lets any composed oracle
     * run over the domain-gated corpus without changing its own text. */

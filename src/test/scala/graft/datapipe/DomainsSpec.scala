@@ -77,4 +77,42 @@ class DomainsSpec extends SparkSpecBase {
     // and the exact tokenizer counts differ from the len/4 heuristic
     assert(full.getLong(1) !== base.getLong(1))
   }
+
+  test("canonicalUrl: each decoration strips; distinct canonicals stay distinct") {
+    import spark.implicits._
+    val got = Seq(
+      "HTTPS://Hub.Example:443/p/5/",          // case + port + trailing slash
+      "https://hub.example/p/5?utm_source=x",    // pure tracking query
+      "https://hub.example/p/5#frag",          // fragment
+      "https://hub.example/p/5",               // already canonical
+      "https://hub.example/p/6",               // different path
+      "https://other.example/p/5"              // different host
+    ).toDF("url").select(Domains.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got.take(4).toSet == Set("https://hub.example/p/5"))
+    assert(got(4) == "https://hub.example/p/6")
+    assert(got(5) == "https://other.example/p/5")
+    // a REAL query param survives the utm strip — a canonically
+    // different URL must stay different
+    import spark.implicits._
+    val kept = Seq("https://hub.example/p/5?id=7&utm_source=x").toDF("url")
+      .select(Domains.canonicalUrl(col("url")).as("c")).as[String].head()
+    assert(kept == "https://hub.example/p/5?id=7")
+  }
+
+  test("urlDedup collapses decorated variants onto one kept doc, never a window") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Domains.urlDedup(docs)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // synthetic contract: doc_id div 3 shares a canonical target when the
+    // host also matches, so SOME canonical has >1 variant and the keeper
+    // is the group minimum
+    assert(rows.exists(_.getAs[Long]("n_variants") > 1))
+    val total = rows.map(_.getAs[Long]("n_variants")).sum
+    assert(total == docs.count()) // partition of the corpus, nothing lost
+    // scale shape: one partial aggregate, no window
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), plan)
+  }
 }
