@@ -295,14 +295,25 @@ object SparkEntry {
     * truncates while DuckDB's rounds, the known cross-engine trap. */
   def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val errs = ev.where(col("event_type") === "error")
-      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_s"),
-        (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
-          .as("e_e"))
+    // valid (e >= s) intervals only, matching the oracle CTEs: an
+    // inverted interval matches nothing inside intervalJoin but would
+    // still emit an n=0 row from the join-back, while the oracle's raw
+    // inequality could even match it — both sides filter, so the
+    // contract is engine-shared (r14 review find). The errs frame is
+    // referenced twice (pair generation + join-back), independent
+    // subtrees ReuseExchange cannot dedupe — tracked persist, the
+    // repo-wide contract.
+    val errs = CacheRegistry.persistTracked(
+      ev.where(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_s"),
+          (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
+            .as("e_e"))
+        .where(col("e_e") >= col("e_s")))
     val purch = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_s"),
         (unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
           .as("p_e"))
+      .where(col("p_e") >= col("p_s"))
     val pairs = TemporalJoins.intervalJoin(errs, purch,
       "e_s", "e_e", "p_s", "p_e", 3600L * 1000000L)
     val agg = pairs.groupBy(col("e_id"))
@@ -3323,12 +3334,14 @@ object SparkEntry {
         |  SELECT event_id AS e_id, epoch_ns(ts) // 1000 AS e_s,
         |         epoch_ns(ts) // 1000
         |           + CAST(FLOOR(value) AS BIGINT) * 60000000 AS e_e
-        |  FROM events WHERE event_type = 'error'
+        |  FROM events
+        |  WHERE event_type = 'error' AND CAST(FLOOR(value) AS BIGINT) >= 0
         |), p AS (
         |  SELECT event_id AS p_id, epoch_ns(ts) // 1000 AS p_s,
         |         epoch_ns(ts) // 1000
         |           + CAST(FLOOR(value) AS BIGINT) * 60000000 AS p_e
-        |  FROM events WHERE event_type = 'purchase'
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND CAST(FLOOR(value) AS BIGINT) >= 0
         |)
         |SELECT e.e_id, e.e_s // 1000 AS e_ts_ms,
         |       count(p.p_id) AS n_overlap, min(p.p_id) AS first_p

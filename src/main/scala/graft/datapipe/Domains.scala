@@ -143,20 +143,25 @@ object Domains {
     * logical URL). A real corpus replaces this projection with its url
     * column; everything downstream is unchanged. */
   def urlOf: Column = {
-    // host derives from the GROUP id (doc_id div 3) — the three docs of
-    // a group share host + path and differ only in decoration, so the
-    // canonical actually collides; a per-doc host would never collide
+    // host derives ENTIRELY from the GROUP id (doc_id div 3) — the
+    // three docs of a group share host + path and differ only in
+    // decoration, so the canonical actually collides in EVERY host
+    // class (a per-doc component like `source` would keep tail-group
+    // canonicals distinct and never exercise the collapse there —
+    // r14 review find)
     val g = expr("doc_id div 3L")
     val host = when(g % hotMod === 0, lit(hubDomain))
       .when(g % hotMod === 1, lit(spamDomain))
-      .otherwise(concat(lit("d"), pmod(g, lit(tailSlots.toLong)),
-        lit("."), coalesce(col("source"), lit("")), lit(".example")))
+      .otherwise(concat(lit("d"), pmod(g, lit(tailSlots.toLong)), lit(".example")))
     concat(lit("HTTPS://"),
       when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
       lit(":443/p/"), g,
+      // decorations cover the whole canonicalization chain, including
+      // MULTI-utm queries, a REAL param behind tracking params (the
+      // amp-repair path), and a fragment behind a query
       when(col("doc_id") % 4 === 0, lit("/"))
-        .when(col("doc_id") % 4 === 1, lit("?utm_source=x"))
-        .when(col("doc_id") % 4 === 2, lit("#frag"))
+        .when(col("doc_id") % 4 === 1, lit("?utm_source=x&utm_campaign=y"))
+        .when(col("doc_id") % 4 === 2, lit("?utm_source=x&id=7#frag"))
         .otherwise(lit("")))
   }
 
@@ -165,27 +170,27 @@ object Domains {
     val hostSql =
       s"""CASE WHEN (doc_id // 3) % $hotMod = 0 THEN '$hubDomain'
          |     WHEN (doc_id // 3) % $hotMod = 1 THEN '$spamDomain'
-         |     ELSE 'd' || CAST((doc_id // 3) % $tailSlots AS VARCHAR)
-         |          || '.' || coalesce(source, '') || '.example'
+         |     ELSE 'd' || CAST((doc_id // 3) % $tailSlots AS VARCHAR) || '.example'
          |END""".stripMargin.replace("\n", " ")
     s"""'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN upper($hostSql)
        |                   ELSE $hostSql END
        | || ':443/p/' || CAST(doc_id // 3 AS VARCHAR)
        | || CASE WHEN doc_id % 4 = 0 THEN '/'
-       |         WHEN doc_id % 4 = 1 THEN '?utm_source=x'
-       |         WHEN doc_id % 4 = 2 THEN '#frag'
+       |         WHEN doc_id % 4 = 1 THEN '?utm_source=x&utm_campaign=y'
+       |         WHEN doc_id % 4 = 2 THEN '?utm_source=x&id=7#frag'
        |         ELSE '' END""".stripMargin.replace("\n", " ")
   }
 
   /**
    * C4-style URL canonicalization: lowercase the scheme+authority,
-   * strip the default https port, the fragment, tracking (`utm_*`)
-   * params, and a trailing slash. Each step is ONE regex application
-   * whose pattern can match at most once (anchored, or — for the utm
-   * strip — one param by the synthetic contract): Spark's
-   * `regexp_replace` replaces ALL matches while DuckDB's replaces the
-   * FIRST, so multi-match patterns are the cross-engine trap this
-   * chain deliberately avoids. Pure projection — no shuffle.
+   * strip the default https port, the fragment, ALL tracking (`utm_*`)
+   * params, and a trailing slash; if the stripped params left a real
+   * param dangling behind `&`, repair it to `?`. Cross-engine
+   * multi-match care (the r14 review find): Spark's `regexp_replace`
+   * replaces ALL matches while DuckDB's default replaces the FIRST —
+   * the utm strip (legitimately multi-match) carries the `'g'` flag in
+   * the DuckDB mirror, and every other pattern is anchored so it can
+   * match at most once in both engines. Pure projection — no shuffle.
    */
   def canonicalUrl(url: Column): Column = {
     val auth = lower(regexp_extract(url, "^([^/]*//[^/]*)", 1))
@@ -193,16 +198,22 @@ object Domains {
     val noPort = regexp_replace(auth, ":443$", "")
     val noFrag = regexp_replace(rest, "#.*$", "")
     val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
-    val noSlash = regexp_replace(noUtm, "/$", "")
+    // '?utm_a=1&id=7' strips to '&id=7' — the surviving first param
+    // must be repaired to '?' (anchored + [^?&] ⇒ at most one match)
+    val fixAmp = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    val noSlash = regexp_replace(fixAmp, "/$", "")
     concat(noPort, noSlash)
   }
 
-  /** DuckDB mirror of [[canonicalUrl]] applied to `$x`. */
+  /** DuckDB mirror of [[canonicalUrl]] applied to `$x` (backreference
+    * syntax is `\\1` there vs Spark's `$1`; the utm strip carries `'g'`
+    * to match Spark's replace-all). */
   def canonicalUrlSql(x: String): String =
     s"""regexp_replace(lower(regexp_extract($x, '^([^/]*//[^/]*)', 1)), ':443$$', '')
-       | || regexp_replace(regexp_replace(regexp_replace(
+       | || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |      regexp_replace($x, '^[^/]*//[^/]*', ''),
-       |      '#.*$$', ''), '[?&]utm_[^&#]*', ''), '/$$', '')""".stripMargin
+       |      '#.*$$', ''), '[?&]utm_[^&#]*', '', 'g'),
+       |      '^([^?&]*)&', '\\1?'), '/$$', '')""".stripMargin
       .replace("\n", " ")
 
   /**

@@ -82,7 +82,7 @@ class DomainsSpec extends SparkSpecBase {
     import spark.implicits._
     val got = Seq(
       "HTTPS://Hub.Example:443/p/5/",          // case + port + trailing slash
-      "https://hub.example/p/5?utm_source=x",    // pure tracking query
+      "https://hub.example/p/5?utm_source=x&utm_campaign=y", // ALL utm strip
       "https://hub.example/p/5#frag",          // fragment
       "https://hub.example/p/5",               // already canonical
       "https://hub.example/p/6",               // different path
@@ -92,12 +92,16 @@ class DomainsSpec extends SparkSpecBase {
     assert(got.take(4).toSet == Set("https://hub.example/p/5"))
     assert(got(4) == "https://hub.example/p/6")
     assert(got(5) == "https://other.example/p/5")
-    // a REAL query param survives the utm strip — a canonically
-    // different URL must stay different
-    import spark.implicits._
-    val kept = Seq("https://hub.example/p/5?id=7&utm_source=x").toDF("url")
-      .select(Domains.canonicalUrl(col("url")).as("c")).as[String].head()
-    assert(kept == "https://hub.example/p/5?id=7")
+    // a REAL query param survives the utm strip WELL-FORMED, whichever
+    // side of the tracking params it sits on (the amp-repair path) —
+    // and stays canonically distinct from the bare URL
+    val kept = Seq(
+      "https://hub.example/p/5?id=7&utm_source=x",
+      "https://hub.example/p/5?utm_source=x&id=7",
+      "https://hub.example/p/5?utm_source=x&id=7&utm_campaign=y#frag")
+      .toDF("url").select(Domains.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(kept.toSet == Set("https://hub.example/p/5?id=7"))
   }
 
   test("urlDedup collapses decorated variants onto one kept doc, never a window") {
