@@ -134,4 +134,43 @@ class DoorEdge17Spec extends SparkSpecBase {
           |SELECT 'hot_purchase' AS kind, a.event_id AS id FROM d17_asof a
           |WHERE a.view_id IS NOT NULL AND a.value > 90""".stripMargin))
   }
+
+  test("direct vs reduced vs stock agree on pivot/url-dedup/interval compositions") {
+    views()
+    graft.datapipe.Domains.urlDedup(Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("d17b_url")
+    graft.SparkEntry.qIntervalJoin(spark, sfDir)
+      .createOrReplaceTempView("d17b_iv")
+    battery(Seq(
+      // SEMI restricted to the multi-variant canonicals
+      "url_semi_multi" ->
+        """SELECT u.canon_url AS canon_url, u.n_variants AS n_variants
+          |FROM d17b_url u LEFT SEMI JOIN d17_docs x ON x.doc_id = u.keep_id
+          |WHERE u.n_variants > 1""".stripMargin,
+      // ANTI + eager aggregate: the docs URL dedup would DROP, per lang
+      "url_anti_dropped" ->
+        """SELECT x.lang AS lang, COUNT(*) AS n_dropped
+          |FROM d17_docs x LEFT ANTI JOIN d17b_url u ON u.keep_id = x.doc_id
+          |GROUP BY x.lang""".stripMargin,
+      // LATERAL over the interval aggregate: first error per overlap count
+      "iv_lateral_first" ->
+        """SELECT b.n_overlap AS n_overlap, t.e_id AS e_id
+          |FROM (SELECT DISTINCT n_overlap FROM d17b_iv) b, LATERAL (
+          |  SELECT e_id FROM d17b_iv i WHERE i.n_overlap = b.n_overlap
+          |  ORDER BY e_id LIMIT 1
+          |) t""".stripMargin,
+      // window rank of canonicals by collapse mass
+      "url_window_rank" ->
+        """SELECT u.canon_url AS canon_url, u.n_variants AS n_variants,
+          |       ROW_NUMBER() OVER (ORDER BY u.n_variants DESC, u.canon_url)
+          |         AS rk
+          |FROM d17b_url u""".stripMargin,
+      // hour-band count vs interval-overlap count on the same errors —
+      // the two temporal aggregations disagree exactly where interval
+      // length beats the fixed band
+      "iv_band_compare" ->
+        """SELECT i.e_id AS e_id, i.n_overlap AS n_overlap, b.n_purch AS n_purch
+          |FROM d17b_iv i, d17_band b
+          |WHERE b.e_id = i.e_id AND i.n_overlap <> b.n_purch""".stripMargin))
+  }
 }
