@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness keeps a bounded stdout tail and parses the
+// LAST line as JSON. Two sbt behaviors broke that (r14 verdict #1):
+// the forked program's stdout went through sbt's logger (an "[info] "
+// prefix on the summary line) and sbt printed a "[success] Total
+// time..." epilogue AFTER it. Raw passthrough + no epilogue makes the
+// summary JSON the true last stdout line.
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

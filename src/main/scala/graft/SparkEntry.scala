@@ -228,7 +228,16 @@ object SparkEntry {
     * per-key history compacts into one sorted array row, each probe
     * picks its entry with pure array projections; on a stream this is a
     * stateless stream-static join (MemoryStream spec pins stream ==
-    * batch with zero state operators). */
+    * batch with zero state operators).
+    *
+    * SCALE CONTRACT (r14 advice): asofStatic is the DIMENSION-shaped
+    * operator — per-key history collapses to one broadcast row, so the
+    * build side must be a genuine SCD2 dimension (bounded versions per
+    * key: price lists, account tiers), NOT an event log. The view
+    * events here STAND IN for such a dimension at test scale; an
+    * event-scale build side at corpus scale belongs to [[qAsof]]'s
+    * distributed carry-forward (or stream_asof_ss's watermarked
+    * stream-stream form), never this broadcast path. */
   def qStreamAsof(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val views = ev.where(col("event_type") === "view")
@@ -318,8 +327,12 @@ object SparkEntry {
       "e_s", "e_e", "p_s", "p_e", 3600L * 1000000L)
     val agg = pairs.groupBy(col("e_id"))
       .agg(count(col("p_id")).as("n_overlap"), min(col("p_id")).as("first_p"))
+    // floor-division micros→ms (the blockOf idiom): Spark's `div`
+    // truncates toward zero while the oracle's DuckDB `//` floors —
+    // identical for the post-epoch corpus but divergent on negative
+    // timestamps (-1500us -> -1 vs -2), the div-vs-floor trap (r14 advice)
     errs.join(agg, Seq("e_id"), "left")
-      .select(col("e_id"), expr("e_s div 1000L").as("e_ts_ms"),
+      .select(col("e_id"), expr("(e_s - pmod(e_s, 1000L)) div 1000L").as("e_ts_ms"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("first_p"))
   }
 

@@ -70,9 +70,12 @@ object Shuffle {
   }
 
   /** The identical permutation as ANSI SQL (the oracle only has to be
-    * correct, so it ranks with one global window). */
+    * correct, so it ranks with one global window). The NULL-doc_id
+    * coalesce mirrors the Spark side above: DuckDB's || propagates NULL,
+    * which would rank a NULL-id row NULLS-LAST instead of at
+    * h60('ep:')'s position (r14 advice). */
   def epochShuffleSql(epoch: Int = 1, workers: Int = 8): String = {
-    val key = h60Sql(s"'ep$epoch:' || doc_id")
+    val key = h60Sql(s"'ep$epoch:' || coalesce(CAST(doc_id AS VARCHAR), '')")
     s"""WITH k AS (SELECT doc_id, $key AS key FROM documents)
        |SELECT doc_id,
        |       CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos,
