@@ -269,6 +269,26 @@ object SparkEntry {
         col("value"), col("nview_id"), col("nview_ts_ms"))
   }
 
+  /** STREAM-STREAM as-of (r15): the purchase←view lookup with BOTH
+    * sides live — [[TemporalJoins.asofStreamStream]]'s watermarked
+    * left-outer join + windowed latest-pick, batch-parity form (the
+    * identical plan on batch frames; TemporalJoinsSpec runs the real
+    * two-MemoryStream form and pins stream == batch). The 2-day horizon
+    * is both the tolerance semantics and the state bound — the only
+    * as-of a stream-stream pairing can offer. */
+  def qStreamAsofSS(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("ssv_ts_ms"), col("event_id").as("ssv_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofStreamStream(purch, views, Seq("user_id"), "ts",
+        horizonMicros = 2L * 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("ssv_id"), col("ssv_ts_ms"))
+  }
+
   /** Band join with NO equi key (r14 wave 5): per error event, the count
     * and value mass of ALL purchases (any user) in the hour before it —
     * the global temporal-correlation shape Spark plans as a nested-loop
@@ -1937,6 +1957,8 @@ object SparkEntry {
     "q_asof" -> (qAsof _),
     "q_asof_fwd" -> (qAsofFwd _),
     "stream_asof" -> (qStreamAsof _),
+    // stream-stream as-of (r15): both sides live, horizon-bounded state
+    "stream_asof_ss" -> (qStreamAsofSS _),
     "q_band_join" -> (qBandJoin _),
     "q_interval_join" -> (qIntervalJoin _),
     // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
@@ -2122,6 +2144,9 @@ object SparkEntry {
     // the scalar-quantizer storage tier inside the composed serving
     // architecture (no codebook training, one bounds aggregate)
     "ann_ivfsq8" -> ((s, d) => Ann.ivfSq8TopK(Tables.embeddings(s, d))),
+    // k-NN graph via bounded-round NN-descent (r15): the graph-index ANN
+    // tier, with the exact-top-k recall companion per query
+    "ann_knngraph" -> ((s, d) => Ann.knnGraphChecked(Tables.embeddings(s, d))),
     // IVFADC serving from PERSISTED codes (r13) — the deployment split of
     // ann_ivfpq: train + encode once, bucket-write codes ⋈ lists (+ the
     // K-row quantizer/codebook artifacts), then rank queries from the
@@ -2343,6 +2368,23 @@ object SparkEntry {
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
         col("o_orderpriority"))
     }),
+    // TIME TRAVEL (r15): the same versioned store, read at VERSION AS OF
+    // 1 — the intermediate snapshot after only the seq-1 change batch;
+    // the oracle replays exactly that change-log PREFIX, so a store that
+    // overwrote or leaked versions hash-mismatches
+    "src_merge_travel" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
+      val dir = tmp.resolve("orders_snap").toString
+      trackTempDir(tmp)
+      Tables.initSnapshot(Tables.orders(s, d), dir)
+      val ch = Tables.ordersChanges(s, d)
+      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
+      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      Tables.readSnapshotAt(s, dir, 1L).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+        col("o_orderpriority"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -2404,6 +2446,11 @@ object SparkEntry {
     // applied exactly via the separator-wrapped replacement chain — a
     // pure projection, no UDF, oracle mirrors the chain literally
     "text_bpe" -> ((s, d) => TextOps.bpeCounts(Tables.documents(s, d))),
+    // DISTRIBUTED BPE training (r15): the merge table learned by the
+    // Spark pair-count/merge fixpoint on the canonical slice; the oracle
+    // RETRAINS in DuckDB (chained materialized CTEs), so the hash match
+    // certifies the whole fixpoint, not table transport
+    "text_bpe_dist" -> ((s, d) => TextOps.bpeDistTable(Tables.documents(s, d))),
     // shard packing keyed on the REAL tokenizer instead of the len/4
     // heuristic — production-faithful shard budgets
     "pipe_pack_bpe" -> ((s, d) =>
@@ -2983,6 +3030,7 @@ object SparkEntry {
     "ann_sq8_append" -> Ann.sq8TopKSql("vec_id % 2 = 0"),
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
     "ann_ivfsq8" -> Ann.ivfSq8TopKSql(),
+    "ann_knngraph" -> Ann.knnGraphSql,
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),
@@ -3092,6 +3140,7 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND value >= 50.0
         |GROUP BY 1""".stripMargin,
     "src_merge" -> Tables.mergeOrdersSql,
+    "src_merge_travel" -> Tables.mergeOrdersPrefixSql,
     // sequential batch-by-batch application of a seq-ordered change log
     // must land exactly where the one-shot merge does
     "stream_merge" -> Tables.mergeOrdersSql,
@@ -3100,6 +3149,7 @@ object SparkEntry {
     "pipe_build_full" -> graft.datapipe.Prep.buildFullSql,
     "pipe_prep_fuzzy" -> graft.datapipe.Prep.preparePlantedFuzzySql,
     "text_bpe" -> TextOps.bpeCountsSql,
+    "text_bpe_dist" -> TextOps.bpeTrainDistSql(),
     "pipe_pack_bpe" -> TextOps.packShardsBpeSql,
     "pipe_domain_cap" -> graft.datapipe.Domains.capDocumentsSql,
     "pipe_prep_domain" -> graft.datapipe.Prep.prepareDomainSql,
@@ -3317,6 +3367,28 @@ object SparkEntry {
     "q_asof" -> asofOracleSql,
     // the stateless SCD2/array form must land on the identical result
     "stream_asof" -> asofOracleSql,
+    // stream-stream as-of: ASOF LEFT JOIN with the horizon CASEd on the
+    // matched distance (the bounded lookback IS the streaming contract)
+    "stream_asof_ss" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS ssv_ts_ms,
+        |         max(event_id) AS ssv_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         v.ssv_id, v.ssv_ts_ms, v.ts AS vts
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts >= v.ts
+        |)
+        |SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value,
+        |       CASE WHEN ts - vts <= INTERVAL 2 DAYS THEN ssv_id END
+        |         AS ssv_id,
+        |       CASE WHEN ts - vts <= INTERVAL 2 DAYS THEN ssv_ts_ms END
+        |         AS ssv_ts_ms
+        |FROM m""".stripMargin,
     // forward as-of: DuckDB's ASOF with p.ts <= v.ts picks the FIRST
     // later view; the tolerance (absent from ASOF) CASEs on the matched
     // distance — beyond-tolerance matches null-extend, rows never drop

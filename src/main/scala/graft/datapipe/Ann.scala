@@ -252,6 +252,160 @@ object Ann {
        |QUALIFY rnk <= $topK""".stripMargin
   }
 
+  // ------------------------------------------- k-NN graph (NN-descent)
+
+  /** NN-descent parameters (build constants — the oracle regenerates the
+    * identical rounds). Fewer init planes than the serving LSH: the
+    * GRAPH build wants populated buckets for seed diversity, the probe
+    * path wants small ones; [[lshPlanesFor]] scales both with N.
+    * SEVERAL independent bands are load-bearing, not a recall tweak: a
+    * single band's top-k graph is transitively closed inside its own
+    * bucket, so neighbor-of-neighbor expansion can NEVER escape it and
+    * NN-descent stalls at the seed recall (measured: 1 band froze at
+    * 0.16 across rounds; 3 bands climb 0.42 → 0.52 → 0.56). Cross-band
+    * edges are the deterministic stand-in for the paper's random init. */
+  val knnPlanes = 4
+  val knnBands = 3
+  val knnRounds = 2
+
+  /**
+   * k-NN GRAPH via bounded-round NN-DESCENT (Dong et al., WWW '11) — the
+   * graph-index ANN family (HNSW/NSG's construction primitive) the
+   * quantization matrix (IVF/PQ/SQ8) doesn't cover. Deterministic
+   * restatement for engine-exactness:
+   *
+   *  - INIT: each vector's seed candidates are its LSH bucket mates
+   *    ([[buckets]] — map-side, no all-pairs); top-k by (cosine desc,
+   *    id) forms graph G₀.
+   *  - ROUND: U = G ∪ Gᵀ (the undirected neighborhood — reverse edges
+   *    are NN-descent's key trick), candidates = U ∪ (U ∘ U)
+   *    (neighbor-of-neighbor join), re-rank, keep top-k. Candidate
+   *    volume per vertex is ≤ (2k)² — bounded by construction, never
+   *    quadratic in N; every step is an equi-join or a bounded window.
+   *
+   * Rounds are FIXED (not converge-tested): determinism for the oracle,
+   * and NN-descent's recall gain is front-loaded (2 rounds ≈ the knee).
+   */
+  def knnGraph(emb: DataFrame, planes: Int = knnPlanes, rounds: Int = knnRounds,
+               k: Int = topK): DataFrame = {
+    val e = graft.CacheRegistry.persistTracked(
+      emb.select(col("vec_id"), col("embedding")))
+    def topkOf(cands: DataFrame): DataFrame = {
+      // dedup BEFORE ranking: the union routes propose the same edge
+      // repeatedly, and row_number over duplicates would emit them
+      val d = cands.where(col("vec_id") =!= col("nbr_id"))
+        .groupBy(col("vec_id"), col("nbr_id")).agg(count(lit(1)).as("__dup"))
+        .drop("__dup")
+      val scored = d
+        .join(e.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
+        .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
+          Seq("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"), cosine(col("__ea"), col("__eb")).as("cos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    }
+    val seeds = (0 until knnBands).map { band =>
+      val bk = buckets(emb, planes, planeBase = band * planes)
+      bk.as("l").join(bk.as("r"), col("l.bucket") === col("r.bucket"))
+        .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("nbr_id"))
+    }.reduce(_ unionByName _)
+    var g = graft.CacheRegistry.persistTracked(topkOf(seeds))
+    for (_ <- 1 to rounds) {
+      val u = g.select(col("vec_id"), col("nbr_id"))
+        .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      val nn = u.as("a").join(u.as("b"), col("a.nbr_id") === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+      g = graft.CacheRegistry.persistTracked(topkOf(u.unionByName(nn)))
+    }
+    g.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+      round(col("cos"), 6).as("sim"))
+  }
+
+  /** `ann_knngraph` entry: the NN-descent graph restricted to the query
+    * subset, with the EXACT-top-k companion — per edge a `hit` flag
+    * (neighbor is in the true top-k) and per query `n_hit`/`recall_ok`,
+    * the sketch entries' measured-accuracy contract. The exact side is
+    * brute force over the query subset only (N/|q| of the all-pairs
+    * cost); the graph itself is built over the FULL collection. */
+  def knnGraphChecked(emb: DataFrame): DataFrame = {
+    val g = knnGraph(emb)
+    val q = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val we = Window.partitionBy("q_id").orderBy(col("__c").desc, col("e_nbr").asc)
+    val ex = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("e_nbr"),
+        cosine(col("q_emb"), col("embedding")).as("__c"))
+      .withColumn("__r", row_number().over(we)).where(col("__r") <= topK)
+      .select(col("q_id"), col("e_nbr"))
+    val gq = g.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("nbr_id"), col("rnk"), col("sim"))
+    val wq = Window.partitionBy("q_id")
+    gq.join(ex, gq("q_id") === ex("q_id") && col("nbr_id") === col("e_nbr"), "left")
+      .select(gq("q_id"), col("nbr_id"), col("rnk"), col("sim"),
+        col("e_nbr").isNotNull.as("hit"))
+      .withColumn("n_hit", sum(when(col("hit"), 1L).otherwise(0L)).over(wq))
+      .withColumn("recall_ok", col("n_hit") >= 2)
+  }
+
+  /** The identical NN-descent fixpoint in DuckDB: generated CTE chain —
+    * init from the same md5 hyperplane buckets, each round MATERIALIZED
+    * (same exponential-inlining hazard as the BPE oracle), final select
+    * mirrors the hit/n_hit/recall companion. */
+  def knnGraphSql: String = {
+    val k = topK
+    def topkSql(cands: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, nbr_id, cosv, rnk FROM (
+         |    SELECT vec_id, nbr_id, cosv,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY cosv DESC, nbr_id) AS rnk
+         |    FROM (SELECT d.vec_id, d.nbr_id,
+         |                 ${cosineSql("ea.embedding", "eb.embedding")} AS cosv
+         |          FROM (SELECT DISTINCT vec_id, nbr_id FROM ($cands)
+         |                WHERE vec_id <> nbr_id) d
+         |          JOIN embeddings ea ON ea.vec_id = d.vec_id
+         |          JOIN embeddings eb ON eb.vec_id = d.nbr_id))
+         |  WHERE rnk <= $k)""".stripMargin
+    def roundSql(i: Int): String = {
+      val prev = s"g${i - 1}"
+      s"""u$i AS (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT vec_id, nbr_id FROM $prev
+         |  UNION ALL SELECT nbr_id, vec_id FROM $prev)),
+         |${topkSql(
+          s"SELECT vec_id, nbr_id FROM u$i UNION ALL " +
+            s"SELECT a.vec_id, b.nbr_id FROM u$i a JOIN u$i b ON a.nbr_id = b.vec_id",
+          s"g$i")}""".stripMargin
+    }
+    val exCos = cosineSql("q.q_emb", "e.embedding")
+    val bandCtes = (0 until knnBands).map(b =>
+      s"bk$b AS MATERIALIZED (${bucketsSql(knnPlanes, b * knnPlanes)})").mkString(",\n")
+    val seedUnion = (0 until knnBands).map(b =>
+      s"SELECT l.vec_id AS vec_id, r.vec_id AS nbr_id FROM bk$b l " +
+        s"JOIN bk$b r ON l.bucket = r.bucket").mkString(" UNION ALL ")
+    s"""WITH $bandCtes,
+       |${topkSql(seedUnion, "g0")},
+       |${(1 to knnRounds).map(roundSql).mkString(",\n")},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id % $queryMod = 0),
+       |ex AS MATERIALIZED (
+       |  SELECT q_id, e_nbr FROM (
+       |    SELECT q.q_id, e.vec_id AS e_nbr,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |                              ORDER BY $exCos DESC, e.vec_id) AS rr
+       |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE rr <= $k)
+       |SELECT g.vec_id AS q_id, g.nbr_id,
+       |       CAST(g.rnk AS BIGINT) AS rnk, round(g.cosv, 6) AS sim,
+       |       (ex.e_nbr IS NOT NULL) AS hit,
+       |       CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY g.vec_id) AS BIGINT) AS n_hit,
+       |       (CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY g.vec_id) AS BIGINT) >= 2) AS recall_ok
+       |FROM g$knnRounds g LEFT JOIN ex
+       |  ON ex.q_id = g.vec_id AND ex.e_nbr = g.nbr_id
+       |WHERE g.vec_id % $queryMod = 0""".stripMargin
+  }
+
   // ------------------------------------------------------------ IVF ANN
 
   /** Number of IVF centroids and probed lists per query. */

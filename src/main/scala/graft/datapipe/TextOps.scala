@@ -175,6 +175,138 @@ object TextOps {
   def bpeCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe"))
 
+  /**
+   * DISTRIBUTED BPE trainer (r15) — the same Sennrich pair-count/merge
+   * fixpoint as [[bpeTrain]], restated so every corpus-sized pass is a
+   * Spark aggregate and the driver only ever holds the merge table:
+   *
+   *  - ONE corpus pass builds the weighted vocabulary (word → freq), a
+   *    map-side-combinable groupBy; it is persisted and the corpus is
+   *    never rescanned. At 100 TB the vocab is the bounded unit (~10^8
+   *    distinct words worst case), not the corpus.
+   *  - each merge round derives the current representations by replaying
+   *    the merges-so-far as the [[bpeTokenCount]] literal-replace chain
+   *    over the persisted vocab (projection-only — no per-round state to
+   *    checkpoint, deterministic by construction), explodes adjacent
+   *    token pairs, and sums freq per pair: one map-side-combinable
+   *    shuffle over vocab-sized data per round.
+   *  - the round's winner is ONE collected row — max count, ties by
+   *    lexicographically smallest (left, right), byte-order identical to
+   *    [[bpeTrain]]'s `.min` on the ASCII corpus (UTF8 byte order and
+   *    Java char order agree on ASCII; non-ASCII vocab would need a
+   *    binary collation pin).
+   *
+   * Stops early when no pair remains (exhausted), like [[bpeTrain]].
+   * BpeDistSpec pins table equality against [[bpeTrain]] on the
+   * canonical slice AND on a larger synthetic vocab.
+   */
+  def bpeTrainDistributed(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val vocab = graft.CacheRegistry.persistTracked(
+      docs.select(explode(words(coalesce(col("text"), lit("")))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", s"$bpeSep$$1$bpeSep").as("repr"),
+          col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (!exhausted && merges.size < nMerges) {
+      val repr = merges.foldLeft(col("repr")) { case (c, (a, b)) =>
+        replace(c, lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"), lit(s"$bpeSep$a$b$bpeSep"))
+      }
+      val t = col("__t")
+      val adj = zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))
+      val best = vocab
+        .select(col("freq"), repr.as("__r"))
+        // tokens of the wrapped repr: strip the outer separators, split
+        // on the inner pair — `·a··bc··d·` → [a, bc, d]
+        .select(col("freq"),
+          split(substr(col("__r"), lit(2), length(col("__r")) - 2),
+            s"$bpeSep$bpeSep").as("__t"))
+        .where(size(t) >= 2)
+        .select(col("freq"), explode(adj).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else merges += ((best(0).getString(0), best(0).getString(1)))
+    }
+    merges.toSeq
+  }
+
+  /** `text_bpe_dist` entry frame: the merge table [[bpeTrainDistributed]]
+    * learns on the canonical slice (every 20th document — the frozen
+    * [[bpeMerges]] provenance), one (merge_rank, lhs, rhs) row per merge.
+    * The oracle RETRAINS in DuckDB ([[bpeTrainDistSql]]), so the hash
+    * compare proves the distributed fixpoint end-to-end at the gate SF,
+    * not just table transport. */
+  def bpeDistTable(docs: DataFrame, nMerges: Int = 48): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainDistributed(docs.where(col("doc_id") % 20 === 0), nMerges)
+      .zipWithIndex.map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+  }
+
+  /**
+   * The identical BPE training run as ONE DuckDB statement: merge round
+   * `i` is three chained CTEs — `pc_i` (pair counts over the previous
+   * representations), `b_i` (the argmax winner, ties by smallest (a, b)
+   * — byte order, same as Spark/Scala on the ASCII corpus), `r_i` (the
+   * winner applied as the same literal separator-wrapped replacement the
+   * Spark side uses). Scalar subqueries stand in for the driver-collected
+   * winner; an exhausted round (empty `b_i`) passes representations
+   * through unchanged and contributes no output row, mirroring the
+   * trainer's early stop. No recursion — the round count is a build
+   * constant, so the statement is a generated chain.
+   */
+  def bpeTrainDistSql(nMerges: Int = 48, mod: Int = 20): String = {
+    // every CTE is MATERIALIZED: r_i references r_{i-1} five times (the
+    // FROM plus the winner's scalar subqueries) — default inlining would
+    // expand the chain EXPONENTIALLY (the first run died on file
+    // handles); materialization makes it the same linear fixpoint the
+    // Spark side runs
+    val sb = new StringBuilder
+    sb ++= s"""WITH r0 AS MATERIALIZED (
+               |  SELECT regexp_replace(w, '(.)', '$bpeSep\\1$bpeSep', 'g') AS repr,
+               |         count(*) AS freq
+               |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+               |                                  w -> len(w) > 0)) AS w
+               |        FROM documents WHERE doc_id % $mod = 0)
+               |  GROUP BY 1)""".stripMargin
+    for (i <- 1 to nMerges) {
+      val prev = s"r${i - 1}"
+      def a = s"(SELECT a FROM b$i)"
+      def b = s"(SELECT b FROM b$i)"
+      sb ++= s""",
+                |b$i AS MATERIALIZED (
+                |  SELECT p[1] AS a, p[2] AS b
+                |  FROM (SELECT freq,
+                |               unnest(list_filter(list_zip(t, t[2:]),
+                |                                  p -> p[2] IS NOT NULL)) AS p
+                |        FROM (SELECT freq,
+                |                     string_split(substr(repr, 2, len(repr) - 2),
+                |                                  '$bpeSep$bpeSep') AS t
+                |              FROM $prev)
+                |        WHERE len(t) >= 2)
+                |  GROUP BY 1, 2
+                |  ORDER BY sum(freq) DESC, 1, 2 LIMIT 1),
+                |r$i AS MATERIALIZED (
+                |  SELECT CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN repr
+                |              ELSE replace(repr,
+                |                           '$bpeSep' || $a || '$bpeSep$bpeSep' || $b || '$bpeSep',
+                |                           '$bpeSep' || $a || $b || '$bpeSep')
+                |         END AS repr, freq
+                |  FROM $prev)""".stripMargin
+    }
+    sb ++= "\n" + (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs FROM b$i")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** The DuckDB replacement chain over a word expression — shared by
     * [[bpeCountsSql]] and the BPE-keyed packing oracle. */
   private def bpeChainSql(inner: String): String =

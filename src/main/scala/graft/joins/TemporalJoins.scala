@@ -206,6 +206,67 @@ object TemporalJoins {
   }
 
   /**
+   * STREAM-STREAM AS-OF join (r15) — BOTH sides live: each probe row
+   * picks the greatest build ts in `[probe.ts - horizon, probe.ts]` per
+   * key, null-extending when no build row falls inside the horizon.
+   * The horizon is load-bearing twice over: it is merge_asof's
+   * `tolerance` semantics AND the state bound — an unbounded-lookback
+   * as-of is impossible when both sides stream (the join state could
+   * never be reclaimed), so the bounded form IS the streaming operator.
+   *
+   * Declarative shape, identical on batch and streaming frames:
+   *   1. watermark both sides (streaming only);
+   *   2. stream-stream LEFT OUTER equi-join on the keys with the
+   *      two-sided time-range condition — exactly the shape Spark
+   *      reclaims join state from (watermark + time bound);
+   *   3. per probe row, one max(struct(build ts, payload)) aggregate
+   *      picks the latest match ((key, ts) build ties collapse to the
+   *      greatest payload tuple, [[asofJoin]]'s rule); the group key
+   *      keeps the probe's watermarked event-time column — the one
+   *      event-time attribute that keeps the chained stateful operators
+   *      in Spark's supported join→event-time-aggregation class.
+   *
+   * Contracts: probe rows must be unique (they are the group identity —
+   * real event streams carry an event id); build must be exactly
+   * `keys ++ tsCol ++ payload` with payload names disjoint from probe's;
+   * NULL-ts/key build rows match nothing (dropped), NULL-ts probe rows
+   * null-extend on batch but are dropped by watermarking on a real
+   * stream (the streaming-vs-batch delta inherent to event-time state).
+   */
+  def asofStreamStream(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                       tsCol: String, horizonMicros: Long,
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
+    require(horizonMicros >= 0, s"negative horizon: $horizonMicros")
+    val payCols = build.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    require(payCols.nonEmpty, "build side carries no payload columns")
+    val collide = payCols.toSet.intersect(probe.columns.toSet)
+    require(collide.isEmpty, s"payload columns collide with probe columns: $collide")
+    def wm(df: DataFrame): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    val b = wm(build)
+      .where((tsCol +: keys).map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(c => col(c).as(s"__bk_$c")) :+
+        col(tsCol).as("__bts") :+
+        struct(payCols.map(col): _*).as("__bp"): _*)
+    val p = wm(probe)
+    val cond = keys.map(c => p(c) === b(s"__bk_$c")).reduce(_ && _) &&
+      b("__bts") <= p(tsCol) &&
+      b("__bts") >= p(tsCol) - expr(s"INTERVAL $horizonMicros MICROSECOND")
+    val unit = when(col("__bts").isNotNull,
+      struct(unix_micros(col("__bts")).as("__bm"), col("__bp").as("__p")))
+    // the group key includes the probe's event-time column WITH its
+    // watermark metadata intact — that one column is what lets the
+    // streaming aggregation run in append mode and reclaim state; adding
+    // a window() on top would make TWO event-time columns, which the
+    // chained-stateful-operator checker rejects
+    val grouped = p.join(b, cond, "left_outer")
+      .groupBy(probe.columns.map(p(_)): _*)
+      .agg(max(unit).as("__best"))
+    grouped.select(probe.columns.map(col) ++
+      payCols.map(c => col(s"__best.__p.`$c`").as(c)): _*)
+  }
+
+  /**
    * INTERVAL-OVERLAP join with NO equi key: all pairs whose intervals
    * `[sL, eL]` and `[sR, eR]` (inclusive micros-long columns — pass
    * `unix_micros` projections) intersect — the two-sided general form

@@ -496,6 +496,24 @@ object Tables {
     s.read.parquet(s"$dir/v${versions.max}")
   }
 
+  /** TIME TRAVEL (r15): read the snapshot `VERSION AS OF version` — the
+    * named committed version, exactly as written. The store keeps every
+    * version as a complete immutable snapshot, so time travel is a plain
+    * path read: no log replay, no reconstruction, and pruning/pushdown
+    * work on the old version like any parquet scan. Uncommitted or
+    * missing versions fail loudly (a torn write has no `_SUCCESS` and is
+    * invisible to [[snapshotVersions]]). */
+  def readSnapshotAt(s: SparkSession, dir: String, version: Long): DataFrame = {
+    require(snapshotVersions(s, dir).contains(version),
+      s"snapshot v$version not committed under $dir")
+    s.read.parquet(s"$dir/v$version")
+  }
+
+  /** Committed versions, oldest first — the public listing surface for
+    * time travel (`DESCRIBE HISTORY`'s skeleton). */
+  def snapshotHistory(s: SparkSession, dir: String): Seq[Long] =
+    snapshotVersions(s, dir).sorted
+
   /** Apply one CDC change batch on top of snapshot `version - 1` and
     * commit the result as `version`. The parent is addressed EXPLICITLY
     * (never "the latest"): after a crash between the version write and
@@ -604,6 +622,35 @@ object Tables {
       |  UNION ALL
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       |  FROM latest WHERE op <> 'D'
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       epoch_ns(o_orderdate) // 1000000 AS odate_ms, o_orderpriority
+      |FROM merged""".stripMargin
+
+  /** The seq-1 PREFIX of the change log applied to the base — what the
+    * versioned store holds at v1, for the `src_merge_travel` time-travel
+    * entry. Each key appears at most once in the prefix (the seq-1 sets
+    * are disjoint mod 10 and inserts are offset out of range), so no
+    * latest-wins dedup CTE is needed. */
+  val mergeOrdersPrefixSql: String =
+    """WITH ch AS (
+      |  SELECT o_orderkey, 'U' AS op, o_custkey, 'P' AS o_orderstatus,
+      |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, 'U', o_custkey, 'N', o_totalprice * 2.0,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 100 = 11
+      |), merged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM ch WHERE op <> 'D'
       |)
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       epoch_ns(o_orderdate) // 1000000 AS odate_ms, o_orderpriority

@@ -1,0 +1,90 @@
+package graft.datapipe
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** NN-descent k-NN graph contract: bounded degree, deterministic ranks,
+  * rounds monotonically non-losing on recall, multi-band seeding
+  * actually escaping single-bucket closure, and high recall on data
+  * with genuine cluster structure (the corpus embeddings are weakly
+  * clustered, so the planted-cluster test is where convergence shows). */
+class KnnGraphSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def emb: DataFrame = graft.sources.Tables.embeddings(spark, sfDir)
+
+  private def recallOf(df: DataFrame): Double = {
+    val r = df.groupBy("q_id").agg(first("n_hit").as("h"))
+      .agg(avg(col("h"))).as[Double].collect()(0)
+    r / Ann.topK
+  }
+
+  test("graph shape: every vertex has at most k ranked neighbors, no self-edges, no dupes") {
+    val g = Ann.knnGraph(emb).collect()
+    val byV = g.groupBy(_.getLong(0))
+    byV.foreach { case (v, rows) =>
+      assert(rows.length <= Ann.topK)
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length, s"dup nbr at $v")
+      assert(!rows.exists(_.getLong(1) == v), s"self edge at $v")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length), s"rank gap at $v")
+    }
+    // every vector with at least one same-bucket mate in some band ranks
+    assert(byV.size > 400) // 500 vectors at sf0.001
+  }
+
+  test("deterministic: two runs produce the identical graph") {
+    val a = Ann.knnGraphChecked(emb).collect().map(_.toString).sorted.toSeq
+    graft.CacheRegistry.unpersistAll()
+    val b = Ann.knnGraphChecked(emb).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("NN-descent rounds never lose recall, and beat the seed graph") {
+    def checkedAt(rounds: Int): Double = {
+      val g = Ann.knnGraph(emb, rounds = rounds)
+      val q = emb.where(col("vec_id") % Ann.queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ex = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("e_nbr"),
+          Ann.cosine(col("q_emb"), col("embedding")).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("c").desc, col("e_nbr").asc)
+      val top = ex.withColumn("r", row_number().over(w)).where(col("r") <= Ann.topK)
+        .select(col("q_id"), col("e_nbr"))
+      val hits = g.join(top, g("vec_id") === top("q_id") && g("nbr_id") === top("e_nbr"))
+        .count().toDouble
+      val qn = q.count().toDouble
+      hits / (qn * Ann.topK)
+    }
+    val r0 = checkedAt(0); graft.CacheRegistry.unpersistAll()
+    val r2 = checkedAt(2)
+    assert(r2 >= r0, s"rounds lost recall: $r0 -> $r2")
+    assert(r2 > 0.3, s"corpus recall collapsed: $r2")
+  }
+
+  test("high recall on planted clusters (the structure NN-descent exploits)") {
+    // 20 tight clusters of 25 vectors each: center +/- small deterministic
+    // jitter; true top-k are always cluster-mates
+    val rnd = new scala.util.Random(151002)
+    val centers = Seq.fill(20)(Array.fill(Ann.dim)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val checked = Ann.knnGraphChecked(df)
+    val rec = recallOf(checked)
+    assert(rec > 0.9, s"planted-cluster recall $rec")
+  }
+
+  test("checked entry: hit flags reconcile with n_hit and recall_ok") {
+    val rows = Ann.knnGraphChecked(emb).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val nh = rs.count(_.getBoolean(4)).toLong
+      assert(rs.forall(_.getLong(5) == nh), s"n_hit mismatch at $qid")
+      assert(rs.forall(r => r.getBoolean(6) == (nh >= 2)), s"recall_ok at $qid")
+    }
+  }
+}

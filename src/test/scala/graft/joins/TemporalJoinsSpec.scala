@@ -190,6 +190,83 @@ class TemporalJoinsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ------------------------------------------------- stream-stream as-of
+
+  private val day = 86400L * 1000000L
+
+  test("asofStreamStream (batch form) equals asofJoin with tolerance = horizon") {
+    def collect(df: DataFrame) = df.select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    for (h <- Seq(3600L * 1000000L, day, 30L * day)) {
+      assert(collect(TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t", h)) ==
+        collect(TemporalJoins.asofJoin(probe, build, Seq("k"), "t",
+          tolerance = Some(h))), s"horizon $h")
+    }
+  }
+
+  test("asofStreamStream horizon bound: beyond-horizon matches null-extend, rows never drop") {
+    val got = TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t", 3600L * 1000000L)
+      .select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (pid, px, src) => pid -> px.map(v => (v, src.get)) }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // every probe row survives
+    assert(got(1L) == Some((101L, "b"))) // >= rule at equal ts
+    assert(got(3L) == None) // build exists but > 1h back -> null-extend
+    assert(got(5L) == Some((201L, "e"))) // 30 min back, inside horizon
+  }
+
+  test("asofStreamStream build ties on (key, ts) keep the greatest payload tuple") {
+    val b2 = build.unionByName(
+      Seq(("k1", ts("2024-01-01 10:00:00"), 150L, "z")).toDF("k", "t", "px", "src"))
+    val got = TemporalJoins.asofStreamStream(probe, b2, Seq("k"), "t", day)
+      .where($"pid" === 1L).select("px", "src")
+      .as[(Option[Long], Option[String])].collect().toSeq
+    assert(got == Seq((Some(150L), Some("z"))))
+  }
+
+  test("asofStreamStream runs with BOTH sides live, stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[ProbeRow]
+    val bIn = MemoryStream[BuildRow]
+    // the arrival order below is out-of-order by ~2 days across batches
+    // (pid 3 lands before pids 4-6 with older timestamps), so the
+    // watermark delay must span that disorder or the old rows are
+    // DROPPED AS LATE — which is correct streaming semantics, and why
+    // watermarkDelay is a caller knob
+    val out = TemporalJoins.asofStreamStream(pIn.toDF(), bIn.toDF(), Seq("k"), "t", day,
+      watermarkDelay = "30 days")
+    val q = out.writeStream.format("memory").queryName("asof_ss").outputMode("append").start()
+    try {
+      val ps = probe.as[ProbeRow].collect().toSeq
+      val bs = build.as[BuildRow].collect().toSeq
+      // interleaved arrival across micro-batches, then a far-future flush
+      // row on each side so the watermark passes every real event
+      pIn.addData(ps.take(3)); bIn.addData(bs.take(2))
+      q.processAllAvailable()
+      pIn.addData(ps.drop(3)); bIn.addData(bs.drop(2))
+      q.processAllAvailable()
+      val flushT = ts("2024-03-01 00:00:00")
+      pIn.addData(Seq(ProbeRow(999L, "kf", flushT)))
+      bIn.addData(Seq(BuildRow("kf", flushT, 0L, "f")))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark takes effect downstream
+      pIn.addData(Seq(ProbeRow(998L, "kf", flushT)))
+      bIn.addData(Seq(BuildRow("kf", flushT, 0L, "f")))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_ss").where($"pid" < 100)
+        .select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      val batch = TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t", day)
+        .select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      assert(streamed == batch)
+      // genuinely stateful: the join and the latest-pick aggregate both
+      // hold watermark-bounded state
+      assert(q.lastProgress.stateOperators.length >= 2)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------- band join
 
   private def lefts: DataFrame = Seq(
@@ -279,3 +356,6 @@ class TemporalJoinsSpec extends SparkSpecBase {
 
 /** One probe row for the MemoryStream run. */
 case class ProbeRow(pid: Long, k: String, t: java.sql.Timestamp)
+
+/** One build row for the stream-stream as-of MemoryStream run. */
+case class BuildRow(k: String, t: java.sql.Timestamp, px: Long, src: String)

@@ -132,6 +132,33 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("time travel: readSnapshotAt pins each committed version exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      // VERSION AS OF k == the change-log prefix applied to the base
+      assert(rows(Tables.readSnapshotAt(spark, dir, 0L)) == rows(base))
+      assert(rows(Tables.readSnapshotAt(spark, dir, 1L)) ==
+        rows(Tables.merge(base, changes.where($"seq" === 1), Seq("k"))))
+      assert(rows(Tables.readSnapshotAt(spark, dir, 2L)) ==
+        rows(Tables.merge(base, changes, Seq("k"))))
+      assert(Tables.snapshotHistory(spark, dir) == Seq(0L, 1L, 2L))
+      // a missing version fails loud, never silently reads a neighbor
+      intercept[IllegalArgumentException] {
+        Tables.readSnapshotAt(spark, dir, 3L)
+      }
+      // a torn version (no _SUCCESS) is invisible to time travel too
+      base.limit(1).write.parquet(s"$dir/v7")
+      assert(new java.io.File(s"$dir/v7/_SUCCESS").delete())
+      intercept[IllegalArgumentException] {
+        Tables.readSnapshotAt(spark, dir, 7L)
+      }
+      assert(Tables.snapshotHistory(spark, dir) == Seq(0L, 1L, 2L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mergeStreaming folds MemoryStream micro-batches into the snapshot store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
