@@ -55,6 +55,32 @@ object PinPlans {
     // the three WCOJ entries + rank entries are API-level (no SQL door);
     // their plan shape is pinned by PlanShapeSpec/WcojSpec — print the
     // cost-picked hypercube side for the square as the pin
+    //
+    // cqc_rst (r15 pin evidence): the driver's 30x/16x sweep reading on
+    // untouched code — dump the routed plan for the IDENTICAL body as
+    // SQL text (R(a,b) ⋈ S(b,c) ⋈ T(c,e,f), r.a < t.e)
+    import org.apache.spark.sql.functions.col
+    t.edges(spark, d).toDF("a", "b").createOrReplaceTempView("rst_r")
+    t.edges(spark, d).toDF("b", "c").createOrReplaceTempView("rst_s")
+    t.lineitem(spark, d).where(col("l_orderkey") % 200 === 1)
+      .select((col("l_partkey") % 100).as("c"), col("l_quantity").as("e"),
+        col("l_suppkey").as("f")).createOrReplaceTempView("rst_t")
+    println("=== cqc_rst (as text) ===")
+    println(graft.sql.CqcSql.explain(spark,
+      """SELECT r.a AS a, r.b AS b, s.c AS c, t.f AS f
+        |FROM rst_r r, rst_s s, rst_t t
+        |WHERE r.b = s.b AND s.c = t.c AND r.a < t.e""".stripMargin))
+    // wcoj_square (r15 pin evidence): the cost-picked hypercube side at
+    // THIS parallelism + input stats (Lftj.autoSide's two bounds; the
+    // formula itself is asserted in WcojSpec)
+    val ew = t.edgesWide(spark, d)
+    val statBytes = ew.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores = spark.sparkContext.defaultParallelism.max(1)
+    val tuples = (statBytes / 32).toDouble.max(1.0)
+    val forCores = math.ceil(math.pow(cores.toDouble, 1.0 / 4)).toInt
+    val forMemory = math.ceil(math.sqrt(tuples / 2e6)).toInt
+    println(s"=== wcoj_square === edgesWide statBytes=$statBytes cores=$cores " +
+      s"forCores=$forCores forMemory=$forMemory side=${math.max(2, math.max(forCores, forMemory))}")
     spark.stop()
   }
 }
