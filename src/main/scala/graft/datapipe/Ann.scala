@@ -286,16 +286,23 @@ object Ann {
    * Rounds are FIXED (not converge-tested): determinism for the oracle,
    * and NN-descent's recall gain is front-loaded (2 rounds ≈ the knee).
    */
-  def knnGraph(emb: DataFrame, planes: Int = knnPlanes, rounds: Int = knnRounds,
+  def knnGraph(emb: DataFrame, planes: Int = 0, rounds: Int = knnRounds,
                k: Int = topK): DataFrame = {
     val e = graft.CacheRegistry.persistTracked(
       emb.select(col("vec_id"), col("embedding")))
+    // planes <= 0 auto-sizes the seed bands with the corpus: expected
+    // bucket population is N / 2^planes, so [[lshPlanesFor]] (target 32)
+    // keeps the per-band self-join LINEAR in N — a fixed plane count is
+    // the quadratic-candidate trap at collection scale. The entry pins
+    // knnPlanes explicitly because its DuckDB oracle is a generated
+    // constant; the count() here rides the persisted projection.
+    val nPlanes = if (planes > 0) planes else lshPlanesFor(e.count(), 32)
     def topkOf(cands: DataFrame): DataFrame = {
       // dedup BEFORE ranking: the union routes propose the same edge
       // repeatedly, and row_number over duplicates would emit them
+      // (mirrors the oracle's SELECT DISTINCT literally)
       val d = cands.where(col("vec_id") =!= col("nbr_id"))
-        .groupBy(col("vec_id"), col("nbr_id")).agg(count(lit(1)).as("__dup"))
-        .drop("__dup")
+        .select(col("vec_id"), col("nbr_id")).distinct()
       val scored = d
         .join(e.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
         .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
@@ -305,7 +312,9 @@ object Ann {
       scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
     }
     val seeds = (0 until knnBands).map { band =>
-      val bk = buckets(emb, planes, planeBase = band * planes)
+      // bucket the PERSISTED projection — three bands would otherwise
+      // rescan the base relation once each
+      val bk = buckets(e, nPlanes, planeBase = band * nPlanes)
       bk.as("l").join(bk.as("r"), col("l.bucket") === col("r.bucket"))
         .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("nbr_id"))
     }.reduce(_ unionByName _)
@@ -328,7 +337,7 @@ object Ann {
     * brute force over the query subset only (N/|q| of the all-pairs
     * cost); the graph itself is built over the FULL collection. */
   def knnGraphChecked(emb: DataFrame): DataFrame = {
-    val g = knnGraph(emb)
+    val g = knnGraph(emb, planes = knnPlanes)
     val q = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val we = Window.partitionBy("q_id").orderBy(col("__c").desc, col("e_nbr").asc)

@@ -105,8 +105,23 @@ object TextOps {
   def bpeTrain(samples: Seq[String], nMerges: Int): Seq[(String, String)] = {
     val freq = scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
     samples.foreach(_.split(" ").iterator.filter(_.nonEmpty).foreach(w => freq(w) += 1))
+    // base tokens are Unicode CODE POINTS — the same unit the engine
+    // tokenizers' `(?s)(.)` regex wrap matches (per-UTF-16-unit splitting
+    // would cut surrogate pairs and skip nothing, diverging from the
+    // regex on non-BMP/newline chars; r15 review alignment — ASCII
+    // corpora are unaffected)
+    def cps(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
     var reprs: Map[String, Vector[String]] =
-      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+      freq.keysIterator.map(w => w -> cps(w)).toMap
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
     while (!exhausted && merges.size < nMerges) {
@@ -156,7 +171,7 @@ object TextOps {
    */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
     def chain(w: Column): Column =
-      merges.foldLeft(regexp_replace(w, "(.)", s"$bpeSep$$1$bpeSep")) {
+      merges.foldLeft(regexp_replace(w, "(?s)(.)", s"$bpeSep$$1$bpeSep")) {
         case (c, (a, b)) =>
           // literal StringReplace (no regex engine) per merge step — the
           // only regex is the initial char wrap
@@ -205,7 +220,10 @@ object TextOps {
       docs.select(explode(words(coalesce(col("text"), lit("")))).as("w"))
         .where(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(regexp_replace(col("w"), "(.)", s"$bpeSep$$1$bpeSep").as("repr"),
+        // DOTALL wrap: '.' must match newline code points too, or a
+        // newline inside a word stays unwrapped and the token split
+        // diverges from bpeTrain's code-point units
+        .select(regexp_replace(col("w"), "(?s)(.)", s"$bpeSep$$1$bpeSep").as("repr"),
           col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
@@ -270,7 +288,7 @@ object TextOps {
     // Spark side runs
     val sb = new StringBuilder
     sb ++= s"""WITH r0 AS MATERIALIZED (
-               |  SELECT regexp_replace(w, '(.)', '$bpeSep\\1$bpeSep', 'g') AS repr,
+               |  SELECT regexp_replace(w, '(.)', '$bpeSep\\1$bpeSep', 'gs') AS repr,
                |         count(*) AS freq
                |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
                |                                  w -> len(w) > 0)) AS w
@@ -310,7 +328,7 @@ object TextOps {
   /** The DuckDB replacement chain over a word expression — shared by
     * [[bpeCountsSql]] and the BPE-keyed packing oracle. */
   private def bpeChainSql(inner: String): String =
-    bpeMerges.foldLeft(s"regexp_replace($inner, '(.)', '$bpeSep\\1$bpeSep', 'g')") {
+    bpeMerges.foldLeft(s"regexp_replace($inner, '(.)', '$bpeSep\\1$bpeSep', 'gs')") {
       case (c, (a, b)) => s"replace($c, '$bpeSep$a$bpeSep$bpeSep$b$bpeSep', '$bpeSep$a$b$bpeSep')"
     }
 

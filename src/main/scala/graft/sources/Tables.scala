@@ -588,22 +588,34 @@ object Tables {
         lit("R"), col("o_totalprice")))
   }
 
+  /** The three SEQ-1 change-log branches as SQL — ONE definition shared
+    * by [[mergeOrdersSql]] and [[mergeOrdersPrefixSql]] so the
+    * derivation can never drift between the full and prefix oracles
+    * (r15 review fix; it must also stay in lockstep with
+    * [[ordersChanges]]). `withSeq` adds the seq column the full oracle's
+    * latest-wins window needs. */
+  private def seq1BranchesSql(withSeq: Boolean): String = {
+    val s1 = if (withSeq) "1 AS seq, " else ""
+    val s = if (withSeq) "1, " else ""
+    s"""SELECT o_orderkey, $s1'U' AS op, o_custkey, 'P' AS o_orderstatus,
+       |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 = 3
+       |  UNION ALL
+       |  SELECT o_orderkey, $s'D', o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 = 7
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000, $s'U', o_custkey, 'N', o_totalprice * 2.0,
+       |         o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 100 = 11""".stripMargin
+  }
+
   /** The identical change batch + merge as ANSI SQL (DuckDB oracle).
     * Latest-per-key mirrors as a row_number window — fine in the
     * oracle, which only has to be CORRECT, not scale. */
-  val mergeOrdersSql: String =
-    """WITH ch AS (
-      |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey, 'P' AS o_orderstatus,
-      |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 10 = 3
-      |  UNION ALL
-      |  SELECT o_orderkey, 1, 'D', o_custkey, o_orderstatus, o_totalprice,
-      |         o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 10 = 7
-      |  UNION ALL
-      |  SELECT o_orderkey + 1000000, 1, 'U', o_custkey, 'N', o_totalprice * 2.0,
-      |         o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 100 = 11
+  lazy val mergeOrdersSql: String =
+    s"""WITH ch AS (
+      |  ${seq1BranchesSql(withSeq = true)}
       |  UNION ALL
       |  SELECT o_orderkey, 2, 'U', o_custkey, 'Q', o_totalprice + 3000.0,
       |         o_orderdate, o_orderpriority
@@ -632,19 +644,9 @@ object Tables {
     * entry. Each key appears at most once in the prefix (the seq-1 sets
     * are disjoint mod 10 and inserts are offset out of range), so no
     * latest-wins dedup CTE is needed. */
-  val mergeOrdersPrefixSql: String =
-    """WITH ch AS (
-      |  SELECT o_orderkey, 'U' AS op, o_custkey, 'P' AS o_orderstatus,
-      |         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 10 = 3
-      |  UNION ALL
-      |  SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice,
-      |         o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 10 = 7
-      |  UNION ALL
-      |  SELECT o_orderkey + 1000000, 'U', o_custkey, 'N', o_totalprice * 2.0,
-      |         o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 100 = 11
+  lazy val mergeOrdersPrefixSql: String =
+    s"""WITH ch AS (
+      |  ${seq1BranchesSql(withSeq = false)}
       |), merged AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)

@@ -1,10 +1,12 @@
+package graft
+
 import org.apache.spark.sql.SparkSession
 
 /** Plan-pin aid (test tree only): print the door's dry-run routing dump
   * for named SparkEntry SQL-door entries — the evidence BASELINE.md
   * records next to isolated re-measures.
   *
-  *   sbt "Test/runMain PinPlans [sfDir]"
+  *   sbt "Test/runMain graft.PinPlans [sfDir]"
   */
 object PinPlans {
   def main(args: Array[String]): Unit = {
@@ -71,16 +73,15 @@ object PinPlans {
         |FROM rst_r r, rst_s s, rst_t t
         |WHERE r.b = s.b AND s.c = t.c AND r.a < t.e""".stripMargin))
     // wcoj_square (r15 pin evidence): the cost-picked hypercube side at
-    // THIS parallelism + input stats (Lftj.autoSide's two bounds; the
-    // formula itself is asserted in WcojSpec)
+    // THIS parallelism + input stats — calls the REAL Lftj.autoSide
+    // (package-private; this main lives in package graft for exactly
+    // that), so the printed pin can never drift from what the engine
+    // picks
     val ew = t.edgesWide(spark, d)
     val statBytes = ew.queryExecution.optimizedPlan.stats.sizeInBytes
     val cores = spark.sparkContext.defaultParallelism.max(1)
-    val tuples = (statBytes / 32).toDouble.max(1.0)
-    val forCores = math.ceil(math.pow(cores.toDouble, 1.0 / 4)).toInt
-    val forMemory = math.ceil(math.sqrt(tuples / 2e6)).toInt
     println(s"=== wcoj_square === edgesWide statBytes=$statBytes cores=$cores " +
-      s"forCores=$forCores forMemory=$forMemory side=${math.max(2, math.max(forCores, forMemory))}")
+      s"side=${graft.wcoj.Lftj.autoSide(spark, statBytes, 4)}")
     spark.stop()
   }
 }
