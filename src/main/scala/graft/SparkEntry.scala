@@ -852,6 +852,25 @@ object SparkEntry {
         |) PIVOT (SUM(p) FOR o_orderstatus IN ('O' AS open_t, 'F' AS done_t))""".stripMargin)
   }
 
+  /** UNPIVOT through the door (r15): columns→rows reshaping — Spark
+    * parses UNPIVOT natively (an Expand over the aggregate), the door
+    * accepts the text under the guarded-fallback contract; DuckDB's
+    * UNPIVOT dialect differs, so the oracle is the UNION ALL expansion
+    * the clause is defined as. Both value columns are cast DOUBLE
+    * (UNPIVOT requires one common value type). */
+  def qSqlUnpivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("unp_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT o_orderpriority, metric, val
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) AS DOUBLE) AS n_orders,
+        |         CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |           AS sum_price
+        |  FROM unp_orders GROUP BY o_orderpriority
+        |) UNPIVOT (val FOR metric IN (n_orders, sum_price))""".stripMargin)
+  }
+
   def qSqlCqcWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("winq_orders")
     Tables.customer(s, d).createOrReplaceTempView("winq_customer")
@@ -1940,6 +1959,7 @@ object SparkEntry {
     "sql_recursive" -> (qSqlRecursive _),
     "sql_lateral" -> (qSqlLateral _),
     "sql_pivot" -> (qSqlPivot _),
+    "sql_unpivot" -> (qSqlUnpivot _),
     "sql_cqc_window_fast" -> (qSqlCqcWindowFast _),
     "sql_cqc_gb_computed" -> (qSqlCqcGbComputed _),
     "sql_cqc_nullsafe" -> (qSqlCqcNullsafe _),
@@ -2057,6 +2077,10 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d)))),
+    // quality-ranked keeper (r15): each near-dup cluster keeps its
+    // HIGHEST-quality member (ties to smallest id) — the production
+    // keep-the-best-copy policy; one partial max(struct) per cluster
+    "dedup_cluster_best" -> ((s, d) => Dedup.clustersKeepBest(Tables.documents(s, d))),
     "dedup_embed" -> ((s, d) => Ann.embedNearDup(Tables.embeddings(s, d))),
     // embedding-space streaming ingest gate, batch-parity form: arrival
     // slice probed against the static banded-bucket index, cosine verify
@@ -2147,6 +2171,11 @@ object SparkEntry {
     // k-NN graph via bounded-round NN-descent (r15): the graph-index ANN
     // tier, with the exact-top-k recall companion per query
     "ann_knngraph" -> ((s, d) => Ann.knnGraphChecked(Tables.embeddings(s, d))),
+    // greedy beam search over that graph (r15): the HNSW layer-0 serving
+    // pattern — fixed entry point, beam ∪ graph-neighbors per step,
+    // answer = top-k of everything visited; per-query cost independent
+    // of N given the graph
+    "ann_graph_search" -> ((s, d) => Ann.graphSearchChecked(Tables.embeddings(s, d))),
     // IVFADC serving from PERSISTED codes (r13) — the deployment split of
     // ann_ivfpq: train + encode once, bucket-write codes ⋈ lists (+ the
     // K-row quantizer/codebook artifacts), then rank queries from the
@@ -2384,6 +2413,25 @@ object SparkEntry {
         col("o_orderstatus"), col("o_totalprice"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
         col("o_orderpriority"))
+    }),
+    // CDC READ (r15): table_changes(v1, v2) over the same store — the
+    // net row changes between two committed versions as U/D rows, one
+    // full-outer key join of the two snapshots (no log replay); the
+    // oracle re-derives both version states from the shared change-log
+    // builders and diffs them the same way
+    "src_merge_changes" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
+      val dir = tmp.resolve("orders_snap").toString
+      trackTempDir(tmp)
+      Tables.initSnapshot(Tables.orders(s, d), dir)
+      val ch = Tables.ordersChanges(s, d)
+      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
+      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      Tables.snapshotChanges(s, dir, Seq("o_orderkey"), 1L, 2L)
+        .select(col("o_orderkey"), col("op"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_orderpriority"))
     }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
@@ -3009,6 +3057,7 @@ object SparkEntry {
     "dedup_stream_flag_append" -> Dedup.minhashFlagSql("a.doc_id % 10 = 0"),
     "dedup_simhash" -> Dedup.simhashNearDupSql,
     "dedup_cluster" -> Dedup.clustersSql(Dedup.ngramJaccardSql),
+    "dedup_cluster_best" -> Dedup.clustersKeepBestSql,
     "dedup_embed" -> Ann.embedNearDupSql,
     "dedup_embed_stream" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
     "dedup_embed_stream_file" -> Ann.embedFlagSql("a.vec_id % 10 = 0"),
@@ -3031,6 +3080,7 @@ object SparkEntry {
     "ann_ivfpq" -> Ann.ivfpqTopKSql(),
     "ann_ivfsq8" -> Ann.ivfSq8TopKSql(),
     "ann_knngraph" -> Ann.knnGraphSql,
+    "ann_graph_search" -> Ann.graphSearchSql,
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),
@@ -3141,6 +3191,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "src_merge" -> Tables.mergeOrdersSql,
     "src_merge_travel" -> Tables.mergeOrdersPrefixSql,
+    "src_merge_changes" -> Tables.mergeOrdersChangesSql,
     // sequential batch-by-batch application of a seq-ordered change log
     // must land exactly where the one-shot merge does
     "stream_merge" -> Tables.mergeOrdersSql,
@@ -3261,6 +3312,18 @@ object SparkEntry {
         |                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
         |            AS DOUBLE) AS done_total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // UNPIVOT: the UNION ALL expansion the clause is defined as (DuckDB's
+    // UNPIVOT dialect differs from Spark's)
+    "sql_unpivot" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) AS DOUBLE) AS n_orders,
+        |         CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |           AS sum_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'sum_price', sum_price FROM a""".stripMargin,
     // DuckDB executes LATERAL natively — the oracle is the entry's own
     // text over the base tables
     "sql_lateral" ->

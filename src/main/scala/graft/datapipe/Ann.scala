@@ -330,14 +330,13 @@ object Ann {
       round(col("cos"), 6).as("sim"))
   }
 
-  /** `ann_knngraph` entry: the NN-descent graph restricted to the query
-    * subset, with the EXACT-top-k companion — per edge a `hit` flag
-    * (neighbor is in the true top-k) and per query `n_hit`/`recall_ok`,
-    * the sketch entries' measured-accuracy contract. The exact side is
-    * brute force over the query subset only (N/|q| of the all-pairs
-    * cost); the graph itself is built over the FULL collection. */
-  def knnGraphChecked(emb: DataFrame): DataFrame = {
-    val g = knnGraph(emb, planes = knnPlanes)
+  /** Attach the exact-top-k companion to an approximate neighbor frame
+    * `(q_id, nbr_id, rnk, sim)` over the query subset: per edge a `hit`
+    * flag (neighbor is in the true top-k), per query `n_hit` and a
+    * `recall_ok` gate — the sketch entries' measured-accuracy contract.
+    * The exact side is brute force over the query subset only (N/|q| of
+    * the all-pairs cost), broadcast against the collection. */
+  private def withExactCompanion(approx: DataFrame, emb: DataFrame): DataFrame = {
     val q = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val we = Window.partitionBy("q_id").orderBy(col("__c").desc, col("e_nbr").asc)
@@ -346,21 +345,117 @@ object Ann {
         cosine(col("q_emb"), col("embedding")).as("__c"))
       .withColumn("__r", row_number().over(we)).where(col("__r") <= topK)
       .select(col("q_id"), col("e_nbr"))
-    val gq = g.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("nbr_id"), col("rnk"), col("sim"))
     val wq = Window.partitionBy("q_id")
-    gq.join(ex, gq("q_id") === ex("q_id") && col("nbr_id") === col("e_nbr"), "left")
-      .select(gq("q_id"), col("nbr_id"), col("rnk"), col("sim"),
+    approx.join(ex, approx("q_id") === ex("q_id") && col("nbr_id") === col("e_nbr"), "left")
+      .select(approx("q_id"), col("nbr_id"), col("rnk"), col("sim"),
         col("e_nbr").isNotNull.as("hit"))
       .withColumn("n_hit", sum(when(col("hit"), 1L).otherwise(0L)).over(wq))
       .withColumn("recall_ok", col("n_hit") >= 2)
   }
 
+  /** `ann_knngraph` entry: the NN-descent graph restricted to the query
+    * subset, with the exact companion; the graph itself is built over
+    * the FULL collection. */
+  def knnGraphChecked(emb: DataFrame): DataFrame = {
+    val g = knnGraph(emb, planes = knnPlanes)
+    val gq = g.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("nbr_id"), col("rnk"), col("sim"))
+    withExactCompanion(gq, emb)
+  }
+
+  // -------------------------------------------- graph-search serving
+
+  /** Beam width and step count for [[graphSearch]] (build constants —
+    * the oracle regenerates the identical walk). */
+  val searchBeam = 8
+  val searchSteps = 3
+
+  /**
+   * GREEDY BEAM SEARCH over the NN-descent graph — the HNSW layer-0
+   * serving pattern, completing the graph tier: build once
+   * ([[knnGraph]]), then answer queries by walking the graph instead of
+   * scanning the collection. Deterministic restatement: each query's
+   * beam SEEDS from its own LSH bucket mates across the graph's bands
+   * plus one global fixed entry (the smallest vec_id) — the LSH-seeded
+   * entry that replaces HNSW's hierarchy (a single fixed entry measured
+   * 0.7/5 mean hits on this data: three greedy steps cannot cross a
+   * weakly-clustered space, which is exactly why HNSW has upper
+   * layers). Each step scores beam ∪ graph-neighbors-of-beam
+   * (UNDIRECTED — reverse edges double the escape routes) against the
+   * query and keeps the best [[searchBeam]]; after [[searchSteps]]
+   * steps the answer is the top-k of EVERYTHING VISITED. Per-query cost
+   * is seeds + steps × beam × degree — independent of N given the graph
+   * and [[lshPlanesFor]]-bounded buckets; every step is one equi-join +
+   * a bounded rank.
+   */
+  def graphSearch(emb: DataFrame, k: Int = topK): DataFrame = {
+    val g = knnGraph(emb, planes = knnPlanes)
+    // disjoint column names (src, dst): the beam frame's lineage already
+    // contains this very frame after step 1, and shared names make the
+    // expand join ambiguous to the self-join checker
+    val und = graft.CacheRegistry.persistTracked(
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
+        .distinct())
+    val e = emb.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
+    val q = graft.CacheRegistry.persistTracked(
+      emb.where(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    // one-row aggregate × cross join: the global entry point without a
+    // driver collect
+    val entry = emb.agg(min(col("vec_id")).as("cand"))
+    def scoreRank(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
+      c.join(q, Seq("q_id"))
+        .join(e, Seq("cand"))
+        .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+    }
+    // per-query seeds: the query's own bucket mates in each band
+    val bandSeeds = (0 until knnBands).map { band =>
+      val bk = buckets(emb, knnPlanes, planeBase = band * knnPlanes)
+      bk.where(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("bucket"))
+        .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
+        .select(col("q_id"), col("cand"))
+    }.reduce(_ unionByName _)
+    val cands0 = graft.CacheRegistry.persistTracked(
+      bandSeeds.unionByName(q.select(col("q_id")).crossJoin(entry)).distinct())
+    // each step's beam is localCheckpoint'ed (queries × beam rows): the
+    // beam feeds the NEXT step's expand AND the visited union, and an
+    // un-truncated loop makes Catalyst re-traverse the whole graph-build
+    // lineage once per occurrence — plan ANALYSIS grows exponentially
+    // with steps (the documented dedup_cluster iteration class; this
+    // bit an OOM in the spec at step 3)
+    var beam = scoreRank(cands0).where(col("rnk") <= searchBeam)
+      .select(col("q_id"), col("cand")).localCheckpoint(true)
+    var visited = cands0.select(col("q_id"), col("cand"))
+    for (_ <- 1 to searchSteps) {
+      val expand = beam.join(und, beam("cand") === und("src"))
+        .select(beam("q_id"), col("dst").as("cand"))
+      val cands = beam.unionByName(expand).distinct()
+      visited = visited.unionByName(cands)
+      beam = scoreRank(cands).where(col("rnk") <= searchBeam)
+        .select(col("q_id"), col("cand")).localCheckpoint(true)
+    }
+    scoreRank(visited.distinct().where(col("cand") =!= col("q_id")))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("cand").as("nbr_id"),
+        col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** `ann_graph_search` entry: the beam-search answers with the exact
+    * companion. */
+  def graphSearchChecked(emb: DataFrame): DataFrame =
+    withExactCompanion(graphSearch(emb), emb)
+
   /** The identical NN-descent fixpoint in DuckDB: generated CTE chain —
     * init from the same md5 hyperplane buckets, each round MATERIALIZED
-    * (same exponential-inlining hazard as the BPE oracle), final select
-    * mirrors the hit/n_hit/recall companion. */
-  def knnGraphSql: String = {
+    * (same exponential-inlining hazard as the BPE oracle), plus the
+    * query subset and exact-companion CTEs. Shared by [[knnGraphSql]]
+    * and [[graphSearchSql]] so the graph the search walks can never
+    * drift from the graph entry's own oracle. */
+  private def knnGraphCtesSql: String = {
     val k = topK
     def topkSql(cands: String, name: String): String =
       s"""$name AS MATERIALIZED (
@@ -402,17 +497,81 @@ object Ann {
        |           row_number() OVER (PARTITION BY q.q_id
        |                              ORDER BY $exCos DESC, e.vec_id) AS rr
        |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-       |  WHERE rr <= $k)
-       |SELECT g.vec_id AS q_id, g.nbr_id,
-       |       CAST(g.rnk AS BIGINT) AS rnk, round(g.cosv, 6) AS sim,
+       |  WHERE rr <= $k)""".stripMargin
+  }
+
+  /** The exact-companion final select shared by the graph oracles:
+    * `src` must expose (q_id, nbr_id, rnk, cosv) restricted to the
+    * query subset. */
+  private def companionSelectSql(src: String): String =
+    s"""SELECT r.q_id, r.nbr_id,
+       |       CAST(r.rnk AS BIGINT) AS rnk, round(r.cosv, 6) AS sim,
        |       (ex.e_nbr IS NOT NULL) AS hit,
        |       CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
-       |            OVER (PARTITION BY g.vec_id) AS BIGINT) AS n_hit,
+       |            OVER (PARTITION BY r.q_id) AS BIGINT) AS n_hit,
        |       (CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
-       |             OVER (PARTITION BY g.vec_id) AS BIGINT) >= 2) AS recall_ok
-       |FROM g$knnRounds g LEFT JOIN ex
-       |  ON ex.q_id = g.vec_id AND ex.e_nbr = g.nbr_id
-       |WHERE g.vec_id % $queryMod = 0""".stripMargin
+       |             OVER (PARTITION BY r.q_id) AS BIGINT) >= 2) AS recall_ok
+       |FROM ($src) r LEFT JOIN ex
+       |  ON ex.q_id = r.q_id AND ex.e_nbr = r.nbr_id""".stripMargin
+
+  def knnGraphSql: String =
+    s"""$knnGraphCtesSql
+       |${companionSelectSql(
+        s"SELECT vec_id AS q_id, nbr_id, rnk, cosv FROM g$knnRounds " +
+          s"WHERE vec_id % $queryMod = 0")}""".stripMargin
+
+  /** The identical beam walk in DuckDB: the shared graph CTEs, the
+    * undirected edge set, one (candidates, scored-beam) CTE pair per
+    * step, the visited union ranked for the final answer — every piece
+    * MATERIALIZED (each step references its predecessor several
+    * times). */
+  def graphSearchSql: String = {
+    val qCos = cosineSql("q.q_emb", "e.embedding")
+    def beamSql(src: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT q_id, cand FROM (
+         |    SELECT c.q_id, c.cand,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |                              ORDER BY $qCos DESC, c.cand) AS rn
+         |    FROM $src c JOIN q ON q.q_id = c.q_id
+         |    JOIN embeddings e ON e.vec_id = c.cand)
+         |  WHERE rn <= $searchBeam)""".stripMargin
+    val steps = (1 to searchSteps).map { i =>
+      val prev = s"sb${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+         |  SELECT q_id, cand FROM $prev
+         |  UNION ALL
+         |  SELECT b.q_id, u.nbr_id AS cand FROM $prev b
+         |  JOIN und u ON u.vec_id = b.cand)),
+         |${beamSql(s"c$i", s"sb$i")}""".stripMargin
+    }.mkString(",\n")
+    val seedUnion = (0 until knnBands).map(b =>
+      s"SELECT bq.vec_id AS q_id, s.vec_id AS cand FROM bk$b bq " +
+        s"JOIN bk$b s ON s.bucket = bq.bucket WHERE bq.vec_id % $queryMod = 0")
+      .mkString("\n  UNION ALL ")
+    val visUnion = ("SELECT q_id, cand FROM c0" +:
+      (1 to searchSteps).map(i => s"SELECT q_id, cand FROM c$i")).mkString("\n  UNION ALL ")
+    s"""$knnGraphCtesSql,
+       |und AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+       |  SELECT vec_id, nbr_id FROM g$knnRounds
+       |  UNION ALL SELECT nbr_id, vec_id FROM g$knnRounds)),
+       |c0 AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+       |  $seedUnion
+       |  UNION ALL
+       |  SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS cand FROM q)),
+       |${beamSql("c0", "sb0")},
+       |$steps,
+       |fv AS (SELECT DISTINCT q_id, cand FROM (
+       |  $visUnion) WHERE cand <> q_id),
+       |res AS MATERIALIZED (
+       |  SELECT q_id, cand AS nbr_id, rn AS rnk, cosv FROM (
+       |    SELECT f.q_id, f.cand, $qCos AS cosv,
+       |           row_number() OVER (PARTITION BY f.q_id
+       |                              ORDER BY $qCos DESC, f.cand) AS rn
+       |    FROM fv f JOIN q ON q.q_id = f.q_id
+       |    JOIN embeddings e ON e.vec_id = f.cand)
+       |  WHERE rn <= $topK)
+       |${companionSelectSql("SELECT q_id, nbr_id, rnk, cosv FROM res")}""".stripMargin
   }
 
   // ------------------------------------------------------------ IVF ANN

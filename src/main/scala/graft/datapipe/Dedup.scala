@@ -1140,6 +1140,49 @@ object Dedup {
       .select(col("v").as("doc_id"), coalesce(col("lbl"), col("v")).as("cluster_id")))
   }
 
+  /**
+   * Cluster decision with a QUALITY-RANKED keeper (r15): the same
+   * connected components as [[clusters]], but each cluster's survivor
+   * is its HIGHEST-quality member (ties to the smallest doc_id) instead
+   * of the smallest id — the production corpus-dedup policy (keep the
+   * best copy of a duplicated page, not an arbitrary one). The keeper
+   * pick is ONE partial `max(struct(score, -doc_id))` aggregate per
+   * cluster — never a per-cluster window (the closed single-reducer
+   * class) — joined back on cluster_id; quality scores ride
+   * [[TextOps.quality]]'s engine-exact rounded projection, so the
+   * decision is hash-comparable. Output: one row per SUSPECT doc
+   * (member of some near-dup pair) with `(doc_id, cluster_id, score,
+   * keep, keeper_id)`.
+   */
+  def clustersKeepBest(docs: DataFrame): DataFrame = {
+    val cl = clusters(ngramJaccard(docs)).select(col("doc_id"), col("cluster_id"))
+    val q = TextOps.quality(docs).select(col("doc_id"), col("score"))
+    val scored = cl.join(q, Seq("doc_id"))
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score").as("s"), (-col("doc_id")).as("nd"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.nd")).as("keeper_id"))
+    scored.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("doc_id") === col("keeper_id")).as("keep"), col("keeper_id"))
+  }
+
+  /** DuckDB mirror of [[clustersKeepBest]]: the recursive-CTE closure +
+    * the quality projection, keeper via a window argmax (oracle only has
+    * to be correct; the window order (score DESC, doc_id) is exactly the
+    * max(struct(score, -doc_id)) rule). */
+  def clustersKeepBestSql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_id FROM (${clustersSql(ngramJaccardSql)})),
+       |qq AS (SELECT doc_id, score FROM (${TextOps.qualitySql})),
+       |s AS (SELECT cl.doc_id, cl.cluster_id, qq.score FROM cl JOIN qq USING (doc_id)),
+       |k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+       |        SELECT cluster_id, doc_id,
+       |               row_number() OVER (PARTITION BY cluster_id
+       |                                  ORDER BY score DESC, doc_id) AS rn
+       |        FROM s) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster_id, s.score,
+       |       s.doc_id = k.keeper_id AS keep, k.keeper_id
+       |FROM s JOIN k USING (cluster_id)""".stripMargin
+
   /** DuckDB mirror of [[clusters]]: transitive closure via a recursive
     * CTE (labels walk the undirected edges; UNION dedup bounds the
     * closure at component-size² rows), min label per vertex = the

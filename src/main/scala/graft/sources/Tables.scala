@@ -514,6 +514,41 @@ object Tables {
   def snapshotHistory(s: SparkSession, dir: String): Seq[Long] =
     snapshotVersions(s, dir).sorted
 
+  /**
+   * CDC READ (r15) — Delta's `table_changes(from, to)`: the net row
+   * changes between two committed versions, derived from the snapshots
+   * themselves (the store keeps full versions, so the diff is one
+   * full-outer key join — no log replay):
+   *
+   *   - key in `to` with a payload differing from `from` (or absent
+   *     there) → one `'U'` row carrying the NEW payload;
+   *   - key only in `from` → one `'D'` row carrying the old payload;
+   *   - unchanged rows (null-safe struct equality) emit nothing.
+   *
+   * NET semantics by construction: an update superseded within the
+   * version range shows only its final state, an insert-then-delete
+   * shows nothing — the right contract for downstream re-sync. Both
+   * snapshot scans prune to `keys ++ payload`; the join shuffles only
+   * the two versions being compared.
+   */
+  def snapshotChanges(s: SparkSession, dir: String, keys: Seq[String],
+                      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val a = readSnapshotAt(s, dir, fromV)
+    val b = readSnapshotAt(s, dir, toV)
+    require(a.columns.sameElements(b.columns),
+      s"snapshot schema drift between v$fromV and v$toV")
+    val payload = a.columns.filterNot(keys.contains).toSeq
+    val af = a.select(keys.map(col) :+ struct(payload.map(col): _*).as("__from"): _*)
+    val bf = b.select(keys.map(col) :+ struct(payload.map(col): _*).as("__to"): _*)
+    af.join(bf, keys, "full_outer")
+      .where(!(col("__from") <=> col("__to")))
+      .select(keys.map(col) ++
+        Seq(when(col("__to").isNotNull, lit("U")).otherwise(lit("D")).as("op")) ++
+        payload.map(c => when(col("__to").isNotNull, col(s"__to.`$c`"))
+          .otherwise(col(s"__from.`$c`")).as(c)): _*)
+  }
+
   /** Apply one CDC change batch on top of snapshot `version - 1` and
     * commit the result as `version`. The parent is addressed EXPLICITLY
     * (never "the latest"): after a crash between the version write and
@@ -638,6 +673,28 @@ object Tables {
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       epoch_ns(o_orderdate) // 1000000 AS odate_ms, o_orderpriority
       |FROM merged""".stripMargin
+
+  /** The v1→v2 net change rows as SQL: both version states re-derived
+    * from the SHARED change-log builders (so this oracle moves in
+    * lockstep with the store), full-outer compared per key — the
+    * `src_merge_changes` oracle. */
+  lazy val mergeOrdersChangesSql: String = {
+    val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "odate_ms", "o_orderpriority")
+    val picks = payload.map(c =>
+      s"       CASE WHEN v2.o_orderkey IS NOT NULL THEN v2.$c ELSE v1.$c END AS $c")
+      .mkString(",\n")
+    val diff = payload.map(c => s"v1.$c IS DISTINCT FROM v2.$c")
+      .mkString("\n   OR ")
+    s"""WITH v1 AS (SELECT * FROM ($mergeOrdersPrefixSql)),
+       |v2 AS (SELECT * FROM ($mergeOrdersSql))
+       |SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+       |       CASE WHEN v2.o_orderkey IS NOT NULL THEN 'U' ELSE 'D' END AS op,
+       |$picks
+       |FROM v2 FULL OUTER JOIN v1 ON v1.o_orderkey = v2.o_orderkey
+       |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       |   OR $diff""".stripMargin
+  }
 
   /** The seq-1 PREFIX of the change log applied to the base — what the
     * versioned store holds at v1, for the `src_merge_travel` time-travel

@@ -131,6 +131,33 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustersKeepBest keeps the highest-quality member per cluster") {
+    val out = Dedup.clustersKeepBest(docs).collect()
+    // suspects = the {1,2,3} near-dup component only; 4 and 5 pair with nothing
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val q = TextOps.quality(docs).select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = Seq(1L, 2L, 3L).maxBy(d => (q(d), -d))
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L) // component label unchanged (min id)
+      assert(r.getDouble(2) == q(r.getLong(0))) // quality carried verbatim
+      assert(r.getLong(4) == best, "keeper is the quality argmax")
+      assert(r.getBoolean(3) == (r.getLong(0) == best))
+    }
+    assert(out.count(_.getBoolean(3)) == 1)
+  }
+
+  test("clustersKeepBest ties on score fall to the smallest doc_id") {
+    val d2 = Seq(
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clustersKeepBest(d2).collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(3))).toSet ==
+      Set((7L, true), (9L, false)))
+    assert(out.forall(_.getLong(4) == 7L))
+  }
+
   test("signature columns are stable across runs (deterministic hashing)") {
     val s1 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)
     val s2 = Dedup.minhashSignatures(Dedup.shingles(docs)).orderBy("doc_id").collect().map(_.toSeq)

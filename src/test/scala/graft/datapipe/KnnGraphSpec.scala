@@ -79,6 +79,38 @@ class KnnGraphSpec extends SparkSpecBase {
     assert(rec > 0.9, s"planted-cluster recall $rec")
   }
 
+  test("graph search: k ranked answers per query, visited ⊇ graph edges ⇒ recall never below the graph's") {
+    val s = Ann.graphSearchChecked(emb)
+    val rows = s.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length <= Ann.topK)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length), s"rank gap at $qid")
+    }
+    val searchRecall = recallOf(s)
+    graft.CacheRegistry.unpersistAll()
+    // the query is its own best bucket seed (cos 1), so step 1 expands
+    // its OWN graph neighborhood — the visited set contains every graph
+    // edge of q, and top-k over a superset can only match or improve
+    val graphRecall = recallOf(Ann.knnGraphChecked(emb))
+    assert(searchRecall >= graphRecall,
+      s"search $searchRecall under graph $graphRecall")
+  }
+
+  test("graph search is deterministic and >0.9 recall on planted clusters") {
+    val rnd = new scala.util.Random(151003)
+    val centers = Seq.fill(20)(Array.fill(Ann.dim)(rnd.nextGaussian()))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = Ann.graphSearchChecked(df).collect().map(_.toString).sorted.toSeq
+    graft.CacheRegistry.unpersistAll()
+    val b = Ann.graphSearchChecked(df)
+    assert(a == b.collect().map(_.toString).sorted.toSeq)
+    assert(recallOf(b) > 0.9)
+  }
+
   test("checked entry: hit flags reconcile with n_hit and recall_ok") {
     val rows = Ann.knnGraphChecked(emb).collect()
     rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>

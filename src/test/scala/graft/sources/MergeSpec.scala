@@ -159,6 +159,31 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("snapshotChanges: U/D classes, NET semantics across ranges, loud on bad ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      def diff(a: Long, b: Long): Set[(Long, String, String, Double)] =
+        Tables.snapshotChanges(spark, dir, Seq("k"), a, b)
+          .as[(Long, String, String, Double)].collect().toSet
+      // v0 -> v1: update, delete, insert, the seq-1 intermediate states
+      assert(diff(0L, 1L) == Set(
+        (1L, "U", "a2", 11.0), (2L, "D", "b", 20.0), (3L, "U", "stale", -1.0),
+        (4L, "D", "d", 40.0), (9L, "U", "new", 99.0)))
+      // v1 -> v2: only the seq-2 effects (supersede + re-insert)
+      assert(diff(1L, 2L) == Set((3L, "U", "c2", 33.0), (4L, "U", "d2", 44.0)))
+      // v0 -> v2 is NET: the superseded 'stale' state and the k=4
+      // delete-then-reinsert intermediate never appear
+      assert(diff(0L, 2L) == Set(
+        (1L, "U", "a2", 11.0), (2L, "D", "b", 20.0), (3L, "U", "c2", 33.0),
+        (4L, "U", "d2", 44.0), (9L, "U", "new", 99.0)))
+      intercept[IllegalArgumentException] { diff(2L, 1L) }
+      intercept[IllegalArgumentException] { diff(1L, 5L) } // v5 not committed
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mergeStreaming folds MemoryStream micro-batches into the snapshot store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
