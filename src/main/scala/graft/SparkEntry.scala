@@ -36,6 +36,21 @@ object SparkEntry {
       Option(tempDirs.pollFirst()).foreach(deleteTree)
   }
 
+  /** Build the versioned orders snapshot store the three CDC entries
+    * share (v0 = base, v1 = seq-1 changes, v2 = seq-2 changes) in a
+    * fresh tracked temp dir — ONE definition so the entries can never
+    * silently exercise different stores (r15 review fix). */
+  private def buildOrdersSnapshotStore(s: SparkSession, d: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
+    val dir = tmp.resolve("orders_snap").toString
+    trackTempDir(tmp)
+    Tables.initSnapshot(Tables.orders(s, d), dir)
+    val ch = Tables.ordersChanges(s, d)
+    Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
+    Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+    dir
+  }
+
   private def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     try java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
@@ -2385,13 +2400,7 @@ object SparkEntry {
     // is seq-ordered across batches. MergeSpec runs the real
     // MemoryStream form and pins stream == fold == one-shot.
     "stream_merge" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
-      val dir = tmp.resolve("orders_snap").toString
-      trackTempDir(tmp)
-      Tables.initSnapshot(Tables.orders(s, d), dir)
-      val ch = Tables.ordersChanges(s, d)
-      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
-      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      val dir = buildOrdersSnapshotStore(s, d)
       Tables.readSnapshot(s, dir).select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
@@ -2402,13 +2411,7 @@ object SparkEntry {
     // the oracle replays exactly that change-log PREFIX, so a store that
     // overwrote or leaked versions hash-mismatches
     "src_merge_travel" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
-      val dir = tmp.resolve("orders_snap").toString
-      trackTempDir(tmp)
-      Tables.initSnapshot(Tables.orders(s, d), dir)
-      val ch = Tables.ordersChanges(s, d)
-      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
-      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      val dir = buildOrdersSnapshotStore(s, d)
       Tables.readSnapshotAt(s, dir, 1L).select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
@@ -2420,13 +2423,7 @@ object SparkEntry {
     // oracle re-derives both version states from the shared change-log
     // builders and diffs them the same way
     "src_merge_changes" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
-      val dir = tmp.resolve("orders_snap").toString
-      trackTempDir(tmp)
-      Tables.initSnapshot(Tables.orders(s, d), dir)
-      val ch = Tables.ordersChanges(s, d)
-      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
-      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+      val dir = buildOrdersSnapshotStore(s, d)
       Tables.snapshotChanges(s, dir, Seq("o_orderkey"), 1L, 2L)
         .select(col("o_orderkey"), col("op"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"),
@@ -3322,8 +3319,10 @@ object SparkEntry {
         |           AS sum_price
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM a
+        |WHERE n_orders IS NOT NULL
         |UNION ALL
-        |SELECT o_orderpriority, 'sum_price', sum_price FROM a""".stripMargin,
+        |SELECT o_orderpriority, 'sum_price', sum_price FROM a
+        |WHERE sum_price IS NOT NULL""".stripMargin,
     // DuckDB executes LATERAL natively — the oracle is the entry's own
     // text over the base tables
     "sql_lateral" ->

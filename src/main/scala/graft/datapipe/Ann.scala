@@ -318,13 +318,19 @@ object Ann {
       bk.as("l").join(bk.as("r"), col("l.bucket") === col("r.bucket"))
         .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("nbr_id"))
     }.reduce(_ unionByName _)
-    var g = graft.CacheRegistry.persistTracked(topkOf(seeds))
+    // each round's graph is localCheckpoint'ed, NOT just persisted: a
+    // persist caches DATA but the logical plan keeps the whole build
+    // lineage, and every round references its predecessor 4× (u twice,
+    // nn twice) — downstream actions then re-ANALYZE the full tree per
+    // round (the dedup_cluster iteration class; measured as multi-second
+    // driver stalls between sub-second jobs before truncation)
+    var g = topkOf(seeds).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val u = g.select(col("vec_id"), col("nbr_id"))
         .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       val nn = u.as("a").join(u.as("b"), col("a.nbr_id") === col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
-      g = graft.CacheRegistry.persistTracked(topkOf(u.unionByName(nn)))
+      g = topkOf(u.unionByName(nn)).localCheckpoint(true)
     }
     g.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
       round(col("cos"), 6).as("sim"))
@@ -393,17 +399,25 @@ object Ann {
     // disjoint column names (src, dst): the beam frame's lineage already
     // contains this very frame after step 1, and shared names make the
     // expand join ambiguous to the self-join checker
-    val und = graft.CacheRegistry.persistTracked(
+    // checkpointed (not just persisted) for the same plan-analysis
+    // reason as the knnGraph rounds: every step's plan embeds und, and
+    // an un-truncated und drags the whole graph-build tree into each
+    // step's Catalyst analysis
+    val und =
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-        .distinct())
-    val e = emb.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
-    val q = graft.CacheRegistry.persistTracked(
-      emb.where(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+        .distinct().localCheckpoint(true)
+    // one persisted projection serves the per-step scoring, the query
+    // subset, the entry aggregate AND the three band-bucket passes below
+    // (the base-relation rescan trap knnGraph's own seeds avoid)
+    val ep = graft.CacheRegistry.persistTracked(
+      emb.select(col("vec_id"), col("embedding")))
+    val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
+    val q = ep.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // one-row aggregate × cross join: the global entry point without a
     // driver collect
-    val entry = emb.agg(min(col("vec_id")).as("cand"))
+    val entry = ep.agg(min(col("vec_id")).as("cand"))
     def scoreRank(c: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
       c.join(q, Seq("q_id"))
@@ -413,14 +427,15 @@ object Ann {
     }
     // per-query seeds: the query's own bucket mates in each band
     val bandSeeds = (0 until knnBands).map { band =>
-      val bk = buckets(emb, knnPlanes, planeBase = band * knnPlanes)
+      val bk = buckets(ep, knnPlanes, planeBase = band * knnPlanes)
       bk.where(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("q_id"), col("bucket"))
         .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
         .select(col("q_id"), col("cand"))
     }.reduce(_ unionByName _)
-    val cands0 = graft.CacheRegistry.persistTracked(
-      bandSeeds.unionByName(q.select(col("q_id")).crossJoin(entry)).distinct())
+    val cands0 =
+      bandSeeds.unionByName(q.select(col("q_id")).crossJoin(entry))
+        .distinct().localCheckpoint(true)
     // each step's beam is localCheckpoint'ed (queries × beam rows): the
     // beam feeds the NEXT step's expand AND the visited union, and an
     // un-truncated loop makes Catalyst re-traverse the whole graph-build
