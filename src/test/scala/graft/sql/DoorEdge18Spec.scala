@@ -73,14 +73,20 @@ class DoorEdge18Spec extends SparkSpecBase {
           |         CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS n_prios
           |  FROM d18_chg GROUP BY op)
           |UNPIVOT (val FOR metric IN (n_rows, n_prios))""".stripMargin,
-      // UNPIVOT then QUALIFY: keep each metric's top op by value
-      "unpivot_qualify" ->
+      // UNPIVOT under a ranked-window filter: each metric's top op
+      // (windowed-subquery form — QUALIFY text would break the battery's
+      // stock leg, which is the raw Spark parser)
+      "unpivot_window" ->
         """SELECT op, metric, val FROM (
-          |  SELECT op, CAST(count(*) AS DOUBLE) AS n_rows,
-          |         CAST(sum(o_totalprice) AS DOUBLE) AS mass
-          |  FROM d18_chg GROUP BY op)
-          |UNPIVOT (val FOR metric IN (n_rows, mass))
-          |QUALIFY ROW_NUMBER() OVER (PARTITION BY metric ORDER BY val DESC, op) = 1""".stripMargin,
+          |  SELECT op, metric, val,
+          |         ROW_NUMBER() OVER (PARTITION BY metric
+          |                            ORDER BY val DESC, op) AS rn
+          |  FROM (
+          |    SELECT op, CAST(count(*) AS DOUBLE) AS n_rows,
+          |           CAST(sum(o_totalprice) AS DOUBLE) AS mass
+          |    FROM d18_chg GROUP BY op)
+          |  UNPIVOT (val FOR metric IN (n_rows, mass)))
+          |WHERE rn = 1""".stripMargin,
       // SEMI: documents surviving the quality-ranked dedup decision
       "semi_keepers" ->
         """SELECT d.lang AS lang, count(*) AS n
@@ -93,11 +99,13 @@ class DoorEdge18Spec extends SparkSpecBase {
           |FROM d18_orders o LEFT ANTI JOIN d18_chg c
           |  ON o.o_orderkey = c.o_orderkey
           |GROUP BY o.o_orderpriority""".stripMargin,
-      // recursive reachability over the k-NN graph from the smallest query
+      // recursive reachability over the k-NN graph from the smallest
+      // query (UNION ALL — Spark's recursive CTE rejects dedup-UNION;
+      // the depth bound terminates it and the final DISTINCT dedups)
       "recursive_knn" ->
         """WITH RECURSIVE reach(v, depth) AS (
           |  SELECT CAST(min(q_id) AS BIGINT), 0 FROM d18_knn
-          |  UNION
+          |  UNION ALL
           |  SELECT g.nbr_id, r.depth + 1
           |  FROM reach r JOIN d18_knn g ON g.q_id = r.v
           |  WHERE r.depth < 2
