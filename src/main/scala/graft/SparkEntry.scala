@@ -284,6 +284,28 @@ object SparkEntry {
         col("value"), col("nview_id"), col("nview_ts_ms"))
   }
 
+  /** NEAREST as-of (r15): each purchase picks whichever view — last
+    * at-or-before or first at-or-after — is CLOSER in time (ties to the
+    * backward one), null beyond the 2-day tolerance both ways:
+    * merge_asof(direction='nearest'), completing the direction family.
+    * Two [[TemporalJoins.asofJoin]] passes composed; the matched build
+    * micros ride each payload so the winner is one projection. */
+  def qAsofNear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def views(p: String) = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as(s"${p}v_mus"),
+        unix_millis(col("ts")).as(s"${p}v_ts_ms"), col("event_id").as(s"${p}v_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofNearest(purch, views("b"), views("f"), Seq("user_id"), "ts",
+        "bv_mus", "fv_mus", tolerance = Some(2L * 86400L * 1000000L))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"),
+        when(col("__useB"), col("bv_id")).otherwise(col("fv_id")).as("nv_id"),
+        when(col("__useB"), col("bv_ts_ms")).otherwise(col("fv_ts_ms")).as("nv_ts_ms"))
+  }
+
   /** STREAM-STREAM as-of (r15): the purchase←view lookup with BOTH
     * sides live — [[TemporalJoins.asofStreamStream]]'s watermarked
     * left-outer join + windowed latest-pick, batch-parity form (the
@@ -1994,6 +2016,8 @@ object SparkEntry {
     "stream_asof" -> (qStreamAsof _),
     // stream-stream as-of (r15): both sides live, horizon-bounded state
     "stream_asof_ss" -> (qStreamAsofSS _),
+    // nearest as-of (r15): closer of backward/forward, ties backward
+    "q_asof_near" -> (qAsofNear _),
     "q_band_join" -> (qBandJoin _),
     "q_interval_join" -> (qIntervalJoin _),
     // fixed-point PageRank (r14 wave 5): 3 Pregel rounds over the
@@ -3473,6 +3497,44 @@ object SparkEntry {
         |         AS nview_id,
         |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN nview_ts_ms END
         |         AS nview_ts_ms
+        |FROM m""".stripMargin,
+    // nearest as-of: both DuckDB ASOF directions joined back per probe,
+    // distances in micros, closer side wins with ties backward, both
+    // sides tolerance-cut — exactly asofNearest's projection rule
+    "q_asof_near" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000 AS v_mus,
+        |         epoch_ns(ts) // 1000000 AS v_ms, max(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         epoch_ns(p.ts) // 1000 AS p_mus,
+        |         v.v_id AS bv_id, v.v_ms AS bv_ms, v.v_mus AS bv_mus
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |), f AS (
+        |  SELECT p.event_id,
+        |         v.v_id AS fv_id, v.v_ms AS fv_ms, v.v_mus AS fv_mus
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |), m AS (
+        |  SELECT b.event_id, b.user_id, b.ts, b.value,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000 THEN bv_id END AS bv_id,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000 THEN bv_ms END AS bv_ms,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000
+        |              THEN b.p_mus - bv_mus END AS bd,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000 THEN fv_id END AS fv_id,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000 THEN fv_ms END AS fv_ms,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000
+        |              THEN fv_mus - b.p_mus END AS fd
+        |  FROM b JOIN f ON b.event_id = f.event_id
+        |)
+        |SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value,
+        |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+        |            THEN bv_id ELSE fv_id END AS nv_id,
+        |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+        |            THEN bv_ms ELSE fv_ms END AS nv_ts_ms
         |FROM m""".stripMargin,
     // interval overlap: DuckDB evaluates the raw two-sided inequality;
     // the first-shared-block rule must emit each pair exactly once

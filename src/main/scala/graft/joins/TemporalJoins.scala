@@ -206,6 +206,38 @@ object TemporalJoins {
   }
 
   /**
+   * NEAREST as-of (r15) — pandas `merge_asof(direction='nearest')`,
+   * completing the direction family (backward / forward / nearest):
+   * each probe picks whichever of its backward and forward matches is
+   * CLOSER in time, ties to the backward one (the at-or-before match —
+   * deterministic and the common convention); `tolerance` bounds both
+   * directions. Pure composition of two [[asofJoin]] passes — the
+   * second pass takes the first's output as its probe (payload names
+   * must be pairwise disjoint), so the scale story is exactly 12d's
+   * twice. `bTsCol`/`fTsCol` name the matched build timestamps inside
+   * the two payloads (micros-long columns the caller projects in, the
+   * documented expose-the-matched-ts trick) — the distance computation
+   * needs them; both are retained in the output for the caller's own
+   * projection.
+   *
+   * Returns the probe columns, both direction payloads, and `__useB`
+   * (true where the backward match wins) — callers project the winning
+   * payload with `when(col("__useB"), b).otherwise(f)`.
+   */
+  def asofNearest(probe: DataFrame, buildB: DataFrame, buildF: DataFrame,
+                  keys: Seq[String], tsCol: String, bTsCol: String, fTsCol: String,
+                  blockMicros: Long = asofBlockMicros,
+                  tolerance: Option[Long] = None): DataFrame = {
+    val bwd = asofJoin(probe, buildB, keys, tsCol, blockMicros, "backward", tolerance)
+    val both = asofJoin(bwd, buildF, keys, tsCol, blockMicros, "forward", tolerance)
+    val pm = unix_micros(col(tsCol))
+    val bd = pm - col(bTsCol)   // >= 0 when matched
+    val fd = col(fTsCol) - pm   // >= 0 when matched
+    both.withColumn("__useB",
+      col(bTsCol).isNotNull && (col(fTsCol).isNull || bd <= fd))
+  }
+
+  /**
    * STREAM-STREAM AS-OF join (r15) — BOTH sides live: each probe row
    * picks the greatest build ts in `[probe.ts - horizon, probe.ts]` per
    * key, null-extending when no build row falls inside the horizon.

@@ -224,6 +224,34 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got == Seq((Some(150L), Some("z"))))
   }
 
+  test("asofNearest picks the closer side, ties backward, tolerance cuts both ways") {
+    // probes per case: closer-backward, closer-forward, exact tie,
+    // backward-only, forward-only, beyond tolerance both sides, no build
+    val p = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:10")), // bwd 10s vs fwd 50s -> bwd
+      (2L, "k1", ts("2024-01-01 10:00:55")), // bwd 55s vs fwd 5s -> fwd
+      (3L, "k1", ts("2024-01-01 10:00:30")), // 30s both -> tie -> bwd
+      (4L, "k1", ts("2024-01-01 09:59:50")), // before all -> fwd only
+      (5L, "k1", ts("2024-01-01 10:01:30")), // after all -> bwd only
+      (6L, "k1", ts("2024-01-05 00:00:00")), // bwd exists but > tol -> null
+      (7L, "k9", ts("2024-01-01 10:00:00")) // key with no build rows
+    ).toDF("pid", "k", "t")
+    def b(pfx: String) = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 100L),
+      ("k1", ts("2024-01-01 10:01:00"), 200L)
+    ).toDF("k", "t", "x")
+      .select(col("k"), col("t"), unix_micros(col("t")).as(s"${pfx}mus"),
+        col("x").as(s"${pfx}x"))
+    val out = TemporalJoins.asofNearest(p, b("b"), b("f"), Seq("k"), "t",
+        "bmus", "fmus", tolerance = Some(3600L * 1000000L))
+      .select(col("pid"),
+        when(col("__useB"), col("bx")).otherwise(col("fx")).as("nx"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      1L -> Some(100L), 2L -> Some(200L), 3L -> Some(100L),
+      4L -> Some(100L), 5L -> Some(200L), 6L -> None, 7L -> None))
+  }
+
   test("asofStreamStream runs with BOTH sides live, stream == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
