@@ -68,7 +68,7 @@ class ParaDedupRedactSpec extends SparkSpecBase {
   }
 
   test("randomized corpus matches the brute-force oracle") {
-    val rnd = new scala.util.Random(14288)
+    val rnd = new scala.util.Random(16288)
     val vocab = (1 to 12).map(i => s"w$i")
     val docs = (0L until 40L).map { id =>
       val n = 5 + rnd.nextInt(70)

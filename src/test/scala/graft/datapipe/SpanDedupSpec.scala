@@ -92,7 +92,7 @@ class SpanDedupSpec extends SparkSpecBase {
           if (kept.isEmpty) None else Some(kept.mkString(" "))))
       }.toMap
     }
-    val rnd = new scala.util.Random(143833)
+    val rnd = new scala.util.Random(145833)
     for (trial <- 1 to 6) {
       // small vocab + long docs => frequent genuine span collisions
       val vocab = 4 + rnd.nextInt(5)

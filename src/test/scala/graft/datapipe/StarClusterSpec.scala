@@ -66,7 +66,7 @@ class StarClusterSpec extends SparkSpecBase {
   }
 
   test("star equals propagation on seeded random graphs") {
-    val rnd = new scala.util.Random(20260813141L)
+    val rnd = new scala.util.Random(20260816151L)
     for (trial <- 1 to 3) {
       val nv = 60 + rnd.nextInt(60)
       val ne = nv + rnd.nextInt(nv)

@@ -128,7 +128,7 @@ class RollupFastSpec extends SparkSpecBase {
 
   test("seeded fuzz: random grouping-set shapes vs stock") {
     prep()
-    val rnd = new scala.util.Random(20260815141L)
+    val rnd = new scala.util.Random(20260816151L)
     val aggPool = Seq("COUNT(*)", "SUM(g2.dst)", "MIN(g2.dst)", "MAX(g1.dst)", "AVG(g2.dst)")
     for (i <- 1 to 12) {
       val keys = rnd.nextInt(3) match {
