@@ -40,57 +40,12 @@ object ProfSearch {
     CacheRegistry.unpersistAll()
     t("knnGraph")(graft.datapipe.Ann.knnGraph(emb, planes = graft.datapipe.Ann.knnPlanes).count())
     CacheRegistry.unpersistAll()
-    // inline replica of graphSearch with per-phase timers
-    locally {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      import graft.datapipe.Ann
-      import org.apache.spark.sql.DataFrame
-      val g = Ann.knnGraph(emb, planes = Ann.knnPlanes)
-      val und = CacheRegistry.persistTracked(
-        g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-          .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-          .distinct())
-      t("und.count")(und.count())
-      val ep = CacheRegistry.persistTracked(
-        emb.select(col("vec_id"), col("embedding")))
-      val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
-      val q = ep.where(col("vec_id") % Ann.queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val entry = ep.agg(min(col("vec_id")).as("cand"))
-      def scoreRank(c: DataFrame): DataFrame = {
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
-        c.join(q, Seq("q_id"))
-          .join(e, Seq("cand"))
-          .select(col("q_id"), col("cand"), Ann.cosine(col("q_emb"), col("__ce")).as("cos"))
-          .withColumn("rnk", row_number().over(w))
-      }
-      val bandSeeds = (0 until Ann.knnBands).map { band =>
-        val bk = Ann.buckets(ep, Ann.knnPlanes, planeBase = band * Ann.knnPlanes)
-        bk.where(col("vec_id") % Ann.queryMod === 0)
-          .select(col("vec_id").as("q_id"), col("bucket"))
-          .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
-          .select(col("q_id"), col("cand"))
-      }.reduce(_ unionByName _)
-      val cands0 = CacheRegistry.persistTracked(
-        bandSeeds.unionByName(q.select(col("q_id")).crossJoin(entry)).distinct())
-      var beam = t("beam0")(
-        scoreRank(cands0).where(col("rnk") <= Ann.searchBeam)
-          .select(col("q_id"), col("cand")).localCheckpoint(true))
-      var visited = cands0.select(col("q_id"), col("cand"))
-      for (i <- 1 to Ann.searchSteps) {
-        val expand = beam.join(und, beam("cand") === und("src"))
-          .select(beam("q_id"), col("dst").as("cand"))
-        val cands = beam.unionByName(expand).distinct()
-        visited = visited.unionByName(cands)
-        beam = t(s"step$i")(
-          scoreRank(cands).where(col("rnk") <= Ann.searchBeam)
-            .select(col("q_id"), col("cand")).localCheckpoint(true))
-      }
-      t("final")(
-        scoreRank(visited.distinct().where(col("cand") =!= col("q_id")))
-          .where(col("rnk") <= Ann.topK).count())
-    }
+    // (the step-level inline replica that found the r15 plan-analysis
+    // stall was removed once fixed — it would silently diverge from the
+    // real implementation; the phase splits + the >0.5s job listener
+    // above are the durable diagnostic)
+    CacheRegistry.unpersistAll()
+    t("graphSearch")(graft.datapipe.Ann.graphSearch(emb).count())
     CacheRegistry.unpersistAll()
     t("graphSearchChecked")(graft.datapipe.Ann.graphSearchChecked(emb).count())
     spark.stop()
