@@ -36,20 +36,42 @@ object SparkEntry {
       Option(tempDirs.pollFirst()).foreach(deleteTree)
   }
 
-  /** Build the versioned orders snapshot store the three CDC entries
-    * share (v0 = base, v1 = seq-1 changes, v2 = seq-2 changes) in a
-    * fresh tracked temp dir — ONE definition so the entries can never
-    * silently exercise different stores (r15 review fix). */
-  private def buildOrdersSnapshotStore(s: SparkSession, d: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_snap_")
-    val dir = tmp.resolve("orders_snap").toString
-    trackTempDir(tmp)
-    Tables.initSnapshot(Tables.orders(s, d), dir)
-    val ch = Tables.ordersChanges(s, d)
-    Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
-    Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
-    dir
-  }
+  /** MEMOIZED on-disk artifacts (r16 advice fix): entries whose advertised
+    * surface is the SERVE path of a build-once artifact (the snapshot
+    * store's time-travel reads, the persisted k-NN graph) build it once
+    * per (artifact, dataset dir) and reuse it on re-invocation — so a
+    * bench rep measures the read path, not store construction. Memoized
+    * dirs are PINNED (shutdown-delete only, never FIFO-swept: the memo
+    * map would otherwise hand out a deleted path); the pin set is
+    * bounded by #artifacts × #dataset dirs, a handful per session. */
+  private val memoDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pinnedDirs =
+    new java.util.concurrent.ConcurrentLinkedDeque[java.nio.file.Path]()
+
+  private def memoArtifact(key: String, prefix: String)
+                          (build: String => Unit): String =
+    memoDirs.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
+      pinnedDirs.addLast(tmp)
+      build(tmp.toString)
+      tmp.toString
+    })
+
+  /** Build the versioned orders snapshot store the CDC entries share
+    * (v0 = base, v1 = seq-1 changes, v2 = seq-2 changes) — ONE
+    * definition so the entries can never silently exercise different
+    * stores (r15 review fix), memoized per dataset dir so repeated
+    * invocations measure the time-travel/CDC READ path rather than
+    * store construction (r16 advice fix). */
+  private def buildOrdersSnapshotStore(s: SparkSession, d: String): String =
+    memoArtifact(s"snap:$d", "graft_snap_") { root =>
+      val dir = s"$root/orders_snap"
+      Tables.initSnapshot(Tables.orders(s, d), dir)
+      val ch = Tables.ordersChanges(s, d)
+      Tables.applyChangeBatch(ch.where(col("seq") === 1), Seq("o_orderkey"), dir, 1L)
+      Tables.applyChangeBatch(ch.where(col("seq") === 2), Seq("o_orderkey"), dir, 2L)
+    } + "/orders_snap"
 
   private def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -61,6 +83,7 @@ object SparkEntry {
   sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
     tempDirs.asScala.foreach(deleteTree)
+    pinnedDirs.asScala.foreach(deleteTree)
   }
 
   /** Flagship query (reference examples/query/q1: 3-hop path + degree
@@ -2215,6 +2238,38 @@ object SparkEntry {
     // answer = top-k of everything visited; per-query cost independent
     // of N given the graph
     "ann_graph_search" -> ((s, d) => Ann.graphSearchChecked(Tables.embeddings(s, d))),
+    // persisted graph deployment split (r16): graph + vectors + frozen
+    // build params written once (memoized per dataset dir — re-invocation
+    // measures the serve path), entry served from the disk artifact;
+    // output identical to ann_knngraph (same oracle)
+    "ann_knngraph_file" -> ((s, d) => {
+      val dir = memoArtifact(s"knng:$d", "graft_knng_idx_") { root =>
+        Ann.knnGraphWrite(Tables.embeddings(s, d), root)
+      }
+      Ann.knnGraphFileChecked(s, dir)
+    }),
+    // beam search over the DISK-RESIDENT graph (r16): the build/serve
+    // split of ann_graph_search — the walk consumes the persisted edges
+    // and vectors instead of rebuilding the graph per query batch;
+    // output identical to ann_graph_search (same oracle)
+    "ann_graph_search_file" -> ((s, d) => {
+      val dir = memoArtifact(s"knng:$d", "graft_knng_idx_") { root =>
+        Ann.knnGraphWrite(Tables.embeddings(s, d), root)
+      }
+      Ann.graphSearchFileChecked(s, dir)
+    }),
+    // graph-index incremental ingest (r16): build on the even half, then
+    // FAISS-style add() of the odd half — new vectors bucket against the
+    // FROZEN band parameters and NN-descent recomputes only affected
+    // vertices; edges swap atomically, vectors append atomically
+    "ann_knngraph_append" -> ((s, d) => {
+      val dir = memoArtifact(s"knnga:$d", "graft_knng_app_") { root =>
+        val emb = Tables.embeddings(s, d)
+        Ann.knnGraphWrite(emb.where(col("vec_id") % 2 === 0), root)
+        Ann.knnGraphAppend(s, root, emb.where(col("vec_id") % 2 =!= 0))
+      }
+      Ann.knnGraphFileChecked(s, dir)
+    }),
     // IVFADC serving from PERSISTED codes (r13) — the deployment split of
     // ann_ivfpq: train + encode once, bucket-write codes ⋈ lists (+ the
     // K-row quantizer/codebook artifacts), then rank queries from the
@@ -3102,6 +3157,10 @@ object SparkEntry {
     "ann_ivfsq8" -> Ann.ivfSq8TopKSql(),
     "ann_knngraph" -> Ann.knnGraphSql,
     "ann_graph_search" -> Ann.graphSearchSql,
+    // the deployment splits serve the identical graph — identical oracles
+    "ann_knngraph_file" -> Ann.knnGraphSql,
+    "ann_graph_search_file" -> Ann.graphSearchSql,
+    "ann_knngraph_append" -> Ann.knnGraphAppendSql,
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),

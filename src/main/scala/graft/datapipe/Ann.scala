@@ -108,10 +108,27 @@ object Ann {
     * N / 2^planes, so planes ≈ log2(N / target) holds bucket size — and
     * therefore per-query candidate cost — CONSTANT as the collection
     * grows. A fixed plane count is the quadratic-candidate trap: bucket
-    * size N/2^planes makes the bucket join grow as N². */
-  def lshPlanesFor(n: Long, targetBucket: Int = 32): Int =
-    math.min(62, math.max(4,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    * size N/2^planes makes the bucket join grow as N².
+    *
+    * INTEGER arithmetic (smallest p in [4, 62] with target·2^p ≥ n),
+    * not `ceil(log2(...))`: the graph oracles mirror this formula in
+    * DuckDB as a pure integer CASE chain ([[lshPlanesCaseSql]]), and a
+    * libm log evaluated at an exact power-of-two boundary is only
+    * faithfully rounded — the two engines could disagree by one plane
+    * exactly where it matters (r16; same class as the banned
+    * transcendentals in the fixed-point operators). */
+  def lshPlanesFor(n: Long, targetBucket: Int = 32): Int = {
+    var p = 4
+    while (p < 62 && (targetBucket.toLong << p) < n) p += 1
+    p
+  }
+
+  /** [[lshPlanesFor]] rendered as a DuckDB integer CASE chain over a
+    * count expression — exact by construction (no log2 on either
+    * engine). */
+  def lshPlanesCaseSql(nExpr: String, targetBucket: Int = 32): String =
+    (4 until 62).map(p => s"WHEN $nExpr <= ${targetBucket.toLong << p} THEN $p")
+      .mkString("CASE ", " ", " ELSE 62 END")
 
   /** Deterministic md5-derived hyperplane weight in [-1, 1], computed
     * driver-side (same md5 → identical to the SQL rendering below). */
@@ -263,7 +280,13 @@ object Ann {
     * bucket, so neighbor-of-neighbor expansion can NEVER escape it and
     * NN-descent stalls at the seed recall (measured: 1 band froze at
     * 0.16 across rounds; 3 bands climb 0.42 → 0.52 → 0.56). Cross-band
-    * edges are the deterministic stand-in for the paper's random init. */
+    * edges are the deterministic stand-in for the paper's random init.
+    *
+    * `knnPlanes` is a FLOOR, not the entries' pin (r16 advice fix): the
+    * checked entries auto-size with [[lshPlanesFor]] and their oracles
+    * recompute the same plane count from `count(*)` via
+    * [[lshPlanesCaseSql]] — a fixed plane count made the seed self-join
+    * quadratic in N, contradicting the scale claim. */
   val knnPlanes = 4
   val knnBands = 3
   val knnRounds = 2
@@ -336,6 +359,12 @@ object Ann {
       round(col("cos"), 6).as("sim"))
   }
 
+  /** `recall_ok` threshold (hits within the true top-k per query) shared
+    * by the Spark companion and its SQL rendering — ONE constant so the
+    * two gates can never drift apart (r16 advice fix; was a `2` literal
+    * in each). */
+  val recallGate = 2
+
   /** Attach the exact-top-k companion to an approximate neighbor frame
     * `(q_id, nbr_id, rnk, sim)` over the query subset: per edge a `hit`
     * flag (neighbor is in the true top-k), per query `n_hit` and a
@@ -356,18 +385,17 @@ object Ann {
       .select(approx("q_id"), col("nbr_id"), col("rnk"), col("sim"),
         col("e_nbr").isNotNull.as("hit"))
       .withColumn("n_hit", sum(when(col("hit"), 1L).otherwise(0L)).over(wq))
-      .withColumn("recall_ok", col("n_hit") >= 2)
+      .withColumn("recall_ok", col("n_hit") >= recallGate)
   }
 
   /** `ann_knngraph` entry: the NN-descent graph restricted to the query
     * subset, with the exact companion; the graph itself is built over
-    * the FULL collection. */
-  def knnGraphChecked(emb: DataFrame): DataFrame = {
-    val g = knnGraph(emb, planes = knnPlanes)
-    val gq = g.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("nbr_id"), col("rnk"), col("sim"))
-    withExactCompanion(gq, emb)
-  }
+    * the FULL collection. Planes AUTO-SIZE with the corpus
+    * ([[lshPlanesFor]]; the oracle recomputes the identical count via
+    * [[lshPlanesCaseSql]]) — the r16 advice fix for the fixed-plane
+    * quadratic-seed trap. */
+  def knnGraphChecked(emb: DataFrame): DataFrame =
+    graphCheckedFrom(knnGraph(emb), emb)
 
   // -------------------------------------------- graph-search serving
 
@@ -395,7 +423,27 @@ object Ann {
    * a bounded rank.
    */
   def graphSearch(emb: DataFrame, k: Int = topK): DataFrame = {
-    val g = knnGraph(emb, planes = knnPlanes)
+    // one persisted projection serves the per-step scoring, the query
+    // subset, the entry aggregate AND the three band-bucket passes below
+    // (the base-relation rescan trap knnGraph's own seeds avoid)
+    val ep = graft.CacheRegistry.persistTracked(
+      emb.select(col("vec_id"), col("embedding")))
+    // planes auto-size with the corpus (r16 advice fix) — the SAME count
+    // knnGraph's own auto path computes, so the walked graph and the
+    // seed buckets can never use different band families
+    val planes = lshPlanesFor(ep.count(), 32)
+    graphSearchOver(knnGraph(ep, planes = planes), ep, planes, k)
+  }
+
+  /** The beam walk standing alone over an ALREADY-BUILT graph `g`
+    * (`vec_id, nbr_id, …`) and vector collection `ep` — the serving half
+    * of the graph tier's deployment split ([[GraphIndex]]). `planes`
+    * must be the band width the graph was built with (persisted in the
+    * index meta) so the per-query seed buckets match the build's. */
+  def graphSearchOver(g: DataFrame, ep0: DataFrame, planes: Int,
+                      k: Int = topK): DataFrame = {
+    val ep = graft.CacheRegistry.persistTracked(
+      ep0.select(col("vec_id"), col("embedding")))
     // disjoint column names (src, dst): the beam frame's lineage already
     // contains this very frame after step 1, and shared names make the
     // expand join ambiguous to the self-join checker
@@ -407,11 +455,6 @@ object Ann {
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
         .distinct().localCheckpoint(true)
-    // one persisted projection serves the per-step scoring, the query
-    // subset, the entry aggregate AND the three band-bucket passes below
-    // (the base-relation rescan trap knnGraph's own seeds avoid)
-    val ep = graft.CacheRegistry.persistTracked(
-      emb.select(col("vec_id"), col("embedding")))
     val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
     val q = ep.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -427,7 +470,7 @@ object Ann {
     }
     // per-query seeds: the query's own bucket mates in each band
     val bandSeeds = (0 until knnBands).map { band =>
-      val bk = buckets(ep, knnPlanes, planeBase = band * knnPlanes)
+      val bk = buckets(ep, planes, planeBase = band * planes)
       bk.where(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("q_id"), col("bucket"))
         .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
@@ -464,46 +507,79 @@ object Ann {
   def graphSearchChecked(emb: DataFrame): DataFrame =
     withExactCompanion(graphSearch(emb), emb)
 
+  /** Per-vertex top-k re-rank CTE shared by every graph oracle: DISTINCT
+    * candidate edges rescored from raw embeddings, ranked (cos desc, id
+    * asc), kept to k — the literal mirror of the Spark `topkOf`. */
+  private def graphTopkSql(cands: String, name: String, k: Int = topK): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, nbr_id, cosv, rnk FROM (
+       |    SELECT vec_id, nbr_id, cosv,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cosv DESC, nbr_id) AS rnk
+       |    FROM (SELECT d.vec_id, d.nbr_id,
+       |                 ${cosineSql("ea.embedding", "eb.embedding")} AS cosv
+       |          FROM (SELECT DISTINCT vec_id, nbr_id FROM ($cands)
+       |                WHERE vec_id <> nbr_id) d
+       |          JOIN embeddings ea ON ea.vec_id = d.vec_id
+       |          JOIN embeddings eb ON eb.vec_id = d.nbr_id))
+       |  WHERE rnk <= $k)""".stripMargin
+
+  /** One NN-descent round in SQL over graph CTE `prev` → `u$i`/`$gname`:
+    * undirected closure, neighbor-of-neighbor expansion, top-k re-rank.
+    * `srcPred` (a predicate over the given source-vertex column ref)
+    * confines the recomputed vertex set (the append oracle's
+    * affected-only rounds); the full-rebuild form passes `true`. */
+  private def graphRoundSql(i: Int, prev: String, gname: String,
+                            srcPred: String => String = _ => "true"): String =
+    s"""u$i AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+       |  SELECT vec_id, nbr_id FROM $prev
+       |  UNION ALL SELECT nbr_id, vec_id FROM $prev)),
+       |${graphTopkSql(
+        s"SELECT vec_id, nbr_id FROM u$i WHERE ${srcPred("vec_id")} UNION ALL " +
+          s"SELECT a.vec_id, b.nbr_id FROM u$i a JOIN u$i b ON a.nbr_id = b.vec_id " +
+          s"WHERE ${srcPred("a.vec_id")}",
+        gname)}""".stripMargin
+
+  /** Dynamic band-bucket CTE body: plane count read from the `np` CTE at
+    * RUN time (the [[lshPlanesFor]] auto-sizing, mirrored exactly — r16
+    * advice fix for the fixed-plane quadratic-seed trap), planes summed
+    * via a lateral `unnest(range(0, np))` instead of unrolled terms. */
+  private def bucketsDynSql(band: Int): String = {
+    val plane = s"(np.np * $band + t.p)"
+    val wvec = s"list_transform(range(0, $dim), d -> ${weightSql(plane, "d")})"
+    s"""SELECT e.vec_id,
+       |       CAST(sum(CASE WHEN ${dotSql(wvec, "e.embedding")} > 0
+       |                     THEN (CAST(1 AS BIGINT) << t.p) ELSE 0 END) AS BIGINT) AS bucket
+       |FROM embeddings e, np, unnest(range(0, np.np)) AS t(p)
+       |GROUP BY e.vec_id""".stripMargin
+  }
+
   /** The identical NN-descent fixpoint in DuckDB: generated CTE chain —
-    * init from the same md5 hyperplane buckets, each round MATERIALIZED
-    * (same exponential-inlining hazard as the BPE oracle), plus the
-    * query subset and exact-companion CTEs. Shared by [[knnGraphSql]]
-    * and [[graphSearchSql]] so the graph the search walks can never
-    * drift from the graph entry's own oracle. */
-  private def knnGraphCtesSql: String = {
-    val k = topK
-    def topkSql(cands: String, name: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT vec_id, nbr_id, cosv, rnk FROM (
-         |    SELECT vec_id, nbr_id, cosv,
-         |           row_number() OVER (PARTITION BY vec_id
-         |                              ORDER BY cosv DESC, nbr_id) AS rnk
-         |    FROM (SELECT d.vec_id, d.nbr_id,
-         |                 ${cosineSql("ea.embedding", "eb.embedding")} AS cosv
-         |          FROM (SELECT DISTINCT vec_id, nbr_id FROM ($cands)
-         |                WHERE vec_id <> nbr_id) d
-         |          JOIN embeddings ea ON ea.vec_id = d.vec_id
-         |          JOIN embeddings eb ON eb.vec_id = d.nbr_id))
-         |  WHERE rnk <= $k)""".stripMargin
-    def roundSql(i: Int): String = {
-      val prev = s"g${i - 1}"
-      s"""u$i AS (SELECT DISTINCT vec_id, nbr_id FROM (
-         |  SELECT vec_id, nbr_id FROM $prev
-         |  UNION ALL SELECT nbr_id, vec_id FROM $prev)),
-         |${topkSql(
-          s"SELECT vec_id, nbr_id FROM u$i UNION ALL " +
-            s"SELECT a.vec_id, b.nbr_id FROM u$i a JOIN u$i b ON a.nbr_id = b.vec_id",
-          s"g$i")}""".stripMargin
-    }
-    val exCos = cosineSql("q.q_emb", "e.embedding")
+    * plane count recomputed from `count(*)` ([[lshPlanesCaseSql]] over
+    * the rows satisfying `basePred`), init from the same md5 hyperplane
+    * buckets, each round MATERIALIZED (same exponential-inlining hazard
+    * as the BPE oracle), plus the query subset and exact-companion CTEs.
+    * Shared by [[knnGraphSql]], [[graphSearchSql]] and the append
+    * oracle so the graph the serving walks can never drift from the
+    * graph entry's own oracle. `basePred` (a predicate over the given
+    * vec_id column ref) confines the BUILD collection (the append
+    * oracle's frozen even-half build); buckets are computed for every
+    * vector (per-row hashes — new arrivals reuse them), the seed join
+    * filters both sides. */
+  private def knnGraphCtesSql(basePred: String => String = _ => "true"): String = {
     val bandCtes = (0 until knnBands).map(b =>
-      s"bk$b AS MATERIALIZED (${bucketsSql(knnPlanes, b * knnPlanes)})").mkString(",\n")
+      s"bk$b AS MATERIALIZED (${bucketsDynSql(b)})").mkString(",\n")
     val seedUnion = (0 until knnBands).map(b =>
       s"SELECT l.vec_id AS vec_id, r.vec_id AS nbr_id FROM bk$b l " +
-        s"JOIN bk$b r ON l.bucket = r.bucket").mkString(" UNION ALL ")
-    s"""WITH $bandCtes,
-       |${topkSql(seedUnion, "g0")},
-       |${(1 to knnRounds).map(roundSql).mkString(",\n")},
+        s"JOIN bk$b r ON l.bucket = r.bucket " +
+        s"WHERE (${basePred("l.vec_id")}) " +
+        s"AND (${basePred("r.vec_id")})").mkString(" UNION ALL ")
+    val exCos = cosineSql("q.q_emb", "e.embedding")
+    s"""WITH np AS (SELECT ${lshPlanesCaseSql("n")} AS np FROM
+       |  (SELECT count(*) AS n FROM embeddings WHERE ${basePred("vec_id")})),
+       |$bandCtes,
+       |${graphTopkSql(seedUnion, "g0")},
+       |${(1 to knnRounds).map(i => graphRoundSql(i, s"g${i - 1}", s"g$i")).mkString(",\n")},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
        |      FROM embeddings WHERE vec_id % $queryMod = 0),
        |ex AS MATERIALIZED (
@@ -512,7 +588,7 @@ object Ann {
        |           row_number() OVER (PARTITION BY q.q_id
        |                              ORDER BY $exCos DESC, e.vec_id) AS rr
        |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-       |  WHERE rr <= $k)""".stripMargin
+       |  WHERE rr <= $topK)""".stripMargin
   }
 
   /** The exact-companion final select shared by the graph oracles:
@@ -525,12 +601,12 @@ object Ann {
        |       CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
        |            OVER (PARTITION BY r.q_id) AS BIGINT) AS n_hit,
        |       (CAST(sum(CASE WHEN ex.e_nbr IS NOT NULL THEN 1 ELSE 0 END)
-       |             OVER (PARTITION BY r.q_id) AS BIGINT) >= 2) AS recall_ok
+       |             OVER (PARTITION BY r.q_id) AS BIGINT) >= $recallGate) AS recall_ok
        |FROM ($src) r LEFT JOIN ex
        |  ON ex.q_id = r.q_id AND ex.e_nbr = r.nbr_id""".stripMargin
 
   def knnGraphSql: String =
-    s"""$knnGraphCtesSql
+    s"""${knnGraphCtesSql()}
        |${companionSelectSql(
         s"SELECT vec_id AS q_id, nbr_id, rnk, cosv FROM g$knnRounds " +
           s"WHERE vec_id % $queryMod = 0")}""".stripMargin
@@ -566,7 +642,7 @@ object Ann {
       .mkString("\n  UNION ALL ")
     val visUnion = ("SELECT q_id, cand FROM c0" +:
       (1 to searchSteps).map(i => s"SELECT q_id, cand FROM c$i")).mkString("\n  UNION ALL ")
-    s"""$knnGraphCtesSql,
+    s"""${knnGraphCtesSql()},
        |und AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
        |  SELECT vec_id, nbr_id FROM g$knnRounds
        |  UNION ALL SELECT nbr_id, vec_id FROM g$knnRounds)),
@@ -587,6 +663,220 @@ object Ann {
        |    JOIN embeddings e ON e.vec_id = f.cand)
        |  WHERE rn <= $topK)
        |${companionSelectSql("SELECT q_id, nbr_id, rnk, cosv FROM res")}""".stripMargin
+  }
+
+  // ----------------------------------- persisted k-NN graph index (r16)
+
+  /**
+   * The graph tier's deployment split (the [[IvfpqIndex]] pattern at the
+   * graph-index tier — FAISS/HNSW build-once/serve-many): the NN-descent
+   * graph, the vector collection and the build hyperparameters live as
+   * a disk artifact; serving ([[graphSearchFileChecked]]) walks the
+   * disk-resident graph instead of rebuilding it per query batch — at
+   * collection scale the rebuild is hours of cluster time, the walk is
+   * seconds.
+   *
+   *  - `edges`   — `(vec_id, nbr_id, rnk, sim)`: the graph, REPLACED
+   *    wholesale on append ([[graft.sources.Tables.stagedReplace]] —
+   *    appends update affected vertices' edge lists in place, so the
+   *    artifact is a rewrite, not an accumulation; it is k·N slim rows,
+   *    the cheap side of the index).
+   *  - `vectors` — `(vec_id, embedding)`: append-able
+   *    ([[graft.sources.Tables.stagedAppend]]), read recursively.
+   *  - `meta`    — 1-row `(planes, bands, rounds, k)`: the FROZEN build
+   *    parameters every append and serve must reuse (re-deriving planes
+   *    from the grown count would silently re-band the whole graph).
+   */
+  case class GraphIndex(edges: DataFrame, vectors: DataFrame, meta: DataFrame) {
+    def write(dir: String): Unit = {
+      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+      edges.write.mode("overwrite").parquet(s"$dir/edges")
+      meta.write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    /** (planes, bands, rounds, k) with the same loud corrupt-store guard
+      * as [[IvfpqIndex.params]]. */
+    def params: (Int, Int, Int, Int) = {
+      val rows = meta.select(col("planes"), col("bands"),
+        col("rounds"), col("k")).collect()
+      require(rows.length == 1,
+        s"graph-index meta must hold exactly one row, found ${rows.length} — " +
+          "the persisted index is corrupt (partial overwrite or stray append to meta/)")
+      val r = rows(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+  }
+  object GraphIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): GraphIndex =
+      GraphIndex(spark.read.parquet(s"$dir/edges"),
+        graft.sources.Tables.readIndexDir(spark, s"$dir/vectors"),
+        spark.read.parquet(s"$dir/meta"))
+  }
+
+  /** Build half of the graph deployment split: auto-sized NN-descent
+    * graph + vectors + frozen build parameters, written once. */
+  def knnGraphWrite(emb: DataFrame, dir: String): Unit = {
+    val ep = graft.CacheRegistry.persistTracked(
+      emb.select(col("vec_id"), col("embedding")))
+    val planes = lshPlanesFor(ep.count(), 32)
+    val meta = ep.sparkSession.range(1)
+      .select(lit(planes).as("planes"), lit(knnBands).as("bands"),
+        lit(knnRounds).as("rounds"), lit(topK).as("k"))
+    GraphIndex(knnGraph(ep, planes = planes), ep, meta).write(dir)
+  }
+
+  /** Query-subset + exact-companion wrapper shared by the inline and
+    * disk-resident graph entries — `g` is any `(vec_id, nbr_id, rnk,
+    * sim)` graph over collection `emb`. */
+  private def graphCheckedFrom(g: DataFrame, emb: DataFrame): DataFrame = {
+    val gq = g.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("nbr_id"), col("rnk"), col("sim"))
+    withExactCompanion(gq, emb)
+  }
+
+  /** `ann_knngraph_file` entry: the disk-resident graph restricted to the
+    * query subset, with the exact companion — output identical to
+    * [[knnGraphChecked]] over the same collection (same oracle). */
+  def knnGraphFileChecked(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val idx = GraphIndex.read(spark, dir)
+    graphCheckedFrom(idx.edges, idx.vectors)
+  }
+
+  /** `ann_graph_search_file` entry: the beam walk ([[graphSearchOver]])
+    * over the DISK-RESIDENT graph and vectors, band width from the
+    * frozen meta — output identical to [[graphSearchChecked]] over the
+    * same collection (same oracle). */
+  def graphSearchFileChecked(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val idx = GraphIndex.read(spark, dir)
+    val (planes, _, _, _) = idx.params
+    withExactCompanion(graphSearchOver(idx.edges, idx.vectors, planes),
+      idx.vectors)
+  }
+
+  /**
+   * Incremental ingest for the persisted graph (the FAISS-`add()` recipe
+   * at the graph tier): new vectors bucket against the FROZEN band
+   * parameters, and NN-descent rounds recompute ONLY the affected
+   * vertices — a new vector, or an existing vertex sharing a seed
+   * bucket with one. Everything else keeps its frozen edge list
+   * untouched, so the append's compute is proportional to the
+   * neighborhood of the new batch, not to N. Semantics, exactly
+   * (mirrored by [[knnGraphAppendSql]]):
+   *
+   *  1. affected = every vertex appearing as the source of a seed pair
+   *     with at least one NEW side (new vertices always self-pair, so
+   *     all of them are affected).
+   *  2. round 0: each affected vertex re-ranks (frozen edges ∪ new seed
+   *     pairs) — the top-k-merge identity `topk(topk(A) ∪ B) =
+   *     topk(A ∪ B)` is what makes the frozen list a sufficient stand-in
+   *     for the original candidates.
+   *  3. `rounds` NN-descent rounds over the COMBINED graph (frozen +
+   *     evolving affected part), candidates confined to affected
+   *     sources.
+   *
+   * Vectors append atomically ([[graft.sources.Tables.stagedAppend]]);
+   * the edge artifact is REPLACED atomically
+   * ([[graft.sources.Tables.stagedReplace]]) after the new graph fully
+   * materializes. vec_id disjointness is the caller's contract, as with
+   * [[ivfpqAppend]].
+   */
+  def knnGraphAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVecs: DataFrame): Unit = {
+    val idx = GraphIndex.read(spark, dir)
+    val (planes, bands, rounds, k) = idx.params
+    val newV = graft.CacheRegistry.persistTracked(
+      newVecs.select(col("vec_id"), col("embedding")))
+    val all = graft.CacheRegistry.persistTracked(
+      idx.vectors.unionByName(newV))
+    val newIds = newV.select(col("vec_id"))
+    def topkOf(cands: DataFrame): DataFrame = {
+      val d = cands.where(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id")).distinct()
+      val scored = d
+        .join(all.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
+        .join(all.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
+          Seq("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"), cosine(col("__ea"), col("__eb")).as("cos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    }
+    // seed pairs with at least one new side: per band, bucket the grown
+    // collection with the FROZEN planes and flag each side
+    val seedsNew = (0 until bands).map { band =>
+      val bk = buckets(all, planes, planeBase = band * planes)
+        .join(newIds.withColumn("__new", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"),
+          coalesce(col("__new"), lit(false)).as("__new"))
+      bk.as("l").join(bk.as("r"), col("l.bucket") === col("r.bucket"))
+        .where(col("l.__new") || col("r.__new"))
+        .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("nbr_id"))
+    }.reduce(_ unionByName _)
+    val affected = seedsNew.select(col("vec_id")).distinct().localCheckpoint(true)
+    // the frozen part never changes across rounds — checkpoint once
+    val frozen = idx.edges.join(affected, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val oldAff = idx.edges.select(col("vec_id"), col("nbr_id"))
+      .join(affected, Seq("vec_id"), "left_semi")
+    // round 0 + NN-descent rounds confined to affected sources; each
+    // evolving frame localCheckpoint'ed (the documented iteration class)
+    var gaff = topkOf(oldAff.unionByName(seedsNew)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val full = frozen.select(col("vec_id"), col("nbr_id"))
+        .unionByName(gaff.select(col("vec_id"), col("nbr_id")))
+      val u = full.unionByName(
+        full.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      val uAff = u.join(affected, Seq("vec_id"), "left_semi")
+      val nn = uAff.as("a").join(u.as("b"), col("a.nbr_id") === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+      gaff = topkOf(uAff.unionByName(nn)).localCheckpoint(true)
+    }
+    val newEdges = frozen.unionByName(
+      gaff.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("sim")))
+    // edges stage-write FIRST (it reads the live edges + old vectors),
+    // THEN the vector append, THEN the atomic edge swap — so the vector
+    // union above can never double-count the new batch
+    graft.sources.Tables.stagedReplace(newEdges, s"$dir/edges")
+    graft.sources.Tables.stagedAppend(newV, s"$dir/vectors")
+  }
+
+  /** DuckDB mirror of build-on-even-half + [[knnGraphAppend]] of the odd
+    * half: the frozen-graph CTE chain over `vec_id % 2 = 0` (its plane
+    * count from the EVEN count — the frozen band parameters), the
+    * at-least-one-new seed pairs, the affected set, round 0's
+    * frozen-edges ∪ new-seeds re-rank, then the affected-confined
+    * NN-descent rounds over the combined graph; query subset and exact
+    * companion over the FULL collection. Round CTE indices offset by
+    * [[knnRounds]] so the two chains' `u$i` names never collide. */
+  def knnGraphAppendSql: String = {
+    val r = knnRounds
+    val nsdUnion = (0 until knnBands).map(b =>
+      s"SELECT l.vec_id AS vec_id, r.vec_id AS nbr_id FROM bk$b l " +
+        s"JOIN bk$b r ON l.bucket = r.bucket " +
+        s"WHERE (l.vec_id % 2 <> 0 OR r.vec_id % 2 <> 0)").mkString(" UNION ALL ")
+    val affPred = (c: String) => s"$c IN (SELECT vec_id FROM aff)"
+    val roundCtes = (1 to r).map { i =>
+      s"""${graphRoundSql(r + i, s"f${i - 1}", s"ga$i", affPred)},
+         |f$i AS MATERIALIZED (SELECT vec_id, nbr_id FROM frz
+         |  UNION ALL SELECT vec_id, nbr_id FROM ga$i)""".stripMargin
+    }.mkString(",\n")
+    s"""${knnGraphCtesSql(c => s"$c % 2 = 0")},
+       |nsd AS MATERIALIZED ($nsdUnion),
+       |aff AS MATERIALIZED (SELECT DISTINCT vec_id FROM nsd),
+       |frz AS MATERIALIZED (SELECT vec_id, nbr_id, cosv, rnk FROM g$r
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM aff)),
+       |${graphTopkSql(
+        s"SELECT vec_id, nbr_id FROM g$r WHERE ${affPred("vec_id")} " +
+          s"UNION ALL SELECT vec_id, nbr_id FROM nsd", "ga0")},
+       |f0 AS MATERIALIZED (SELECT vec_id, nbr_id FROM frz
+       |  UNION ALL SELECT vec_id, nbr_id FROM ga0),
+       |$roundCtes
+       |${companionSelectSql(
+        s"SELECT vec_id AS q_id, nbr_id, rnk, cosv FROM " +
+          s"(SELECT vec_id, nbr_id, rnk, cosv FROM frz " +
+          s"UNION ALL SELECT vec_id, nbr_id, rnk, cosv FROM ga$r) " +
+          s"WHERE vec_id % $queryMod = 0")}""".stripMargin
   }
 
   // ------------------------------------------------------------ IVF ANN

@@ -421,6 +421,32 @@ object Tables {
   def readIndexDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
+  /** Atomically REPLACE a live artifact directory with a recomputed one
+    * (the k-NN graph append's edge rewrite — unlike [[stagedAppend]],
+    * the new content supersedes the old rather than adding to it). The
+    * stage write runs FIRST and fully materializes `df` — which may
+    * read from the live dir it is about to replace — before any rename
+    * touches it; the live→retired→stage→live rename pair is the commit
+    * point, so a reader never sees a half-written dir (it sees either
+    * the old artifact or the new one; a crash between the two renames
+    * leaves the retired dir recoverable by hand, same contract as an
+    * interrupted [[stagedAppend]] stage). */
+  def stagedReplace(df: DataFrame, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val stage = new org.apache.hadoop.fs.Path(dir + ".replace_stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val fs = live.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(
+      dir + s".retired-${java.util.UUID.randomUUID().toString}")
+    require(fs.rename(live, retired),
+      s"staged replace: retiring the live dir failed for $dir")
+    require(fs.rename(stage, live),
+      s"staged replace: committing the stage failed for $dir")
+    fs.delete(retired, true)
+    ()
+  }
+
   /**
    * CDC MERGE (r14 wave 4) — Delta/Iceberg `MERGE INTO`, materialized as
    * ONE declarative plan: apply a change batch to a base snapshot.
