@@ -349,6 +349,41 @@ object SparkEntry {
         col("value"), col("ssv_id"), col("ssv_ts_ms"))
   }
 
+  /** FORWARD stream-stream as-of (r16): each purchase picks the user's
+    * NEXT view within the 2-day horizon, both sides live — the same
+    * watermarked join + windowed pick on the opposite range bound, the
+    * smallest-ts winner via the negated-ts max struct. */
+  def qStreamAsofSSFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("sfv_ts_ms"), col("event_id").as("sfv_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofStreamStream(purch, views, Seq("user_id"), "ts",
+        horizonMicros = 2L * 86400L * 1000000L, direction = "forward")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("sfv_id"), col("sfv_ts_ms"))
+  }
+
+  /** NEAREST stream-stream as-of (r16): each purchase picks whichever
+    * view within ±2 days is closer in time (ties backward), both sides
+    * live — ONE watermarked pass over the two-sided range, the winner
+    * picked by the (negated distance, backward flag, payload) max
+    * struct; closes the temporal-direction matrix on live streams. */
+  def qStreamAsofSSNear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("snv_ts_ms"), col("event_id").as("snv_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    TemporalJoins.asofStreamStream(purch, views, Seq("user_id"), "ts",
+        horizonMicros = 2L * 86400L * 1000000L, direction = "nearest")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"), col("snv_id"), col("snv_ts_ms"))
+  }
+
   /** Band join with NO equi key (r14 wave 5): per error event, the count
     * and value mass of ALL purchases (any user) in the hour before it —
     * the global temporal-correlation shape Spark plans as a nested-loop
@@ -2039,6 +2074,11 @@ object SparkEntry {
     "stream_asof" -> (qStreamAsof _),
     // stream-stream as-of (r15): both sides live, horizon-bounded state
     "stream_asof_ss" -> (qStreamAsofSS _),
+    // forward + nearest directions of the stream-stream as-of (r16):
+    // same watermarked join + windowed-pick dataflow, opposite/two-sided
+    // range bounds — the temporal matrix closed on live streams
+    "stream_asof_ss_fwd" -> (qStreamAsofSSFwd _),
+    "stream_asof_ss_near" -> (qStreamAsofSSNear _),
     // nearest as-of (r15): closer of backward/forward, ties backward
     "q_asof_near" -> (qAsofNear _),
     "q_band_join" -> (qBandJoin _),
@@ -3533,6 +3573,67 @@ object SparkEntry {
         |         AS ssv_id,
         |       CASE WHEN ts - vts <= INTERVAL 2 DAYS THEN ssv_ts_ms END
         |         AS ssv_ts_ms
+        |FROM m""".stripMargin,
+    // forward stream-stream as-of: ASOF with p.ts <= v.ts (first later
+    // view), horizon CASEd on the matched distance — identical shape to
+    // q_asof_fwd's oracle, the bounded lookahead IS the streaming form
+    "stream_asof_ss_fwd" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000000 AS sfv_ts_ms,
+        |         max(event_id) AS sfv_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         v.sfv_id, v.sfv_ts_ms, v.ts AS vts
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts <= v.ts
+        |)
+        |SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value,
+        |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN sfv_id END
+        |         AS sfv_id,
+        |       CASE WHEN vts - ts <= INTERVAL 2 DAYS THEN sfv_ts_ms END
+        |         AS sfv_ts_ms
+        |FROM m""".stripMargin,
+    // nearest stream-stream as-of: both ASOF directions joined back per
+    // probe, horizon-cut distances, closer wins with ties backward —
+    // the q_asof_near oracle shape with the horizon as the tolerance
+    "stream_asof_ss_near" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000 AS v_mus,
+        |         epoch_ns(ts) // 1000000 AS v_ms, max(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         epoch_ns(p.ts) // 1000 AS p_mus,
+        |         v.v_id AS bv_id, v.v_ms AS bv_ms, v.v_mus AS bv_mus
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |), f AS (
+        |  SELECT p.event_id,
+        |         v.v_id AS fv_id, v.v_ms AS fv_ms, v.v_mus AS fv_mus
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+        |), m AS (
+        |  SELECT b.event_id, b.user_id, b.ts, b.value,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000 THEN bv_id END AS bv_id,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000 THEN bv_ms END AS bv_ms,
+        |         CASE WHEN b.p_mus - bv_mus <= 172800000000
+        |              THEN b.p_mus - bv_mus END AS bd,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000 THEN fv_id END AS fv_id,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000 THEN fv_ms END AS fv_ms,
+        |         CASE WHEN fv_mus - b.p_mus <= 172800000000
+        |              THEN fv_mus - b.p_mus END AS fd
+        |  FROM b JOIN f ON b.event_id = f.event_id
+        |)
+        |SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value,
+        |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+        |            THEN bv_id ELSE fv_id END AS snv_id,
+        |       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+        |            THEN bv_ms ELSE fv_ms END AS snv_ts_ms
         |FROM m""".stripMargin,
     // forward as-of: DuckDB's ASOF with p.ts <= v.ts picks the FIRST
     // later view; the tolerance (absent from ASOF) CASEs on the matched

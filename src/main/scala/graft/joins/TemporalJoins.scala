@@ -258,17 +258,35 @@ object TemporalJoins {
    *      event-time attribute that keeps the chained stateful operators
    *      in Spark's supported join→event-time-aggregation class.
    *
+   * DIRECTIONS (r16, completing the temporal matrix on live streams):
+   * `backward` (default) picks the greatest build ts in
+   * `[probe.ts - horizon, probe.ts]`; `forward` the smallest in
+   * `[probe.ts, probe.ts + horizon]`; `nearest` whichever build row in
+   * `[probe.ts - horizon, probe.ts + horizon]` minimizes |Δt|, ties to
+   * the backward side ([[asofNearest]]'s convention). All three are the
+   * SAME dataflow — only the range condition and the max-struct's sort
+   * prefix change (negated ts picks the smallest; negated distance then
+   * a backward flag picks the closest-then-backward) — so each keeps
+   * the watermark+two-sided-time-bound shape Spark reclaims
+   * stream-stream join state from.
+   *
    * Contracts: probe rows must be unique (they are the group identity —
    * real event streams carry an event id); build must be exactly
    * `keys ++ tsCol ++ payload` with payload names disjoint from probe's;
    * NULL-ts/key build rows match nothing (dropped), NULL-ts probe rows
    * null-extend on batch but are dropped by watermarking on a real
    * stream (the streaming-vs-batch delta inherent to event-time state).
+   * At equal |Δt| (same ts, or nearest's two-sided tie) the collapse
+   * order is: backward side first, then the greatest payload tuple —
+   * [[asofJoin]]'s deterministic engine-portable rule.
    */
   def asofStreamStream(probe: DataFrame, build: DataFrame, keys: Seq[String],
                        tsCol: String, horizonMicros: Long,
-                       watermarkDelay: String = "10 seconds"): DataFrame = {
+                       watermarkDelay: String = "10 seconds",
+                       direction: String = "backward"): DataFrame = {
     require(horizonMicros >= 0, s"negative horizon: $horizonMicros")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val payCols = build.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     require(payCols.nonEmpty, "build side carries no payload columns")
     val collide = payCols.toSet.intersect(probe.columns.toSet)
@@ -281,11 +299,28 @@ object TemporalJoins {
         col(tsCol).as("__bts") :+
         struct(payCols.map(col): _*).as("__bp"): _*)
     val p = wm(probe)
+    val horizon = expr(s"INTERVAL $horizonMicros MICROSECOND")
     val cond = keys.map(c => p(c) === b(s"__bk_$c")).reduce(_ && _) &&
-      b("__bts") <= p(tsCol) &&
-      b("__bts") >= p(tsCol) - expr(s"INTERVAL $horizonMicros MICROSECOND")
-    val unit = when(col("__bts").isNotNull,
-      struct(unix_micros(col("__bts")).as("__bm"), col("__bp").as("__p")))
+      (direction match {
+        case "backward" =>
+          b("__bts") <= p(tsCol) && b("__bts") >= p(tsCol) - horizon
+        case "forward" =>
+          b("__bts") >= p(tsCol) && b("__bts") <= p(tsCol) + horizon
+        case _ =>
+          b("__bts") >= p(tsCol) - horizon && b("__bts") <= p(tsCol) + horizon
+      })
+    val bm = unix_micros(col("__bts"))
+    val pm = unix_micros(col(tsCol))
+    val unit = direction match {
+      case "backward" => when(col("__bts").isNotNull,
+        struct(bm.as("__bm"), col("__bp").as("__p")))
+      case "forward" => when(col("__bts").isNotNull,
+        struct((-bm).as("__bm"), col("__bp").as("__p")))
+      case _ => when(col("__bts").isNotNull,
+        struct((-abs(bm - pm)).as("__nd"),
+          when(bm <= pm, 1).otherwise(0).as("__bwd"),
+          col("__bp").as("__p")))
+    }
     // the group key includes the probe's event-time column WITH its
     // watermark metadata intact — that one column is what lets the
     // streaming aggregation run in append mode and reclaim state; adding

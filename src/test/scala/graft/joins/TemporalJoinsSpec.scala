@@ -295,6 +295,76 @@ class TemporalJoinsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("asofStreamStream forward direction equals the forward asofJoin with tolerance = horizon") {
+    def collect(df: DataFrame) = df.select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    for (h <- Seq(3600L * 1000000L, day, 30L * day)) {
+      assert(collect(TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t", h,
+          direction = "forward")) ==
+        collect(TemporalJoins.asofJoin(probe, build, Seq("k"), "t",
+          direction = "forward", tolerance = Some(h))), s"horizon $h")
+    }
+  }
+
+  test("asofStreamStream nearest: closer side wins, ties backward, horizon cuts both ways") {
+    val got = TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t",
+        3600L * 1000000L, direction = "nearest")
+      .select("pid", "px", "src")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (pid, px, src) => pid -> px.map(v => (v, src.get)) }.toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) == Some((101L, "b"))) // equal ts: distance 0 beats everything
+    assert(got(2L) == Some((102L, "c"))) // bwd 1s, nothing forward in range
+    assert(got(3L) == None)              // > 1h both ways
+    assert(got(4L) == None)              // first k2 build is 2h forward, > horizon
+    assert(got(5L) == Some((201L, "e"))) // bwd 30min beats nothing forward
+    assert(got(6L) == None)              // key with no build rows
+    // exact two-sided tie prefers the backward row
+    val p0 = Seq((50L, "k1", ts("2024-01-01 10:30:00"))).toDF("pid", "k", "t")
+    val b0 = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 1L, "bwd"),
+      ("k1", ts("2024-01-01 11:00:00"), 2L, "fwd")
+    ).toDF("k", "t", "px", "src")
+    val tie = TemporalJoins.asofStreamStream(p0, b0, Seq("k"), "t", day,
+        direction = "nearest")
+      .select("px", "src").as[(Option[Long], Option[String])].collect().toSeq
+    assert(tie == Seq((Some(1L), Some("bwd"))))
+  }
+
+  test("asofStreamStream nearest runs with BOTH sides live, stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[ProbeRow]
+    val bIn = MemoryStream[BuildRow]
+    val out = TemporalJoins.asofStreamStream(pIn.toDF(), bIn.toDF(), Seq("k"), "t", day,
+      watermarkDelay = "30 days", direction = "nearest")
+    val q = out.writeStream.format("memory").queryName("asof_ss_near")
+      .outputMode("append").start()
+    try {
+      val ps = probe.as[ProbeRow].collect().toSeq
+      val bs = build.as[BuildRow].collect().toSeq
+      pIn.addData(ps.take(3)); bIn.addData(bs.take(2))
+      q.processAllAvailable()
+      pIn.addData(ps.drop(3)); bIn.addData(bs.drop(2))
+      q.processAllAvailable()
+      val flushT = ts("2024-03-01 00:00:00")
+      for (_ <- 1 to 2) {
+        pIn.addData(Seq(ProbeRow(999L, "kf", flushT)))
+        bIn.addData(Seq(BuildRow("kf", flushT, 0L, "f")))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_ss_near").where($"pid" < 100)
+        .select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      val batch = TemporalJoins.asofStreamStream(probe, build, Seq("k"), "t", day,
+          direction = "nearest")
+        .select("pid", "px", "src")
+        .as[(Long, Option[Long], Option[String])].collect().toSet
+      assert(streamed == batch)
+      assert(q.lastProgress.stateOperators.length >= 2)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------- band join
 
   private def lefts: DataFrame = Seq(
