@@ -2353,6 +2353,11 @@ object SparkEntry {
     // multimodal SemDeDup: stub decode -> embed -> cluster -> dedup decision
     "mm_dedup" -> ((s, d) => Multimodal.semanticDedupOverFeatures(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // NB language ID (r16): multiclass Bernoulli NB over the word vocab,
+    // trained on the doc_id%10 curated labeled slice — the fastText-class
+    // upgrade of the stopword vote; exact integer sums, one division
+    "text_langid_nb" -> ((s, d) =>
+      TextOps.langIdNb(Tables.documents(s, d), col("doc_id") % 10 === 0)),
     // CCNet-style LM likelihood gate: char-trigram model self-trained on
     // the corpus, mean per-trigram probability as the filter signal
     "text_lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
@@ -3209,6 +3214,7 @@ object SparkEntry {
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
     "text_langid" -> TextOps.langIdSql,
+    "text_langid_nb" -> TextOps.langIdNbSql("doc_id % 10 = 0"),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm_score_ref" -> TextOps.lmScoreRefSql("doc_id % 10 = 0"),
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,

@@ -93,11 +93,27 @@ object TextOps {
     ("cust", "o"), ("custo", "mer"), ("e", "y"), ("in", "e"), ("k", "ey"),
     ("l", "ine"), ("s", "can"), ("at", "c"), ("atc", "h"), ("b", "atch"))
 
+  /** UTF-8 BYTE order on strings — the binary collation BOTH engines
+    * sort by (Spark's UTF8String, DuckDB's default). Java's
+    * `String.compareTo` is UTF-16 code-unit order instead, which ranks
+    * supplementary characters (surrogates, 0xD800+) BELOW U+E000..U+FFFF
+    * — so a driver-side `.min` tie-break silently diverges from the
+    * engines on non-ASCII vocab (r16 advice fix; UTF-8 byte order equals
+    * code-point order, so this is also the code-point comparator). */
+  private val utf8Order: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private val utf8PairOrder: Ordering[(String, String)] =
+    Ordering.Tuple2(utf8Order, utf8Order)
+
   /**
    * Pure-Scala BPE trainer (Sennrich et al., ACL 2016): count adjacent
    * token pairs weighted by word frequency, merge the most frequent
-   * (ties broken by lexicographically smallest pair — deterministic),
-   * repeat. Runs on a DRIVER-SIZED sample (the curated slice — the same
+   * (ties broken by the smallest pair in UTF-8 BYTE order — the
+   * engines' binary collation, so [[bpeTrainDistributed]] is
+   * table-identical on ANY vocab, not just ASCII), repeat. Runs on a
+   * DRIVER-SIZED sample (the curated slice — the same
    * legitimacy class as the NB vocabulary and IVF centroids): training
    * a tokenizer is a once-per-corpus-family decision made on a sample,
    * never a distributed full-corpus pass.
@@ -133,7 +149,8 @@ object TextOps {
         // iterator first: collect on a Map whose result elements are
         // THEMSELVES pairs rebuilds a Map and silently collapses tied
         // candidates sharing a first component
-        val best = pc.iterator.collect { case (p, c) if c == mx => p }.min
+        val best = pc.iterator.collect { case (p, c) if c == mx => p }
+          .min(utf8PairOrder)
         merges += best
         val (a, b) = best
         reprs = reprs.map { case (w, t) =>
@@ -206,10 +223,10 @@ object TextOps {
    *    token pairs, and sums freq per pair: one map-side-combinable
    *    shuffle over vocab-sized data per round.
    *  - the round's winner is ONE collected row — max count, ties by
-   *    lexicographically smallest (left, right), byte-order identical to
-   *    [[bpeTrain]]'s `.min` on the ASCII corpus (UTF8 byte order and
-   *    Java char order agree on ASCII; non-ASCII vocab would need a
-   *    binary collation pin).
+   *    smallest (left, right) in the engines' binary UTF-8 order, which
+   *    [[bpeTrain]]'s `.min(utf8PairOrder)` matches exactly on ANY vocab
+   *    (r16 advice fix — Java char order used to diverge on
+   *    supplementary characters).
    *
    * Stops early when no pair remains (exhausted), like [[bpeTrain]].
    * BpeDistSpec pins table equality against [[bpeTrain]] on the
@@ -435,6 +452,108 @@ object TextOps {
        |           $caseExpr
        |           ELSE 'und' END AS pred_lang
        |FROM h""".stripMargin
+  }
+
+  /**
+   * NB language ID (r16 — VERDICT #8's fastText-class upgrade of the
+   * stopword vote): a MULTICLASS Bernoulli Naive-Bayes over the word
+   * vocabulary, trained on a curated labeled slice (`curated` marks it;
+   * its `lang` column is the class), scoring every document by the MEAN
+   * smoothed per-class word likelihood
+   *
+   *   score_L(d) = mean over distinct words w of d of
+   *                (df_L(w) + 1) / (n_L + 2)
+   *
+   * — the [[lmScore]] mean-likelihood idiom (no logs). The winner is the
+   * argmax with alphabetical ties; docs with no words predict 'und'.
+   *
+   * ENGINE-EXACT without the decimal hop (unlike [[nbScoreWith]], whose
+   * two-class odds have per-word denominators): the class denominator
+   * `n_L + 2` is CONSTANT, so
+   *
+   *   score_L(d) = S_L / ((n_L+2) · |d|),  S_L = Σ_w (df_L(w) + 1)
+   *
+   * an exact integer sum with ONE final double division — bit-identical
+   * across engines with zero rounding slack; the argmax ranks on the
+   * exact-int division `S_L / (n_L+2)` (same |d| per language), so the
+   * winner can never flip on a representation tail.
+   *
+   * Scale shape: training is one labeled distinct-word scan with a
+   * map-combinable count + the [[nbVocab]] TakeOrdered cut (words
+   * outside the cap fall to the +1 smoothing mass automatically, via
+   * the left join); scoring is one corpus scan, a broadcast vocab join
+   * fanned out over the (tiny) language list, and a per-(doc, lang)
+   * count/sum aggregate — the only corpus-keyed exchange. The argmax
+   * window partitions per doc (|langs| rows each), never globally.
+   */
+  def langIdNb(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame = {
+    val cur = docs.where(curated && col("lang").isNotNull)
+    val nl = cur.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val dfx = cur.select(col("lang"),
+        explode(array_distinct(words(Dedup.normText))).as("w"))
+      .groupBy(col("w"), col("lang")).agg(count(lit(1)).as("df"))
+    val tot = dfx.groupBy(col("w")).agg(sum(col("df")).as("tdf"))
+      .orderBy(col("tdf").desc, col("w").asc).limit(cap)
+    val vcap = dfx.join(tot.select("w"), Seq("w"), "left_semi")
+    val dw = docs.select(col("doc_id"),
+      explode(array_distinct(words(Dedup.normText))).as("w"))
+    val pairs = dw.crossJoin(broadcast(nl))
+      .join(broadcast(vcap), Seq("w", "lang"), "left")
+      .select(col("doc_id"), col("lang"), col("nl"),
+        (coalesce(col("df"), lit(0L)) + lit(1L)).as("dfp"))
+    val scored = pairs.groupBy(col("doc_id"), col("lang"), col("nl"))
+      .agg(count(lit(1)).as("n_words"), sum(col("dfp")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy((col("s").cast("double") / (col("nl") + 2L).cast("double")).desc,
+        col("lang").asc)
+    val best = scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        round(col("s").cast("double") /
+          ((col("nl") + lit(2L)) * col("n_words")).cast("double"), 6).as("nb_score"))
+  }
+
+  /** DuckDB mirror of [[langIdNb]] — the same integer sums, the same
+    * single exact-int divisions for rank and score. */
+  def langIdNbSql(curatedPred: String): String = {
+    val norm = Dedup.normTextSql
+    s"""WITH cur AS (
+       |  SELECT lang, $norm AS t FROM documents
+       |  WHERE ($curatedPred) AND lang IS NOT NULL
+       |),
+       |nl AS (SELECT lang, count(*) AS nl FROM cur GROUP BY lang),
+       |cw AS (SELECT lang, unnest(list_distinct(string_split(t, ' '))) AS w FROM cur),
+       |dfx AS (SELECT w, lang, count(*) AS df FROM cw GROUP BY w, lang),
+       |tot AS (SELECT w FROM (
+       |  SELECT w, sum(df) AS tdf FROM dfx GROUP BY w
+       |  ORDER BY tdf DESC, w LIMIT $nbVocab)),
+       |vcap AS (SELECT dfx.w, dfx.lang, dfx.df FROM dfx JOIN tot USING (w)),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split($norm, ' '))) AS w
+       |  FROM documents
+       |),
+       |pairs AS (
+       |  SELECT d.doc_id, n.lang, n.nl, coalesce(v.df, 0) + 1 AS dfp
+       |  FROM dw d CROSS JOIN nl n
+       |  LEFT JOIN vcap v ON v.w = d.w AND v.lang = n.lang
+       |),
+       |scored AS (
+       |  SELECT doc_id, lang, nl, count(*) AS n_words, sum(dfp) AS s
+       |  FROM pairs GROUP BY doc_id, lang, nl
+       |),
+       |best AS (
+       |  SELECT doc_id, lang, nl, n_words, s,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY CAST(s AS DOUBLE) / CAST(nl + 2 AS DOUBLE) DESC, lang) AS rn
+       |  FROM scored
+       |)
+       |SELECT d.doc_id, CAST(coalesce(b.n_words, 0) AS BIGINT) AS n_words,
+       |       coalesce(b.lang, 'und') AS pred_lang,
+       |       round(CAST(b.s AS DOUBLE)
+       |             / CAST((b.nl + 2) * b.n_words AS DOUBLE), 6) AS nb_score
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |  ON b.doc_id = d.doc_id""".stripMargin
   }
 
   // -------------------------------------------------- winnowing fingerprints

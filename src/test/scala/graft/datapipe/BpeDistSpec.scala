@@ -54,6 +54,21 @@ class BpeDistSpec extends SparkSpecBase {
     assert(dist == TextOps.bpeTrain(texts, 1) && dist == Seq(("a", "b")))
   }
 
+  test("non-ASCII ties break in UTF-8 byte order on BOTH trainers (r16 advice fix)") {
+    // U+FF01 (fullwidth !) vs U+10000 (𐀀, a surrogate pair): Java
+    // UTF-16 code-unit order ranks 𐀀 (0xD800...) BELOW ！ (0xFF01),
+    // UTF-8 byte order ranks ！ first — exactly the divergence the fix
+    // closes. Both candidate first-merges ("！x" vs "𐀀x") tie at count 2.
+    val sup = new String(Character.toChars(0x10000))
+    val texts = Seq(s"！x ${sup}x", s"！x ${sup}x")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = TextOps.bpeTrainDistributed(docs, 2)
+    val local = TextOps.bpeTrain(texts, 2)
+    assert(dist == local, s"trainers diverged on non-ASCII ties: $dist vs $local")
+    assert(local.head == ("！", "x"), s"UTF-8 order must rank ！ first: $local")
+  }
+
   test("NULL and empty texts contribute nothing, empty corpus trains nothing") {
     val docs = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "  "),
       (3L, "cd cd")).toDF("doc_id", "text")
