@@ -2554,6 +2554,15 @@ object SparkEntry {
           unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
           col("o_orderpriority"))
     }),
+    // DESCRIBE HISTORY (r16): the same store's per-version commit
+    // metadata — (version, operation, n_rows) from the meta frames each
+    // commit writes; the oracle re-derives every version's row count
+    // from the shared change-log builders, so a store that dropped or
+    // double-applied a batch mismatches on n_rows
+    "src_merge_history" -> ((s, d) => {
+      val dir = buildOrdersSnapshotStore(s, d)
+      Tables.snapshotHistoryMeta(s, dir)
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -3318,6 +3327,16 @@ object SparkEntry {
     "src_merge" -> Tables.mergeOrdersSql,
     "src_merge_travel" -> Tables.mergeOrdersPrefixSql,
     "src_merge_changes" -> Tables.mergeOrdersChangesSql,
+    // history: version row counts re-derived from the same builders
+    "src_merge_history" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, 'INIT' AS operation,
+         |       (SELECT count(*) FROM orders) AS n_rows
+         |UNION ALL
+         |SELECT 1, 'MERGE',
+         |       (SELECT count(*) FROM (${Tables.mergeOrdersPrefixSql}))
+         |UNION ALL
+         |SELECT 2, 'MERGE',
+         |       (SELECT count(*) FROM (${Tables.mergeOrdersSql}))""".stripMargin,
     // sequential batch-by-batch application of a seq-ordered change log
     // must land exactly where the one-shot merge does
     "stream_merge" -> Tables.mergeOrdersSql,

@@ -495,8 +495,25 @@ object Tables {
   /** Write the initial snapshot as version 0 of a versioned snapshot
     * store (`dir/v0`, `dir/v1`, … — each version a complete, immutable
     * parquet snapshot; the Delta-style layout minus the log file). */
-  def initSnapshot(base: DataFrame, dir: String): Unit =
+  def initSnapshot(base: DataFrame, dir: String): Unit = {
     base.write.mode("overwrite").parquet(s"$dir/v0")
+    writeSnapshotMeta(base.sparkSession, dir, 0L, "INIT")
+  }
+
+  /** Per-version commit metadata (r16 — the DESCRIBE HISTORY payload):
+    * a 1-row `(version, operation, n_rows)` frame under `dir/meta/v<N>`,
+    * written at commit time. The row count is a parquet footer-only
+    * count of the JUST-WRITTEN version — metadata-cheap, and it records
+    * what a reader will actually see rather than what the writer
+    * intended. Meta lives OUTSIDE the version dir so the snapshot scan
+    * stays a plain single-directory parquet read. */
+  private def writeSnapshotMeta(s: SparkSession, dir: String, version: Long,
+                                operation: String): Unit = {
+    val n = s.read.parquet(s"$dir/v$version").count()
+    s.range(1).select(lit(version).as("version"), lit(operation).as("operation"),
+        lit(n).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$dir/meta/v$version")
+  }
 
   /** Committed (`_SUCCESS`-marked) version numbers under a snapshot
     * store, listed through the path's Hadoop FileSystem — the store
@@ -539,6 +556,90 @@ object Tables {
     * time travel (`DESCRIBE HISTORY`'s skeleton). */
   def snapshotHistory(s: SparkSession, dir: String): Seq[Long] =
     snapshotVersions(s, dir).sorted
+
+  /** DESCRIBE HISTORY (r16): one `(version, operation, n_rows)` row per
+    * COMMITTED version, from the per-commit meta frames. Versions
+    * written before the meta surface existed (or whose meta was lost)
+    * still list, with NULL operation/n_rows — history never hides a
+    * readable version; stray meta of a vacuumed version never shows (the
+    * committed list is the driver). */
+  def snapshotHistoryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val versions = snapshotHistory(s, dir).toDF("version")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath))
+      versions.select(col("version"),
+        lit(null).cast("string").as("operation"),
+        lit(null).cast("long").as("n_rows"))
+    else {
+      val meta = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/meta")
+      versions.join(meta, Seq("version"), "left")
+        .select(col("version"), col("operation"), col("n_rows"))
+    }
+  }
+
+  // -------------------------------------------- snapshot retention (r16)
+
+  /** Register a reader pin on a committed version: a marker file under
+    * `dir/pins/` that [[vacuumSnapshots]] refuses to delete across. A
+    * long-running job pins the version it resolved before scanning it —
+    * the Delta/Iceberg "don't vacuum under an active reader" contract
+    * made explicit (this store has no transaction coordinator, so the
+    * pin IS the registration). `token` namespaces concurrent readers. */
+  def pinSnapshot(s: SparkSession, dir: String, version: Long,
+                  token: String): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"unsafe pin token: $token")
+    require(snapshotVersions(s, dir).contains(version),
+      s"cannot pin uncommitted snapshot v$version under $dir")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pins/v$version-$token")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
+  /** Release a reader pin (idempotent). */
+  def unpinSnapshot(s: SparkSession, dir: String, version: Long,
+                    token: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pins/v$version-$token")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
+  }
+
+  private def pinnedVersions(s: SparkSession, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pins")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+-.*") =>
+        n.drop(1).takeWhile(_.isDigit).toLong }
+      .toSet
+  }
+
+  /**
+   * VACUUM (r16 — the retention half of the store's lifecycle): delete
+   * every committed version older than the newest `keepLast`, EXCEPT
+   * versions a reader pinned ([[pinSnapshot]]) — deleting under an
+   * active reader is the failure mode Delta's retention window exists
+   * for. The newest version is always kept (`keepLast >= 1`); each
+   * deleted version drops its data dir and its meta row, so
+   * [[snapshotHistoryMeta]] and time travel stay consistent. Returns
+   * the versions actually deleted.
+   */
+  def vacuumSnapshots(s: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"must keep at least the latest version, got $keepLast")
+    val vs = snapshotVersions(s, dir).sorted
+    val keep = vs.takeRight(keepLast).toSet ++ pinnedVersions(s, dir)
+    val doomed = vs.filterNot(keep)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
+    }
+    doomed
+  }
 
   /**
    * CDC READ (r15) — Delta's `table_changes(from, to)`: the net row
@@ -594,6 +695,7 @@ object Tables {
       s"parent snapshot v${version - 1} not committed under $snapshotDir")
     val merged = merge(s.read.parquet(s"$snapshotDir/v${version - 1}"), batch, keys)
     merged.write.mode("overwrite").parquet(s"$snapshotDir/v$version")
+    writeSnapshotMeta(s, snapshotDir, version, "MERGE")
   }
 
   /**

@@ -184,6 +184,67 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("vacuum retention: old versions drop, latest + time travel stay consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      val latest = rows(Tables.readSnapshot(spark, dir))
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 2) == Seq(0L))
+      assert(Tables.snapshotHistory(spark, dir) == Seq(1L, 2L))
+      // the surviving versions read exactly as before the vacuum
+      assert(rows(Tables.readSnapshot(spark, dir)) == latest)
+      assert(rows(Tables.readSnapshotAt(spark, dir, 1L)).nonEmpty)
+      // a vacuumed version fails loud, exactly like a never-committed one
+      intercept[IllegalArgumentException] { Tables.readSnapshotAt(spark, dir, 0L) }
+      // history metadata dropped the vacuumed row and kept the others
+      val hist = Tables.snapshotHistoryMeta(spark, dir)
+        .as[(Long, String, Long)].collect().toSet
+      assert(hist.map(_._1) == Set(1L, 2L))
+      assert(hist.forall(_._2 == "MERGE"))
+      // keepLast must retain at least the newest version
+      intercept[IllegalArgumentException] {
+        Tables.vacuumSnapshots(spark, dir, keepLast = 0)
+      }
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 1) == Seq(1L))
+      assert(rows(Tables.readSnapshot(spark, dir)) == latest)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("vacuum never deletes a pinned version; unpin releases it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      Tables.pinSnapshot(spark, dir, 1L, "reader-a")
+      // pinning an uncommitted version fails loud
+      intercept[IllegalArgumentException] {
+        Tables.pinSnapshot(spark, dir, 9L, "reader-a")
+      }
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 1) == Seq(0L))
+      // the pinned reader still sees its version
+      assert(rows(Tables.readSnapshotAt(spark, dir, 1L)).nonEmpty)
+      Tables.unpinSnapshot(spark, dir, 1L, "reader-a")
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 1) == Seq(1L))
+      assert(Tables.snapshotHistory(spark, dir) == Seq(2L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("history metadata records operation and row counts per commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      val hist = Tables.snapshotHistoryMeta(spark, dir)
+        .orderBy("version").as[(Long, String, Long)].collect().toSeq
+      assert(hist.map(t => (t._1, t._2)) == Seq((0L, "INIT"), (1L, "MERGE")))
+      assert(hist(0)._3 == base.count())
+      assert(hist(1)._3 == spark.read.parquet(s"$dir/v1").count())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mergeStreaming folds MemoryStream micro-batches into the snapshot store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
