@@ -2398,6 +2398,10 @@ object SparkEntry {
     // cross-document substring-span dedup (ExactSubstr at word
     // granularity): later copies of any repeated 10-word span excised
     "pipe_span_dedup" -> ((s, d) => TextOps.spanDedup(Tables.documents(s, d))),
+    // character-level ExactSubstr (r16): 40-char windows catch sub-word /
+    // boundary-crossing repeats the 10-word windows miss; same
+    // first-occurrence min(struct) pick, same two combinable shuffles
+    "pipe_span_dedup_byte" -> ((s, d) => TextOps.spanDedupChars(Tables.documents(s, d))),
     // context-window chunking: sliding word windows for fixed-context
     // training sequences (overlapping, last chunk clamped)
     "pipe_chunk" -> ((s, d) => TextOps.chunk(Tables.documents(s, d))),
@@ -3279,6 +3283,7 @@ object SparkEntry {
     "dedup_bloom" -> Dedup.bloomFlagSql,
     "dedup_bloom_stream" -> Dedup.bloomFlagSql,
     "pipe_span_dedup" -> TextOps.spanDedupSql,
+    "pipe_span_dedup_byte" -> TextOps.spanDedupCharsSql,
     "pipe_chunk" -> TextOps.chunkSql,
     "pipe_line_clean" -> TextOps.lineCleanSql,
     // the oracle reads the SOURCE parquet: a hash match proves the JSONL

@@ -1881,6 +1881,102 @@ object TextOps {
        |GROUP BY ew.doc_id""".stripMargin
   }
 
+  /** Repeated-span width in CHARACTERS for [[spanDedupChars]]. */
+  val spanChars = 40
+
+  /**
+   * CHARACTER-level substring-span dedup (r16 — closing [[spanDedup]]'s
+   * word-granularity caveat): the same ExactSubstr recipe (Lee et al.,
+   * ACL 2022) over [[spanChars]]-CHARACTER windows, so repeats that
+   * cross tokenization — sub-word overlaps, boundary-shifted
+   * boilerplate, glued words — are caught where the 10-word windows
+   * miss them. Lee et al. operate on byte suffix arrays; fixed-width
+   * character h-grams trade variable-length repeats for the same two
+   * scans + two map-side-combinable shuffles as the word form, and the
+   * first-occurrence pick (min (doc_id, pos) struct per window hash)
+   * keeps the oracle exact. Unit note: both engines' length/substr are
+   * code-point based, so "byte-level" is character-level here — equal
+   * on any text, not just ASCII.
+   *
+   * Output: (doc_id, n_chars, n_dropped, text_byte_deduped) — NULL
+   * rebuilt text when every character was covered (or the doc was
+   * empty); empty/NULL docs keep their row with n_chars = 0.
+   */
+  def spanDedupChars(docs: DataFrame): DataFrame = {
+    val L = spanChars
+    val base = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    val grams = base.where(length(col("t")) >= L)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), (length(col("t")) - L).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        h60(col("t").substr((col("pos") + 1).cast("int"), lit(L))).as("h"))
+    val first = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val covered = grams.join(first, "h")
+      .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
+      .distinct()
+    // per-character fan-out via an index sequence + substr (NOT split on
+    // the empty pattern, whose empty-string behavior differs between
+    // engines); empty docs contribute no rows here and are restored by
+    // the final left join
+    val exploded = base.where(length(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), (length(col("t")) - 1).cast("long"))).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        col("t").substr((col("idx") + 1).cast("int"), lit(1)).as("ch"))
+    val rebuilt = exploded
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_chars"),
+        count(col("cov")).as("n_dropped"),
+        { val kept = array_sort(collect_list(
+            when(col("cov").isNull, struct(col("idx"), col("ch")))))
+          when(size(kept) === 0, lit(null: String))
+            .otherwise(array_join(transform(kept, s => s("ch")), ""))
+            .as("text_byte_deduped") })
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("text_byte_deduped"))
+  }
+
+  /** DuckDB oracle for [[spanDedupChars]] over the `documents` view. */
+  val spanDedupCharsSql: String = {
+    val L = spanChars
+    s"""WITH tt AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         ${h60Sql(s"substr(t, i + 1, $L)")} AS h
+       |  FROM tt, UNNEST(range(len(t) - $L + 1)) AS x(i)
+       |),
+       |f AS (SELECT h, min({'doc_id': doc_id, 'pos': pos}) AS f FROM g GROUP BY h),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, CAST(g.pos + j AS BIGINT) AS idx
+       |  FROM g JOIN f ON f.h = g.h, UNNEST(range($L)) AS x(j)
+       |  WHERE NOT (g.doc_id = f.f.doc_id AND g.pos = f.f.pos)
+       |),
+       |ec AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx, substr(t, i + 1, 1) AS ch
+       |  FROM tt, UNNEST(range(len(t))) AS x(i)
+       |),
+       |r AS (
+       |  SELECT ec.doc_id, COUNT(*) AS n_chars,
+       |         CAST(SUM(CASE WHEN cov.idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dropped,
+       |         string_agg(ch, '' ORDER BY ec.idx) FILTER (WHERE cov.idx IS NULL)
+       |           AS text_byte_deduped
+       |  FROM ec LEFT JOIN cov ON cov.doc_id = ec.doc_id AND cov.idx = ec.idx
+       |  GROUP BY ec.doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(r.n_chars, 0) AS BIGINT) AS n_chars,
+       |       CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       r.text_byte_deduped
+       |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- PII redaction
 
   /** PII patterns, written in the common Java-regex/RE2 dialect (no

@@ -71,6 +71,57 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(out(1L)._3.contains(s"$rep ${ws("m", 2)}"))
   }
 
+  // --------------------------- character-level form (r16, ExactSubstr)
+
+  private def runChars(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Option[String])] =
+    TextOps.spanDedupChars(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_dropped"),
+          Option(r.getAs[String]("text_byte_deduped")))))
+      .toMap
+
+  test("char form excises a SUB-WORD boundary repeat the word form misses") {
+    val C = TextOps.spanChars
+    // the repeat crosses word boundaries AND starts mid-word: with only
+    // 4 shared words, no 10-word window repeats — but the 40-char
+    // substring does
+    val core = "xysharedalphabetagammadeltaepsilonzeta01 tail9"
+    assert(core.length >= C)
+    val d1 = s"first unique prefix words $core one closer"
+    val d2 = s"completely different set of tokens ab$core extra"
+    val word = run(Seq((1L, d1), (2L, d2)))
+    assert(word(2L)._2 == 0L, "word windows must NOT catch the sub-word repeat")
+    val chars = runChars(Seq((1L, d1), (2L, d2)))
+    assert(chars(1L)._2 == 0L, "first occurrence intact")
+    assert(chars(2L)._2 >= C, s"later sub-word copy must be excised: ${chars(2L)}")
+    assert(!chars(2L)._3.get.contains("sharedalphabeta"),
+      "the repeated run must be gone from the rebuilt text")
+  }
+
+  test("char form: NULL/empty docs keep rows, fully-covered doc drops to NULL") {
+    val C = TextOps.spanChars
+    val repeat = ("r" * C)
+    val out = runChars(Seq(
+      (1L, repeat),                 // first occurrence, survives whole
+      (2L, repeat),                 // identical -> fully covered -> NULL
+      (3L, null.asInstanceOf[String]),
+      (4L, "")))
+    assert(out(1L) == ((C.toLong, 0L, Some(repeat))))
+    assert(out(2L) == ((C.toLong, C.toLong, None)))
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
+  test("char form within-doc repetition and overlap: covered set never double-counts") {
+    val C = TextOps.spanChars
+    // one doc holding the same C-char run twice, separated: second run covered
+    val block = "abcdefghij" * (C / 10)
+    val doc = s"$block--filler filler filler--$block"
+    val out = runChars(Seq((7L, doc)))
+    assert(out(7L)._1 == doc.length.toLong)
+    assert(out(7L)._2 == C.toLong, s"exactly the second copy: ${out(7L)}")
+  }
+
   test("randomized battery: equals a pure-Scala oracle on planted corpora") {
     // independent brute-force oracle: global first occurrence per gram
     // CONTENT (not hash — collisions aside, h60 is 60-bit), covered =
