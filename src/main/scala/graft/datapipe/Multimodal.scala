@@ -283,6 +283,17 @@ object Multimodal {
        |QUALIFY rnk <= ${Ann.topK}""".stripMargin
   }
 
+  /** The mm_dedup dataflow over any (doc_id, img) binary table with any
+    * codec — decode → embed → IVF-cluster → within-cluster dedup
+    * decisions, codec-agnostic by construction (r16: the non-stub
+    * encoder runs this end-to-end in ImageIoCodecSpec). */
+  def dedupOverBinary(bin: DataFrame, codec: MmCodec,
+                      k: Int = Ann.ivfCentroids): DataFrame =
+    Ann.semanticDedup(
+      features(bin, codec).toDF()
+        .select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
+      rounds = 1, k = k)
+
   /** Multimodal SemDeDup composition: decode → stub-embed → IVF-cluster →
     * within-cluster cosine decisions ([[Ann.semanticDedup]]) — near-dup
     * asset removal end-to-end over a binary column. The stub features are
@@ -290,9 +301,7 @@ object Multimodal {
     * vision encoder swaps into [[features]] with the decision dataflow
     * unchanged. */
   def semanticDedupOverFeatures(docs: DataFrame): DataFrame =
-    Ann.semanticDedup(
-      features(documentsAsBinary(docs)).toDF()
-        .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
+    dedupOverBinary(documentsAsBinary(docs), Md5StubCodec)
 
   /** DuckDB rendering of [[semanticDedupOverFeatures]]: the stub feature
     * subquery swaps in as the IVF vector relation. */
@@ -302,6 +311,63 @@ object Multimodal {
     }.mkString("[", ", ", "]")
     Ann.semanticDedupSql(1,
       s"(SELECT doc_id AS vec_id, $dims AS embedding FROM documents)")
+  }
+
+  /** REAL area-mean luminance downsample (r16 — the deterministic
+    * non-stub resize payload): each output cell is the integer mean of
+    * all samples (all bands) in its source rectangle, one byte per cell
+    * — no re-encode, so the payload is bit-deterministic across JVMs
+    * (an ImageIO re-encode would tie the checksum to encoder
+    * internals). */
+  def downsampleLuma(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"positive target geometry, got ${w}x$h")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes")
+    val r = img.getRaster
+    val (sw, sh, ch) = (img.getWidth, img.getHeight, r.getNumBands)
+    val out = new Array[Byte](w * h)
+    var oy = 0
+    while (oy < h) {
+      val y0 = oy * sh / h; val y1 = math.max(y0 + 1, (oy + 1) * sh / h)
+      var ox = 0
+      while (ox < w) {
+        val x0 = ox * sw / w; val x1 = math.max(x0 + 1, (ox + 1) * sw / w)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, sh)) {
+          var x = x0
+          while (x < math.min(x1, sw)) {
+            var b = 0
+            while (b < ch) { sum += r.getSample(x, y, b); n += 1; b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        out(oy * w + ox) = (if (n == 0) 0 else (sum / n)).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** REAL resize over the JDK decoder ([[downsampleLuma]]): geometry,
+    * true payload size (w·h luminance bytes) and the md5 of the actual
+    * downsampled payload — the non-stub form of [[resize]] (which keeps
+    * the md5 stub because the oracle corpus is text). Same
+    * partition-mapped batch shape. */
+  def resizeReal(bin: DataFrame, w: Int, h: Int): Dataset[MmResized] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val payload = downsampleLuma(bytes, w, h)
+          MmResized(id, w.toLong, h.toLong, payload.length.toLong,
+            md5Hex(md, payload))
+        }
+      }
   }
 
   def decodeDocuments(docs: DataFrame): DataFrame = decode(documentsAsBinary(docs)).toDF()

@@ -59,6 +59,79 @@ class ImageIoCodecSpec extends SparkSpecBase {
     assert(feats(1L).sliding(2).forall(p => p(0) > p(1)), "mirrored profile descends")
   }
 
+  /** Same grayscale content encoded as JPEG (lossy — geometry exact,
+    * intensities within a tolerance band). */
+  private def jpeg(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "jpeg writer available")
+    bos.toByteArray
+  }
+
+  test("JPEG decode (r16): geometry exact, lossy intensities within tolerance") {
+    val bin = Seq(
+      (0L, jpeg(24, 16)((_, _) => 100)),
+      (1L, jpeg(48, 32)((x, _) => x * 5))).toDF("doc_id", "img")
+    val out = Multimodal.decode(bin, new ImageIoCodec).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(0L).width == 24 && out(0L).height == 16 && out(0L).channels == 3)
+    // JPEG is lossy but a constant fill survives the DCT nearly intact
+    assert(math.abs(out(0L).mean_byte - 100) <= 3, s"mean ${out(0L).mean_byte}")
+    assert(out(1L).width == 48 && out(1L).height == 32)
+    assert(out.values.forall(_.n_bytes > 0))
+  }
+
+  test("real downsample (r16): deterministic checksum, exact payload on constant fill") {
+    // constant 80-fill: every area-mean cell is exactly 80, any geometry
+    val c = png(32, 24)((_, _) => 80)
+    val lum = Multimodal.downsampleLuma(c, 8, 6)
+    assert(lum.length == 48 && lum.forall(_ == 80.toByte))
+    // horizontal gradient: downsampled profile ascends left to right
+    val g = Multimodal.downsampleLuma(png(64, 8)((x, _) => x * 4), 8, 1)
+    assert(g.map(_ & 0xff).sliding(2).forall(p => p(0) < p(1)), g.mkString(","))
+    // the Dataset form: geometry + true payload size + content checksum
+    val bin = Seq((0L, c), (1L, c), (2L, jpeg(32, 24)((_, _) => 80)))
+      .toDF("doc_id", "img")
+    val rs = Multimodal.resizeReal(bin, 8, 6).collect().map(r => r.doc_id -> r).toMap
+    assert(rs.values.forall(r => r.out_w == 8 && r.out_h == 6 && r.out_bytes == 48))
+    assert(rs(0L).checksum == rs(1L).checksum, "identical bytes -> identical checksum")
+    // JPEG round-trips the constant fill close enough that the area-mean
+    // payload may or may not be bit-equal — only require determinism
+    val again = Multimodal.resizeReal(bin, 8, 6).collect().map(r => r.doc_id -> r).toMap
+    assert(again == rs, "re-run is bit-identical")
+  }
+
+  test("mm_dedup dataflow under the real codec (r16): near-identical JPEGs dedup") {
+    // luminance profiles = Hadamard rows over the 8 feature strips:
+    // pairwise-orthogonal (cosine ~0, far under sdTau) EXCEPT ids 0/4,
+    // which carry the same row as PNG and JPEG — the lossy twin must be
+    // the one and only dup decision
+    def hadamard(row: Int)(x: Int, @annotation.nowarn y: Int): Int = {
+      val strip = math.min(7, x * 8 / 32)
+      if (java.lang.Integer.bitCount(row & strip) % 2 == 0) 255 else 0
+    }
+    val bin = (Seq((0L, png(32, 32)(hadamard(7))), (4L, jpeg(32, 32)(hadamard(7)))) ++
+      Seq(1L, 2L, 3L, 5L, 6L, 8L).zip(Seq(1, 2, 3, 4, 5, 6)).map { case (id, r) =>
+        (id, png(32, 32)(hadamard(r)))
+      }).toDF("doc_id", "img")
+    // k = 2 clusters: with only 8 assets the default 16 centroids give
+    // every point its own cluster and NO within-cluster pairs form —
+    // the entry corpus has n >> k, the spec corpus must match that shape
+    val out = Multimodal.dedupOverBinary(bin, new ImageIoCodec, k = 2)
+    val dups = out.where(!col("keep")).collect()
+    assert(dups.map(_.getAs[Long]("vec_id")).toSet == Set(4L),
+      s"the JPEG twin (and only it) marks as dup: ${out.collect().mkString(";")}")
+    assert(dups.head.getAs[Long]("dup_of") == 0L, "dup of the PNG original")
+    // and the codec swap leaves the dataflow intact (stub sees distinct md5s)
+    val stub = Multimodal.dedupOverBinary(bin, Md5StubCodec, k = 2)
+    assert(stub.count() == 8, "one decision row per asset under the stub too")
+  }
+
   test("mm_ann dataflow unchanged under the real codec: decode -> embed -> search") {
     // ids 0..7; Ann queries vec_id % 50 == 0, so id 0 is the query.
     // id 4 is byte-identical to id 0 => identical features => top neighbor.
