@@ -703,6 +703,24 @@ object SparkEntry {
     * Yannakakis propagates a per-join-key bound of the computed value —
     * rows with no possible partner never reach enumeration (previously
     * this shape fell to a post-join residual filter). */
+  /** Cross-leaf UNCORRELATED subquery predicate through the door (r16 —
+    * VERDICT #4's fallback lift): the span's outer attrs live on BOTH
+    * leaves, so r15 would decline to stock; now it routes through the
+    * CQC pipeline with the subquery applied as a post-enumeration
+    * filter (DoorEdge18Spec pins the dry-run shows no stock fallback).
+    * The subquery uses MAX (exact, no accumulation) so the boundary
+    * comparison is engine-identical. */
+  def qSqlCqcSubqSpan(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("sqspan_customer")
+    Tables.orders(s, d).createOrReplaceTempView("sqspan_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord, o.o_totalprice AS price
+        |FROM sqspan_customer c, sqspan_orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_totalprice + c.c_acctbal >
+        |      (SELECT max(o2.o_totalprice) FROM sqspan_orders o2)""".stripMargin)
+  }
+
   def qSqlCqcExpr(s: SparkSession, d: String): DataFrame = {
     Tables.ratedEdges(s, d).createOrReplaceTempView("cqce_edges")
     graft.sql.CqcSql.solve(s,
@@ -2065,6 +2083,8 @@ object SparkEntry {
     "sql_cqc_cyclic" -> (qSqlCqcCyclic _),
     "sql_cqc_cyclic_dense" -> (qSqlCqcCyclicDense _),
     "sql_cqc_expr" -> (qSqlCqcExpr _),
+    // cross-leaf uncorrelated subquery predicate, CQC-routed (r16)
+    "sql_cqc_subq_span" -> (qSqlCqcSubqSpan _),
     "sql_cqc_outer" -> (qSqlCqcOuter _),
     "sql_cqc_outer_minmax" -> (qSqlCqcOuterMinmax _),
     "sql_cqc_disj" -> (qSqlCqcDisj _),
@@ -3398,6 +3418,14 @@ object SparkEntry {
          |FROM $RE r, $RE s
          |WHERE r.dst = s.src AND r.rating + r.src < s.rating + s.dst
          |GROUP BY r.src""".stripMargin,
+    // the span predicate evaluated natively by DuckDB; MAX keeps the
+    // boundary comparison exact on both engines
+    "sql_cqc_subq_span" ->
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord, o.o_totalprice AS price
+        |FROM customer c, orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_totalprice + c.c_acctbal >
+        |      (SELECT max(o2.o_totalprice) FROM orders o2)""".stripMargin,
     "sql_cqc_agg_fast" ->
       s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt,
          |       CAST(sum(g4.dst) AS BIGINT) AS sum_dst,

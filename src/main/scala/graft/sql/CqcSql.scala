@@ -815,7 +815,25 @@ object CqcSql {
         s.isCorrelated
       case _ => false
     }
-    if ((conjuncts ++ postOuterConjuncts).exists { e =>
+    // r16 lift (VERDICT r15 #4): an UNCORRELATED subquery conjunct whose
+    // outer references span >= 2 non-nested leaves no longer forces
+    // stock — its subquery PLAN rides inside the Column unchanged (only
+    // the .sql round-trip was the blocker, and the post-enumeration
+    // apply below uses the same renamed-Column path as
+    // postOuterConjuncts), while its outer attrs rename like any
+    // residual. Correlated spans and nested-leaf bindings keep the
+    // stock fallback: their OuterReference interiors hold exprIds the
+    // rename transform cannot reach.
+    def liftableSpan(e: Expression): Boolean = {
+      val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
+      ls.size >= 2 && ls.forall(l => l >= 0 && !leafIsNested(l)) && !isCorrelated(e)
+    }
+    val (subqSpanFilters, conjuncts2) =
+      conjuncts.partition(e => hasSubquery(e) && liftableSpan(e))
+    if (subqSpanFilters.nonEmpty)
+      trace(s"lifted ${subqSpanFilters.size} cross-leaf uncorrelated subquery " +
+        "predicate(s) to post-enumeration filters")
+    if ((conjuncts2 ++ postOuterConjuncts).exists { e =>
       hasSubquery(e) && {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
         // -1 = the attr lives on a PEELED outer-join side, not a leaf
@@ -834,7 +852,7 @@ object CqcSql {
       val p = parent.getOrElse(id, id)
       if (p == id) id else { val r = find(p); parent(id) = r; r }
     }
-    val (equalities, others) = conjuncts.partition {
+    val (equalities, others) = conjuncts2.partition {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
         leafOf(a.exprId.id) != leafOf(b.exprId.id)
       case _ => false
@@ -1123,6 +1141,11 @@ object CqcSql {
     // enumeration). Lazy: the aggregate fast path below never builds it.
     lazy val enumerated: DataFrame = {
       var out = Ghd.solve(foldedRels, cmps.toSeq, residual.map(varSql).toSeq)
+      // lifted cross-leaf subquery predicates: every referenced variable
+      // is bound in the enumeration output, the subquery plan rides the
+      // Column as-is (uncorrelated by the routing gate above)
+      subqSpanFilters.foreach(e =>
+        out = out.where(GraftSqlBridge.column(toVarNames(e))))
 
       // ---- re-apply the peeled outer joins on the CQC result (a
       // join-bearing peeled side is itself a nested block: recurse)
@@ -1184,6 +1207,7 @@ object CqcSql {
         groupExprs: Seq[Expression],
         aggAliases: Seq[(Alias, String)]): Option[DataFrame] = {
       if (outerJoins.isEmpty || cmps.nonEmpty || residual.nonEmpty ||
+        subqSpanFilters.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
       val allOuterIds = outerJoins.flatMap(_._1.output.map(_.exprId.id)).toSet
 
@@ -1454,7 +1478,7 @@ object CqcSql {
       if (semiJoins.nonEmpty) return None
       if (outerJoins.nonEmpty)
         return tryOuterFastAgg(groupExprs, aggAliases)
-      if (cmps.nonEmpty || residual.nonEmpty ||
+      if (cmps.nonEmpty || residual.nonEmpty || subqSpanFilters.nonEmpty ||
         postOuterConjuncts.nonEmpty || isDistinct) return None
       val derivedG = scala.collection.mutable.Map[Int, List[(String, Expression)]]()
         .withDefaultValue(Nil)
@@ -1684,7 +1708,7 @@ object CqcSql {
       val (sortOrders0, limitOpt, offsetN0) = sortLimit
       if (limitOpt.isEmpty || sortOrders0.isEmpty || aggInfo.isDefined || isDistinct ||
         windowDefs.nonEmpty || outerJoins.nonEmpty || semiJoins.nonEmpty ||
-        cmps.nonEmpty || residual.nonEmpty ||
+        cmps.nonEmpty || residual.nonEmpty || subqSpanFilters.nonEmpty ||
         postOuterConjuncts.nonEmpty || leaves.size < 2) return None
       // paging: prune deep enough to rank everything under offset+limit;
       // the tail re-applies ORDER BY / OFFSET / LIMIT on this frame
