@@ -319,6 +319,18 @@ object Yannakakis {
     val tree = Hypergraph.joinTree(rels).rerooted(rootRel.name)
     val reduced = reducedForMessages(tree)
     val sumCols = sumVars.indices.map(i => s"__sum$i")
+    // DECIMAL sum variables run the semiring on EXACT arithmetic
+    // ([[graft.functions.DecimalExact]] — DECIMAL(38, s) partials, r16):
+    // Spark's native decimal *)/(+ adjust precision by SHRINKING scale
+    // (never below 6), so scale > 6 sums used to be silently rounded
+    // mid-semiring; the exact ops preserve the scale for ANY s and
+    // null on magnitude overflow (the stock capped-accumulator class)
+    val sumType: Map[String, org.apache.spark.sql.types.DataType] =
+      sumVars.map(v => v -> rels.find(_.vars.contains(v)).getOrElse(
+        throw new IllegalArgumentException(s"variable $v appears in no relation"))
+        .df.schema(v).dataType).toMap
+    def isDec(v: String): Boolean =
+      sumType(v).isInstanceOf[org.apache.spark.sql.types.DecimalType]
     // extrema: (variable, isMin, message column); shared join variables
     // are fine here (idempotent — a double-seeded value changes nothing)
     val exSpecs = (minVars.map((_, true)) ++ maxVars.map((_, false)))
@@ -336,8 +348,13 @@ object Yannakakis {
       // vars are the caller's determinism tradeoff, as with any Spark sum)
       var df = reduced(n).withColumn("__cnt", lit(1L))
       sumVars.zip(sumCols).foreach { case (v, sc) =>
+        // decimal vars seed a TYPED zero so the exact combine below never
+        // sees a long/decimal mix; integrals keep the long identity
+        val zero =
+          if (isDec(v)) lit(java.math.BigDecimal.ZERO).cast(sumType(v))
+          else lit(0L)
         df = df.withColumn(sc,
-          if (tree.rels(n).vars.contains(v)) col(v) else lit(0L))
+          if (tree.rels(n).vars.contains(v)) col(v) else zero)
       }
       exSpecs.foreach { case (v, _, ec) =>
         df = df.withColumn(ec,
@@ -352,9 +369,14 @@ object Yannakakis {
         df =
           if (ck.nonEmpty) df.join(m, ck, "inner")
           else df.crossJoin(m) // disconnected edge: semiring still multiplies
-        sumCols.foreach { sc =>
+        sumVars.zip(sumCols).foreach { case (v, sc) =>
           df = df.withColumn(sc,
-            col(sc) * col("__cnt_c") + col("__cnt") * col(s"${sc}_c"))
+            if (isDec(v)) {
+              import graft.functions.DecimalExact
+              DecimalExact.plus(
+                DecimalExact.timesCount(col(sc), col("__cnt_c")),
+                DecimalExact.timesCount(col(s"${sc}_c"), col("__cnt")))
+            } else col(sc) * col("__cnt_c") + col("__cnt") * col(s"${sc}_c"))
         }
         exSpecs.foreach { case (_, isMin, ec) =>
           df = df.withColumn(ec,
@@ -426,16 +448,35 @@ object Yannakakis {
     def seeded(n: String): DataFrame =
       reduced(n).withColumn("__w",
         factors.get(n).map(expr).getOrElse(lit(1L)))
+    // DECIMAL factors multiply through the exact semiring ops (r16 — the
+    // aggOverJoin rationale: native decimal × shrinks scale > 6); the
+    // factor-scale SUM must stay ≤ 38, which the door gate pre-checks
+    // (a direct API caller gets the expression's loud require instead)
+    def exactTimes(a: org.apache.spark.sql.Column, at: org.apache.spark.sql.types.DataType,
+                   b: org.apache.spark.sql.Column,
+                   bt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.functions.DecimalExact
+      (at, bt) match {
+        case (_: DecimalType, _: DecimalType) => DecimalExact.times(a, b)
+        case (_: DecimalType, _) => DecimalExact.timesCount(a, b)
+        case (_, _: DecimalType) => DecimalExact.timesCount(b, a)
+        case _ => a * b
+      }
+    }
     val msg = scala.collection.mutable.Map[String, DataFrame]()
     def withChildMsgs(n: String): DataFrame = {
       var df = seeded(n)
       for (c <- tree.childrenOf(n)) {
         val ck = tree.sharedVars(c, n)
+        val lt = df.schema("__w").dataType
+        val rt = msg(c).schema("__w").dataType
         val m = msg(c).withColumnRenamed("__w", "__w_c")
         df =
           if (ck.nonEmpty) df.join(m, ck, "inner")
           else df.crossJoin(m) // disconnected edge: semiring still multiplies
-        df = df.withColumn("__w", col("__w") * col("__w_c")).drop("__w_c")
+        df = df.withColumn("__w",
+          exactTimes(col("__w"), lt, col("__w_c"), rt)).drop("__w_c")
       }
       df
     }

@@ -1251,14 +1251,14 @@ object CqcSql {
         // integrals and decimals: the multiplicity weighting is exact
         // scaled-integer arithmetic for both (outputs cast back to the
         // stock type below); doubles would reassociate — generic path.
-        // Decimal contract: scale <= 6 only — under the 38-precision cap
-        // allowPrecisionLoss preserves scale<=6 (magnitude overflow nulls,
-        // the same class as a stock decimal SUM's capped accumulator) but
-        // may SHRINK a larger scale — silent rounding stock would not do
+        // Decimal scale is UNRESTRICTED since r16: the weighting runs on
+        // graft.functions.DecimalExact (DECIMAL(38, s) partials — the
+        // scale can never shrink, magnitude overflow nulls like a stock
+        // capped accumulator), closing the old scale<=6 decline.
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
-          case d: DecimalType => d.scale <= 6
+          case _: DecimalType => true
           case _ => false
         }
       }
@@ -1426,6 +1426,16 @@ object CqcSql {
         sides.indices.filter(_ != j).foldLeft(base) { (c, k) =>
           c * functions.coalesce(functions.col(s"__m$k"), functions.lit(1L))
         }
+      // decimal weighting rides the exact semiring ops (r16 — see
+      // Yannakakis.aggOverJoin): DECIMAL(38, s) partials, scale never
+      // shrinks, magnitude overflow nulls like the stock capped sum
+      def multOthersDec(base: Column, j: Int): Column =
+        sides.indices.filter(_ != j).foldLeft(base) { (c, k) =>
+          graft.functions.DecimalExact.timesCount(c,
+            functions.coalesce(functions.col(s"__m$k"), functions.lit(1L)))
+        }
+      def isDecE(e: Expression): Boolean =
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
       // widened semiring intermediates cast back to the stock aggregate
       // type (lossless — values are exact), so schemas match stock
       val stockTypes = aggAliases.map { case (al, _) => unwrapCast(al.child)._1.dataType }
@@ -1436,6 +1446,9 @@ object CqcSql {
           case OSum(_, j, true) =>
             functions.sum(multOthers(functions.col("cnt") *
               functions.coalesce(functions.col(s"__os$i"), functions.lit(0L)), j))
+          case OSum(e, j, false) if isDecE(e) =>
+            functions.sum(multOthersDec(graft.functions.DecimalExact
+              .timesCount(functions.col(s"__os$i"), functions.col("cnt")), j))
           case OSum(_, j, false) =>
             functions.sum(multOthers(functions.col("cnt") * functions.col(s"__os$i"), j))
           case OMin(_, _) => functions.min(functions.col(s"__os$i"))
@@ -1445,6 +1458,8 @@ object CqcSql {
             // outer match combination — indicator sum times all sides
             functions.sum(multOthers(functions.coalesce(
               functions.col(s"sum___iv$i"), functions.lit(0L)), -1))
+          case ISum(_, e, false) if isDecE(e) =>
+            functions.sum(multOthersDec(functions.col(s"sum___iv$i"), -1))
           case ISum(_, _, false) =>
             functions.sum(multOthers(functions.col(s"sum___iv$i"), -1))
           case IMin(_, _) => functions.min(functions.col(s"min___ix$i"))
@@ -1523,25 +1538,23 @@ object CqcSql {
         }
       }
       def sumSafe(e: Expression): Boolean = {
-        // EXACT types only: integrals and decimals with scale <= 6. The
-        // semiring cross-multiplies partial sums with counts, which
-        // reassociates addition — exact for integers and for decimals
-        // (scaled-integer arithmetic). Spark caps intermediate precision
-        // at 38: for scale <= 6 allowPrecisionLoss preserves the scale,
-        // so the cap bounds MAGNITUDE only (overflow nulls — the same
-        // class as a stock decimal SUM's capped accumulator); for larger
-        // scales it may SHRINK the scale — silent rounding stock would
-        // not do — so those stay on the stock path. The output casts back
-        // to the stock SUM result type below. A double SUM through the
-        // factorized path could differ from stock/DuckDB by an ULP — a
-        // silent cross-engine hash mismatch — so doubles stay on the
-        // stock-ordered generic path; the programmatic
-        // Yannakakis.aggOverJoin API remains the documented opt-in where
-        // the caller owns that tradeoff.
+        // EXACT types only: integrals and decimals. The semiring
+        // cross-multiplies partial sums with counts, which reassociates
+        // addition — exact for integers and decimals (scaled-integer
+        // arithmetic). Decimal scale is UNRESTRICTED since r16: the
+        // semiring runs its decimal weighting on
+        // graft.functions.DecimalExact (DECIMAL(38, s) partials — scale
+        // never shrinks; magnitude overflow nulls, the stock
+        // capped-accumulator class), closing the old scale<=6 decline.
+        // A double SUM through the factorized path could differ from
+        // stock/DuckDB by an ULP — a silent cross-engine hash mismatch —
+        // so doubles stay on the stock-ordered generic path; the
+        // programmatic Yannakakis.aggOverJoin API remains the documented
+        // opt-in where the caller owns that tradeoff.
         import org.apache.spark.sql.types._
         e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
-          case d: DecimalType => d.scale <= 6
+          case _: DecimalType => true
           case _ => false
         }
       }
@@ -1583,8 +1596,26 @@ object CqcSql {
                         case _ => None
                       }
                     }
+                  // the message products replay the ROW-LEVEL multiply in
+                  // exact arithmetic, so stock's own multiply must have
+                  // been unadjusted: a scale below the factor-scale sum
+                  // means stock ROUNDED per row (precision cap) and the
+                  // exact semiring would diverge — generic path
+                  def unadjusted(fs: Map[Int, Expression]): Boolean = {
+                    import org.apache.spark.sql.types._
+                    s.child.dataType match {
+                      case d: DecimalType =>
+                        d.scale == fs.values.map(_.dataType match {
+                          case dd: DecimalType => dd.scale
+                          case _ => 0
+                        }).sum
+                      case _ => true
+                    }
+                  }
                   if (gvars.isEmpty) None
-                  else factorLeaves(s.child).filter(_.size > 1).map(ProdK(_): Kind)
+                  else factorLeaves(s.child)
+                    .filter(fs => fs.size > 1 && unadjusted(fs))
+                    .map(ProdK(_): Kind)
                 }.getOrElse(return None)
               case m: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
                 oneLeaf(m.child).map(MinK(_, m.child)).getOrElse(return None)
