@@ -44,19 +44,35 @@ object SparkEntry {
     * dirs are PINNED (shutdown-delete only, never FIFO-swept: the memo
     * map would otherwise hand out a deleted path); the pin set is
     * bounded by #artifacts × #dataset dirs, a handful per session. */
-  private val memoDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memoDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
   private val pinnedDirs =
     new java.util.concurrent.ConcurrentLinkedDeque[java.nio.file.Path]()
 
+  /** The multi-minute Spark build runs OUTSIDE the map (a per-key future
+    * claimed with putIfAbsent), never inside computeIfAbsent's bin lock —
+    * a build of one artifact must not serialize unrelated keys sharing a
+    * hash bin (r16 review fix). A failed build removes its claim so a
+    * retry can rebuild. */
   private def memoArtifact(key: String, prefix: String)
-                          (build: String => Unit): String =
-    memoDirs.computeIfAbsent(key, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory(prefix)
-      pinnedDirs.addLast(tmp)
-      build(tmp.toString)
-      tmp.toString
-    })
+                          (build: String => Unit): String = {
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = memoDirs.putIfAbsent(key, fresh)
+    if (prior != null) prior.join()
+    else
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory(prefix)
+        pinnedDirs.addLast(tmp)
+        build(tmp.toString)
+        fresh.complete(tmp.toString)
+        tmp.toString
+      } catch {
+        case t: Throwable =>
+          memoDirs.remove(key, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+  }
 
   /** Build the versioned orders snapshot store the CDC entries share
     * (v0 = base, v1 = seq-1 changes, v2 = seq-2 changes) — ONE

@@ -282,14 +282,41 @@ object Ann {
     * 0.16 across rounds; 3 bands climb 0.42 → 0.52 → 0.56). Cross-band
     * edges are the deterministic stand-in for the paper's random init.
     *
-    * `knnPlanes` is a FLOOR, not the entries' pin (r16 advice fix): the
-    * checked entries auto-size with [[lshPlanesFor]] and their oracles
-    * recompute the same plane count from `count(*)` via
+    * The plane count is NOT a constant (r16 advice fix): every graph
+    * entry point auto-sizes with [[lshPlanesFor]] (floor 4) and the
+    * oracles recompute the same count from `count(*)` via
     * [[lshPlanesCaseSql]] — a fixed plane count made the seed self-join
     * quadratic in N, contradicting the scale claim. */
-  val knnPlanes = 4
   val knnBands = 3
   val knnRounds = 2
+
+  /** The graph tier's shared (vec_id, embedding) projection: reuses the
+    * caller's frame when it is already exactly that projection AND
+    * already cached — [[graphSearch]] chains three operators over one
+    * collection, and re-projecting would cache the vectors three times
+    * over (r16 review fix). */
+  private def epOf(emb: DataFrame): DataFrame =
+    if (emb.columns.toSeq == Seq("vec_id", "embedding") &&
+        emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE) emb
+    else graft.CacheRegistry.persistTracked(
+      emb.select(col("vec_id"), col("embedding")))
+
+  /** Per-vertex top-k re-rank shared by the build ([[knnGraph]]) and the
+    * append ([[knnGraphAppend]]) — ONE definition of the dedup/score/
+    * rank contract (vec_id ≠ nbr_id, DISTINCT, cosine, (cos desc, id
+    * asc) window, keep k), mirrored on the SQL side by [[graphTopkSql]]
+    * (r16 review fix: the append had re-implemented it verbatim). */
+  private def graphTopkOf(emb: DataFrame, k: Int)(cands: DataFrame): DataFrame = {
+    val d = cands.where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id")).distinct()
+    val scored = d
+      .join(emb.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), cosine(col("__ea"), col("__eb")).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 
   /**
    * k-NN GRAPH via bounded-round NN-DESCENT (Dong et al., WWW '11) — the
@@ -311,29 +338,18 @@ object Ann {
    */
   def knnGraph(emb: DataFrame, planes: Int = 0, rounds: Int = knnRounds,
                k: Int = topK): DataFrame = {
-    val e = graft.CacheRegistry.persistTracked(
-      emb.select(col("vec_id"), col("embedding")))
+    val e = epOf(emb)
     // planes <= 0 auto-sizes the seed bands with the corpus: expected
     // bucket population is N / 2^planes, so [[lshPlanesFor]] (target 32)
     // keeps the per-band self-join LINEAR in N — a fixed plane count is
-    // the quadratic-candidate trap at collection scale. The entry pins
-    // knnPlanes explicitly because its DuckDB oracle is a generated
-    // constant; the count() here rides the persisted projection.
+    // the quadratic-candidate trap at collection scale. The oracles
+    // recompute the identical count ([[lshPlanesCaseSql]]); the count()
+    // here rides the persisted projection.
     val nPlanes = if (planes > 0) planes else lshPlanesFor(e.count(), 32)
-    def topkOf(cands: DataFrame): DataFrame = {
-      // dedup BEFORE ranking: the union routes propose the same edge
-      // repeatedly, and row_number over duplicates would emit them
-      // (mirrors the oracle's SELECT DISTINCT literally)
-      val d = cands.where(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id")).distinct()
-      val scored = d
-        .join(e.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
-        .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
-          Seq("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"), cosine(col("__ea"), col("__eb")).as("cos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
-      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-    }
+    // dedup BEFORE ranking: the union routes propose the same edge
+    // repeatedly, and row_number over duplicates would emit them
+    // (mirrors the oracle's SELECT DISTINCT literally) — graphTopkOf
+    def topkOf(cands: DataFrame): DataFrame = graphTopkOf(e, k)(cands)
     val seeds = (0 until knnBands).map { band =>
       // bucket the PERSISTED projection — three bands would otherwise
       // rescan the base relation once each
@@ -423,11 +439,12 @@ object Ann {
    * a bounded rank.
    */
   def graphSearch(emb: DataFrame, k: Int = topK): DataFrame = {
-    // one persisted projection serves the per-step scoring, the query
-    // subset, the entry aggregate AND the three band-bucket passes below
-    // (the base-relation rescan trap knnGraph's own seeds avoid)
-    val ep = graft.CacheRegistry.persistTracked(
-      emb.select(col("vec_id"), col("embedding")))
+    // ONE persisted projection serves the graph build, the per-step
+    // scoring, the query subset, the entry aggregate AND the band-bucket
+    // passes (epOf reuse — knnGraph and graphSearchOver both recognize
+    // the already-persisted frame instead of re-caching it; r16 review
+    // fix for the triple cache)
+    val ep = epOf(emb)
     // planes auto-size with the corpus (r16 advice fix) — the SAME count
     // knnGraph's own auto path computes, so the walked graph and the
     // seed buckets can never use different band families
@@ -442,8 +459,7 @@ object Ann {
     * index meta) so the per-query seed buckets match the build's. */
   def graphSearchOver(g: DataFrame, ep0: DataFrame, planes: Int,
                       k: Int = topK): DataFrame = {
-    val ep = graft.CacheRegistry.persistTracked(
-      ep0.select(col("vec_id"), col("embedding")))
+    val ep = epOf(ep0)
     // disjoint column names (src, dst): the beam frame's lineage already
     // contains this very frame after step 1, and shared names make the
     // expand join ambiguous to the self-join checker
@@ -715,8 +731,7 @@ object Ann {
   /** Build half of the graph deployment split: auto-sized NN-descent
     * graph + vectors + frozen build parameters, written once. */
   def knnGraphWrite(emb: DataFrame, dir: String): Unit = {
-    val ep = graft.CacheRegistry.persistTracked(
-      emb.select(col("vec_id"), col("embedding")))
+    val ep = epOf(emb)
     val planes = lshPlanesFor(ep.count(), 32)
     val meta = ep.sparkSession.range(1)
       .select(lit(planes).as("planes"), lit(knnBands).as("bands"),
@@ -790,17 +805,8 @@ object Ann {
     val all = graft.CacheRegistry.persistTracked(
       idx.vectors.unionByName(newV))
     val newIds = newV.select(col("vec_id"))
-    def topkOf(cands: DataFrame): DataFrame = {
-      val d = cands.where(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id")).distinct()
-      val scored = d
-        .join(all.select(col("vec_id"), col("embedding").as("__ea")), Seq("vec_id"))
-        .join(all.select(col("vec_id").as("nbr_id"), col("embedding").as("__eb")),
-          Seq("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"), cosine(col("__ea"), col("__eb")).as("cos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
-      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-    }
+    // the shared build contract — ONE topkOf for build and append
+    def topkOf(cands: DataFrame): DataFrame = graphTopkOf(all, k)(cands)
     // seed pairs with at least one new side: per band, bucket the grown
     // collection with the FROZEN planes and flag each side
     val seedsNew = (0 until bands).map { band =>
@@ -834,11 +840,18 @@ object Ann {
     val newEdges = frozen.unionByName(
       gaff.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
         round(col("cos"), 6).as("sim")))
-    // edges stage-write FIRST (it reads the live edges + old vectors),
-    // THEN the vector append, THEN the atomic edge swap — so the vector
-    // union above can never double-count the new batch
-    graft.sources.Tables.stagedReplace(newEdges, s"$dir/edges")
+    // three-step commit, every crash window recoverable (r16 review
+    // fix — swapping edges before appending vectors left a window where
+    // edges referenced vectors absent from the store):
+    //  1. STAGE the new edges (fully materializes the computation, which
+    //     reads the live edges + old vectors; live artifacts untouched);
+    //  2. append the vectors atomically — a crash here leaves a
+    //     consistent store whose new vectors are merely unindexed yet
+    //     (plus the stage dir, ready to commit);
+    //  3. commit the edge swap (atomic renames).
+    graft.sources.Tables.stagedReplaceStage(newEdges, s"$dir/edges")
     graft.sources.Tables.stagedAppend(newV, s"$dir/vectors")
+    graft.sources.Tables.stagedReplaceCommit(spark, s"$dir/edges")
   }
 
   /** DuckDB mirror of build-on-even-half + [[knnGraphAppend]] of the odd

@@ -432,11 +432,28 @@ object Tables {
     * leaves the retired dir recoverable by hand, same contract as an
     * interrupted [[stagedAppend]] stage). */
   def stagedReplace(df: DataFrame, dir: String): Unit = {
+    stagedReplaceStage(df, dir)
+    stagedReplaceCommit(df.sparkSession, dir)
+  }
+
+  /** Stage half of [[stagedReplace]]: fully materializes `df` into the
+    * stage dir (which may READ from the live dir it will later replace)
+    * without touching the live artifact — split out so a caller with
+    * SEVERAL artifacts to update can stage first, mutate the others,
+    * and commit this one last (the k-NN graph append's
+    * stage-edges → append-vectors → commit-edges order, whose every
+    * crash window leaves a readable, recoverable store). */
+  def stagedReplaceStage(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir + ".replace_stage")
+
+  /** Commit half of [[stagedReplace]]: the live→retired→stage→live
+    * rename pair. Requires a prior [[stagedReplaceStage]]. */
+  def stagedReplaceCommit(spark: SparkSession, dir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(dir)
     val stage = new org.apache.hadoop.fs.Path(dir + ".replace_stage")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val fs = live.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(stage),
+      s"staged replace: no stage dir for $dir — stagedReplaceStage must run first")
     val retired = new org.apache.hadoop.fs.Path(
       dir + s".retired-${java.util.UUID.randomUUID().toString}")
     require(fs.rename(live, retired),

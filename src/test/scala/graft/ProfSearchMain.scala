@@ -38,7 +38,7 @@ object ProfSearch {
     // warm session
     emb.count()
     CacheRegistry.unpersistAll()
-    t("knnGraph")(graft.datapipe.Ann.knnGraph(emb, planes = graft.datapipe.Ann.knnPlanes).count())
+    t("knnGraph")(graft.datapipe.Ann.knnGraph(emb).count()) // auto-sized planes, the shipped path (r16)
     CacheRegistry.unpersistAll()
     // (the step-level inline replica that found the r15 plan-analysis
     // stall was removed once fixed — it would silently diverge from the
