@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.LongType
 object TextOps {
 
   /** 60-bit non-negative hash from the first 15 md5 hex chars. */
-  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** 60-bit md5 prefix as a long — the fused codegen expression
+    * ([[graft.functions.H60]], r16; bit-equal to the old
+    * `conv(substring(md5(c), 1, 15), 16, 10)` form, which paid three
+    * per-row string round-trips). */
+  def h60(c: Column): Column = graft.functions.H60.h60(c)
 
   /** DuckDB rendering of [[h60]] — identical value for identical input. */
   def h60Sql(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
@@ -1905,11 +1909,17 @@ object TextOps {
   def spanDedupChars(docs: DataFrame): DataFrame = {
     val L = spanChars
     val base = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
-    val grams = base.where(length(col("t")) >= L)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), (length(col("t")) - L).cast("long"))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        h60(col("t").substr((col("pos") + 1).cast("int"), lit(L))).as("h"))
+    // persisted: the window hashes feed BOTH the first-occurrence
+    // aggregate and the covered join — independent subtrees, so without
+    // the pin the per-window md5 pass (the operator's dominant cost)
+    // runs twice (r16 profile find; callers release via
+    // CacheRegistry.unpersistAll, the repo-wide contract)
+    val grams = graft.CacheRegistry.persistTracked(
+      base.where(length(col("t")) >= L)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L), (length(col("t")) - L).cast("long"))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          h60(col("t").substr((col("pos") + 1).cast("int"), lit(L))).as("h")))
     val first = grams.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val covered = grams.join(first, "h")
@@ -1917,26 +1927,45 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + L - 1)).as("idx"))
       .distinct()
-    // rebuild ONLY the docs that actually lost characters: the covered
-    // set collapses to one sorted index array per hit doc, untouched
-    // docs pass their text through the left join unchanged — the naive
-    // per-character explode + collect_list ran the full rebuild for
-    // EVERY doc and cost 15s hashed at sf0.1 where this reads <1s (the
-    // covered population is a small fraction of any real corpus)
-    val covArr = covered.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("idx"))).as("__cov"))
+    // rebuild ONLY the docs that actually lost characters, and cut by
+    // MAXIMAL RUNS rather than per character: the covered indices merge
+    // into disjoint (start, end) runs (the classic idx − row_number
+    // grouping — the per-doc window is bounded by document length), and
+    // the kept text is one fold over the few runs, copying the gap
+    // before each run and the tail once. The naive per-character
+    // explode + collect_list rebuild ran for EVERY doc (15s hashed at
+    // sf0.1); a per-char array_contains rebuild was still quadratic on
+    // hit docs (12s) — this is O(kept chars) with |runs| substr copies.
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val runs = covered
+      .withColumn("__grp", col("idx") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("idx")).as("s"), max(col("idx")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__runs"),
+        sum(col("e") - col("s") + 1L).as("__ndrop"))
     val tlen = length(col("t")).cast("long")
-    val kept = array_join(
-      transform(sequence(lit(0L), tlen - 1),
-        i => when(array_contains(col("__cov"), i), lit(""))
-          .otherwise(col("t").substr((i + 1).cast("int"), lit(1)))), "")
-    base.join(covArr, Seq("doc_id"), "left")
+    val kept = {
+      val folded = aggregate(col("__runs"),
+        struct(lit(0L).as("pos"), lit("").as("acc")),
+        (acc, r) => struct(
+          (r.getField("e") + 1L).as("pos"),
+          concat(acc.getField("acc"),
+            col("t").substr((acc.getField("pos") + 1L).cast("int"),
+              (r.getField("s") - acc.getField("pos")).cast("int"))).as("acc")),
+        acc => concat(acc.getField("acc"),
+          col("t").substr((acc.getField("pos") + 1L).cast("int"),
+            (tlen - acc.getField("pos")).cast("int"))))
+      folded
+    }
+    base.join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         tlen.as("n_chars"),
-        coalesce(size(col("__cov")).cast("long"), lit(0L)).as("n_dropped"),
+        coalesce(col("__ndrop"), lit(0L)).as("n_dropped"),
         when(col("t") === "", lit(null: String))
-          .when(col("__cov").isNull, col("t"))
-          .when(size(col("__cov")).cast("long") === tlen, lit(null: String))
+          .when(col("__runs").isNull, col("t"))
+          .when(col("__ndrop") === tlen, lit(null: String))
           .otherwise(kept).as("text_byte_deduped"))
   }
 

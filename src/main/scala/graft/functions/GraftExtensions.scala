@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.{LongType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def h60(e: Expression): Expression =
-    Cast(Conv(Substring(Md5(Cast(e, org.apache.spark.sql.types.BinaryType)),
-      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    // the fused codegen form (r16) — bit-equal to the old
+    // conv(substring(md5(cast to binary),1,15),16,10) chain, with the
+    // same cast (a string input hashes its UTF-8 bytes; illegal input
+    // types still fail analysis at the cast, exactly as before)
+    H60Expr(Cast(e, org.apache.spark.sql.types.BinaryType))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
