@@ -168,7 +168,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // random EXISTS / NOT EXISTS / IN / scalar subquery predicate pinned
     // to a random leaf (correlated or not). Every query must return stock
     // Spark's rows — via the CQC route or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(146213)
+    val rnd = new scala.util.Random(146214)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("props_edges")
@@ -259,7 +259,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // subquery predicate (correlated or not) pinned underneath. Every
     // query must return stock Spark's multiset — via the fast path, the
     // generic path, or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(147813)
+    val rnd = new scala.util.Random(147814)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propg_edges")
@@ -517,7 +517,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // INDEPENDENTLY, and a branch may now carry explicit semi/anti
     // probes, aggregates, or both — per-branch routing must keep
     // multiset semantics exact under every combination operator
-    val rnd = new scala.util.Random(148157)
+    val rnd = new scala.util.Random(148158)
     val edges = Seq.fill(260)(
         (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(5).toLong))
       .distinct.toDF("src", "dst", "w")
