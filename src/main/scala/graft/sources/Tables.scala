@@ -492,8 +492,33 @@ object Tables {
    * no-op (MergeSpec pins this plus the window-free plan).
    */
   def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
-            seqCol: String = "seq", opCol: String = "op"): DataFrame = {
-    val payload = base.columns.filterNot(keys.contains).toSeq
+            seqCol: String = "seq", opCol: String = "op"): DataFrame =
+    merge(base, changes, keys, seqCol, opCol, evolveSchema = false)
+
+  /** SCHEMA EVOLUTION (r16 — Delta's `mergeSchema` contract, explicit
+    * opt-in exactly as there): with `evolveSchema = true` a change
+    * batch may carry payload columns the base lacks — the base
+    * null-extends to the widened schema before the merge, so untouched
+    * rows keep NULL in the new columns and upserts carry their values.
+    * Columns may only be ADDED (the append-compatible direction);
+    * a batch that DROPS base columns still fails loud either way, and
+    * without the opt-in any extra column fails loud too (a typo'd
+    * change feed must never silently widen the store). */
+  def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
+            seqCol: String, opCol: String, evolveSchema: Boolean): DataFrame = {
+    val extras = changes.columns
+      .filterNot(c => base.columns.contains(c) || c == seqCol || c == opCol).toSeq
+    val base1 =
+      if (extras.isEmpty) base
+      else {
+        require(evolveSchema,
+          s"merge: changes carry columns the base lacks (${extras.mkString(", ")}) — " +
+            "pass evolveSchema = true to widen the snapshot (Delta mergeSchema), " +
+            "or fix the change feed")
+        extras.foldLeft(base)((df, c) =>
+          df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
+      }
+    val payload = base1.columns.filterNot(keys.contains).toSeq
     require((keys ++ payload ++ Seq(seqCol, opCol)).forall(changes.columns.contains),
       s"merge: changes must carry the base schema plus $seqCol/$opCol")
     val latest = changes
@@ -501,9 +526,9 @@ object Tables {
       .agg(max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__last"))
       .select(keys.map(col) ++
         (opCol +: payload).map(c => col(s"__last.`$c`").as(c)): _*)
-    val kept = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val kept = base1.join(latest.select(keys.map(col): _*), keys, "left_anti")
     val upserts = latest.where(col(opCol) =!= "D")
-      .select(base.columns.toSeq.map(col): _*)
+      .select(base1.columns.toSeq.map(col): _*)
     kept.unionByName(upserts)
   }
 
@@ -678,10 +703,20 @@ object Tables {
   def snapshotChanges(s: SparkSession, dir: String, keys: Seq[String],
                       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val a = readSnapshotAt(s, dir, fromV)
+    val a0 = readSnapshotAt(s, dir, fromV)
     val b = readSnapshotAt(s, dir, toV)
-    require(a.columns.sameElements(b.columns),
-      s"snapshot schema drift between v$fromV and v$toV")
+    // schema evolution (r16): the store only ever ADDS columns
+    // (merge's evolveSchema contract), so an older version's schema must
+    // be a subset of the newer's — null-extend the old side
+    // and diff over the widened schema (a row whose only change is a
+    // value in a new column emits a 'U', exactly Delta's read); any
+    // other drift still fails loud
+    val missing = b.columns.filterNot(a0.columns.contains).toSeq
+    require(a0.columns.forall(b.columns.contains),
+      s"snapshot schema drift between v$fromV and v$toV: " +
+        s"v$toV lacks ${a0.columns.filterNot(b.columns.contains).mkString(", ")}")
+    val a = missing.foldLeft(a0)((df, c) =>
+      df.withColumn(c, lit(null).cast(b.schema(c).dataType)))
     val payload = a.columns.filterNot(keys.contains).toSeq
     val af = a.select(keys.map(col) :+ struct(payload.map(col): _*).as("__from"): _*)
     val bf = b.select(keys.map(col) :+ struct(payload.map(col): _*).as("__to"): _*)
@@ -705,14 +740,18 @@ object Tables {
     * the same parent is the identical frame, and re-writing the version
     * dir just replaces it. */
   def applyChangeBatch(batch: DataFrame, keys: Seq[String], snapshotDir: String,
-                       version: Long): Unit = {
+                       version: Long, evolveSchema: Boolean = false): Unit = {
     require(version >= 1, s"version 0 is the initSnapshot base, got $version")
     val s = batch.sparkSession
     require(snapshotVersions(s, snapshotDir).contains(version - 1),
       s"parent snapshot v${version - 1} not committed under $snapshotDir")
-    val merged = merge(s.read.parquet(s"$snapshotDir/v${version - 1}"), batch, keys)
+    val merged = merge(s.read.parquet(s"$snapshotDir/v${version - 1}"), batch, keys,
+      "seq", "op", evolveSchema)
     merged.write.mode("overwrite").parquet(s"$snapshotDir/v$version")
-    writeSnapshotMeta(s, snapshotDir, version, "MERGE")
+    // evolved commits record their own operation so DESCRIBE HISTORY
+    // shows WHERE the schema widened
+    writeSnapshotMeta(s, snapshotDir, version,
+      if (evolveSchema) "MERGE+SCHEMA" else "MERGE")
   }
 
   /**

@@ -245,6 +245,70 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("schema evolution: opt-in widens, untouched rows null-fill, typo'd feeds fail loud") {
+    // a change batch carrying a NEW payload column
+    val evolved = changes.where($"seq" === 1)
+      .withColumn("tier", concat(lit("t"), $"k"))
+    // without the opt-in the extra column is a loud error (typo guard)
+    val e = intercept[IllegalArgumentException] {
+      Tables.merge(base, evolved, Seq("k"))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    val out = Tables.merge(base, evolved, Seq("k"), "seq", "op", evolveSchema = true)
+    assert(out.columns.contains("tier"))
+    // upserted keys carry the new value; untouched base rows null-fill
+    val byK = out.collect().map(r => r.getAs[Long]("k") -> Option(r.getAs[String]("tier"))).toMap
+    val touched = evolved.where($"op" =!= "D").select("k").as[Long].collect().toSet
+    byK.foreach { case (k, tier) =>
+      if (touched(k)) assert(tier.contains(s"t$k"), s"upsert $k carries the new column")
+      else assert(tier.isEmpty, s"untouched $k null-fills")
+    }
+    // dropping a base column still fails loud even WITH the opt-in
+    intercept[IllegalArgumentException] {
+      Tables.merge(base, evolved.drop("v"), Seq("k"), "seq", "op", evolveSchema = true)
+    }
+  }
+
+  test("store-level evolution: per-version schemas, MERGE+SCHEMA history, evolved CDC read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      val evolved = changes.where($"seq" === 2)
+        .withColumn("tier", concat(lit("t"), $"k"))
+      // un-opted evolution fails loud and commits NOTHING
+      intercept[IllegalArgumentException] {
+        Tables.applyChangeBatch(evolved, Seq("k"), dir, 2L)
+      }
+      assert(Tables.snapshotHistory(spark, dir) == Seq(0L, 1L))
+      Tables.applyChangeBatch(evolved, Seq("k"), dir, 2L, evolveSchema = true)
+      // old versions keep their own schema; the new one is widened
+      assert(!Tables.readSnapshotAt(spark, dir, 1L).columns.contains("tier"))
+      assert(Tables.readSnapshotAt(spark, dir, 2L).columns.contains("tier"))
+      // history records where the schema widened
+      val hist = Tables.snapshotHistoryMeta(spark, dir)
+        .orderBy("version").as[(Long, String, Long)].collect().toSeq
+      assert(hist.map(_._2) == Seq("INIT", "MERGE", "MERGE+SCHEMA"))
+      // CDC read across the widening: the old side null-extends, rows
+      // whose only change is the new column emit a 'U'
+      val ch = Tables.snapshotChanges(spark, dir, Seq("k"), 1L, 2L)
+      assert(ch.columns.contains("tier"))
+      val touched = evolved.where($"op" =!= "D").select("k").as[Long].collect().toSet
+      val uRows = ch.where($"op" === "U").collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("tier")).toMap
+      touched.foreach(k => assert(uRows.get(k).contains(s"t$k"), s"evolved U row for $k"))
+      // the reversed direction — a later version MISSING an older one's
+      // column — is genuine drift and fails loud (hand-write a v3 that
+      // dropped the base payload)
+      Tables.readSnapshotAt(spark, dir, 2L).drop("v")
+        .write.parquet(s"$dir/v3")
+      val e = intercept[IllegalArgumentException] {
+        Tables.snapshotChanges(spark, dir, Seq("k"), 2L, 3L)
+      }
+      assert(e.getMessage.contains("schema drift"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mergeStreaming folds MemoryStream micro-batches into the snapshot store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
