@@ -1946,19 +1946,16 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__runs"),
         sum(col("e") - col("s") + 1L).as("__ndrop"))
     val tlen = length(col("t")).cast("long")
-    val kept = {
-      val folded = aggregate(col("__runs"),
-        struct(lit(0L).as("pos"), lit("").as("acc")),
-        (acc, r) => struct(
-          (r.getField("e") + 1L).as("pos"),
-          concat(acc.getField("acc"),
-            col("t").substr((acc.getField("pos") + 1L).cast("int"),
-              (r.getField("s") - acc.getField("pos")).cast("int"))).as("acc")),
-        acc => concat(acc.getField("acc"),
+    val kept = aggregate(col("__runs"),
+      struct(lit(0L).as("pos"), lit("").as("acc")),
+      (acc, r) => struct(
+        (r.getField("e") + 1L).as("pos"),
+        concat(acc.getField("acc"),
           col("t").substr((acc.getField("pos") + 1L).cast("int"),
-            (tlen - acc.getField("pos")).cast("int"))))
-      folded
-    }
+            (r.getField("s") - acc.getField("pos")).cast("int"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        col("t").substr((acc.getField("pos") + 1L).cast("int"),
+          (tlen - acc.getField("pos")).cast("int"))))
     base.join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         tlen.as("n_chars"),

@@ -47,12 +47,26 @@ object H60 {
 }
 
 /** `h60(string | binary)` — 60-bit md5 prefix as a long; see [[H60]].
-  * Input type enforced by the callers (the repo's custom-expression
-  * convention): internal call sites pass strings; the SQL-registered
-  * `graft_h60` casts to binary first, exactly like the legacy chain. */
+  * Unlike the repo's other custom expressions (caller-enforced types),
+  * this one checks its input at ANALYSIS time: the legacy conv/md5
+  * chain failed a bad input during analysis, and the public
+  * `TextOps.h60` / `graft_h60` surfaces must keep that failure mode
+  * rather than a mid-stage ClassCastException (r16 review fix). */
 case class H60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_h60"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_h60 needs a string or binary input, got ${other.sql}")
+    }
+  }
 
   private def isBinary: Boolean =
     child.dataType == org.apache.spark.sql.types.BinaryType

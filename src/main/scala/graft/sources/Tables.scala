@@ -502,12 +502,18 @@ object Tables {
     * rows keep NULL in the new columns and upserts carry their values.
     * Columns may only be ADDED (the append-compatible direction);
     * a batch that DROPS base columns still fails loud either way, and
-    * without the opt-in any extra column fails loud too (a typo'd
-    * change feed must never silently widen the store). */
+    * without the opt-in any extra column fails loud too — Delta's own
+    * no-mergeSchema contract (NOTE, r16 behavior change: the pre-r16
+    * merge silently DROPPED extra change columns, which hid feed
+    * drift). Extras are detected CASE-INSENSITIVELY: under Spark's
+    * default resolver `withColumn` REPLACES a case-colliding existing
+    * column, so a feed column differing only in case must route to the
+    * strict schema require (loud) rather than null out live data. */
   def merge(base: DataFrame, changes: DataFrame, keys: Seq[String],
             seqCol: String, opCol: String, evolveSchema: Boolean): DataFrame = {
     val extras = changes.columns
-      .filterNot(c => base.columns.contains(c) || c == seqCol || c == opCol).toSeq
+      .filterNot(c => base.columns.exists(_.equalsIgnoreCase(c)) ||
+        c == seqCol || c == opCol).toSeq
     val base1 =
       if (extras.isEmpty) base
       else {

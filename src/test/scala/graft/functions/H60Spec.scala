@@ -31,6 +31,13 @@ class H60Spec extends SparkSpecBase {
     assert(n.isNullAt(0))
   }
 
+  test("non-string/binary input fails at ANALYSIS, like the legacy chain") {
+    val e = intercept[Exception] {
+      Seq(1L).toDF("x").select(H60.h60(col("x"))).collect()
+    }
+    assert(e.getMessage.contains("graft_h60"), e.getMessage)
+  }
+
   test("matches the DuckDB h60 rendering on a hand value") {
     // md5("graft") = df0f... — assert against the java digest directly
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -267,6 +267,14 @@ class MergeSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Tables.merge(base, evolved.drop("v"), Seq("k"), "seq", "op", evolveSchema = true)
     }
+    // a feed column differing ONLY IN CASE is drift, not evolution:
+    // under the default case-insensitive resolver withColumn would
+    // REPLACE the live column with nulls — it must fail loud instead
+    // (r16 review fix)
+    val cased = changes.where($"seq" === 1).withColumnRenamed("v", "V")
+    intercept[IllegalArgumentException] {
+      Tables.merge(base, cased, Seq("k"), "seq", "op", evolveSchema = true)
+    }
   }
 
   test("store-level evolution: per-version schemas, MERGE+SCHEMA history, evolved CDC read") {
