@@ -59,9 +59,10 @@ object SparkEntry {
     val fresh = new java.util.concurrent.CompletableFuture[String]()
     val prior = memoDirs.putIfAbsent(key, fresh)
     if (prior != null) prior.join()
-    else
+    else {
+      var tmp: java.nio.file.Path = null
       try {
-        val tmp = java.nio.file.Files.createTempDirectory(prefix)
+        tmp = java.nio.file.Files.createTempDirectory(prefix)
         pinnedDirs.addLast(tmp)
         build(tmp.toString)
         fresh.complete(tmp.toString)
@@ -69,9 +70,13 @@ object SparkEntry {
       } catch {
         case t: Throwable =>
           memoDirs.remove(key, fresh)
+          // unpin + delete the partial dir so a retry doesn't leak disk
+          // for the session (pins are shutdown-delete only — r16 advice)
+          if (tmp != null) { pinnedDirs.remove(tmp); deleteTree(tmp) }
           fresh.completeExceptionally(t)
           throw t
       }
+    }
   }
 
   /** Build the versioned orders snapshot store the CDC entries share
@@ -723,7 +728,8 @@ object SparkEntry {
     * VERDICT #4's fallback lift): the span's outer attrs live on BOTH
     * leaves, so r15 would decline to stock; now it routes through the
     * CQC pipeline with the subquery applied as a post-enumeration
-    * filter (DoorEdge18Spec pins the dry-run shows no stock fallback).
+    * filter (SubqSpanSpec pins the dry-run shows no stock fallback;
+    * DoorEdge19Spec carries the adversarial battery).
     * The subquery uses MAX (exact, no accumulation) so the boundary
     * comparison is engine-identical. */
   def qSqlCqcSubqSpan(s: SparkSession, d: String): DataFrame = {

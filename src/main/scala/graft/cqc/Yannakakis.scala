@@ -457,8 +457,16 @@ object Yannakakis {
                    bt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
       import org.apache.spark.sql.types.DecimalType
       import graft.functions.DecimalExact
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      def fractional(t: org.apache.spark.sql.types.DataType): Boolean =
+        t == DoubleType || t == FloatType
       (at, bt) match {
         case (_: DecimalType, _: DecimalType) => DecimalExact.times(a, b)
+        // a fractional factor cannot ride timesCount (it casts the
+        // factor to DECIMAL(20,0), silently rounding 0.5 to 0 — r16
+        // advice); the product honestly degrades to double instead
+        case (_: DecimalType, o) if fractional(o) => a * b
+        case (o, _: DecimalType) if fractional(o) => a * b
         case (_: DecimalType, _) => DecimalExact.timesCount(a, b)
         case (_, _: DecimalType) => DecimalExact.timesCount(b, a)
         case _ => a * b

@@ -119,7 +119,11 @@ object Ann {
     * transcendentals in the fixed-point operators). */
   def lshPlanesFor(n: Long, targetBucket: Int = 32): Int = {
     var p = 4
-    while (p < 62 && (targetBucket.toLong << p) < n) p += 1
+    // past the Long overflow point the shifted threshold goes
+    // non-positive; no threshold can catch n there, so p runs to the
+    // cap — the same arm the SQL rendering's ELSE 62 takes (r16
+    // advice: the overflow is now explicit, not accidental)
+    while (p < 62 && { val t = targetBucket.toLong << p; t <= 0 || t < n }) p += 1
     p
   }
 
@@ -127,7 +131,11 @@ object Ann {
     * count expression — exact by construction (no log2 on either
     * engine). */
   def lshPlanesCaseSql(nExpr: String, targetBucket: Int = 32): String =
-    (4 until 62).map(p => s"WHEN $nExpr <= ${targetBucket.toLong << p} THEN $p")
+    (4 until 62).map(p => (p, targetBucket.toLong << p))
+      .takeWhile(_._2 > 0) // stop at the last non-overflowed threshold —
+      // every emitted WHEN is meaningful; larger n falls to ELSE 62,
+      // exactly [[lshPlanesFor]]'s overflow arm (r16 advice)
+      .map { case (p, t) => s"WHEN $nExpr <= $t THEN $p" }
       .mkString("CASE ", " ", " ELSE 62 END")
 
   /** Deterministic md5-derived hyperplane weight in [-1, 1], computed

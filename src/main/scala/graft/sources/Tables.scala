@@ -427,10 +427,13 @@ object Tables {
     * stage write runs FIRST and fully materializes `df` — which may
     * read from the live dir it is about to replace — before any rename
     * touches it; the live→retired→stage→live rename pair is the commit
-    * point, so a reader never sees a half-written dir (it sees either
-    * the old artifact or the new one; a crash between the two renames
+    * point, so a reader never sees a half-written dir. NOTE the exact
+    * contract (r16 advice): between the two renames the live path does
+    * not EXIST — a concurrent reader (or a crash there) sees a missing
+    * dir, not the old artifact, so the store is single-writer with no
+    * concurrent readers during commit; a crash between the renames
     * leaves the retired dir recoverable by hand, same contract as an
-    * interrupted [[stagedAppend]] stage). */
+    * interrupted [[stagedAppend]] stage. */
   def stagedReplace(df: DataFrame, dir: String): Unit = {
     stagedReplaceStage(df, dir)
     stagedReplaceCommit(df.sparkSession, dir)

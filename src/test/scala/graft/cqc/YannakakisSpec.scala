@@ -112,6 +112,27 @@ class YannakakisSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Yannakakis.productOverJoin(rels, Seq("a"), Map("nope" -> "w1"))
     }
+    // r17 advice fix: a FRACTIONAL factor mixed with a decimal factor
+    // must NOT ride timesCount (which casts it to DECIMAL(20,0),
+    // silently rounding 0.5 -> 0); the product degrades to double and
+    // keeps the fraction — pre-r16 semantics restored for the API
+    // odd decimal weights x 0.5: the (3,4) edge's single continuation
+    // yields 3.5 for a=3 — guaranteed-fractional evidence (all values
+    // are exact halves, so the double compare below is exact too)
+    val wd = edges.zipWithIndex.map { case ((u, v), i) =>
+      (u, v, BigDecimal(2 * i + 3).setScale(2)) }.toDF("a", "b", "w1")
+    val wf = edges.map { case (u, v) => (u, v, 0.5) }.toDF("c", "d", "w3")
+    val relsMix = Seq(
+      Rel("g1", wd), Rel("g2", e.toDF("b", "c")), Rel("g3", wf))
+    val gotMix = Yannakakis.productOverJoin(relsMix, Seq("a"),
+        Map("g1" -> "w1", "g3" -> "w3"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val wantMix = wd.join(e.toDF("b", "c"), "b").join(wf, "c")
+      .groupBy("a").agg(sum(col("w1") * col("w3")).as("p"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(gotMix == wantMix && wantMix.nonEmpty)
+    assert(wantMix.values.exists(v => v != math.floor(v)),
+      "the planted fractional products must actually be fractional")
   }
 
   test("extremaOverJoin equals min/max over the enumerated join") {

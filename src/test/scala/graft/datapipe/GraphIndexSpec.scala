@@ -29,6 +29,15 @@ class GraphIndexSpec extends SparkSpecBase {
     assert(Ann.lshPlanesFor(513) == 5)
     assert(Ann.lshPlanesFor(2000) == 6)
     assert(Ann.lshPlanesFor(Long.MaxValue) == 62)
+    // r17 advice fix: the CASE chain stops at the last non-overflowed
+    // threshold (32L << 58 goes negative) — every emitted WHEN is a
+    // meaningful positive bound, and n past the last one falls to the
+    // ELSE 62 arm, exactly lshPlanesFor's overflow behavior
+    val sql = Ann.lshPlanesCaseSql("n")
+    assert(!sql.contains("<= -") && !sql.contains("<= 0 "))
+    assert(sql.contains(s"WHEN n <= ${32L << 57} THEN 57"))
+    assert(!sql.contains("THEN 58") && sql.endsWith("ELSE 62 END"))
+    assert(Ann.lshPlanesFor((32L << 57) + 1) == 62) // past the last threshold
   }
 
   test("disk round-trip: the persisted graph IS the inline graph (edges, meta, vectors)") {
