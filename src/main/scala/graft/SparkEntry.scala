@@ -2394,6 +2394,11 @@ object SparkEntry {
     "dedup_semantic_group" -> ((s, d) => Ann.semanticDedupGroup(Tables.embeddings(s, d))),
     // multimodal SemDeDup: stub decode -> embed -> cluster -> dedup decision
     "mm_dedup" -> ((s, d) => Multimodal.semanticDedupOverFeatures(Tables.documents(s, d))),
+    // perceptual-hash image dedup (r17): dHash over the luma grid seam
+    // (stub grid here; downsampleLuma in PhashSpec's real-codec path),
+    // 4x16-bit banded hamming buckets (pigeonhole-exact to hamming 3),
+    // keep-first decision — catches re-encodes byte-hash dedup misses
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedupDocuments(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     // NB language ID (r16): multiclass Bernoulli NB over the word vocab,
     // trained on the doc_id%10 curated labeled slice — the fastText-class
@@ -3268,6 +3273,7 @@ object SparkEntry {
     "dedup_semantic" -> Ann.semanticDedupSql,
     "dedup_semantic_group" -> Ann.semanticDedupGroupSql,
     "mm_dedup" -> Multimodal.semanticDedupOverFeaturesSql,
+    "mm_phash_dedup" -> Multimodal.phashDedupDocumentsSql,
     "text_langid" -> TextOps.langIdSql,
     "text_langid_nb" -> TextOps.langIdNbSql("doc_id % 10 = 0"),
     "text_lm_score" -> TextOps.lmScoreSql,

@@ -370,6 +370,203 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** dHash grid geometry: 9 columns x 8 rows, so every one of the 64
+    * signature bits has a horizontal neighbor to compare against
+    * (the classic dHash recipe: Krawetz, "Kind of Like That", 2013 —
+    * public algorithm; LAION/DataComp-style image pipelines dedup on
+    * exactly this signature where byte-hash dedup misses re-encodes). */
+  val phGridW = 9
+  val phGridH = 8
+
+  /** Banding for the hamming bucket join: 4 chunks of 16 bits over the
+    * 64-bit signature — the SimHash pigeonhole ([[Dedup.simhashNearDup]]):
+    * two signatures within hamming `chunks - 1` = 3 share at least one
+    * unchanged chunk, so bucket recall at the default threshold is
+    * EXACT (never all-pairs). */
+  val phChunks = 4
+  val phMaxHamming: Int = phChunks - 1
+
+  /** Hot-bucket cap — same skew discipline as [[Dedup.shBucketCap]]:
+    * a pathological constant-image bucket (e.g. solid-color thumbnails,
+    * whose dHash is all-zero) is dropped before the self-join squares
+    * it; the cap is mirrored in the oracle. */
+  val phBucketCap = 200
+
+  /** 64-bit dHash over a [[phGridW]]x[[phGridH]] luma grid: bit
+    * (y,x) = 1 iff the right neighbor is strictly brighter. Gradient
+    * comparisons survive re-encode noise that kills byte hashes —
+    * unsigned byte compare, bit 63 rides the Long sign bit. */
+  def dHash64(grid: Array[Byte]): Long = {
+    require(grid.length == phGridW * phGridH,
+      s"dHash expects a ${phGridW}x$phGridH grid, got ${grid.length} cells")
+    var h = 0L
+    var y = 0
+    while (y < phGridH) {
+      var x = 0
+      while (x < phGridW - 1) {
+        if ((grid(y * phGridW + x + 1) & 0xFF) > (grid(y * phGridW + x) & 0xFF))
+          h |= (1L << (y * (phGridW - 1) + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** STUB luma grid for the text corpus (no image corpora in this
+    * container): 72 deterministic bytes from five md5 digests of
+    * (content-md5, k) — byte j of digest k is grid cell 16k+j, which is
+    * exactly `('0x' || substr(md5(md5(text)||':'||k), 2j+1, 2))::INT`
+    * in DuckDB, so the whole hash chain mirrors in SQL. The REAL grid
+    * is [[downsampleLuma]] (bit-deterministic area means, r16) via
+    * [[phashesReal]]; the decision dataflow downstream is identical. */
+  private def stubLumaGrid(md: MessageDigest, bytes: Array[Byte]): Array[Byte] = {
+    val src = md5Hex(md, bytes)
+    val out = new Array[Byte](phGridW * phGridH)
+    var k = 0
+    var o = 0
+    while (o < out.length) {
+      md.reset()
+      val dg = md.digest(s"$src:$k".getBytes("UTF-8"))
+      val n = math.min(dg.length, out.length - o)
+      System.arraycopy(dg, 0, out, o, n)
+      o += n
+      k += 1
+    }
+    out
+  }
+
+  /** (doc_id, phash) over the stub grid — the oracle-checkable form. */
+  def phashes(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => (id, dHash64(stubLumaGrid(md, bytes))) }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** (doc_id, phash) through the REAL JDK decoder: [[downsampleLuma]]
+    * area means -> [[dHash64]] — the production path, spec'd on a
+    * planted PNG/JPEG re-encode twin that byte-hash dedup misses. */
+  def phashesReal(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, dHash64(downsampleLuma(bytes, phGridW, phGridH)))
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Near-dup pairs (d1 < d2, hamming ≤ `maxHamming`) over a
+    * (doc_id, phash) frame: 16-bit-chunk buckets (exact recall for
+    * maxHamming ≤ [[phChunks]]-1 by pigeonhole), capped hot buckets
+    * (map-side-collapsed count + anti-join — no count window), then
+    * bit_count(xor) verify. The same shape as the SimHash family; at
+    * 100 TB the candidate set is bucketed, never all-pairs. */
+  def phashPairs(sig: DataFrame, maxHamming: Int = phMaxHamming,
+                 cap: Int = phBucketCap): DataFrame = {
+    require(maxHamming <= phChunks - 1,
+      s"$phChunks chunks guarantee recall only to hamming ${phChunks - 1}")
+    val chunkStructs = (0 until phChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val ck = sig.select(col("doc_id"), explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val hot = ck.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > cap)
+      .select(col("chunk"), col("key"))
+    val capped = ck.join(hot, Seq("chunk", "key"), "left_anti")
+      .select(col("doc_id"), col("chunk"), col("key"))
+    val cand = capped.toDF("d1", "chunk", "key")
+      .join(capped.toDF("d2", "chunk", "key"), Seq("chunk", "key"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sig.toDF("d1", "p1"), "d1")
+      .join(sig.toDF("d2", "p2"), "d2")
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** The dedup DECISION over any (doc_id, phash) frame: keep-first —
+    * a doc is a dup iff some earlier doc is within [[phMaxHamming]].
+    * Output (doc_id, phash, is_dup), the per-asset verdict a pipeline
+    * filters on. */
+  def phashDedup(sig: DataFrame, maxHamming: Int = phMaxHamming,
+                 cap: Int = phBucketCap): DataFrame = {
+    // signatures feed chunking, both verify joins AND the final output:
+    // persist the tiny (doc_id, phash) frame so the hash pass runs once
+    val sigP = graft.CacheRegistry.persistTracked(sig)
+    val dups = phashPairs(sigP, maxHamming, cap)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    sigP.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** mm_phash_dedup: stub-grid dHash over the documents-as-binary
+    * corpus + the real banded-hamming decision dataflow — the
+    * perceptual twin of byte-exact [[Dedup.exactDedup]], catching
+    * re-encodes byte hashes cannot. */
+  def phashDedupDocuments(docs: DataFrame): DataFrame =
+    phashDedup(phashes(documentsAsBinary(docs)))
+
+  /** DuckDB mirror of [[phashDedupDocuments]]: the stub grid as a
+    * 72-cell array, dHash as a sum of CASE bit terms (bit 63's weight
+    * is the Long sign value; partial sums stay in BIGINT because each
+    * power of two appears once), then the same chunk/cap/verify chain
+    * as [[Dedup.simhashNearDupSqlFor]]. */
+  val phashDedupDocumentsSql: String = {
+    val cells = (0 until phGridW * phGridH).map { i =>
+      val k = i / 16
+      val j = i % 16
+      s"('0x' || substr(md5(md5(text) || ':$k'), ${2 * j + 1}, 2))::BIGINT"
+    }.mkString("[", ",\n          ", "]")
+    val bits = (0 until phGridH).flatMap { y =>
+      (0 until phGridW - 1).map { x =>
+        val b = y * (phGridW - 1) + x
+        val w = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+        s"CASE WHEN g[${y * phGridW + x + 2}] > g[${y * phGridW + x + 1}] THEN $w ELSE 0 END"
+      }
+    }.mkString(" + ")
+    val chunkSelects = (0 until phChunks).map { c =>
+      s"SELECT doc_id, $c AS chunk, (phash >> ${c * 16}) & 65535 AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH g AS (
+       |  SELECT doc_id, $cells AS g
+       |  FROM documents
+       |),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM g),
+       |chunks AS (
+       |  $chunkSelects
+       |),
+       |capped AS (
+       |  SELECT * FROM chunks
+       |  QUALIFY count(*) OVER (PARTITION BY chunk, key) <= $phBucketCap
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |dup AS (
+       |  SELECT DISTINCT c.d2 AS doc_id
+       |  FROM cand c JOIN sig s1 ON c.d1 = s1.doc_id JOIN sig s2 ON c.d2 = s2.doc_id
+       |  WHERE bit_count(xor(s1.phash, s2.phash)) <= $phMaxHamming
+       |)
+       |SELECT s.doc_id, s.phash, d.doc_id IS NOT NULL AS is_dup
+       |FROM sig s LEFT JOIN dup d ON s.doc_id = d.doc_id""".stripMargin
+  }
+
   def decodeDocuments(docs: DataFrame): DataFrame = decode(documentsAsBinary(docs)).toDF()
 
   def resizeDocuments(docs: DataFrame): DataFrame =
