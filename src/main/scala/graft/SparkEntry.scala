@@ -2405,6 +2405,10 @@ object SparkEntry {
     // upgrade of the stopword vote; exact integer sums, one division
     "text_langid_nb" -> ((s, d) =>
       TextOps.langIdNb(Tables.documents(s, d), col("doc_id") % 10 === 0)),
+    // char-trigram NB language ID (r17): fastText-style subword
+    // features — unseen inflections share grams with seen vocabulary
+    "text_langid_nb_char" -> ((s, d) =>
+      TextOps.langIdNbChar(Tables.documents(s, d), col("doc_id") % 10 === 0)),
     // CCNet-style LM likelihood gate: char-trigram model self-trained on
     // the corpus, mean per-trigram probability as the filter signal
     "text_lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
@@ -3276,6 +3280,7 @@ object SparkEntry {
     "mm_phash_dedup" -> Multimodal.phashDedupDocumentsSql,
     "text_langid" -> TextOps.langIdSql,
     "text_langid_nb" -> TextOps.langIdNbSql("doc_id % 10 = 0"),
+    "text_langid_nb_char" -> TextOps.langIdNbCharSql("doc_id % 10 = 0"),
     "text_lm_score" -> TextOps.lmScoreSql,
     "text_lm_score_ref" -> TextOps.lmScoreRefSql("doc_id % 10 = 0"),
     "pipe_clean_lang" -> TextOps.cleanCorpusSql,

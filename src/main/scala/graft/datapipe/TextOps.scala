@@ -490,51 +490,83 @@ object TextOps {
    * count/sum aggregate — the only corpus-keyed exchange. The argmax
    * window partitions per doc (|langs| rows each), never globally.
    */
-  def langIdNb(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame = {
+  def langIdNb(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame =
+    langIdNbOver(docs, curated, cap,
+      array_distinct(words(Dedup.normText)), "n_words")
+
+  /** Char-trigram NB language ID (r17 — VERDICT #7): the same exact
+    * integer-sum machinery as [[langIdNb]], with distinct character
+    * TRIGRAMS of the normalized text as the features — fastText's
+    * subword idea (Joulin et al. 2016): an unseen inflected form
+    * ("runnings") still shares most of its grams with seen vocabulary,
+    * where the word model sees only the +1 smoothing mass and ranks on
+    * class priors. Count column is `n_grams`. */
+  def langIdNbChar(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame = {
+    val t = Dedup.normText
+    val grams = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array())
+    langIdNbOver(docs, curated, cap, array_distinct(grams), "n_grams")
+  }
+
+  private def langIdNbOver(docs: DataFrame, curated: Column, cap: Int,
+                           grams: Column, cntName: String): DataFrame = {
     val cur = docs.where(curated && col("lang").isNotNull)
     val nl = cur.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-    val dfx = cur.select(col("lang"),
-        explode(array_distinct(words(Dedup.normText))).as("w"))
+    val dfx = cur.select(col("lang"), explode(grams).as("w"))
       .groupBy(col("w"), col("lang")).agg(count(lit(1)).as("df"))
     val tot = dfx.groupBy(col("w")).agg(sum(col("df")).as("tdf"))
       .orderBy(col("tdf").desc, col("w").asc).limit(cap)
     val vcap = dfx.join(tot.select("w"), Seq("w"), "left_semi")
-    val dw = docs.select(col("doc_id"),
-      explode(array_distinct(words(Dedup.normText))).as("w"))
+    val dw = docs.select(col("doc_id"), explode(grams).as("w"))
     val pairs = dw.crossJoin(broadcast(nl))
       .join(broadcast(vcap), Seq("w", "lang"), "left")
       .select(col("doc_id"), col("lang"), col("nl"),
         (coalesce(col("df"), lit(0L)) + lit(1L)).as("dfp"))
     val scored = pairs.groupBy(col("doc_id"), col("lang"), col("nl"))
-      .agg(count(lit(1)).as("n_words"), sum(col("dfp")).as("s"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("dfp")).as("s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy((col("s").cast("double") / (col("nl") + 2L).cast("double")).desc,
         col("lang").asc)
     val best = scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
     docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+      .select(col("doc_id"), coalesce(col("n_feats"), lit(0L)).as(cntName),
         coalesce(col("lang"), lit("und")).as("pred_lang"),
         round(col("s").cast("double") /
-          ((col("nl") + lit(2L)) * col("n_words")).cast("double"), 6).as("nb_score"))
+          ((col("nl") + lit(2L)) * col("n_feats")).cast("double"), 6).as("nb_score"))
   }
 
   /** DuckDB mirror of [[langIdNb]] — the same integer sums, the same
     * single exact-int divisions for rank and score. */
-  def langIdNbSql(curatedPred: String): String = {
+  def langIdNbSql(curatedPred: String): String =
+    langIdNbSqlOver(curatedPred, t => s"string_split($t, ' ')", "n_words")
+
+  /** DuckDB mirror of [[langIdNbChar]]: distinct char trigrams of the
+    * normalized text as the feature list (range upper bound is
+    * exclusive, so len-1 yields positions 1..len-2, each a full
+    * trigram; sub-3-char docs get the empty list). */
+  def langIdNbCharSql(curatedPred: String): String =
+    langIdNbSqlOver(curatedPred,
+      t => s"list_transform(range(1, len($t) - 1), i -> substr($t, i, 3))",
+      "n_grams")
+
+  private def langIdNbSqlOver(curatedPred: String,
+                              gramsOf: String => String,
+                              cntName: String): String = {
     val norm = Dedup.normTextSql
     s"""WITH cur AS (
        |  SELECT lang, $norm AS t FROM documents
        |  WHERE ($curatedPred) AND lang IS NOT NULL
        |),
        |nl AS (SELECT lang, count(*) AS nl FROM cur GROUP BY lang),
-       |cw AS (SELECT lang, unnest(list_distinct(string_split(t, ' '))) AS w FROM cur),
+       |cw AS (SELECT lang, unnest(list_distinct(${gramsOf("t")})) AS w FROM cur),
        |dfx AS (SELECT w, lang, count(*) AS df FROM cw GROUP BY w, lang),
        |tot AS (SELECT w FROM (
        |  SELECT w, sum(df) AS tdf FROM dfx GROUP BY w
        |  ORDER BY tdf DESC, w LIMIT $nbVocab)),
        |vcap AS (SELECT dfx.w, dfx.lang, dfx.df FROM dfx JOIN tot USING (w)),
        |dw AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split($norm, ' '))) AS w
+       |  SELECT doc_id, unnest(list_distinct(${gramsOf(norm)})) AS w
        |  FROM documents
        |),
        |pairs AS (
@@ -543,19 +575,19 @@ object TextOps {
        |  LEFT JOIN vcap v ON v.w = d.w AND v.lang = n.lang
        |),
        |scored AS (
-       |  SELECT doc_id, lang, nl, count(*) AS n_words, sum(dfp) AS s
+       |  SELECT doc_id, lang, nl, count(*) AS n_feats, sum(dfp) AS s
        |  FROM pairs GROUP BY doc_id, lang, nl
        |),
        |best AS (
-       |  SELECT doc_id, lang, nl, n_words, s,
+       |  SELECT doc_id, lang, nl, n_feats, s,
        |         row_number() OVER (PARTITION BY doc_id
        |           ORDER BY CAST(s AS DOUBLE) / CAST(nl + 2 AS DOUBLE) DESC, lang) AS rn
        |  FROM scored
        |)
-       |SELECT d.doc_id, CAST(coalesce(b.n_words, 0) AS BIGINT) AS n_words,
+       |SELECT d.doc_id, CAST(coalesce(b.n_feats, 0) AS BIGINT) AS $cntName,
        |       coalesce(b.lang, 'und') AS pred_lang,
        |       round(CAST(b.s AS DOUBLE)
-       |             / CAST((b.nl + 2) * b.n_words AS DOUBLE), 6) AS nb_score
+       |             / CAST((b.nl + 2) * b.n_feats AS DOUBLE), 6) AS nb_score
        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
        |  ON b.doc_id = d.doc_id""".stripMargin
   }

@@ -66,4 +66,38 @@ class LangIdNbSpec extends SparkSpecBase {
     val joined = nb.join(corpus.select(col("doc_id"), col("lang").as("truth")), "doc_id")
     assert(joined.where(col("pred_lang") === col("truth")).count() == 0)
   }
+
+  test("char-trigram NB (r17): unseen inflected forms classified where the word vocab misses") {
+    // curated: 4 'aa' docs with -ing verb stems, 2 'bb' docs with a
+    // disjoint charset. Test doc 7 is an UNSEEN inflection ("runnings"):
+    // the word model's vocab misses it entirely, so every class scores
+    // the same +1 smoothing mass and the smaller class 'bb' wins on its
+    // prior (1/(n_bb+2) > 1/(n_aa+2)) — wrong. The char model shares
+    // run/unn/nni/ing grams with 'aa' and classifies correctly.
+    val docs = Seq(
+      (0L, "running jumping resting", "aa", "web", 0L),
+      (10L, "running singing jumping", "aa", "web", 0L),
+      (20L, "resting singing running", "aa", "web", 0L),
+      (30L, "jumping resting singing", "aa", "web", 0L),
+      (40L, "zovux qezyx", "bb", "web", 0L),
+      (50L, "qezyx wuvzo", "bb", "web", 0L),
+      (7L, "runnings", null.asInstanceOf[String], "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val word = TextOps.langIdNb(docs, col("doc_id") % 10 === 0)
+      .where(col("doc_id") === 7L).head()
+    assert(word.getString(2) == "bb",
+      "precondition: the word model misranks the unseen inflection on class priors")
+    val char = TextOps.langIdNbChar(docs, col("doc_id") % 10 === 0)
+      .where(col("doc_id") === 7L).head()
+    assert(char.getString(2) == "aa", "shared char grams carry the unseen form")
+    assert(char.getLong(1) == 6L, "'runnings' has 6 distinct trigrams")
+    // sub-3-char and null docs keep the 'und' contract
+    val edge = Seq((0L, "running", "aa", "w", 0L), (10L, "zovux", "bb", "w", 0L),
+      (1L, "ab", null.asInstanceOf[String], "w", 0L),
+      (2L, null.asInstanceOf[String], null.asInstanceOf[String], "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.langIdNbChar(edge, col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((0L, "und")) && out(2L) == ((0L, "und")))
+  }
 }
