@@ -549,6 +549,7 @@ object Tables {
   def initSnapshot(base: DataFrame, dir: String): Unit = {
     base.write.mode("overwrite").parquet(s"$dir/v0")
     writeSnapshotMeta(base.sparkSession, dir, 0L, "INIT")
+    writeSnapshotManifest(base.sparkSession, dir)
   }
 
   /** Per-version commit metadata (r16 — the DESCRIBE HISTORY payload):
@@ -569,8 +570,11 @@ object Tables {
   /** Committed (`_SUCCESS`-marked) version numbers under a snapshot
     * store, listed through the path's Hadoop FileSystem — the store
     * must work wherever Spark writes (hdfs://, s3a://, file:), not just
-    * the driver's local POSIX view. */
-  private def snapshotVersions(s: SparkSession, dir: String): Seq[Long] = {
+    * the driver's local POSIX view. This is the DIRECTORY WALK — one
+    * `listStatus` plus an existence probe per version, O(#versions)
+    * round-trips. Readers go through [[snapshotVersions]], which serves
+    * from the 1-file manifest instead. */
+  private[sources] def snapshotVersionsWalk(s: SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -579,6 +583,59 @@ object Tables {
         fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(1).toLong)
   }
+
+  /** MANIFEST (r17 — VERDICT #5, Delta's `_last_checkpoint` discipline):
+    * `dir/_manifest` is ONE file holding the committed version numbers,
+    * rewritten by every mutation ([[initSnapshot]], [[applyChangeBatch]],
+    * [[vacuumSnapshots]]) from the directory walk it replaces — so
+    * [[readSnapshotAt]]/[[snapshotHistory]]/[[snapshotHistoryMeta]] stop
+    * paying an O(#versions) listing per call at thousands of commits.
+    * The manifest is a CACHE, not the commit point: it is written AFTER
+    * the data commit via create-temp + rename, and any window where it
+    * is stale or missing (crash between version write and manifest
+    * update, the delete/rename gap) degrades readers to the walk or to
+    * the previous committed view — never to a torn read. A replayed
+    * commit (the streaming contract: same batch, same explicit parent)
+    * heals it, because every mutation recomputes from the walk. */
+  private def writeSnapshotManifest(s: SparkSession, dir: String): Unit = {
+    val vs = snapshotVersionsWalk(s, dir).sorted
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_manifest.tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    out.write(vs.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    // HDFS rename does not overwrite: drop the old manifest first; the
+    // brief missing-manifest window only sends a concurrent reader to
+    // the (correct) directory walk
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"manifest commit rename failed under $dir")
+  }
+
+  /** Committed versions as READERS see them: the 1-file manifest when
+    * present (O(1) in version count), the directory walk when absent or
+    * unreadable (pre-manifest stores, the rename gap, corruption —
+    * the fallback is always correct, only slower). */
+  private def snapshotVersions(s: SparkSession, dir: String): Seq[Long] =
+    snapshotManifest(s, dir).getOrElse(snapshotVersionsWalk(s, dir))
+
+  /** The manifest's committed-version content; None when absent OR
+    * unreadable (both degrade the reader to the walk). Exposed for the
+    * spec's manifest-equals-walk pin. */
+  private[sources] def snapshotManifest(s: SparkSession, dir: String): Option[Seq[Long]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        Some(new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Read the LATEST COMPLETE snapshot version: the highest `v<N>`
     * subdirectory carrying Spark's `_SUCCESS` commit marker. A version
@@ -689,6 +746,7 @@ object Tables {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
     }
+    if (doomed.nonEmpty) writeSnapshotManifest(s, dir)
     doomed
   }
 
@@ -761,6 +819,7 @@ object Tables {
     // shows WHERE the schema widened
     writeSnapshotMeta(s, snapshotDir, version,
       if (evolveSchema) "MERGE+SCHEMA" else "MERGE")
+    writeSnapshotManifest(s, snapshotDir)
   }
 
   /**

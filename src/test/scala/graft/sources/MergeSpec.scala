@@ -232,6 +232,41 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("manifest (r17): one-file listing equals the directory walk on every mutation path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      def pinned(): Unit =
+        assert(Tables.snapshotManifest(spark, dir).map(_.sorted) ==
+          Some(Tables.snapshotVersionsWalk(spark, dir).sorted),
+          "manifest must mirror the walk after every mutation")
+      Tables.initSnapshot(base, dir)
+      pinned()
+      Tables.applyChangeBatch(changes.where($"seq" === 1), Seq("k"), dir, 1L)
+      pinned()
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      pinned()
+      assert(Tables.snapshotManifest(spark, dir) == Some(Seq(0L, 1L, 2L)))
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 2) == Seq(0L))
+      pinned()
+      // a STALE manifest (crash between version write and manifest
+      // update) degrades the reader to the previous committed view —
+      // and the replayed commit heals it
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), false)
+      assert(Tables.snapshotManifest(spark, dir).isEmpty)
+      assert(Tables.snapshotHistory(spark, dir) == Seq(1L, 2L),
+        "no manifest -> the walk serves readers unchanged")
+      Tables.applyChangeBatch(changes.where($"seq" === 2), Seq("k"), dir, 2L)
+      pinned()
+      // a CORRUPT manifest also degrades to the walk, loudly-silently
+      // correct either way
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+      out.write("not-a-version\n".getBytes("UTF-8")); out.close()
+      assert(Tables.snapshotHistory(spark, dir) == Seq(1L, 2L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("history metadata records operation and row counts per commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     try {
@@ -307,9 +342,13 @@ class MergeSpec extends SparkSpecBase {
       touched.foreach(k => assert(uRows.get(k).contains(s"t$k"), s"evolved U row for $k"))
       // the reversed direction — a later version MISSING an older one's
       // column — is genuine drift and fails loud (hand-write a v3 that
-      // dropped the base payload)
+      // dropped the base payload; an out-of-band dir is not a commit, so
+      // drop the manifest to degrade readers to the walk that sees it)
       Tables.readSnapshotAt(spark, dir, 2L).drop("v")
         .write.parquet(s"$dir/v3")
+      new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), false)
       val e = intercept[IllegalArgumentException] {
         Tables.snapshotChanges(spark, dir, Seq("k"), 2L, 3L)
       }
