@@ -2344,6 +2344,14 @@ object SparkEntry {
     // FAISS-style add() of the odd half — new vectors bucket against the
     // FROZEN band parameters and NN-descent recomputes only affected
     // vertices; edges swap atomically, vectors append atomically
+    // streaming graph-index ingest gate (r17): arrivals bucket with the
+    // FROZEN band parameters and probe the index's vertices — the
+    // append's affected-set predicate, payable per arrival before the
+    // append itself (stateless; MemoryStream form in GraphIndexSpec)
+    "ann_graph_stream_flag" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.knnGraphStreamFlag(emb.where(col("vec_id") % 10 === 0), emb)
+    }),
     "ann_knngraph_append" -> ((s, d) => {
       val dir = memoArtifact(s"knnga:$d", "graft_knng_app_") { root =>
         val emb = Tables.embeddings(s, d)
@@ -3270,6 +3278,7 @@ object SparkEntry {
     "ann_knngraph_file" -> Ann.knnGraphSql,
     "ann_graph_search_file" -> Ann.graphSearchSql,
     "ann_knngraph_append" -> Ann.knnGraphAppendSql,
+    "ann_graph_stream_flag" -> Ann.knnGraphStreamFlagSql("a.vec_id % 10 = 0"),
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),

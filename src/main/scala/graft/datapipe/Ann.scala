@@ -900,6 +900,89 @@ object Ann {
           s"WHERE vec_id % $queryMod = 0")}""".stripMargin
   }
 
+  /**
+   * Stateless streaming ingest gate for the persisted k-NN graph (r17 —
+   * VERDICT #6, the 21b recipe at the graph tier): arriving vectors
+   * bucket with the FROZEN band parameters and probe the index's
+   * vertices — one row per (arrival, frozen vertex it would affect,
+   * matching band), with the exact cosine carried for the consumer's
+   * decision. This is precisely [[knnGraphAppend]]'s affected-set
+   * predicate evaluated per arrival BEFORE paying the append: a
+   * pipeline batches arrivals, inspects their blast radius, and
+   * schedules the (expensive) append off the hot path. Stream side is
+   * stateless end-to-end — the band buckets are literal-plane
+   * projections, the probe a stream-static equi-join, the verify a
+   * map-side cosine; no watermark, no state store. Works identically
+   * on a batch frame (the hash-verified entry form).
+   */
+  def knnGraphStreamFlag(stream: DataFrame, idx: GraphIndex): DataFrame = {
+    val (planes, bands, _, _) = idx.params
+    knnGraphStreamFlagWith(stream, idx.vectors, planes, bands)
+  }
+
+  /** Inline form: frozen parameters auto-sized from the corpus the way
+    * [[knnGraphWrite]] froze them — batch-parity with the index form. */
+  def knnGraphStreamFlag(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val ep = epOf(corpus)
+    knnGraphStreamFlagWith(stream, ep, lshPlanesFor(ep.count()), knnBands)
+  }
+
+  private def knnGraphStreamFlagWith(stream: DataFrame, vectors: DataFrame,
+                                     planes: Int, bands: Int): DataFrame = {
+    // arrival side: all bands in ONE map-side projection (explode of
+    // literal-plane bucket structs — streaming-safe, no self-union)
+    val bandStructs = (0 until bands).map { b =>
+      val ws = hyperplaneWeights(planes, planeBase = b * planes)
+      val bucket = ws.zipWithIndex.map { case (w, p) =>
+        when(dot(typedLit(w.toSeq), col("embedding")) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val arr = stream.select(col("vec_id"), col("embedding"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // index side: lean frozen-band keys first, vectors joined only onto
+    // the hits (the embedStreamingFlag probe discipline)
+    val keys = (0 until bands).map { b =>
+      buckets(vectors, planes, planeBase = b * planes)
+        .select(col("vec_id").as("corpus_id"), lit(b).as("band"), col("bucket"))
+    }.reduce(_ unionByName _)
+    arr.join(keys, Seq("band", "bucket"))
+      .where(col("vec_id") =!= col("corpus_id"))
+      .join(vectors.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_emb")), "corpus_id")
+      .withColumn("sim", cosine(col("embedding"), col("corpus_emb")))
+      .select(col("vec_id"), col("corpus_id").as("affects"), col("band"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** DuckDB mirror of the inline [[knnGraphStreamFlag]]: dynamic plane
+    * count over the full collection, the same frozen-band buckets
+    * ([[bucketsDynSql]]), probe side filtered by `probePred`. */
+  def knnGraphStreamFlagSql(probePred: String = "true"): String = {
+    val bandCtes = (0 until knnBands).map(b =>
+      s"gbk$b AS MATERIALIZED (${bucketsDynSql(b)})").mkString(",\n")
+    val unions = (0 until knnBands).map(b =>
+      s"SELECT vec_id, $b AS band, bucket FROM gbk$b").mkString("\n  UNION ALL\n  ")
+    val cos = cosineSql("e1.embedding", "e2.embedding")
+    s"""WITH np AS (SELECT ${lshPlanesCaseSql("n")} AS np FROM
+       |  (SELECT count(*) AS n FROM embeddings)),
+       |$bandCtes,
+       |gbands AS (
+       |  $unions
+       |),
+       |cand AS (
+       |  SELECT a.vec_id, b.vec_id AS affects, a.band
+       |  FROM gbands a JOIN gbands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id AND ($probePred)
+       |)
+       |SELECT c.vec_id, c.affects, c.band, round($cos, 6) AS sim
+       |FROM cand c JOIN embeddings e1 ON e1.vec_id = c.vec_id
+       |            JOIN embeddings e2 ON e2.vec_id = c.affects""".stripMargin
+  }
+
   // ------------------------------------------------------------ IVF ANN
 
   /** Number of IVF centroids and probed lists per query. */

@@ -143,4 +143,41 @@ class GraphIndexSpec extends SparkSpecBase {
     assert(idx.vectors.count() == 550)
     assert(idx.edges.where(col("vec_id") >= 2000L).count() > 0)
   }
+
+  test("stream ingest gate (r17): flags == the append's affected probe, on a real MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = freshDir("knng_gate")
+    Ann.knnGraphWrite(emb, dir)
+    val idx = Ann.GraphIndex.read(spark, dir)
+    // batch form over the same probe subset = the oracle-backed entry
+    val probe = emb.where(col("vec_id") % 10 === 0)
+    val want = Ann.knnGraphStreamFlag(probe, idx)
+      .select("vec_id", "affects", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "gate fixture must produce flags")
+    // the SAME dataflow over a MemoryStream, micro-batched in two adds
+    val rows = probe.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Ann.knnGraphStreamFlag(input.toDF().toDF("vec_id", "embedding"), idx)
+      .writeStream.format("memory").queryName("knng_gate")
+      .outputMode("append").start()
+    try {
+      val (h, t) = rows.splitAt(rows.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("knng_gate")
+        .select("vec_id", "affects", "band").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"stream/batch divergence: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    } finally q.stop()
+    // the inline auto-sized form agrees with the frozen-meta form when
+    // the corpus IS the build collection (same planes by construction)
+    val inline = Ann.knnGraphStreamFlag(probe, emb)
+      .select("vec_id", "affects", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inline == want)
+  }
 }
