@@ -2344,6 +2344,21 @@ object SparkEntry {
     // FAISS-style add() of the odd half — new vectors bucket against the
     // FROZEN band parameters and NN-descent recomputes only affected
     // vertices; edges swap atomically, vectors append atomically
+    // HNSW-style hierarchical serving (r17): enter at the top thinned
+    // layer, walk each upper layer narrow, seed the standard layer-0
+    // beam from the descent — equal recall to the LSH-seeded serve at
+    // the same layer-0 beam/steps with fewer scored candidates, and no
+    // collection-wide bucketing pass at serve time (HnswSpec pins both)
+    "ann_graph_search_hnsw" -> ((s, d) =>
+      Ann.graphSearchHierChecked(Tables.embeddings(s, d))),
+    // its deployment split: layer-0 + upper-layer graphs persisted, the
+    // descent walks the disk-resident hierarchy (same oracle)
+    "ann_graph_search_hnsw_file" -> ((s, d) => {
+      val dir = memoArtifact(s"hnsw:$d", "graft_hnsw_idx_") { root =>
+        Ann.hnswWrite(Tables.embeddings(s, d), root)
+      }
+      Ann.graphSearchHierFileChecked(s, dir)
+    }),
     // streaming graph-index ingest gate (r17): arrivals bucket with the
     // FROZEN band parameters and probe the index's vertices — the
     // append's affected-set predicate, payable per arrival before the
@@ -3279,6 +3294,8 @@ object SparkEntry {
     "ann_graph_search_file" -> Ann.graphSearchSql,
     "ann_knngraph_append" -> Ann.knnGraphAppendSql,
     "ann_graph_stream_flag" -> Ann.knnGraphStreamFlagSql("a.vec_id % 10 = 0"),
+    "ann_graph_search_hnsw" -> Ann.graphSearchHnswSql,
+    "ann_graph_search_hnsw_file" -> Ann.graphSearchHnswSql,
     // the file-backed serving splits reproduce ann_ivfpq(_res) exactly
     "ann_ivfpq_file" -> Ann.ivfpqTopKSql(),
     "ann_ivfpq_res_file" -> Ann.ivfpqResTopKSql(),

@@ -466,7 +466,15 @@ object Ann {
     * must be the band width the graph was built with (persisted in the
     * index meta) so the per-query seed buckets match the build's. */
   def graphSearchOver(g: DataFrame, ep0: DataFrame, planes: Int,
-                      k: Int = topK): DataFrame = {
+                      k: Int = topK): DataFrame =
+    graphSearchOverWithVisited(g, ep0, planes, k)._1
+
+  /** [[graphSearchOver]] plus the per-query DISTINCT scored-candidate
+    * counts — the search's true cost unit, exposed so the hierarchical
+    * serve's candidate-count drop is assertable (HnswSpec). */
+  private[datapipe] def graphSearchOverWithVisited(
+      g: DataFrame, ep0: DataFrame, planes: Int,
+      k: Int = topK): (DataFrame, DataFrame) = {
     val ep = epOf(ep0)
     // disjoint column names (src, dst): the beam frame's lineage already
     // contains this very frame after step 1, and shared names make the
@@ -520,16 +528,285 @@ object Ann {
       beam = scoreRank(cands).where(col("rnk") <= searchBeam)
         .select(col("q_id"), col("cand")).localCheckpoint(true)
     }
-    scoreRank(visited.distinct().where(col("cand") =!= col("q_id")))
+    val vis = visited.distinct()
+    val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("cand").as("nbr_id"),
         col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
+    (res, vis.groupBy("q_id").agg(count(lit(1)).as("n_scored")))
   }
 
   /** `ann_graph_search` entry: the beam-search answers with the exact
     * companion. */
   def graphSearchChecked(emb: DataFrame): DataFrame =
     withExactCompanion(graphSearch(emb), emb)
+
+  // ---------------------- HNSW-style hierarchical serving (r17)
+
+  /** Upper-layer membership thinning: layer ℓ keeps ~1/8^ℓ of the
+    * collection, by deterministic content hash of the vec_id (HNSW's
+    * geometric level assignment, derandomized — id clustering cannot
+    * bias a hash) — so L2 ⊂ L1 ⊂ L0 and every layer is reproducible in
+    * SQL. */
+  val hnswDecay = 8
+  val hnswUpperLayers = 2
+
+  /** Descent search width: HNSW walks upper layers NARROW (its upper
+    * ef is 1; we keep 2 for the deterministic tie-break safety) — the
+    * hierarchy's point is that the entry the descent hands down is
+    * already near the query, so layer 0 runs the SAME beam/steps as
+    * the flat serve from a far better start. */
+  val hnswUpperBeam = 2
+  val hnswUpperSteps = 2
+
+  private[datapipe] def layerPred(l: Int): Column =
+    TextOps.h60(concat(lit("hl:"), col("vec_id").cast("string"))) %
+      lit(BigInt(hnswDecay).pow(l).toLong) === 0
+
+  /** Build the upper-layer k-NN graphs (layer 1..[[hnswUpperLayers]]):
+    * each an NN-descent graph over its members only, planes auto-sized
+    * to the LAYER's count — a layer is just a smaller collection. */
+  def hnswUpperGraphs(ep0: DataFrame): Seq[DataFrame] = {
+    val ep = epOf(ep0)
+    (1 to hnswUpperLayers).map { l =>
+      val lep = graft.CacheRegistry.persistTracked(ep.where(layerPred(l)))
+      knnGraph(lep, planes = lshPlanesFor(math.max(lep.count(), 1L)))
+    }
+  }
+
+  /**
+   * HIERARCHICAL beam search (r17 — VERDICT #3, the HNSW upper layers):
+   * enter at the TOP layer's smallest vertex (plus the global smallest
+   * as an always-present fallback for a thin corpus whose top layer is
+   * empty), walk each upper layer narrow ([[hnswUpperBeam]]), hand the
+   * beam down as the next layer's seeds, and run the standard
+   * [[searchBeam]]/[[searchSteps]] walk on layer 0 from the descended
+   * entries. Replaces the flat serve's LSH bucket seeding: per query
+   * the descent scores O(layers × beam × degree) candidates instead of
+   * bands × bucket mates — and, the part that matters at collection
+   * scale, serving no longer re-buckets ALL N vectors per query batch
+   * (the flat seeds' three band passes over the collection); it touches
+   * only graph edges and layer members. At 10^10 vectors the upper
+   * layers bound the entry cost logarithmically, exactly HNSW's
+   * argument.
+   */
+  def graphSearchHierOver(g0: DataFrame, uppers: Seq[DataFrame],
+                          ep0: DataFrame, k: Int = topK): DataFrame =
+    graphSearchHierOverWithVisited(g0, uppers, ep0, k)._1
+
+  private[datapipe] def graphSearchHierOverWithVisited(
+      g0: DataFrame, uppers: Seq[DataFrame], ep0: DataFrame,
+      k: Int = topK): (DataFrame, DataFrame) = {
+    require(uppers.length == hnswUpperLayers,
+      s"expected $hnswUpperLayers upper layers, got ${uppers.length}")
+    val ep = epOf(ep0)
+    val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
+    val q = ep.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def scoreRank(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
+      c.join(q, Seq("q_id"))
+        .join(e, Seq("cand"))
+        .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+    }
+    def undOf(g: DataFrame): DataFrame =
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
+        .distinct().localCheckpoint(true)
+    // entry: top layer's smallest member + the global smallest (the
+    // fallback keeps a thin corpus with an empty top layer servable);
+    // one-row aggregates crossed in, no driver collect
+    val entryTop = ep.where(layerPred(hnswUpperLayers))
+      .agg(min(col("vec_id")).as("cand"))
+    val entryGlobal = ep.agg(min(col("vec_id")).as("cand"))
+    var seeds = q.select(col("q_id")).crossJoin(entryTop)
+      .unionByName(q.select(col("q_id")).crossJoin(entryGlobal))
+      .where(col("cand").isNotNull).distinct().localCheckpoint(true)
+    var visited = seeds
+    // narrow descent, top layer downward; each layer's final beam is
+    // the next layer's seed set (all evolving frames checkpoint-
+    // truncated — the documented iteration class)
+    for (l <- hnswUpperLayers to 1 by -1) {
+      val und = undOf(uppers(l - 1))
+      var beam = scoreRank(seeds).where(col("rnk") <= hnswUpperBeam)
+        .select(col("q_id"), col("cand")).localCheckpoint(true)
+      for (_ <- 1 to hnswUpperSteps) {
+        val expand = beam.join(und, beam("cand") === und("src"))
+          .select(beam("q_id"), col("dst").as("cand"))
+        val cands = beam.unionByName(expand).distinct()
+        visited = visited.unionByName(cands)
+        beam = scoreRank(cands).where(col("rnk") <= hnswUpperBeam)
+          .select(col("q_id"), col("cand")).localCheckpoint(true)
+      }
+      seeds = beam
+    }
+    // layer 0: the flat serve's own walk. Seeds = the best searchBeam
+    // of EVERYTHING the descent scored (not just the last narrow beam):
+    // the upper walks already paid for those candidates, so widening
+    // the handoff costs no new scoring and recovers the diversity the
+    // narrow descent squeezed out
+    val und0 = undOf(g0)
+    var beam = scoreRank(visited.distinct()).where(col("rnk") <= searchBeam)
+      .select(col("q_id"), col("cand")).localCheckpoint(true)
+    for (_ <- 1 to searchSteps) {
+      val expand = beam.join(und0, beam("cand") === und0("src"))
+        .select(beam("q_id"), col("dst").as("cand"))
+      val cands = beam.unionByName(expand).distinct()
+      visited = visited.unionByName(cands)
+      beam = scoreRank(cands).where(col("rnk") <= searchBeam)
+        .select(col("q_id"), col("cand")).localCheckpoint(true)
+    }
+    val vis = visited.distinct()
+    val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("cand").as("nbr_id"),
+        col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
+    (res, vis.groupBy("q_id").agg(count(lit(1)).as("n_scored")))
+  }
+
+  /** Inline hierarchical entry: build layer 0 + upper layers over the
+    * collection, serve hierarchically, attach the exact companion. */
+  def graphSearchHierChecked(emb: DataFrame): DataFrame = {
+    val ep = epOf(emb)
+    val g0 = knnGraph(ep, planes = lshPlanesFor(ep.count()))
+    withExactCompanion(graphSearchHierOver(g0, hnswUpperGraphs(ep), ep), ep)
+  }
+
+  /** Persisted hierarchical index: the [[knnGraphWrite]] artifact plus
+    * one edge table per upper layer (`edges_l1`, `edges_l2`) — layer
+    * membership is derivable (content hash), so only graphs persist. */
+  def hnswWrite(emb: DataFrame, dir: String): Unit = {
+    knnGraphWrite(emb, dir)
+    hnswUpperGraphs(epOf(emb)).zipWithIndex.foreach { case (g, i) =>
+      g.write.mode("overwrite").parquet(s"$dir/edges_l${i + 1}")
+    }
+  }
+
+  /** Serve the hierarchy from disk: layer-0 edges + vectors from the
+    * [[GraphIndex]] artifact, upper-layer edges from their tables. */
+  def graphSearchHierFileChecked(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    val idx = GraphIndex.read(spark, dir)
+    val uppers = (1 to hnswUpperLayers).map(l =>
+      spark.read.parquet(s"$dir/edges_l$l"))
+    withExactCompanion(graphSearchHierOver(idx.edges, uppers, idx.vectors),
+      idx.vectors)
+  }
+
+  private def layerPredSql(c: String, l: Int): String =
+    s"(${h60Sql(s"concat('hl:', $c)")} % ${BigInt(hnswDecay).pow(l).toLong} = 0)"
+
+  /** DuckDB mirror of [[graphSearchHierChecked]]: the layer-0 graph
+    * chain ([[knnGraphCtesSql]]), one auto-sized NN-descent chain per
+    * upper layer over its hash-thinned members, then the literal
+    * descent — entry seeds, [[hnswUpperSteps]] narrow steps per upper
+    * layer, layer-0 seeded by the best [[searchBeam]] of everything the
+    * descent scored, the standard walk, top-k of all visited, exact
+    * companion. Round CTE indices offset per layer (`u1x`, `u2x`) so
+    * the chains never collide. */
+  def graphSearchHnswSql: String = {
+    val r = knnRounds
+    val qCos = cosineSql("q.q_emb", "e.embedding")
+    def beamSql(src: String, name: String, width: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT q_id, cand FROM (
+         |    SELECT c.q_id, c.cand,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |                              ORDER BY $qCos DESC, c.cand) AS rn
+         |    FROM $src c JOIN q ON q.q_id = c.q_id
+         |    JOIN embeddings e ON e.vec_id = c.cand)
+         |  WHERE rn <= $width)""".stripMargin
+    // upper-layer graph chains: per layer an auto-sized plane count over
+    // the MEMBER count, member-only band buckets, seed self-joins and
+    // the shared NN-descent rounds
+    val layerCtes = (1 to hnswUpperLayers).map { l =>
+      val np = s"npl$l"
+      val bks = (0 until knnBands).map { b =>
+        val plane = s"($np.np * $b + t.p)"
+        val wvec = s"list_transform(range(0, $dim), d -> ${weightSql(plane, "d")})"
+        s"""hbk${l}_$b AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |         CAST(sum(CASE WHEN ${dotSql(wvec, "e.embedding")} > 0
+           |                       THEN (CAST(1 AS BIGINT) << t.p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM embeddings e, $np, unnest(range(0, $np.np)) AS t(p)
+           |  WHERE ${layerPredSql("e.vec_id", l)}
+           |  GROUP BY e.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val seedUnion = (0 until knnBands).map(b =>
+        s"SELECT l.vec_id AS vec_id, r.vec_id AS nbr_id FROM hbk${l}_$b l " +
+          s"JOIN hbk${l}_$b r ON l.bucket = r.bucket").mkString(" UNION ALL ")
+      val rounds = (1 to r).map(i =>
+        graphRoundSql(10 * l + i, s"hg${l}_${i - 1}", s"hg${l}_$i")).mkString(",\n")
+      s"""$np AS (SELECT ${lshPlanesCaseSql("n")} AS np FROM
+         |  (SELECT count(*) AS n FROM embeddings WHERE ${layerPredSql("vec_id", l)})),
+         |$bks,
+         |${graphTopkSql(seedUnion, s"hg${l}_0")},
+         |$rounds,
+         |hund$l AS MATERIALIZED (SELECT DISTINCT vec_id AS src, nbr_id AS dst FROM (
+         |  SELECT vec_id, nbr_id FROM hg${l}_$r
+         |  UNION ALL SELECT nbr_id, vec_id FROM hg${l}_$r))""".stripMargin
+    }.mkString(",\n")
+    // the descent: seeds, then per upper layer (top down) the narrow
+    // beam + steps; every step's candidate set joins the visited union
+    val seedCte =
+      s"""hs0 AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+         |  SELECT q_id, (SELECT min(vec_id) FROM embeddings
+         |                WHERE ${layerPredSql("vec_id", hnswUpperLayers)}) AS cand FROM q
+         |  UNION ALL
+         |  SELECT q_id, (SELECT min(vec_id) FROM embeddings) AS cand FROM q)
+         |  WHERE cand IS NOT NULL)""".stripMargin
+    val descents = (hnswUpperLayers to 1 by -1).map { l =>
+      val seedSrc = if (l == hnswUpperLayers) "hs0" else s"hb${l + 1}_$hnswUpperSteps"
+      val steps = (1 to hnswUpperSteps).map { i =>
+        s"""hc${l}_$i AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+           |  SELECT q_id, cand FROM hb${l}_${i - 1}
+           |  UNION ALL
+           |  SELECT b.q_id, u.dst AS cand FROM hb${l}_${i - 1} b
+           |  JOIN hund$l u ON u.src = b.cand)),
+           |${beamSql(s"hc${l}_$i", s"hb${l}_$i", hnswUpperBeam)}""".stripMargin
+      }.mkString(",\n")
+      s"""${beamSql(seedSrc, s"hb${l}_0", hnswUpperBeam)},
+         |$steps""".stripMargin
+    }.mkString(",\n")
+    val upperVisited = ("SELECT q_id, cand FROM hs0" +:
+      (1 to hnswUpperLayers).flatMap(l =>
+        (1 to hnswUpperSteps).map(i => s"SELECT q_id, cand FROM hc${l}_$i")))
+      .mkString("\n  UNION ALL ")
+    val zeroSteps = (1 to searchSteps).map { i =>
+      s"""hc0_$i AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+         |  SELECT q_id, cand FROM hb0_${i - 1}
+         |  UNION ALL
+         |  SELECT b.q_id, u.dst AS cand FROM hb0_${i - 1} b
+         |  JOIN hund0 u ON u.src = b.cand)),
+         |${beamSql(s"hc0_$i", s"hb0_$i", searchBeam)}""".stripMargin
+    }.mkString(",\n")
+    val allVisited = ("SELECT q_id, cand FROM hvu" +:
+      (1 to searchSteps).map(i => s"SELECT q_id, cand FROM hc0_$i"))
+      .mkString("\n  UNION ALL ")
+    s"""${knnGraphCtesSql()},
+       |$layerCtes,
+       |hund0 AS MATERIALIZED (SELECT DISTINCT vec_id AS src, nbr_id AS dst FROM (
+       |  SELECT vec_id, nbr_id FROM g$r
+       |  UNION ALL SELECT nbr_id, vec_id FROM g$r)),
+       |$seedCte,
+       |$descents,
+       |hvu AS MATERIALIZED (SELECT DISTINCT q_id, cand FROM (
+       |  $upperVisited)),
+       |${beamSql("hvu", "hb0_0", searchBeam)},
+       |$zeroSteps,
+       |hfv AS (SELECT DISTINCT q_id, cand FROM (
+       |  $allVisited) WHERE cand <> q_id),
+       |hres AS MATERIALIZED (
+       |  SELECT q_id, cand AS nbr_id, rn AS rnk, cosv FROM (
+       |    SELECT f.q_id, f.cand, $qCos AS cosv,
+       |           row_number() OVER (PARTITION BY f.q_id
+       |                              ORDER BY $qCos DESC, f.cand) AS rn
+       |    FROM hfv f JOIN q ON q.q_id = f.q_id
+       |    JOIN embeddings e ON e.vec_id = f.cand)
+       |  WHERE rn <= $topK)
+       |${companionSelectSql("SELECT q_id, nbr_id, rnk, cosv FROM hres")}""".stripMargin
+  }
 
   /** Per-vertex top-k re-rank CTE shared by every graph oracle: DISTINCT
     * candidate edges rescored from raw embeddings, ranked (cos desc, id
