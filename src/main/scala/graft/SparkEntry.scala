@@ -743,6 +743,26 @@ object SparkEntry {
         |      (SELECT max(o2.o_totalprice) FROM sqspan_orders o2)""".stripMargin)
   }
 
+  /** CORRELATED cross-leaf subquery span through the door (r17 —
+    * VERDICT #4): the span's outer attrs live on both leaves AND one of
+    * them is referenced INSIDE the subquery (o2.o_custkey =
+    * c.c_custkey); r16 declined this to stock, now the interior
+    * OuterReference rebinds to the enumeration variable and the query
+    * routes through CQC with a post-enumeration filter (SubqSpanSpec
+    * pins the dry-run shows the rebound lift, no stock fallback). MAX
+    * keeps the boundary exact on both engines. */
+  def qSqlCqcSubqCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("sqcorr_customer")
+    Tables.orders(s, d).createOrReplaceTempView("sqcorr_orders")
+    graft.sql.CqcSql.solve(s,
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord, o.o_totalprice AS price
+        |FROM sqcorr_customer c, sqcorr_orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_totalprice * 2 >
+        |      (SELECT max(o2.o_totalprice) FROM sqcorr_orders o2
+        |       WHERE o2.o_custkey = c.c_custkey)""".stripMargin)
+  }
+
   def qSqlCqcExpr(s: SparkSession, d: String): DataFrame = {
     Tables.ratedEdges(s, d).createOrReplaceTempView("cqce_edges")
     graft.sql.CqcSql.solve(s,
@@ -2107,6 +2127,7 @@ object SparkEntry {
     "sql_cqc_expr" -> (qSqlCqcExpr _),
     // cross-leaf uncorrelated subquery predicate, CQC-routed (r16)
     "sql_cqc_subq_span" -> (qSqlCqcSubqSpan _),
+    "sql_cqc_subq_corr" -> (qSqlCqcSubqCorr _),
     "sql_cqc_outer" -> (qSqlCqcOuter _),
     "sql_cqc_outer_minmax" -> (qSqlCqcOuterMinmax _),
     "sql_cqc_disj" -> (qSqlCqcDisj _),
@@ -3485,6 +3506,13 @@ object SparkEntry {
         |WHERE c.c_custkey = o.o_custkey
         |  AND o.o_totalprice + c.c_acctbal >
         |      (SELECT max(o2.o_totalprice) FROM orders o2)""".stripMargin,
+    "sql_cqc_subq_corr" ->
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord, o.o_totalprice AS price
+        |FROM customer c, orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_totalprice * 2 >
+        |      (SELECT max(o2.o_totalprice) FROM orders o2
+        |       WHERE o2.o_custkey = c.c_custkey)""".stripMargin,
     "sql_cqc_agg_fast" ->
       s"""SELECT g1.src AS src, CAST(count(*) AS BIGINT) AS cnt,
          |       CAST(sum(g4.dst) AS BIGINT) AS sum_dst,

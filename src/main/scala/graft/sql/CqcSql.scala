@@ -821,18 +821,38 @@ object CqcSql {
     // the .sql round-trip was the blocker, and the post-enumeration
     // apply below uses the same renamed-Column path as
     // postOuterConjuncts), while its outer attrs rename like any
-    // residual. Correlated spans and nested-leaf bindings keep the
-    // stock fallback: their OuterReference interiors hold exprIds the
-    // rename transform cannot reach.
+    // residual.
+    //
+    // r17 (VERDICT r16 #4): CORRELATED spans lift too. The blocker was
+    // that OuterReference nodes live INSIDE the PlanExpression's plan,
+    // unreachable by the expression rename transform — but they ARE
+    // reachable by the plan's own transformAllExpressions: rewrite each
+    // OuterReference(attr) to UnresolvedAttribute(varName) and hand the
+    // now-unresolved plan back through withNewPlan. Applying the Column
+    // on the enumerated frame re-runs Spark's ResolveSubquery (the plan
+    // is unresolved again), which re-resolves those names against the
+    // enumeration output — where every leaf variable is bound — and
+    // rebuilds the outer-attribute metadata from scratch, so no stale
+    // exprId survives. Spark only admits one correlation level, so the
+    // top plan's OuterReferences are exactly ours (a nested subquery's
+    // outer refs target the subquery's own scope, which is untouched).
+    // References already include the correlated outer attrs
+    // (SubqueryExpression.references spans outerAttrs), so the leaf-span
+    // test below needs no special casing; nested-leaf bindings still
+    // fall back (their leaf frames lose the analyzer's exprIds
+    // entirely).
     def liftableSpan(e: Expression): Boolean = {
       val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
-      ls.size >= 2 && ls.forall(l => l >= 0 && !leafIsNested(l)) && !isCorrelated(e)
+      ls.size >= 2 && ls.forall(l => l >= 0 && !leafIsNested(l))
     }
     val (subqSpanFilters, conjuncts2) =
       conjuncts.partition(e => hasSubquery(e) && liftableSpan(e))
-    if (subqSpanFilters.nonEmpty)
-      trace(s"lifted ${subqSpanFilters.size} cross-leaf uncorrelated subquery " +
-        "predicate(s) to post-enumeration filters")
+    if (subqSpanFilters.nonEmpty) {
+      val nCorr = subqSpanFilters.count(isCorrelated)
+      trace(s"lifted ${subqSpanFilters.size} cross-leaf subquery " +
+        s"predicate(s) to post-enumeration filters" +
+        (if (nCorr > 0) s" ($nCorr correlated, interior outer refs rebound)" else ""))
+    }
     if ((conjuncts2 ++ postOuterConjuncts).exists { e =>
       hasSubquery(e) && {
         val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
@@ -1142,10 +1162,23 @@ object CqcSql {
     lazy val enumerated: DataFrame = {
       var out = Ghd.solve(foldedRels, cmps.toSeq, residual.map(varSql).toSeq)
       // lifted cross-leaf subquery predicates: every referenced variable
-      // is bound in the enumeration output, the subquery plan rides the
-      // Column as-is (uncorrelated by the routing gate above)
+      // is bound in the enumeration output; an uncorrelated subquery
+      // plan rides the Column as-is, a correlated one has its interior
+      // OuterReferences rebound to the enumeration's variable names
+      // (r17 — ResolveSubquery then re-resolves the unresolved plan
+      // against this frame and rebuilds the outer-attr metadata)
+      def toVarNamesSubq(e: Expression): Expression = e.transform {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            if s.isCorrelated =>
+          s.withNewPlan(s.plan.transformAllExpressions {
+            case org.apache.spark.sql.catalyst.expressions
+                  .OuterReference(a: AttributeReference) =>
+              UnresolvedAttribute(varName(a.exprId.id))
+          })
+        case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
+      }
       subqSpanFilters.foreach(e =>
-        out = out.where(GraftSqlBridge.column(toVarNames(e))))
+        out = out.where(GraftSqlBridge.column(toVarNamesSubq(e))))
 
       // ---- re-apply the peeled outer joins on the CQC result (a
       // join-bearing peeled side is itself a nested block: recurse)

@@ -7,8 +7,11 @@ import org.apache.spark.sql.DataFrame
 /** r16 fallback lift: UNCORRELATED subquery predicates whose outer
   * references span several leaves route through the CQC pipeline (the
   * subquery plan rides the post-enumeration Column), instead of
-  * declining the whole query to stock; correlated spans keep the stock
-  * fallback (their interior OuterReferences cannot be renamed). */
+  * declining the whole query to stock. r17: CORRELATED spans lift too —
+  * their interior OuterReferences are rebound to the enumeration's
+  * variable names and ResolveSubquery re-resolves the plan against the
+  * enumerated frame; only nested-leaf and peel-correlated bindings keep
+  * the stock fallback. */
 class SubqSpanSpec extends SparkSpecBase {
 
   private def views(): Unit = {
@@ -37,7 +40,7 @@ class SubqSpanSpec extends SparkSpecBase {
         |  AND o.o_totalprice + c.c_acctbal >
         |      (SELECT max(o2.o_totalprice) FROM sq_orders o2)""".stripMargin
     val plan = CqcSql.explain(spark, sql)
-    assert(plan.contains("lifted 1 cross-leaf uncorrelated subquery"), plan)
+    assert(plan.contains("lifted 1 cross-leaf subquery"), plan)
     assert(!plan.contains("stock fallback"), plan)
     agree(sql)
   }
@@ -57,17 +60,57 @@ class SubqSpanSpec extends SparkSpecBase {
         |  AND o.o_totalprice + c.c_acctbal + n.n_nationkey >
         |      (SELECT max(o2.o_totalprice) FROM sq_orders o2)""".stripMargin
     assert(CqcSql.explain(spark, threeLeaf)
-      .contains("lifted 1 cross-leaf uncorrelated subquery"))
+      .contains("lifted 1 cross-leaf subquery"))
     agree(threeLeaf)
   }
 
-  test("a CORRELATED span still falls back to stock, correctly") {
+  test("a CORRELATED span routes through CQC (r17): dry run shows the rebound lift") {
     views()
     val sql =
       """SELECT c.c_custkey AS cust, o.o_orderkey AS ord
         |FROM sq_customer c, sq_orders o
         |WHERE c.c_custkey = o.o_custkey
         |  AND o.o_totalprice + c.c_acctbal >
+        |      (SELECT max(o2.o_totalprice) FROM sq_orders o2
+        |       WHERE o2.o_custkey = c.c_custkey)""".stripMargin
+    val plan = CqcSql.explain(spark, sql)
+    assert(plan.contains("1 correlated, interior outer refs rebound"), plan)
+    assert(!plan.contains("stock fallback"), plan)
+    agree(sql)
+  }
+
+  test("correlated EXISTS and IN spans lift and agree with stock") {
+    views()
+    // EXISTS correlated on one leaf, top-level refs on the other
+    agree(
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord
+        |FROM sq_customer c, sq_orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND (o.o_orderkey < 2000 AND EXISTS
+        |      (SELECT 1 FROM sq_orders o2
+        |       WHERE o2.o_custkey = c.c_custkey AND o2.o_orderkey < o.o_orderkey))""".stripMargin)
+    // correlated IN: the values side spans the other leaf
+    agree(
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord
+        |FROM sq_customer c, sq_orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_orderkey IN
+        |      (SELECT min(o2.o_orderkey) FROM sq_orders o2
+        |       WHERE o2.o_custkey = c.c_custkey)""".stripMargin)
+  }
+
+  test("a correlated span on a NESTED leaf still falls back to stock, correctly") {
+    views()
+    // the orders leaf is a derived table with a join beneath: its frame
+    // is re-derived and loses the analyzer's exprIds, so the rebind
+    // cannot reach a stable binding — guarded stock
+    val sql =
+      """SELECT c.c_custkey AS cust, j.o_orderkey AS ord
+        |FROM sq_customer c,
+        |     (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |      FROM sq_orders o JOIN sq_nation n ON o.o_custkey % 25 = n.n_nationkey) j
+        |WHERE c.c_custkey = j.o_custkey
+        |  AND j.o_totalprice + c.c_acctbal >
         |      (SELECT max(o2.o_totalprice) FROM sq_orders o2
         |       WHERE o2.o_custkey = c.c_custkey)""".stripMargin
     assert(CqcSql.explain(spark, sql).contains("stock fallback"))
