@@ -2361,10 +2361,6 @@ object SparkEntry {
       }
       Ann.graphSearchFileChecked(s, dir)
     }),
-    // graph-index incremental ingest (r16): build on the even half, then
-    // FAISS-style add() of the odd half — new vectors bucket against the
-    // FROZEN band parameters and NN-descent recomputes only affected
-    // vertices; edges swap atomically, vectors append atomically
     // HNSW-style hierarchical serving (r17): enter at the top thinned
     // layer, walk each upper layer narrow, seed the standard layer-0
     // beam from the descent — equal recall to the LSH-seeded serve at
@@ -2388,6 +2384,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Ann.knnGraphStreamFlag(emb.where(col("vec_id") % 10 === 0), emb)
     }),
+    // graph-index incremental ingest (r16): build on the even half, then
+    // FAISS-style add() of the odd half — new vectors bucket against the
+    // FROZEN band parameters and NN-descent recomputes only affected
+    // vertices; edges swap atomically, vectors append atomically
     "ann_knngraph_append" -> ((s, d) => {
       val dir = memoArtifact(s"knnga:$d", "graft_knng_app_") { root =>
         val emb = Tables.embeddings(s, d)

@@ -472,27 +472,32 @@ object Ann {
   /** [[graphSearchOver]] plus the per-query DISTINCT scored-candidate
     * counts — the search's true cost unit, exposed so the hierarchical
     * serve's candidate-count drop is assertable (HnswSpec). */
-  private[datapipe] def graphSearchOverWithVisited(
-      g: DataFrame, ep0: DataFrame, planes: Int,
-      k: Int = topK): (DataFrame, DataFrame) = {
-    val ep = epOf(ep0)
-    // disjoint column names (src, dst): the beam frame's lineage already
-    // contains this very frame after step 1, and shared names make the
-    // expand join ambiguous to the self-join checker
-    // checkpointed (not just persisted) for the same plan-analysis
-    // reason as the knnGraph rounds: every step's plan embeds und, and
-    // an un-truncated und drags the whole graph-build tree into each
-    // step's Catalyst analysis
-    val und =
-      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-        .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-        .distinct().localCheckpoint(true)
-    val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
-    val q = ep.where(col("vec_id") % queryMod === 0)
+  /** ONE definition of the beam-walk machinery shared by the flat and
+    * hierarchical serves (r17 review find — the tie-break order, rnk
+    * cast, 6dp rounding, self-exclusion and n_scored aggregation define
+    * the serve contract the hash-verified oracles pin; duplicating them
+    * invites silent drift). Plan-hygiene notes, once for both callers:
+    * the undirected closure uses disjoint column names (src, dst)
+    * because the beam's lineage contains the und frame after step 1 and
+    * shared names trip the self-join checker; und and every evolving
+    * beam are localCheckpoint'ed, NOT just persisted — each step's plan
+    * embeds its predecessor several times, and an un-truncated loop
+    * makes Catalyst re-analyze the whole graph-build lineage per action
+    * (the documented dedup_cluster iteration class; bit an OOM at
+    * step 3 before truncation). */
+  private final class GraphWalk(ep0: DataFrame) {
+    val ep: DataFrame = epOf(ep0)
+    private val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
+    val q: DataFrame = ep.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // one-row aggregate × cross join: the global entry point without a
-    // driver collect
-    val entry = ep.agg(min(col("vec_id")).as("cand"))
+    private var visitedAcc: DataFrame = null
+
+    def note(c: DataFrame): Unit = {
+      val slim = c.select(col("q_id"), col("cand"))
+      visitedAcc = if (visitedAcc == null) slim else visitedAcc.unionByName(slim)
+    }
+    def visited: DataFrame = visitedAcc
+
     def scoreRank(c: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
       c.join(q, Seq("q_id"))
@@ -500,40 +505,62 @@ object Ann {
         .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
         .withColumn("rnk", row_number().over(w))
     }
+
+    def undOf(g: DataFrame): DataFrame =
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
+        .distinct().localCheckpoint(true)
+
+    /** `steps` expand/score/keep-`width` rounds from `start` over `und`;
+      * every step's candidate set joins the visited union; returns the
+      * final beam. */
+    def walk(und: DataFrame, start: DataFrame, width: Int, steps: Int): DataFrame = {
+      var beam = scoreRank(start).where(col("rnk") <= width)
+        .select(col("q_id"), col("cand")).localCheckpoint(true)
+      for (_ <- 1 to steps) {
+        val expand = beam.join(und, beam("cand") === und("src"))
+          .select(beam("q_id"), col("dst").as("cand"))
+        val cands = beam.unionByName(expand).distinct()
+        note(cands)
+        beam = scoreRank(cands).where(col("rnk") <= width)
+          .select(col("q_id"), col("cand")).localCheckpoint(true)
+      }
+      beam
+    }
+
+    /** Top-k of everything visited (self excluded) + per-query scored-
+      * candidate counts — the serve contract, stated once. */
+    def finish(k: Int): (DataFrame, DataFrame) = {
+      val vis = visitedAcc.distinct()
+      val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
+        .where(col("rnk") <= k)
+        .select(col("q_id"), col("cand").as("nbr_id"),
+          col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
+      (res, vis.groupBy("q_id").agg(count(lit(1)).as("n_scored")))
+    }
+  }
+
+  private[datapipe] def graphSearchOverWithVisited(
+      g: DataFrame, ep0: DataFrame, planes: Int,
+      k: Int = topK): (DataFrame, DataFrame) = {
+    val w = new GraphWalk(ep0)
+    // one-row aggregate × cross join: the global entry point without a
+    // driver collect
+    val entry = w.ep.agg(min(col("vec_id")).as("cand"))
     // per-query seeds: the query's own bucket mates in each band
     val bandSeeds = (0 until knnBands).map { band =>
-      val bk = buckets(ep, planes, planeBase = band * planes)
+      val bk = buckets(w.ep, planes, planeBase = band * planes)
       bk.where(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("q_id"), col("bucket"))
         .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
         .select(col("q_id"), col("cand"))
     }.reduce(_ unionByName _)
     val cands0 =
-      bandSeeds.unionByName(q.select(col("q_id")).crossJoin(entry))
+      bandSeeds.unionByName(w.q.select(col("q_id")).crossJoin(entry))
         .distinct().localCheckpoint(true)
-    // each step's beam is localCheckpoint'ed (queries × beam rows): the
-    // beam feeds the NEXT step's expand AND the visited union, and an
-    // un-truncated loop makes Catalyst re-traverse the whole graph-build
-    // lineage once per occurrence — plan ANALYSIS grows exponentially
-    // with steps (the documented dedup_cluster iteration class; this
-    // bit an OOM in the spec at step 3)
-    var beam = scoreRank(cands0).where(col("rnk") <= searchBeam)
-      .select(col("q_id"), col("cand")).localCheckpoint(true)
-    var visited = cands0.select(col("q_id"), col("cand"))
-    for (_ <- 1 to searchSteps) {
-      val expand = beam.join(und, beam("cand") === und("src"))
-        .select(beam("q_id"), col("dst").as("cand"))
-      val cands = beam.unionByName(expand).distinct()
-      visited = visited.unionByName(cands)
-      beam = scoreRank(cands).where(col("rnk") <= searchBeam)
-        .select(col("q_id"), col("cand")).localCheckpoint(true)
-    }
-    val vis = visited.distinct()
-    val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("cand").as("nbr_id"),
-        col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
-    (res, vis.groupBy("q_id").agg(count(lit(1)).as("n_scored")))
+    w.note(cands0)
+    w.walk(w.undOf(g), cands0, searchBeam, searchSteps)
+    w.finish(k)
   }
 
   /** `ann_graph_search` entry: the beam-search answers with the exact
@@ -599,70 +626,28 @@ object Ann {
       k: Int = topK): (DataFrame, DataFrame) = {
     require(uppers.length == hnswUpperLayers,
       s"expected $hnswUpperLayers upper layers, got ${uppers.length}")
-    val ep = epOf(ep0)
-    val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
-    val q = ep.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    def scoreRank(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
-      c.join(q, Seq("q_id"))
-        .join(e, Seq("cand"))
-        .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-    }
-    def undOf(g: DataFrame): DataFrame =
-      g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-        .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-        .distinct().localCheckpoint(true)
+    val w = new GraphWalk(ep0)
     // entry: top layer's smallest member + the global smallest (the
     // fallback keeps a thin corpus with an empty top layer servable);
     // one-row aggregates crossed in, no driver collect
-    val entryTop = ep.where(layerPred(hnswUpperLayers))
+    val entryTop = w.ep.where(layerPred(hnswUpperLayers))
       .agg(min(col("vec_id")).as("cand"))
-    val entryGlobal = ep.agg(min(col("vec_id")).as("cand"))
-    var seeds = q.select(col("q_id")).crossJoin(entryTop)
-      .unionByName(q.select(col("q_id")).crossJoin(entryGlobal))
+    val entryGlobal = w.ep.agg(min(col("vec_id")).as("cand"))
+    var seeds = w.q.select(col("q_id")).crossJoin(entryTop)
+      .unionByName(w.q.select(col("q_id")).crossJoin(entryGlobal))
       .where(col("cand").isNotNull).distinct().localCheckpoint(true)
-    var visited = seeds
+    w.note(seeds)
     // narrow descent, top layer downward; each layer's final beam is
-    // the next layer's seed set (all evolving frames checkpoint-
-    // truncated — the documented iteration class)
-    for (l <- hnswUpperLayers to 1 by -1) {
-      val und = undOf(uppers(l - 1))
-      var beam = scoreRank(seeds).where(col("rnk") <= hnswUpperBeam)
-        .select(col("q_id"), col("cand")).localCheckpoint(true)
-      for (_ <- 1 to hnswUpperSteps) {
-        val expand = beam.join(und, beam("cand") === und("src"))
-          .select(beam("q_id"), col("dst").as("cand"))
-        val cands = beam.unionByName(expand).distinct()
-        visited = visited.unionByName(cands)
-        beam = scoreRank(cands).where(col("rnk") <= hnswUpperBeam)
-          .select(col("q_id"), col("cand")).localCheckpoint(true)
-      }
-      seeds = beam
-    }
+    // the next layer's seed set
+    for (l <- hnswUpperLayers to 1 by -1)
+      seeds = w.walk(w.undOf(uppers(l - 1)), seeds, hnswUpperBeam, hnswUpperSteps)
     // layer 0: the flat serve's own walk. Seeds = the best searchBeam
     // of EVERYTHING the descent scored (not just the last narrow beam):
     // the upper walks already paid for those candidates, so widening
     // the handoff costs no new scoring and recovers the diversity the
     // narrow descent squeezed out
-    val und0 = undOf(g0)
-    var beam = scoreRank(visited.distinct()).where(col("rnk") <= searchBeam)
-      .select(col("q_id"), col("cand")).localCheckpoint(true)
-    for (_ <- 1 to searchSteps) {
-      val expand = beam.join(und0, beam("cand") === und0("src"))
-        .select(beam("q_id"), col("dst").as("cand"))
-      val cands = beam.unionByName(expand).distinct()
-      visited = visited.unionByName(cands)
-      beam = scoreRank(cands).where(col("rnk") <= searchBeam)
-        .select(col("q_id"), col("cand")).localCheckpoint(true)
-    }
-    val vis = visited.distinct()
-    val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
-      .where(col("rnk") <= k)
-      .select(col("q_id"), col("cand").as("nbr_id"),
-        col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
-    (res, vis.groupBy("q_id").agg(count(lit(1)).as("n_scored")))
+    w.walk(w.undOf(g0), w.visited.distinct(), searchBeam, searchSteps)
+    w.finish(k)
   }
 
   /** Inline hierarchical entry: build layer 0 + upper layers over the
@@ -1220,12 +1205,15 @@ object Ann {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("embedding"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // index side: lean frozen-band keys first, vectors joined only onto
-    // the hits (the embedStreamingFlag probe discipline)
-    val keys = (0 until bands).map { b =>
-      buckets(vectors, planes, planeBase = b * planes)
-        .select(col("vec_id").as("corpus_id"), lit(b).as("band"), col("bucket"))
-    }.reduce(_ unionByName _)
+    // index side: the SAME single-pass explode as the arrival side (r17
+    // review find — a per-band union re-scans the vector table once per
+    // band, and the static side of a stream-static join re-executes
+    // every micro-batch); lean keys first, vectors joined only onto the
+    // hits (the embedStreamingFlag probe discipline)
+    val keys = vectors.select(col("vec_id").as("corpus_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("corpus_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
     arr.join(keys, Seq("band", "bucket"))
       .where(col("vec_id") =!= col("corpus_id"))
       .join(vectors.select(col("vec_id").as("corpus_id"),

@@ -597,8 +597,12 @@ object Tables {
     * the previous committed view — never to a torn read. A replayed
     * commit (the streaming contract: same batch, same explicit parent)
     * heals it, because every mutation recomputes from the walk. */
-  private def writeSnapshotManifest(s: SparkSession, dir: String): Unit = {
-    val vs = snapshotVersionsWalk(s, dir).sorted
+  private def writeSnapshotManifest(s: SparkSession, dir: String): Unit =
+    writeSnapshotManifestExplicit(s, dir, snapshotVersionsWalk(s, dir))
+
+  private def writeSnapshotManifestExplicit(s: SparkSession, dir: String,
+                                            versions: Seq[Long]): Unit = {
+    val vs = versions.sorted
     val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -742,11 +746,20 @@ object Tables {
     val doomed = vs.filterNot(keep)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    doomed.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
+    // manifest ordering (r17 review find): unlike a commit, a vacuum has
+    // no replay to heal a stale manifest — so the SURVIVOR list is
+    // written BEFORE any dir is deleted. A crash mid-delete then leaves
+    // a manifest that under-lists (readers see only survivors, all of
+    // which exist) instead of one that lists deleted versions forever;
+    // the final rewrite from the walk merely reconciles leftovers.
+    if (doomed.nonEmpty) {
+      writeSnapshotManifestExplicit(s, dir, vs.filterNot(doomed.contains))
+      doomed.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
+      }
+      writeSnapshotManifest(s, dir)
     }
-    if (doomed.nonEmpty) writeSnapshotManifest(s, dir)
     doomed
   }
 

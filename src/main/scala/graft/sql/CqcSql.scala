@@ -50,6 +50,12 @@ object CqcSql {
     * fall back to stock evaluation of the whole query. */
   private final class UnsupportedFrame extends RuntimeException
 
+  /** Reserved name prefix for correlated-span interior rebinds (r17):
+    * the routing gate declines any subquery whose own relations output
+    * a column with this prefix, so inner-scope-first resolution of the
+    * rebound names can never capture. */
+  private val spanPrefix = "__sqspan_"
+
   def solve(spark: SparkSession, sql: String): DataFrame =
     qualifySplit(sql) match {
       case Some((rewritten, qcol)) =>
@@ -841,9 +847,23 @@ object CqcSql {
     // test below needs no special casing; nested-leaf bindings still
     // fall back (their leaf frames lose the analyzer's exprIds
     // entirely).
+    // capture guard (r17 review find): the rebound interior names carry
+    // a reserved `__sqspan_` prefix and the enumerated frame exposes
+    // matching aliases, so inner-scope-first resolution can only
+    // capture if a relation INSIDE the subquery itself outputs a
+    // `__sqspan_`-prefixed column — declined here (stock), making the
+    // silent-capture path unreachable rather than merely unlikely.
+    def subqPlanCarriesPrefix(e: Expression): Boolean = e.exists {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if s.isCorrelated =>
+        s.plan.collect { case n => n.output }.flatten
+          .exists(_.name.startsWith(spanPrefix))
+      case _ => false
+    }
     def liftableSpan(e: Expression): Boolean = {
       val ls = e.references.map(a => leafOf(a.exprId.id)).toSet
-      ls.size >= 2 && ls.forall(l => l >= 0 && !leafIsNested(l))
+      ls.size >= 2 && ls.forall(l => l >= 0 && !leafIsNested(l)) &&
+        !subqPlanCarriesPrefix(e)
     }
     val (subqSpanFilters, conjuncts2) =
       conjuncts.partition(e => hasSubquery(e) && liftableSpan(e))
@@ -1164,21 +1184,34 @@ object CqcSql {
       // lifted cross-leaf subquery predicates: every referenced variable
       // is bound in the enumeration output; an uncorrelated subquery
       // plan rides the Column as-is, a correlated one has its interior
-      // OuterReferences rebound to the enumeration's variable names
-      // (r17 — ResolveSubquery then re-resolves the unresolved plan
-      // against this frame and rebuilds the outer-attr metadata)
+      // OuterReferences rebound (r17 — ResolveSubquery then re-resolves
+      // the unresolved plan against this frame and rebuilds the
+      // outer-attr metadata). Interior names use the reserved
+      // `__sqspan_` prefix with matching aliases on the enumerated
+      // frame (dropped afterwards): inner-scope-first resolution cannot
+      // capture a same-named subquery-side column, because the routing
+      // gate declined any subquery whose own relations carry the prefix
+      // (r17 review find — a generated schema with columns c0..cN could
+      // otherwise shadow a bare c<exprId> variable name silently)
+      val corrNames = scala.collection.mutable.LinkedHashSet[String]()
       def toVarNamesSubq(e: Expression): Expression = e.transform {
         case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
             if s.isCorrelated =>
           s.withNewPlan(s.plan.transformAllExpressions {
             case org.apache.spark.sql.catalyst.expressions
                   .OuterReference(a: AttributeReference) =>
-              UnresolvedAttribute(varName(a.exprId.id))
+              val v = varName(a.exprId.id)
+              corrNames += v
+              UnresolvedAttribute(spanPrefix + v)
           })
         case a: AttributeReference => UnresolvedAttribute(varName(a.exprId.id))
       }
-      subqSpanFilters.foreach(e =>
-        out = out.where(GraftSqlBridge.column(toVarNamesSubq(e))))
+      val spanExprs = subqSpanFilters.map(toVarNamesSubq) // populates corrNames
+      corrNames.foreach(v =>
+        out = out.withColumn(spanPrefix + v, functions.col(v)))
+      spanExprs.foreach(e => out = out.where(GraftSqlBridge.column(e)))
+      if (corrNames.nonEmpty)
+        out = out.drop(corrNames.toSeq.map(spanPrefix + _): _*)
 
       // ---- re-apply the peeled outer joins on the CQC result (a
       // join-bearing peeled side is itself a nested block: recurse)

@@ -117,6 +117,24 @@ class SubqSpanSpec extends SparkSpecBase {
     agree(sql)
   }
 
+  test("capture guard: a subquery-side __sqspan_ column declines to stock, correctly") {
+    views()
+    // if the subquery's own relation outputs a reserved-prefix column,
+    // inner-scope-first resolution of the rebound names could capture
+    // it — the routing gate declines such shapes to stock outright
+    spark.sql("SELECT o_custkey AS __sqspan_k, o_totalprice FROM sq_orders")
+      .createOrReplaceTempView("sq_prefixed")
+    val sql =
+      """SELECT c.c_custkey AS cust, o.o_orderkey AS ord
+        |FROM sq_customer c, sq_orders o
+        |WHERE c.c_custkey = o.o_custkey
+        |  AND o.o_totalprice + c.c_acctbal >
+        |      (SELECT max(p.o_totalprice) FROM sq_prefixed p
+        |       WHERE p.__sqspan_k = c.c_custkey)""".stripMargin
+    assert(CqcSql.explain(spark, sql).contains("stock fallback"))
+    agree(sql)
+  }
+
   test("span filters decline the aggregate fast paths but keep aggregation correct") {
     views()
     // GROUP BY over the lifted span: the FAQ fast path must not swallow
