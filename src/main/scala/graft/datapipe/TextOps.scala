@@ -492,7 +492,7 @@ object TextOps {
    */
   def langIdNb(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame =
     langIdNbOver(docs, curated, cap,
-      array_distinct(words(Dedup.normText)), "n_words")
+      array_distinct(words(col("__t"))), "n_words")
 
   /** Char-trigram NB language ID (r17 — VERDICT #7): the same exact
     * integer-sum machinery as [[langIdNb]], with distinct character
@@ -502,23 +502,33 @@ object TextOps {
     * where the word model sees only the +1 smoothing mass and ranks on
     * class priors. Count column is `n_grams`. */
   def langIdNbChar(docs: DataFrame, curated: Column, cap: Int = nbVocab): DataFrame = {
-    val t = Dedup.normText
+    // grams read the MATERIALIZED `__t` column (projected by
+    // langIdNbOver in its own select): embedding the normText regexp
+    // tree in the lambda body would re-evaluate regexp_replace once PER
+    // TRIGRAM element — the documented O(len x regex) per-doc trap
+    // (r17 floor run: 17.8s -> ~2s at sf0.1)
+    val t = col("__t")
     val grams = when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array())
     langIdNbOver(docs, curated, cap, array_distinct(grams), "n_grams")
   }
 
+  /** Core NB scorer; `grams` must be an expression over the `__t`
+    * column, which this method materializes (normalized text) in its
+    * own projection on both the curated and the scoring side. */
   private def langIdNbOver(docs: DataFrame, curated: Column, cap: Int,
                            grams: Column, cntName: String): DataFrame = {
     val cur = docs.where(curated && col("lang").isNotNull)
+      .select(col("lang"), Dedup.normText.as("__t"))
     val nl = cur.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
     val dfx = cur.select(col("lang"), explode(grams).as("w"))
       .groupBy(col("w"), col("lang")).agg(count(lit(1)).as("df"))
     val tot = dfx.groupBy(col("w")).agg(sum(col("df")).as("tdf"))
       .orderBy(col("tdf").desc, col("w").asc).limit(cap)
     val vcap = dfx.join(tot.select("w"), Seq("w"), "left_semi")
-    val dw = docs.select(col("doc_id"), explode(grams).as("w"))
+    val dw = docs.select(col("doc_id"), Dedup.normText.as("__t"))
+      .select(col("doc_id"), explode(grams).as("w"))
     val pairs = dw.crossJoin(broadcast(nl))
       .join(broadcast(vcap), Seq("w", "lang"), "left")
       .select(col("doc_id"), col("lang"), col("nl"),
