@@ -2662,6 +2662,30 @@ object SparkEntry {
       val dir = buildOrdersSnapshotStore(s, d)
       Tables.snapshotHistoryMeta(s, dir)
     }),
+    // column rename + drop as store commits (r17): v0 init, v1 = seq-1
+    // changes, v2 = RENAME(o_orderstatus->o_status), v3 = seq-2 changes
+    // feeding the NEW name, v4 = DROP(o_orderpriority); the final
+    // snapshot must equal the one-shot merge renamed + projected (the
+    // oracle re-derives it), proving the rename/drop commits compose
+    // with merge instead of forking the store's semantics
+    "src_merge_rename" -> ((s, d) => {
+      val keys = Seq("o_orderkey")
+      val dir = memoArtifact(s"snapren:$d", "graft_snapren_") { root =>
+        val sd = s"$root/orders_ren"
+        Tables.initSnapshot(Tables.orders(s, d), sd)
+        val ch = Tables.ordersChanges(s, d)
+        Tables.applyChangeBatch(ch.where(col("seq") === 1), keys, sd, 1L)
+        Tables.renameSnapshotColumn(s, sd, "o_orderstatus", "o_status", keys)
+        Tables.applyChangeBatch(
+          ch.where(col("seq") === 2)
+            .withColumnRenamed("o_orderstatus", "o_status"), keys, sd, 3L)
+        Tables.dropSnapshotColumn(s, sd, "o_orderpriority", keys)
+      } + "/orders_ren"
+      Tables.readSnapshot(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_status"),
+          col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"))
+    }),
     // PII scrub: count + mask emails / IPv4 / phone-likes (planted
     // deterministically from doc_id — the corpus carries no natural PII)
     "pipe_redact" -> ((s, d) => TextOps.redactPii(TextOps.plantPii(Tables.documents(s, d)))),
@@ -3430,6 +3454,13 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND value >= 50.0
         |GROUP BY 1""".stripMargin,
     "src_merge" -> Tables.mergeOrdersSql,
+    // rename/drop commits compose with merge: the final renamed store
+    // equals the ONE-SHOT merge with the rename applied and the
+    // dropped column projected away
+    "src_merge_rename" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus AS o_status,
+         |       o_totalprice, odate_ms
+         |FROM (${Tables.mergeOrdersSql})""".stripMargin,
     "src_merge_travel" -> Tables.mergeOrdersPrefixSql,
     "src_merge_changes" -> Tables.mergeOrdersChangesSql,
     // history: version row counts re-derived from the same builders

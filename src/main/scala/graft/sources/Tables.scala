@@ -764,6 +764,79 @@ object Tables {
   }
 
   /**
+   * COLUMN RENAME as a store commit (r17 — the evolution direction r16
+   * refused loudly): commits version latest+1 whose data is the parent
+   * snapshot with `oldName` renamed to `newName`; history records
+   * `RENAME(old->new)` and CDC reads across the rename map the old
+   * side before diffing ([[snapshotChanges]]). In this full-snapshot
+   * store a rename costs exactly what every commit costs — one version
+   * write (Delta makes renames metadata-only via column mapping
+   * because its versions SHARE data files; ours are immutable complete
+   * snapshots by design, so there is no shared physical schema to
+   * remap, and the usual commit is already a full rewrite). Key
+   * columns refuse: they name the merge identity. Case-colliding
+   * targets refuse for the same reason as the merge's evolution guard.
+   */
+  def renameSnapshotColumn(s: SparkSession, dir: String, oldName: String,
+                           newName: String, keys: Seq[String]): Long = {
+    val vs = snapshotVersions(s, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val parent = vs.max
+    val cur = s.read.parquet(s"$dir/v$parent")
+    require(cur.columns.contains(oldName),
+      s"rename: no column $oldName in snapshot v$parent")
+    require(!keys.contains(oldName),
+      s"rename: $oldName is a merge key — keys name the row identity")
+    require(!cur.columns.exists(_.equalsIgnoreCase(newName)),
+      s"rename: target $newName case-collides with an existing column")
+    val version = parent + 1
+    cur.withColumnRenamed(oldName, newName)
+      .write.mode("overwrite").parquet(s"$dir/v$version")
+    writeSnapshotMeta(s, dir, version, s"RENAME($oldName->$newName)")
+    writeSnapshotManifest(s, dir)
+    version
+  }
+
+  /** COLUMN DROP as a store commit (r17): same contract as
+    * [[renameSnapshotColumn]] — history records `DROP(name)`, CDC
+    * across the drop diffs over the surviving schema, keys refuse, and
+    * the last payload column refuses (a keys-only snapshot has no
+    * change signal left to merge on). */
+  def dropSnapshotColumn(s: SparkSession, dir: String, name: String,
+                         keys: Seq[String]): Long = {
+    val vs = snapshotVersions(s, dir)
+    require(vs.nonEmpty, s"no committed snapshot under $dir")
+    val parent = vs.max
+    val cur = s.read.parquet(s"$dir/v$parent")
+    require(cur.columns.contains(name),
+      s"drop: no column $name in snapshot v$parent")
+    require(!keys.contains(name),
+      s"drop: $name is a merge key — keys name the row identity")
+    require(cur.columns.count(!keys.contains(_)) > 1,
+      s"drop: $name is the last payload column")
+    val version = parent + 1
+    cur.drop(name).write.mode("overwrite").parquet(s"$dir/v$version")
+    writeSnapshotMeta(s, dir, version, s"DROP($name)")
+    writeSnapshotManifest(s, dir)
+    version
+  }
+
+  private val renameOpRe = "RENAME\\((.+)->(.+)\\)".r
+  private val dropOpRe = "DROP\\((.+)\\)".r
+
+  /** Schema operations committed in version range (fromV, toV], oldest
+    * first — driver-sized (one row per commit), read from the history
+    * metadata; versions without meta contribute nothing. */
+  private def schemaOpsBetween(s: SparkSession, dir: String,
+                               fromV: Long, toV: Long): Seq[String] =
+    snapshotHistoryMeta(s, dir)
+      .where(col("version") > fromV && col("version") <= toV &&
+        col("operation").isNotNull)
+      .orderBy(col("version"))
+      .select(col("operation")).collect().map(_.getString(0)).toSeq
+      .filter(op => renameOpRe.matches(op) || dropOpRe.matches(op))
+
+  /**
    * CDC READ (r15) — Delta's `table_changes(from, to)`: the net row
    * changes between two committed versions, derived from the snapshots
    * themselves (the store keeps full versions, so the diff is one
@@ -783,14 +856,28 @@ object Tables {
   def snapshotChanges(s: SparkSession, dir: String, keys: Seq[String],
                       fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
-    val a0 = readSnapshotAt(s, dir, fromV)
+    val a00 = readSnapshotAt(s, dir, fromV)
     val b = readSnapshotAt(s, dir, toV)
-    // schema evolution (r16): the store only ever ADDS columns
-    // (merge's evolveSchema contract), so an older version's schema must
-    // be a subset of the newer's — null-extend the old side
-    // and diff over the widened schema (a row whose only change is a
-    // value in a new column emits a 'U', exactly Delta's read); any
-    // other drift still fails loud
+    // schema operations in the range (r17): replay recorded
+    // RENAME/DROP commits onto the OLD side so the diff compares like
+    // with like — a row unchanged across a pure rename emits NOTHING
+    // (the rename is a schema event, not a row change), a value change
+    // after the rename keys on the new name, and a dropped column
+    // simply leaves the diff (Delta's column-mapping read semantics)
+    val a0 = schemaOpsBetween(s, dir, fromV, toV).foldLeft(a00) { (df, op) =>
+      op match {
+        case renameOpRe(o, n) if df.columns.contains(o) =>
+          df.withColumnRenamed(o, n)
+        case dropOpRe(c) if df.columns.contains(c) => df.drop(c)
+        case _ => df
+      }
+    }
+    // schema evolution (r16): beyond the recorded operations the store
+    // only ever ADDS columns (merge's evolveSchema contract), so the
+    // replayed older schema must be a subset of the newer's —
+    // null-extend the old side and diff over the widened schema (a row
+    // whose only change is a value in a new column emits a 'U', exactly
+    // Delta's read); any other drift still fails loud
     val missing = b.columns.filterNot(a0.columns.contains).toSeq
     require(a0.columns.forall(b.columns.contains),
       s"snapshot schema drift between v$fromV and v$toV: " +

@@ -267,6 +267,47 @@ class MergeSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("column rename/drop commits (r17): history records them, CDC maps across, guards fire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    try {
+      val keys = Seq("k")
+      Tables.initSnapshot(base, dir)
+      Tables.applyChangeBatch(changes.where($"seq" === 1), keys, dir, 1L)
+      // rename commits v2; old versions keep the old name
+      assert(Tables.renameSnapshotColumn(spark, dir, "name", "label", keys) == 2L)
+      assert(Tables.readSnapshotAt(spark, dir, 1L).columns.contains("name"))
+      assert(Tables.readSnapshotAt(spark, dir, 2L).columns.toSeq == Seq("k", "label", "v"))
+      // a feed using the NEW name merges on top
+      Tables.applyChangeBatch(
+        changes.where($"seq" === 2).withColumnRenamed("name", "label"), keys, dir, 3L)
+      // CDC ACROSS the rename: v1 -> v3 diffs on the renamed schema; a
+      // row untouched by seq-2 emits nothing despite the rename
+      val ch13 = Tables.snapshotChanges(spark, dir, keys, 1L, 3L)
+      assert(ch13.columns.contains("label") && !ch13.columns.contains("name"))
+      val touched = ch13.select("k").as[Long].collect().toSet
+      assert(touched == Set(3L, 4L), s"only seq-2 rows change, got $touched")
+      // drop commits v4; CDC across the drop diffs the surviving schema
+      assert(Tables.dropSnapshotColumn(spark, dir, "label", keys) == 4L)
+      assert(Tables.readSnapshot(spark, dir).columns.toSeq == Seq("k", "v"))
+      val ch14 = Tables.snapshotChanges(spark, dir, keys, 1L, 4L)
+      assert(ch14.columns.sorted.toSeq == Seq("k", "op", "v"))
+      // history records the schema commits
+      val ops = Tables.snapshotHistoryMeta(spark, dir).orderBy("version")
+        .as[(Long, String, Long)].collect().map(_._2).toSeq
+      assert(ops == Seq("INIT", "MERGE", "RENAME(name->label)", "MERGE", "DROP(label)"))
+      // guards: keys refuse, case-collisions refuse, last payload refuses
+      intercept[IllegalArgumentException] {
+        Tables.renameSnapshotColumn(spark, dir, "k", "kk", keys)
+      }
+      intercept[IllegalArgumentException] {
+        Tables.renameSnapshotColumn(spark, dir, "v", "K", keys)
+      }
+      intercept[IllegalArgumentException] {
+        Tables.dropSnapshotColumn(spark, dir, "v", keys) // last payload column
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("history metadata records operation and row counts per commit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     try {
