@@ -173,7 +173,7 @@ class DirectRouteSpec extends SparkSpecBase {
   }
 
   test("randomized battery: direct == reduced == stock on planted graphs") {
-    val rnd = new scala.util.Random(147042)
+    val rnd = new scala.util.Random(149042)
     for (round <- 1 to 12) {
       val n = 6 + rnd.nextInt(30)
       val edges = Seq.fill(40 + rnd.nextInt(120))((rnd.nextInt(n), rnd.nextInt(n)))

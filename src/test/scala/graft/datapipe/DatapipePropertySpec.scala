@@ -25,7 +25,7 @@ class DatapipePropertySpec extends SparkSpecBase {
   }
 
   test("mixEpochs equals the brute-force per-doc copy count on random corpora") {
-    val rnd = new scala.util.Random(147207)
+    val rnd = new scala.util.Random(149207)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
     val docs = (0 until 80).map { i =>
       val text = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
@@ -50,7 +50,7 @@ class DatapipePropertySpec extends SparkSpecBase {
   }
 
   test("Decontam.flag equals brute-force containment on random corpora") {
-    val rnd = new scala.util.Random(147323)
+    val rnd = new scala.util.Random(149323)
     val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9")
     def randText(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
     val probes = (0 until 5).map(i => (100L + i, randText(6)))
@@ -85,7 +85,7 @@ class DatapipePropertySpec extends SparkSpecBase {
   }
 
   test("keptCorpus equals the componentwise pipeline on random planted corpora") {
-    val rnd = new scala.util.Random(147453)
+    val rnd = new scala.util.Random(149453)
     // en-stopword-bearing vocab so the language/quality gates pass a
     // realistic subset; distinct fillers keep repetition fractions low
     val fillers = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
@@ -135,7 +135,7 @@ class DatapipePropertySpec extends SparkSpecBase {
   }
 
   test("repetition fractions equal brute-force distinct counts on random docs") {
-    val rnd = new scala.util.Random(147597)
+    val rnd = new scala.util.Random(149597)
     val vocab = Vector("x", "y", "z")   // tiny vocab forces heavy repetition
     val docs = (0 until 60).map { i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))

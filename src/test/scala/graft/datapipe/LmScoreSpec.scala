@@ -69,7 +69,7 @@ class LmScoreSpec extends SparkSpecBase {
   }
 
   test("randomized battery matches the pure-Scala oracle") {
-    val rnd = new scala.util.Random(147611)
+    val rnd = new scala.util.Random(149611)
     val alphabet = "abcdef gh"
     val docs = (0L until 60L).map { id =>
       id -> (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString

@@ -143,7 +143,7 @@ class SpanDedupSpec extends SparkSpecBase {
           if (kept.isEmpty) None else Some(kept.mkString(" "))))
       }.toMap
     }
-    val rnd = new scala.util.Random(147833)
+    val rnd = new scala.util.Random(149833)
     for (trial <- 1 to 6) {
       // small vocab + long docs => frequent genuine span collisions
       val vocab = 4 + rnd.nextInt(5)

@@ -50,7 +50,7 @@ class FunctionsSpec extends SparkSpecBase {
     // on and off
     import graft.datapipe.Dedup.{mhA, mhB, mhP}
     val k = 12
-    val rnd = new scala.util.Random(147717)
+    val rnd = new scala.util.Random(149717)
     val rows = (Seq(Seq.empty[Long], Seq(0L), Seq(mhP - 1L)) ++
       (1 to 20).map(_ => Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs))).zipWithIndex
     val df = rows.map { case (s, i) => (i.toLong, s) }.toDF("id", "shs")

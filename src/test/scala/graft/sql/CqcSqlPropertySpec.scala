@@ -12,7 +12,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   import spark.implicits._
 
   test("random chain queries with filters/comparisons match stock Spark") {
-    val rnd = new scala.util.Random(147001)
+    val rnd = new scala.util.Random(149001)
     val edges = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("prop_edges")
@@ -41,7 +41,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random aggregate queries (fast-path shapes) match stock Spark") {
-    val rnd = new scala.util.Random(147139)
+    val rnd = new scala.util.Random(149139)
     val edges = Seq.fill(220)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propa_edges")
@@ -82,7 +82,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random CTE-wrapped aggregate queries inline and match stock Spark") {
-    val rnd = new scala.util.Random(147283)
+    val rnd = new scala.util.Random(149283)
     val edges = Seq.fill(200)((rnd.nextInt(11).toLong, rnd.nextInt(11).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propc_edges")
@@ -119,7 +119,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random OUTER-join aggregate queries (eager path, inner+outer sides) match stock") {
-    val rnd = new scala.util.Random(147403)
+    val rnd = new scala.util.Random(149403)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propo_edges")
@@ -168,7 +168,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // random EXISTS / NOT EXISTS / IN / scalar subquery predicate pinned
     // to a random leaf (correlated or not). Every query must return stock
     // Spark's rows — via the CQC route or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(146214)
+    val rnd = new scala.util.Random(148214)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("props_edges")
@@ -259,7 +259,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // subquery predicate (correlated or not) pinned underneath. Every
     // query must return stock Spark's multiset — via the fast path, the
     // generic path, or a traced fallback, never a crash.
-    val rnd = new scala.util.Random(147814)
+    val rnd = new scala.util.Random(149814)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propg_edges")
@@ -358,7 +358,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // function over a random partition key — ROW_NUMBER/RANK carry a
     // TOTAL order (every selected column as tie-break) so results are
     // deterministic and multiset-comparable on every route.
-    val rnd = new scala.util.Random(147909)
+    val rnd = new scala.util.Random(149909)
     val edges = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
       .distinct.toDF("src", "dst")
     edges.createOrReplaceTempView("propw_edges")
@@ -432,7 +432,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random explicit SEMI/ANTI join queries match stock Spark (r14 cross-generator)") {
-    val rnd = new scala.util.Random(148001)
+    val rnd = new scala.util.Random(150002)
     // tiny key domain: semi probes hit and miss in the same query, and
     // anti sides are non-trivially selective
     val edges = Seq.fill(260)(
@@ -517,7 +517,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
     // INDEPENDENTLY, and a branch may now carry explicit semi/anti
     // probes, aggregates, or both — per-branch routing must keep
     // multiset semantics exact under every combination operator
-    val rnd = new scala.util.Random(148158)
+    val rnd = new scala.util.Random(150158)
     val edges = Seq.fill(260)(
         (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(5).toLong))
       .distinct.toDF("src", "dst", "w")
@@ -592,7 +592,7 @@ class CqcSqlPropertySpec extends SparkSpecBase {
   }
 
   test("random ranked chain queries match stock Spark exactly (incl. boundary ties)") {
-    val rnd = new scala.util.Random(147577)
+    val rnd = new scala.util.Random(149577)
     // TINY rating domain: cumulative-rank ties at every prune boundary —
     // the case the rank()-based exact prune must survive
     val edges = Seq.fill(240)(
