@@ -793,6 +793,7 @@ object Tables {
     cur.withColumnRenamed(oldName, newName)
       .write.mode("overwrite").parquet(s"$dir/v$version")
     writeSnapshotMeta(s, dir, version, s"RENAME($oldName->$newName)")
+    appendSchemaOp(s, dir, version, s"RENAME($oldName->$newName)")
     writeSnapshotManifest(s, dir)
     version
   }
@@ -817,6 +818,7 @@ object Tables {
     val version = parent + 1
     cur.drop(name).write.mode("overwrite").parquet(s"$dir/v$version")
     writeSnapshotMeta(s, dir, version, s"DROP($name)")
+    appendSchemaOp(s, dir, version, s"DROP($name)")
     writeSnapshotManifest(s, dir)
     version
   }
@@ -824,17 +826,60 @@ object Tables {
   private val renameOpRe = "RENAME\\((.+)->(.+)\\)".r
   private val dropOpRe = "DROP\\((.+)\\)".r
 
+  /** Append one schema-op record (`"<version> <op>"`) to the
+    * driver-side `_schema_ops` file via the temp+rename discipline.
+    * The file is deliberately SEPARATE from the per-version meta and
+    * untouched by vacuum: a rename version may be vacuumed away while
+    * versions on both sides of it survive, and a CDC read across that
+    * range still needs the rename record ([[schemaOpsBetween]]); it is
+    * also a plain driver-side read, so replaying ops costs no Spark
+    * job on the serve path (r17 pin find: the meta-frame read added
+    * ~0.4s to every snapshotChanges call). */
+  private def appendSchemaOp(s: SparkSession, dir: String,
+                             version: Long, op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(p)) ""
+      else {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        new String(bytes, "UTF-8")
+      }
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_schema_ops.tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    out.write((prior + s"$version $op\n").getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"schema-op commit rename failed under $dir")
+  }
+
   /** Schema operations committed in version range (fromV, toV], oldest
-    * first — driver-sized (one row per commit), read from the history
-    * metadata; versions without meta contribute nothing. */
+    * first — a driver-side file read (no Spark job on the CDC serve
+    * path); stores without the file (pre-rename stores) contribute
+    * nothing. */
   private def schemaOpsBetween(s: SparkSession, dir: String,
-                               fromV: Long, toV: Long): Seq[String] =
-    snapshotHistoryMeta(s, dir)
-      .where(col("version") > fromV && col("version") <= toV &&
-        col("operation").isNotNull)
-      .orderBy(col("version"))
-      .select(col("operation")).collect().map(_.getString(0)).toSeq
-      .filter(op => renameOpRe.matches(op) || dropOpRe.matches(op))
+                               fromV: Long, toV: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val sp = line.indexOf(' ')
+          (line.take(sp).toLong, line.drop(sp + 1))
+        }
+        .filter { case (v, op) => v > fromV && v <= toV &&
+          (renameOpRe.matches(op) || dropOpRe.matches(op)) }
+        .sortBy(_._1).map(_._2)
+    }
+  }
 
   /**
    * CDC READ (r15) — Delta's `table_changes(from, to)`: the net row

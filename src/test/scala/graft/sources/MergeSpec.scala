@@ -295,6 +295,15 @@ class MergeSpec extends SparkSpecBase {
       val ops = Tables.snapshotHistoryMeta(spark, dir).orderBy("version")
         .as[(Long, String, Long)].collect().map(_._2).toSeq
       assert(ops == Seq("INIT", "MERGE", "RENAME(name->label)", "MERGE", "DROP(label)"))
+      // the rename record SURVIVES vacuuming the rename version itself:
+      // v1 and v4 both outlive v2 (the RENAME commit), and the v1->v4
+      // CDC read must still map the old side (the _schema_ops file is
+      // independent of vacuum by design)
+      Tables.pinSnapshot(spark, dir, 1L, "cdc-reader")
+      assert(Tables.vacuumSnapshots(spark, dir, keepLast = 1)
+        .contains(2L), "the rename version vacuums away")
+      val ch14v = Tables.snapshotChanges(spark, dir, keys, 1L, 4L)
+      assert(ch14v.columns.sorted.toSeq == Seq("k", "op", "v"))
       // guards: keys refuse, case-collisions refuse, last payload refuses
       intercept[IllegalArgumentException] {
         Tables.renameSnapshotColumn(spark, dir, "k", "kk", keys)
