@@ -779,7 +779,17 @@ object Tables {
    */
   def renameSnapshotColumn(s: SparkSession, dir: String, oldName: String,
                            newName: String, keys: Seq[String]): Long = {
-    val vs = snapshotVersions(s, dir)
+    // parent from the WALK, not the manifest (r17 review find): a stale
+    // manifest (crash between a commit and its manifest update) would
+    // otherwise resolve a parent BELOW a committed version and silently
+    // overwrite it; mutations trust the walk, exactly as the manifest
+    // heal does. Schema commits also assume exclusive write access —
+    // a store fed by a LIVE mergeStreaming sink owns its version
+    // sequence (batchId+1), and an interleaved schema commit would be
+    // overwritten by the next micro-batch: quiesce the sink first.
+    require(oldName.matches("[A-Za-z0-9_.]+") && newName.matches("[A-Za-z0-9_.]+"),
+      s"rename: column names must be plain identifiers, got '$oldName'->'$newName'")
+    val vs = snapshotVersionsWalk(s, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val parent = vs.max
     val cur = s.read.parquet(s"$dir/v$parent")
@@ -805,7 +815,11 @@ object Tables {
     * change signal left to merge on). */
   def dropSnapshotColumn(s: SparkSession, dir: String, name: String,
                          keys: Seq[String]): Long = {
-    val vs = snapshotVersions(s, dir)
+    // walk-resolved parent + identifier guard + single-writer contract:
+    // see [[renameSnapshotColumn]]
+    require(name.matches("[A-Za-z0-9_.]+"),
+      s"drop: column names must be plain identifiers, got '$name'")
+    val vs = snapshotVersionsWalk(s, dir)
     require(vs.nonEmpty, s"no committed snapshot under $dir")
     val parent = vs.max
     val cur = s.read.parquet(s"$dir/v$parent")
@@ -838,22 +852,38 @@ object Tables {
   private def appendSchemaOp(s: SparkSession, dir: String,
                              version: Long, op: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops.bak")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val prior =
-      if (!fs.exists(p)) ""
-      else {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0L, bytes) finally in.close()
-        new String(bytes, "UTF-8")
-      }
+    val prior = readSchemaOpsFile(fs, p, bak).getOrElse("")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/_schema_ops.tmp-${java.util.UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     out.write((prior + s"$version $op\n").getBytes("UTF-8"))
     out.close()
-    fs.delete(p, false)
+    // crash-safe swap (r17 review find — this file is a SOURCE OF
+    // TRUTH with no heal path, unlike the manifest): the previous
+    // content retires to .bak before the new file renames in, so every
+    // crash window leaves either the live file or the backup readable;
+    // readers fall back to .bak when the live file is mid-swap
+    if (fs.exists(p)) {
+      fs.delete(bak, false)
+      require(fs.rename(p, bak), s"schema-op backup rename failed under $dir")
+    }
     require(fs.rename(tmp, p), s"schema-op commit rename failed under $dir")
+    fs.delete(bak, false)
+    ()
+  }
+
+  private def readSchemaOpsFile(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path,
+                                bak: org.apache.hadoop.fs.Path): Option[String] = {
+    val src = if (fs.exists(p)) Some(p) else if (fs.exists(bak)) Some(bak) else None
+    src.map { sp =>
+      val bytes = new Array[Byte](fs.getFileStatus(sp).getLen.toInt)
+      val in = fs.open(sp)
+      try in.readFully(0L, bytes) finally in.close()
+      new String(bytes, "UTF-8")
+    }
   }
 
   /** Schema operations committed in version range (fromV, toV], oldest
@@ -863,21 +893,22 @@ object Tables {
   private def schemaOpsBetween(s: SparkSession, dir: String,
                                fromV: Long, toV: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/_schema_ops.bak")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0L, bytes) finally in.close()
-      new String(bytes, "UTF-8").split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
-        .map { line =>
-          val sp = line.indexOf(' ')
-          (line.take(sp).toLong, line.drop(sp + 1))
-        }
-        .filter { case (v, op) => v > fromV && v <= toV &&
-          (renameOpRe.matches(op) || dropOpRe.matches(op)) }
-        .sortBy(_._1).map(_._2)
+    readSchemaOpsFile(fs, p, bak) match {
+      case None => Seq.empty
+      case Some(content) =>
+        content.split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+          .map { line =>
+            val sp = line.indexOf(' ')
+            (line.take(sp).toLong, line.drop(sp + 1))
+          }
+          // range predicate only — WHICH op strings replay is the
+          // consumer's single authority (its match has a keep-as-is
+          // fallback); filtering here too invited silent drift
+          .filter { case (v, _) => v > fromV && v <= toV }
+          .sortBy(_._1).map(_._2)
     }
   }
 

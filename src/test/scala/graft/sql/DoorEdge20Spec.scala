@@ -12,7 +12,7 @@ import org.apache.spark.sql.DataFrame
   * surfaces (phash, char NB langid, stream flag, hnsw serve) as door
   * relations. Every shape runs direct-eligible, forced-reduced and
   * stock, compared as multisets; empty results fail the battery. */
-class DoorEdge20Spec extends SparkSpecBase {
+class DoorEdge20Spec extends SparkSpecBase with DoorEdgeBase {
 
   private def views(): Unit = {
     val d = sfDir
@@ -28,37 +28,6 @@ class DoorEdge20Spec extends SparkSpecBase {
     graft.SparkEntry.queries("ann_graph_search_hnsw")(spark, d)
       .createOrReplaceTempView("d20_hnsw")
     Tables.documents(spark, d).createOrReplaceTempView("d20_docs")
-  }
-
-  private def multiset(df: DataFrame): Map[Seq[Any], Int] =
-    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
-
-  private def battery(shapes: Seq[(String, String)]): Unit = {
-    var bad = 0
-    shapes.foreach { case (name, sql) =>
-      try {
-        val direct = multiset(CqcSql.solve(spark, sql))
-        graft.CacheRegistry.unpersistAll()
-        spark.conf.set("spark.graft.direct.threshold", "0")
-        val reduced =
-          try multiset(CqcSql.solve(spark, sql))
-          finally spark.conf.unset("spark.graft.direct.threshold")
-        graft.CacheRegistry.unpersistAll()
-        val stock = multiset(spark.sql(sql))
-        if (direct != reduced || direct != stock) {
-          System.err.println(s"[$name] MISMATCH sizes direct=${direct.size} reduced=${reduced.size} stock=${stock.size}")
-          bad += 1
-        } else if (direct.isEmpty) {
-          System.err.println(s"[$name] EMPTY result — shape exercises nothing")
-          bad += 1
-        }
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[$name] THREW ${e.getClass.getSimpleName}: ${e.getMessage}")
-          bad += 1
-      }
-    }
-    assert(bad == 0, s"$bad shapes disagreed between routes (or went empty)")
   }
 
   test("correlated spans in exotic positions agree across routes") {
