@@ -490,20 +490,36 @@ object Ann {
     private val e = ep.select(col("vec_id").as("cand"), col("embedding").as("__ce"))
     val q: DataFrame = ep.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    private var visitedAcc: DataFrame = null
+    // (q_id, cand, cos) for EVERY candidate any step scored, each frame
+    // already materialized (localCheckpoint in scoreNoted) — cosine is a
+    // pure function of (q_emb, __ce), so a pair re-scored by a later
+    // step carries bit-identical cos and the union's DISTINCT is exactly
+    // the distinct visited-pair set
+    private var scoredAcc: DataFrame = null
 
-    def note(c: DataFrame): Unit = {
-      val slim = c.select(col("q_id"), col("cand"))
-      visitedAcc = if (visitedAcc == null) slim else visitedAcc.unionByName(slim)
+    private def noteScored(sc: DataFrame): Unit = {
+      val slim = sc.select(col("q_id"), col("cand"), col("cos"))
+      scoredAcc = if (scoredAcc == null) slim else scoredAcc.unionByName(slim)
     }
-    def visited: DataFrame = visitedAcc
+    def visited: DataFrame = scoredAcc.select(col("q_id"), col("cand"))
 
-    def scoreRank(c: DataFrame): DataFrame = {
+    /** Score `c` ONCE — join the query vectors and the collection,
+      * cosine, per-query rank — and MATERIALIZE the ranked rows
+      * (r17-opt, guide §1.2/§2.4): the beam filter, both of the next
+      * step's uses of the beam, and the final top-k all read this one
+      * materialization. The previous shape checkpointed only the
+      * rank-filtered beam and re-ran every step's scoring joins a second
+      * time when `finish` evaluated the visited union — the whole walk
+      * was paid twice. */
+    private def scoreNoted(c: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
-      c.join(q, Seq("q_id"))
+      val sc = c.join(q, Seq("q_id"))
         .join(e, Seq("cand"))
         .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
         .withColumn("rnk", row_number().over(w))
+        .localCheckpoint(true)
+      noteScored(sc)
+      sc
     }
 
     def undOf(g: DataFrame): DataFrame =
@@ -512,27 +528,31 @@ object Ann {
         .distinct().localCheckpoint(true)
 
     /** `steps` expand/score/keep-`width` rounds from `start` over `und`;
-      * every step's candidate set joins the visited union; returns the
-      * final beam. */
+      * the start set and every step's candidate set are scored-and-noted
+      * (same visited union as the pre-r17-opt note-then-score shape —
+      * callers no longer note the start themselves); returns the final
+      * beam. */
     def walk(und: DataFrame, start: DataFrame, width: Int, steps: Int): DataFrame = {
-      var beam = scoreRank(start).where(col("rnk") <= width)
-        .select(col("q_id"), col("cand")).localCheckpoint(true)
+      var beam = scoreNoted(start).where(col("rnk") <= width)
+        .select(col("q_id"), col("cand"))
       for (_ <- 1 to steps) {
         val expand = beam.join(und, beam("cand") === und("src"))
           .select(beam("q_id"), col("dst").as("cand"))
         val cands = beam.unionByName(expand).distinct()
-        note(cands)
-        beam = scoreRank(cands).where(col("rnk") <= width)
-          .select(col("q_id"), col("cand")).localCheckpoint(true)
+        beam = scoreNoted(cands).where(col("rnk") <= width)
+          .select(col("q_id"), col("cand"))
       }
       beam
     }
 
     /** Top-k of everything visited (self excluded) + per-query scored-
-      * candidate counts — the serve contract, stated once. */
+      * candidate counts — the serve contract, stated once. Ranks the
+      * ALREADY-MATERIALIZED per-step scores; no scoring join runs here. */
     def finish(k: Int): (DataFrame, DataFrame) = {
-      val vis = visitedAcc.distinct()
-      val res = scoreRank(vis.where(col("cand") =!= col("q_id")))
+      val vis = scoredAcc.distinct()
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand").asc)
+      val res = vis.where(col("cand") =!= col("q_id"))
+        .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= k)
         .select(col("q_id"), col("cand").as("nbr_id"),
           col("rnk").cast("long").as("rnk"), round(col("cos"), 6).as("sim"))
@@ -555,10 +575,12 @@ object Ann {
         .join(bk.select(col("vec_id").as("cand"), col("bucket")), Seq("bucket"))
         .select(col("q_id"), col("cand"))
     }.reduce(_ unionByName _)
+    // single-use now (walk scores-and-notes the start itself), so the
+    // seed set needs no eager materialization of its own — its lineage
+    // dies at scoreNoted's checkpoint one job later (r17-opt)
     val cands0 =
       bandSeeds.unionByName(w.q.select(col("q_id")).crossJoin(entry))
-        .distinct().localCheckpoint(true)
-    w.note(cands0)
+        .distinct()
     w.walk(w.undOf(g), cands0, searchBeam, searchSteps)
     w.finish(k)
   }
@@ -633,10 +655,11 @@ object Ann {
     val entryTop = w.ep.where(layerPred(hnswUpperLayers))
       .agg(min(col("vec_id")).as("cand"))
     val entryGlobal = w.ep.agg(min(col("vec_id")).as("cand"))
+    // single-use (the first walk scores-and-notes its start itself) —
+    // no eager materialization needed here (r17-opt)
     var seeds = w.q.select(col("q_id")).crossJoin(entryTop)
       .unionByName(w.q.select(col("q_id")).crossJoin(entryGlobal))
-      .where(col("cand").isNotNull).distinct().localCheckpoint(true)
-    w.note(seeds)
+      .where(col("cand").isNotNull).distinct()
     // narrow descent, top layer downward; each layer's final beam is
     // the next layer's seed set
     for (l <- hnswUpperLayers to 1 by -1)
