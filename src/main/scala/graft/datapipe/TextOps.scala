@@ -247,21 +247,28 @@ object TextOps {
         .select(regexp_replace(col("w"), "(?s)(.)", s"$bpeSep$$1$bpeSep").as("repr"),
           col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // INCREMENTAL representations (r17-opt, guide §1.2 — fix the
+    // algorithmic pass structure first): round i used to REPLAY all i−1
+    // merges-so-far as a literal-replace chain over the persisted vocab,
+    // O(rounds²) string work in total. Sequential replays compose, so
+    // applying only the NEWEST merge to the previous round's
+    // materialized representations is exactly equivalent — O(rounds)
+    // replaces in total. Each round's frame is lazily localCheckpoint'ed:
+    // the winner aggregate below materializes it as part of the job that
+    // needs it (no extra action per round) and the plan stays one
+    // replace deep instead of accumulating the whole chain.
+    var cur = vocab
     var exhausted = false
     while (!exhausted && merges.size < nMerges) {
-      val repr = merges.foldLeft(col("repr")) { case (c, (a, b)) =>
-        replace(c, lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"), lit(s"$bpeSep$a$b$bpeSep"))
-      }
       val t = col("__t")
       val adj = zip_with(
         slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("a"), b.as("b")))
-      val best = vocab
-        .select(col("freq"), repr.as("__r"))
+      val best = cur
         // tokens of the wrapped repr: strip the outer separators, split
         // on the inner pair — `·a··bc··d·` → [a, bc, d]
         .select(col("freq"),
-          split(substr(col("__r"), lit(2), length(col("__r")) - 2),
+          split(substr(col("repr"), lit(2), length(col("repr")) - 2),
             s"$bpeSep$bpeSep").as("__t"))
         .where(size(t) >= 2)
         .select(col("freq"), explode(adj).as("p"))
@@ -270,7 +277,14 @@ object TextOps {
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
-      else merges += ((best(0).getString(0), best(0).getString(1)))
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        cur = cur.select(
+          replace(col("repr"), lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"),
+            lit(s"$bpeSep$a$b$bpeSep")).as("repr"),
+          col("freq")).localCheckpoint(false)
+      }
     }
     merges.toSeq
   }
