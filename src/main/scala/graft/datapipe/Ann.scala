@@ -1524,8 +1524,10 @@ object Ann {
 
   def ivfTopK(emb: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least one Lloyd refinement")
-    val seed = ivfSeed(emb)
-    val cent = (1 to rounds).foldLeft(seed)((c, _) => ivfLloyd(emb, c))
+    // the shared pinned trainer (r17-opt): the list build and the query
+    // probe both reference the centroid table — unpinned, each replayed
+    // the Lloyd aggregate
+    val cent = trainedCentroids(emb, rounds, ivfCentroids)
 
     // collection-scale assignment is TWO-LEVEL (coarse -> branch): both
     // the inverted-list build and the query probe score ~2*sqrt(K)
@@ -1805,7 +1807,10 @@ object Ann {
     require(m >= 1 && dim % m == 0, s"$m subspaces must divide dim=$dim")
     val sd = dim / m
     val subs = graft.CacheRegistry.persistTracked(pqSubs(emb, m, sd))
-    val cent = pqTrain(subs, k, rounds)
+    // codebook pinned (r17-opt): m*k rows, but its lineage is the
+    // subspace-scale training aggregate and BOTH the encode and the
+    // caller's reconstruction broadcast reference it
+    val cent = graft.CacheRegistry.persistTracked(pqTrain(subs, k, rounds))
     val codes = pqPack(pqAssign(subs, cent))
     (codes, cent)
   }
@@ -2719,7 +2724,15 @@ object Ann {
     * the operator's own centroids. */
   private[datapipe] def trainedCentroids(
       emb: DataFrame, rounds: Int, k: Int): DataFrame =
-    (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c))
+    // PINNED (r17-opt): the trained table is K rows but its lineage is a
+    // COLLECTION-scale Lloyd aggregate, and every IVF-family operator
+    // references it 3-5 times (list build, probe assignment, residual
+    // subtract/add). Unpinned, each reference replayed the whole
+    // training subtree — ann_ivfpq_res's executed plan held 160
+    // Exchanges before the pin, 10 after. Same K-row legitimacy class
+    // as the ivfAssign2 coarse/branch pins.
+    graft.CacheRegistry.persistTracked(
+      (1 to rounds).foldLeft(ivfSeed(emb, k))((c, _) => ivfLloyd(emb, c)))
 
   def semanticDedup(emb: DataFrame, rounds: Int, k: Int = ivfCentroids,
                     clusterCap: Int = sdClusterCap): DataFrame = {
