@@ -24,9 +24,32 @@ object Tables {
     spark
   }
 
+  /** Per-session memo of the RESOLVED base-table plans (r17-opt, guide
+    * §6): `spark.read.parquet` pays a footer schema-read and a file
+    * listing on every call, and the query builders call these loaders
+    * several times per query — all inside the benched region. The memo
+    * holds the LAZY DataFrame only (schema + file index — catalog-class
+    * metadata, exactly what a real catalog caches); every action still
+    * reads the parquet data itself. Keyed by session so a stopped
+    * session's plans are never served to a new one (WeakHashMap: dropped
+    * with the session), plus (dir, name). Base tables are immutable
+    * inputs by contract — nothing in main or test writes to these paths. */
+  private val tableMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        tableMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
