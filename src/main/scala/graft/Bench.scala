@@ -37,7 +37,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // default WARN; SPARK_GRAFT_LOG=INFO exposes per-stage timings for
+    // local profiling (guide §1 — the UI is disabled here, the
+    // DAGScheduler lines are the stage-time source)
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     // warm-up so session/codegen/IO startup isn't billed to whichever
     // query happens to run first: one pass over each base table
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -38,8 +38,10 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    tune(spark)
+  /** The per-session (dir, key) plan memo both [[table]] and the fanout
+    * loaders share; `build` runs at most once per (session, dir, key). */
+  private def memoized(spark: SparkSession, dir: String, key: String)
+                      (build: => DataFrame): DataFrame = {
     val perSession = tableMemo.synchronized {
       var m = tableMemo.get(spark)
       if (m == null) {
@@ -48,8 +50,24 @@ object Tables {
       }
       m
     }
-    perSession.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    // NOT computeIfAbsent: the fanout loaders' build calls [[table]],
+    // which memoizes into the SAME map — a nested computeIfAbsent on one
+    // ConcurrentHashMap throws "Recursive update" when a resize lands
+    // mid-compute (bit EventStreamsSpec as a flake). get/putIfAbsent
+    // tolerates the benign race: two threads may build the same LAZY
+    // plan, one wins, no data is computed either way.
+    val hit = perSession.get((dir, key))
+    if (hit != null) hit
+    else {
+      val v = build
+      val prev = perSession.putIfAbsent((dir, key), v)
+      if (prev != null) prev else v
+    }
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    memoized(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
@@ -59,8 +77,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Scan-parallelism fanout for the CORPUS-PAYLOAD tables (r17-opt,
+    * guide §2.5 "input skew — one huge unsplittable file … repartition
+    * immediately after the read"): a parquet file with a single row
+    * group scans as ONE effective task no matter how many byte-range
+    * splits Spark cuts, so every downstream per-row pass (shingles,
+    * minhash signatures, trigram explodes, cosine scoring) ran on one
+    * core while the rest idled — measured as a 4.2 s single-task
+    * ShuffleMapStage inside pipe_decontam_fuzzy at sf0.1 local[32].
+    * The round-robin spread is GATED on the scan's split count being
+    * below the session's parallelism, so at cluster scale (inputs with
+    * thousands of row groups) it never fires and no pointless full
+    * shuffle is added; filters still push below the repartition
+    * (PushPredicateThroughNonJoin), so pushdown-reliant consumers keep
+    * their PushedFilters. Applied only to documents/embeddings — the
+    * relational tables feed pushdown-heavy CQC plans with light per-row
+    * work, where an extra exchange buys nothing. Caveat: the gate reads
+    * SPLIT count, so a single-row-group file bigger than
+    * cores×maxPartitionBytes would still pass ungated — that shape is a
+    * data-layout bug to fix at the source (§6). */
+  private def fanout(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "documents__fanout")(fanout(table(s, d, "documents")))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "embeddings__fanout")(fanout(table(s, d, "embeddings")))
 
   /**
    * Events with `ts` normalized to a millisecond-precision timestamp.
@@ -73,6 +117,12 @@ object Tables {
    * UTC (see [[table]]), so the NTZ→TIMESTAMP cast is epoch-identity —
    * naive wall-clock values mean UTC, exactly how DuckDB reads the file.
    */
+  // NO fanout on events (r17-opt, measured): its consumers (as-of /
+  // band / interval joins, windowed aggregates) do LIGHT per-row work
+  // and mostly broadcast or aggregate map-side — adding the spread
+  // exchange doubled the family's isolated bench (4.6→9.3s count at
+  // sf0.1) where documents' string-heavy consumers halved. Fanout pays
+  // only ahead of expensive per-row work (guide §2.3/§8).
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     // integer `div`, NOT floor(x / N): ns-since-epoch exceeds 2^53, so a

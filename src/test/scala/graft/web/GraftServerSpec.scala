@@ -125,9 +125,14 @@ class GraftServerSpec extends SparkSpecBase {
     val (cBad, bBad) = post("/api/experiment/start", "no_such_entry")
     assert(cBad == 400 && bBad.contains("unknown queries"), bBad)
 
-    // stop: the tail of a longer queue is cancelled before it runs
-    val (c1, _) = post("/api/experiment/start?sf=" + sfDir,
-      "pipe_chunk,text_quality,text_langid,pipe_redact")
+    // stop: the tail of a longer queue is cancelled before it runs.
+    // The queue is LONG (the 4 entries cycled 8 times) so the stop a few
+    // POSTs later always lands mid-drain — with only 4 entries the r17
+    // loader-memo/fanout speedups let the whole queue finish first and
+    // the cancel path went unexercised (flaked on the stronger assert).
+    val queued = Seq.fill(8)(Seq("pipe_chunk", "text_quality",
+      "text_langid", "pipe_redact")).flatten.mkString(",")
+    val (c1, _) = post("/api/experiment/start?sf=" + sfDir, queued)
     assert(c1 == 200)
     // while the queue drains, the EXECUTING endpoints are gated (the
     // worker clears all caches per entry — an interactive run racing it
@@ -162,9 +167,10 @@ class GraftServerSpec extends SparkSpecBase {
     }
     val (_, s2) = get("/api/experiment/status")
     assert(st2 == "STOPPED", s2)
-    // stop landed milliseconds after start: at least the last task never
+    // stop landed a few POSTs after start: with 32 queued tasks the tail
+    // cannot have drained, so at least one task was cancelled before it
     // ran (each task costs a real Spark job), and nothing is left running
-    assert(s2.contains(""""name":"pipe_redact","state":"CANCELLED""""), s2)
+    assert(s2.contains(""""state":"CANCELLED""""), s2)
     assert(!s2.contains(""""state":"RUNNING"""") && !s2.contains(""""state":"PENDING""""), s2)
   }
 
