@@ -103,8 +103,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "documents__fanout")(fanout(table(s, d, "documents")))
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "embeddings__fanout")(fanout(table(s, d, "embeddings")))
+  // NO fanout on embeddings (r17-opt, measured like events): the vector
+  // operators' per-ROW work is light (the heavy lifting happens after
+  // joins/persists that are already post-shuffle parallel), and the ANN
+  // family regressed ~1.7x in the mid-round sweep with the spread
+  // exchange in every embeddings lineage (ann_graph_search_hnsw
+  // 8.6->13.7s, ann_ivfpq 2.6->4.4s) — the documents fanout pays only
+  // because its consumers run heavy string work per row.
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /**
    * Events with `ts` normalized to a millisecond-precision timestamp.
