@@ -17,6 +17,11 @@ object Tables {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // preferSortMergeJoin stays at its default: the r17 optimization
+    // round A/B'd =false on the join-heavy subset (18 entries, dual
+    // mode) and measured no win (32.5/31.3 -> 35.1/34.9 s) — the hot
+    // joins here either broadcast or are size-estimated too large for
+    // the shuffled-hash pick; see OPTIMIZATION_r17.md.
     // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     // rejects; read as long and convert (see events()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
