@@ -77,7 +77,10 @@ object Decontam {
     * NOT a contamination rate estimate; with a real external benchmark
     * file in [[flag]], no self-hits exist and they are. */
   def flagDocuments(docs: DataFrame): DataFrame =
-    flag(docs, probeIndex(probes(docs)))
+    // spread the CORPUS side only (r18 — the probe slice is tiny by
+    // construction and its index broadcasts; see Tables.spread): the
+    // heavy per-row pass is flag()'s corpus-gram explode
+    flag(graft.sources.Tables.spread(docs), probeIndex(probes(docs)))
 
   /** DuckDB unnest of probe-n-gram start positions over a `w` column —
     * shared by [[flagSql]] and Prep.prepareSql. */
@@ -152,7 +155,10 @@ object Decontam {
     * near-copies, never themselves (probe ids ARE corpus ids here, so
     * the gate's identical-id exclusion applies). */
   def flagFuzzyDocuments(docs: DataFrame): DataFrame =
-    flagFuzzy(docs, probes(docs), probesShareCorpusIds = true)
+    // corpus side spread as in [[flagDocuments]] (r18): the whole-doc
+    // MinHash shingle/signature pass is the heavy per-row work
+    flagFuzzy(graft.sources.Tables.spread(docs), probes(docs),
+      probesShareCorpusIds = true)
 
   /**
    * Deterministic PARAPHRASE-CONTAMINATION plant (r13): the synthetic
@@ -169,14 +175,21 @@ object Decontam {
    * fixed slice, so it broadcasts.
    */
   def plantNearDups(docs: DataFrame): DataFrame = {
-    val probeTexts = docs.where(col("doc_id") % probeMod === 0)
+    // spread BELOW the plant join (r18, measured): with the spread above
+    // it, the downstream gate's three corpus lineages (stream, probes,
+    // plant broadcast side) each carried their own copy of the plant
+    // subtree and the shared-exchange reuse was lost — the composed
+    // entry ran 5.1 s vs 1.9 s with the spread here, where every
+    // consumer's lineage reuses ONE spread scan
+    val sp = graft.sources.Tables.spread(docs)
+    val probeTexts = sp.where(col("doc_id") % probeMod === 0)
       .select((col("doc_id") + 1).as("doc_id"), col("text").as("__ptext"))
     val w = split(col("__ptext"), " ")
     val n = size(w)
     val h = floor(n.cast("double") / 2).cast("int")
     val swapped = concat_ws(" ",
       concat(slice(w, h + lit(1), n - h), slice(w, lit(1), h)))
-    docs.join(broadcast(probeTexts), Seq("doc_id"), "left")
+    sp.join(broadcast(probeTexts), Seq("doc_id"), "left")
       .withColumn("text",
         when(col("__ptext").isNotNull, swapped).otherwise(col("text")))
       // planted rows carry consistent metadata (r13 advice fix): without

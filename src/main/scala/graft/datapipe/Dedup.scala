@@ -174,8 +174,13 @@ object Dedup {
    */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     // the shingle explode feeds both the df-cap aggregate and the capped
-    // join below — persist it or the explode runs twice (tracked)
-    val sh = graft.CacheRegistry.persistTracked(shingles(docs))
+    // join below — persist it or the explode runs twice (tracked).
+    // Spread ahead of the pin (r18): a pin over a single-task scan
+    // lineage caches ONE partition, so every downstream read of the
+    // inverted index — including each CC round in the cluster entries —
+    // starts serial (see Tables.spread)
+    val sh = graft.CacheRegistry.persistTracked(
+      shingles(graft.sources.Tables.spread(docs)))
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= ngramDfCap).select(col("sh"))
     val capped = graft.CacheRegistry.persistTracked(
@@ -265,8 +270,11 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame): DataFrame = {
     // the shingle index feeds the signature matrix AND the verify join:
-    // persist it once (at scale this is the materialized inverted index)
-    val sh = graft.CacheRegistry.persistTracked(shingles(docs))
+    // persist it once (at scale this is the materialized inverted index).
+    // Spread ahead of the pin — same single-partition-cache reasoning as
+    // [[ngramJaccard]] (r18)
+    val sh = graft.CacheRegistry.persistTracked(
+      shingles(graft.sources.Tables.spread(docs)))
     val sig = minhashSignatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(bandKeyStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

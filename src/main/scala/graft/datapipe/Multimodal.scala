@@ -257,7 +257,12 @@ object Multimodal {
     * with the Spark-side shape (typed mapPartitions → broadcast
     * brute-force / bucketed ANN) unchanged. */
   def annOverFeatures(docs: DataFrame): DataFrame =
-    annOverBinary(documentsAsBinary(docs), Md5StubCodec)
+    // spread ahead of the per-row codec pass (r18 — measured 1.12→0.53 s
+    // under the r17 loader fanout; mm_dedup stays UNSPREAD: its IVF
+    // decision stage regressed 2.50→3.76 s under the same fanout — the
+    // spread pays only where the codec pass dominates; see Tables.spread)
+    annOverBinary(graft.sources.Tables.spread(documentsAsBinary(docs)),
+      Md5StubCodec)
 
   /** The mm_ann dataflow over any (doc_id, img) binary table with any
     * codec — decode → embed → search, codec-agnostic by construction. */

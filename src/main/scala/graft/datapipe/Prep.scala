@@ -63,7 +63,11 @@ object Prep {
   def keptCorpus(docs: DataFrame, fuzzyDecontam: Boolean = false,
                  domainGate: Boolean = false): DataFrame = {
     import TextOps._
-    val base = if (domainGate) Domains.gate(docs) else docs
+    // spread ahead of the fused gate scan (r18 — the heavy per-row work
+    // here is the quality/langId/repetition gram lambdas feeding the
+    // staged materialization; see Tables.spread)
+    val spreadDocs = graft.sources.Tables.spread(docs)
+    val base = if (domainGate) Domains.gate(spreadDocs) else spreadDocs
     // one fused scan: quality + language projections, then every gate
     val scored = langId(
       quality(base, carry = Seq("text", "source", "n_chars")),
@@ -324,9 +328,15 @@ object Prep {
     // negative result on small derived dims, a 3-consumer corpus-scale
     // front-end pays for its materialization). At cluster scale this is
     // the bucket-write between pipeline stages.
+    // spread AFTER the keeper semi-join, before the persist (r18): when
+    // the join broadcasts the keeper ids, keptDocs inherits the corpus
+    // scan's (possibly single-task) partitioning and the three heavy
+    // consumers below would run serial; when it sort-merges, the gate
+    // sees the streamed-side exchange and stays out of the way
     val keptDocs = graft.CacheRegistry.persistTracked(
-      docs.join(keptCorpus(docs, domainGate = domainGate).select("doc_id"),
-        Seq("doc_id"), "left_semi"))
+      graft.sources.Tables.spread(
+        docs.join(keptCorpus(docs, domainGate = domainGate).select("doc_id"),
+          Seq("doc_id"), "left_semi")))
     val packed = TextOps.packShards(keptDocs, realBpe = realBpe)
     val chunks = TextOps.chunk(keptDocs)
       .groupBy("doc_id").agg(count(lit(1)).as("__nc"))

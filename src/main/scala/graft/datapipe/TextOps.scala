@@ -238,7 +238,10 @@ object TextOps {
    */
   def bpeTrainDistributed(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
     val vocab = graft.CacheRegistry.persistTracked(
-      docs.select(explode(words(coalesce(col("text"), lit("")))).as("w"))
+      // spread ahead of the word explode + wrap regexp (r18 — the one
+      // corpus-scale pass of the trainer; see Tables.spread)
+      graft.sources.Tables.spread(docs)
+        .select(explode(words(coalesce(col("text"), lit("")))).as("w"))
         .where(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         // DOTALL wrap: '.' must match newline code points too, or a
@@ -525,7 +528,12 @@ object TextOps {
     val grams = when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array())
-    langIdNbOver(docs, curated, cap, array_distinct(grams), "n_grams")
+    // spread ahead of the trigram explode (r18 — ~len(text) gram rows
+    // per doc; the WORD-gram langIdNb stays unspread: its per-row work
+    // is a plain split, measured 0.91→1.66 s REGRESSED under the r17
+    // loader fanout; see Tables.spread)
+    langIdNbOver(graft.sources.Tables.spread(docs), curated, cap,
+      array_distinct(grams), "n_grams")
   }
 
   /** Core NB scorer; `grams` must be an expression over the `__t`
@@ -1080,11 +1088,14 @@ object TextOps {
     * `1/(c2+0)` was Infinity and its DECIMAL cast silently NULLed every
     * score (r11 advice). */
   def lmModel(ref: DataFrame): LmModel = {
-    val tri = ref.select(explode(lmGrams(3)).as("g"))
+    // spread ahead of the char-gram explodes (r18 — three reference
+    // passes, each ~len(text) rows per doc; see Tables.spread)
+    val r = graft.sources.Tables.spread(ref)
+    val tri = r.select(explode(lmGrams(3)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c3"))
-    val bi = ref.select(explode(lmGrams(2)).as("b"))
+    val bi = r.select(explode(lmGrams(2)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c2"))
-    val vocab = ref.select(explode(lmGrams(1)).as("ch"))
+    val vocab = r.select(explode(lmGrams(1)).as("ch"))
       .agg(greatest(countDistinct(col("ch")), lit(1L)).as("__v"))
     LmModel(tri, bi, vocab)
   }
@@ -1096,7 +1107,10 @@ object TextOps {
 
   /** Score `docs` under a (possibly file-backed) trained [[LmModel]]. */
   def lmScoreWith(docs: DataFrame, model: LmModel): DataFrame = {
-    val docTris = docs.select(col("doc_id"), explode(lmGrams(3)).as("g"))
+    // scoring side spread ahead of the trigram explode (r18); the final
+    // per-doc left join below keeps the plain frame — no heavy work there
+    val docTris = graft.sources.Tables.spread(docs)
+      .select(col("doc_id"), explode(lmGrams(3)).as("g"))
       .withColumn("b", col("g").substr(1, 2))
     val p = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c2"), lit(0L)) + col("__v")).cast("double")
@@ -1964,7 +1978,10 @@ object TextOps {
    */
   def spanDedupChars(docs: DataFrame): DataFrame = {
     val L = spanChars
-    val base = docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    // spread ahead of the per-window md5 pass (r18 — ~len(text) hashed
+    // windows per doc, the operator's dominant cost; see Tables.spread)
+    val base = graft.sources.Tables.spread(docs)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
     // persisted: the window hashes feed BOTH the first-occurrence
     // aggregate and the covered join — independent subtrees, so without
     // the pin the per-window md5 pass (the operator's dominant cost)

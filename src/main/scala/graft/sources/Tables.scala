@@ -43,11 +43,22 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  /** The per-session (dir, key) plan memo both [[table]] and the fanout
-    * loaders share; `build` runs at most once per (session, dir, key). */
+  /** The per-session (dir, key) plan memo [[table]] uses; `build` runs at
+    * most once per (session, dir, key). */
   private def memoized(spark: SparkSession, dir: String, key: String)
                       (build: => DataFrame): DataFrame = {
     val perSession = tableMemo.synchronized {
+      // r18 (ADVICE fix): the cached DataFrames strongly reference their
+      // SparkSession (value→key strong ref — the documented WeakHashMap
+      // pitfall), so entries for STOPPED sessions would be pinned for the
+      // JVM lifetime. Purge them eagerly on access instead: a stopped
+      // context can never serve these plans again. Cheap — the map holds
+      // a handful of sessions at most.
+      val it = tableMemo.keySet().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s != null && s.sparkContext.isStopped) it.remove()
+      }
       var m = tableMemo.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
@@ -83,38 +94,146 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** Scan-parallelism fanout for the CORPUS-PAYLOAD tables (r17-opt,
-    * guide §2.5 "input skew — one huge unsplittable file … repartition
-    * immediately after the read"): a parquet file with a single row
-    * group scans as ONE effective task no matter how many byte-range
-    * splits Spark cuts, so every downstream per-row pass (shingles,
-    * minhash signatures, trigram explodes, cosine scoring) ran on one
-    * core while the rest idled — measured as a 4.2 s single-task
-    * ShuffleMapStage inside pipe_decontam_fuzzy at sf0.1 local[32].
-    * The round-robin spread is GATED on the scan's split count being
-    * below the session's parallelism, so at cluster scale (inputs with
-    * thousands of row groups) it never fires and no pointless full
-    * shuffle is added; filters still push below the repartition
+  /** Gated round-robin spread ahead of HEAVY per-row string/codec work
+    * (r18-opt — guide §2.5 "input skew — one huge unsplittable file …
+    * repartition immediately after the read" / §8): a parquet file with
+    * few row groups scans as a handful of effective tasks no matter how
+    * many byte-range splits Spark cuts, so a downstream per-row pass
+    * (shingles, minhash signatures, trigram explodes, codec decodes)
+    * runs on one core while the rest idle.
+    *
+    * r17 placed this fanout in the documents LOADER; that taxed every
+    * light-per-row consumer with an exchange it cannot amortize
+    * (measured residue: mm_dedup 2.50→3.76 s, dedup_stream_flag_append
+    * 2.92→3.78, text_langid_nb 0.91→1.66, dedup_bloom 0.63→0.94,
+    * pipe_para_fuzzy hashed 1.68→2.74). It now sits INSIDE the heavy
+    * operators (keptCorpus staging, the decontam gram explodes, the
+    * char-trigram NB/LM chains, span dedup, the BPE vocab pass, the mm
+    * feature codec), immediately ahead of the expensive per-row pass.
+    *
+    * The gate fires only when ALL of:
+    *  - the frame is batch (never a streaming source);
+    *  - its streamed lineage is exchange-free (post-shuffle frames are
+    *    already spread across spark.sql.shuffle.partitions) and bottoms
+    *    out in file scans (an in-memory relation has no input-layout
+    *    problem to fix); broadcast subtrees are ignored — a broadcast
+    *    side never determines the result's partitioning;
+    *  - the scan's EFFECTIVE parallelism — min(splits, parquet row
+    *    groups) — is below the session's defaultParallelism. Row groups,
+    *    not just splits (r17 VERDICT item 6): a parquet scan runs at
+    *    most one non-empty task per row group, so a single-row-group
+    *    file BIGGER than cores × maxPartitionBytes passed the r17
+    *    split-count gate and still scanned serially. Footer reads are
+    *    memoized per file and short-circuited at the parallelism target,
+    *    so the gate costs O(cores) footer reads once per file set, not a
+    *    full listing pass.
+    * At cluster scale (inputs with ≥cores row groups across ≥cores
+    * splits) it never fires — no shuffle is ever added to a well-laid-
+    * out input. Filters still push below the repartition
     * (PushPredicateThroughNonJoin), so pushdown-reliant consumers keep
-    * their PushedFilters. Applied only to documents/embeddings — the
-    * relational tables feed pushdown-heavy CQC plans with light per-row
-    * work, where an extra exchange buys nothing. Caveat: the gate reads
-    * SPLIT count, so a single-row-group file bigger than
-    * cores×maxPartitionBytes would still pass ungated — that shape is a
-    * data-layout bug to fix at the source (§6). */
-  private def fanout(df: DataFrame): DataFrame = {
+    * their PushedFilters. */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    // cheap LOGICAL screen first: no file relation anywhere → nothing to
+    // fix, and — load-bearing for lazily-constructed operators — the
+    // optimizer must not even run (ConvertToLocalRelation EVALUATES
+    // projections over local relations at optimize time; LmScoreSpec
+    // pins that operator construction stays metadata-only)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val hasFileScan = df.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] => l
+    }.isDefined
+    if (!hasFileScan) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (effectiveScanParallelism(df, want) < want) df.repartition(want) else df
   }
-  def documents(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "documents__fanout")(fanout(table(s, d, "documents")))
-  // NO fanout on embeddings (r17-opt, measured like events): the vector
-  // operators' per-ROW work is light (the heavy lifting happens after
-  // joins/persists that are already post-shuffle parallel), and the ANN
-  // family regressed ~1.7x in the mid-round sweep with the spread
-  // exchange in every embeddings lineage (ann_graph_search_hnsw
-  // 8.6->13.7s, ann_ivfpq 2.6->4.4s) — the documents fanout pays only
-  // because its consumers run heavy string work per row.
+
+  /** min(scan splits, parquet row groups) when `df` is an exchange-free
+    * lineage over file scans; Int.MaxValue (the gate never fires)
+    * otherwise. */
+  private def effectiveScanParallelism(df: DataFrame, want: Int): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    // the EXECUTED plan (pre-execution: AQE's initial plan), NOT
+    // queryExecution.sparkPlan — exchanges are only inserted by the
+    // EnsureRequirements preparation, so the un-prepared plan would
+    // read as exchange-free for every aggregate/join lineage
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // streamed-side walk: skip broadcast subtrees — their scans and any
+    // exchanges inside them do not shape the result's partitioning
+    def streamedShuffle(p: SparkPlan): Boolean = p match {
+      case _: BroadcastExchangeLike => false
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(streamedShuffle)
+    }
+    def streamedScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case _: BroadcastExchangeLike => Nil
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(streamedScans)
+    }
+    if (streamedShuffle(plan)) return Int.MaxValue
+    val scans = streamedScans(plan)
+    if (scans.isEmpty) return Int.MaxValue
+    // max over scans: multiple streamed scans in one narrow plan are in
+    // practice re-reads of the same file set (a corpus scan broadcast-
+    // joined to a derived slice of itself); any scan already at ≥want
+    // row groups means the widest input needs no spread
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val rgCap = scans.map(s =>
+      rowGroupsCapped(s.relation.location.inputFiles, conf, want)).max
+    if (rgCap < want) rgCap
+    else {
+      // row groups clear the bar — splits decide. Read the SCANS' own
+      // partition counts (sum: a union's parallelism adds), never
+      // df.rdd: converting the full frame to an RDD would eagerly build
+      // any broadcast side at gate time
+      val splits = scans.map(s =>
+        try s.inputRDD.getNumPartitions
+        catch { case scala.util.control.NonFatal(_) => want }).sum
+      math.min(splits, rgCap)
+    }
+  }
+
+  /** Per-file parquet row-group counts, memoized (footer read once per
+    * file per JVM — base tables are immutable inputs by contract). */
+  private val rgMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def rowGroupsCapped(files: Array[String],
+                              conf: org.apache.hadoop.conf.Configuration,
+                              cap: Int): Int = {
+    var total = 0L
+    val it = files.iterator
+    while (it.hasNext && total < cap) {
+      val p = it.next()
+      total += rgMemo.computeIfAbsent(p, _ => Integer.valueOf(
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        } catch {
+          // non-parquet or unreadable footer: no row-group information —
+          // this file must not cap the estimate below the split count
+          case scala.util.control.NonFatal(_) => cap
+        })).intValue()
+    }
+    math.min(total, Int.MaxValue.toLong).toInt
+  }
+
+  /** Corpus-payload loader: a PLAIN scan again (r18 — the r17
+    * loader-level fanout moved into the heavy operators; see
+    * [[spread]]). */
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  // NO spread anywhere in embeddings lineages (r17-opt, measured like
+  // events): the vector operators' per-ROW work is light (the heavy
+  // lifting happens after joins/persists that are already post-shuffle
+  // parallel), and the ANN family regressed ~1.7x in the r17 mid-round
+  // sweep with the spread exchange in every embeddings lineage
+  // (ann_graph_search_hnsw 8.6->13.7s, ann_ivfpq 2.6->4.4s) — the
+  // spread pays only ahead of heavy per-row work.
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /**

@@ -136,11 +136,16 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("text_bpe: the merge chain is a pure projection over a 2-column scan (r14)") {
     val df = SparkEntry.queries("text_bpe")(spark, sfDir)
+    // r18 (ADVICE fix): strict structural pin again — the r17 loader
+    // fanout is gone (spread lives inside the heavy operators; the merge
+    // chain is a pure projection and gets none), so ZERO exchanges of
+    // any kind, not merely zero hash-partitioned ones
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, s"BPE counting must not shuffle:\n${df.queryExecution.executedPlan}")
     val p = df.queryExecution.executedPlan.toString()
-    // no KEYED exchange: the merge chain itself adds no shuffle; the
-    // loader's gated round-robin scan fanout (r17-opt, below-parallelism
-    // scans only) is keyless and not this operator's doing
-    assert(!p.contains("hashpartitioning"), s"BPE counting must not shuffle:\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
       !readSchema.contains("lang"), s"scan must prune to (doc_id, text):\n$readSchema")

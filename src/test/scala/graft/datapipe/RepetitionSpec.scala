@@ -23,15 +23,18 @@ class RepetitionSpec extends SparkSpecBase {
     assert(r(4L)._1 == 3 && math.abs(r(4L)._2 - (1.0 - 1.0 / 3)) < 1e-6 && r(4L)._3)
   }
 
-  test("zero-shuffle: the corpus plan has no KEYED exchange") {
-    // the operator itself must add no shuffle; the loader's gated
-    // round-robin scan fanout (Tables.documents, r17-opt — fires only
-    // when the scan's split count is below the session parallelism,
-    // never at cluster scale) is not the operator's doing and carries
-    // no key. What this pin forbids is any hash-partitioned exchange.
+  test("zero-shuffle: the corpus plan has no exchange of any kind") {
+    // r18 (ADVICE fix): back to the strict structural pin — the r17
+    // loader-level fanout is gone (the spread moved inside the HEAVY
+    // operators; repetition is a pure projection and gets none), so this
+    // lineage must hold zero ShuffleExchangeLike nodes, not merely zero
+    // hash-partitioned ones (the weakened string pin would have let a
+    // stray range/round-robin exchange slip in unnoticed).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val plan = TextOps.repetition(Tables.documents(spark, sfDir))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("hashpartitioning"), s"unexpected keyed shuffle in:\n$plan")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.isEmpty, s"unexpected shuffle in:\n$plan")
   }
 
   test("corpus gate is deterministic and flags the planted boilerplate tail") {
