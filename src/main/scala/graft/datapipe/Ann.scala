@@ -371,13 +371,13 @@ object Ann {
     // nn twice) — downstream actions then re-ANALYZE the full tree per
     // round (the dedup_cluster iteration class; measured as multi-second
     // driver stalls between sub-second jobs before truncation)
-    var g = topkOf(seeds).localCheckpoint(true)
+    var g = topkOf(seeds).transform(graft.Checkpoints.truncate(_))
     for (_ <- 1 to rounds) {
       val u = g.select(col("vec_id"), col("nbr_id"))
         .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       val nn = u.as("a").join(u.as("b"), col("a.nbr_id") === col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
-      g = topkOf(u.unionByName(nn)).localCheckpoint(true)
+      g = topkOf(u.unionByName(nn)).transform(graft.Checkpoints.truncate(_))
     }
     g.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
       round(col("cos"), 6).as("sim"))
@@ -517,7 +517,7 @@ object Ann {
         .join(e, Seq("cand"))
         .select(col("q_id"), col("cand"), cosine(col("q_emb"), col("__ce")).as("cos"))
         .withColumn("rnk", row_number().over(w))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.truncate(_))
       noteScored(sc)
       sc
     }
@@ -525,7 +525,7 @@ object Ann {
     def undOf(g: DataFrame): DataFrame =
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         .unionByName(g.select(col("nbr_id").as("src"), col("vec_id").as("dst")))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(graft.Checkpoints.truncate(_))
 
     /** `steps` expand/score/keep-`width` rounds from `start` over `und`;
       * the start set and every step's candidate set are scored-and-noted
@@ -615,12 +615,20 @@ object Ann {
   /** Build the upper-layer k-NN graphs (layer 1..[[hnswUpperLayers]]):
     * each an NN-descent graph over its members only, planes auto-sized
     * to the LAYER's count — a layer is just a smaller collection. */
+  /** One upper layer's NN-descent graph — the unit [[hnswUpperGraphs]]
+    * and the parallel build/write paths share. */
+  private def hnswUpperGraph(ep: DataFrame, l: Int): DataFrame = {
+    val lep = graft.CacheRegistry.persistTracked(ep.where(layerPred(l)))
+    knnGraph(lep, planes = lshPlanesFor(math.max(lep.count(), 1L)))
+  }
+
   def hnswUpperGraphs(ep0: DataFrame): Seq[DataFrame] = {
     val ep = epOf(ep0)
-    (1 to hnswUpperLayers).map { l =>
-      val lep = graft.CacheRegistry.persistTracked(ep.where(layerPred(l)))
-      knnGraph(lep, planes = lshPlanesFor(math.max(lep.count(), 1L)))
-    }
+    // the layer builds are INDEPENDENT pipelines over the shared
+    // persisted projection — overlap them (r18, guide §2.6) so one
+    // build's eager-checkpoint jobs back-fill the other's straggler
+    // tails; outputs unchanged (HnswSpec pins them)
+    graft.Par.all((1 to hnswUpperLayers).map(l => () => hnswUpperGraph(ep, l)))
   }
 
   /**
@@ -677,18 +685,33 @@ object Ann {
     * collection, serve hierarchically, attach the exact companion. */
   def graphSearchHierChecked(emb: DataFrame): DataFrame = {
     val ep = epOf(emb)
-    val g0 = knnGraph(ep, planes = lshPlanesFor(ep.count()))
-    withExactCompanion(graphSearchHierOver(g0, hnswUpperGraphs(ep), ep), ep)
+    // ALL THREE layer builds run concurrently (r18 — VERDICT item 3,
+    // guide §2.6): layer 0 plus the two uppers are independent
+    // NN-descent pipelines whose eager per-round checkpoints otherwise
+    // serialize on the driver; overlapping them fills the idle cores
+    // each build's tiny rounds leave. Outputs unchanged — every build
+    // is deterministic and shares only the persisted projection.
+    val layers = graft.Par.all(
+      (() => knnGraph(ep, planes = lshPlanesFor(ep.count()))) +:
+        (1 to hnswUpperLayers).map(l => () => hnswUpperGraph(ep, l)))
+    withExactCompanion(graphSearchHierOver(layers.head, layers.tail, ep), ep)
   }
 
   /** Persisted hierarchical index: the [[knnGraphWrite]] artifact plus
     * one edge table per upper layer (`edges_l1`, `edges_l2`) — layer
     * membership is derivable (content hash), so only graphs persist. */
   def hnswWrite(emb: DataFrame, dir: String): Unit = {
-    knnGraphWrite(emb, dir)
-    hnswUpperGraphs(epOf(emb)).zipWithIndex.foreach { case (g, i) =>
-      g.write.mode("overwrite").parquet(s"$dir/edges_l${i + 1}")
-    }
+    val ep = epOf(emb)
+    // build+write of the three layers overlapped, same as the inline
+    // hierarchical serve (r18, guide §2.6) — each task is an
+    // independent build pipeline ending in its own artifact write
+    graft.Par.all(
+      (() => { knnGraphWrite(ep, dir); () }) +:
+        (1 to hnswUpperLayers).map(l => () => {
+          hnswUpperGraph(ep, l).write.mode("overwrite")
+            .parquet(s"$dir/edges_l$l"); ()
+        }))
+    ()
   }
 
   /** Serve the hierarchy from disk: layer-0 edges + vectors from the
@@ -998,9 +1021,12 @@ object Ann {
    */
   case class GraphIndex(edges: DataFrame, vectors: DataFrame, meta: DataFrame) {
     def write(dir: String): Unit = {
-      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
-      edges.write.mode("overwrite").parquet(s"$dir/edges")
-      meta.write.mode("overwrite").parquet(s"$dir/meta")
+      // independent artifact writes overlapped (r18, guide §2.6)
+      graft.Par.all(Seq[() => Unit](
+        () => vectors.write.mode("overwrite").parquet(s"$dir/vectors"),
+        () => edges.write.mode("overwrite").parquet(s"$dir/edges"),
+        () => meta.write.mode("overwrite").parquet(s"$dir/meta")))
+      ()
     }
     /** (planes, bands, rounds, k) with the same loud corrupt-store guard
       * as [[IvfpqIndex.params]]. */
@@ -1111,15 +1137,15 @@ object Ann {
         .where(col("l.__new") || col("r.__new"))
         .select(col("l.vec_id").as("vec_id"), col("r.vec_id").as("nbr_id"))
     }.reduce(_ unionByName _)
-    val affected = seedsNew.select(col("vec_id")).distinct().localCheckpoint(true)
+    val affected = seedsNew.select(col("vec_id")).distinct().transform(graft.Checkpoints.truncate(_))
     // the frozen part never changes across rounds — checkpoint once
     val frozen = idx.edges.join(affected, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.truncate(_))
     val oldAff = idx.edges.select(col("vec_id"), col("nbr_id"))
       .join(affected, Seq("vec_id"), "left_semi")
     // round 0 + NN-descent rounds confined to affected sources; each
     // evolving frame localCheckpoint'ed (the documented iteration class)
-    var gaff = topkOf(oldAff.unionByName(seedsNew)).localCheckpoint(true)
+    var gaff = topkOf(oldAff.unionByName(seedsNew)).transform(graft.Checkpoints.truncate(_))
     for (_ <- 1 to rounds) {
       val full = frozen.select(col("vec_id"), col("nbr_id"))
         .unionByName(gaff.select(col("vec_id"), col("nbr_id")))
@@ -1128,7 +1154,7 @@ object Ann {
       val uAff = u.join(affected, Seq("vec_id"), "left_semi")
       val nn = uAff.as("a").join(u.as("b"), col("a.nbr_id") === col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
-      gaff = topkOf(uAff.unionByName(nn)).localCheckpoint(true)
+      gaff = topkOf(uAff.unionByName(nn)).transform(graft.Checkpoints.truncate(_))
     }
     val newEdges = frozen.unionByName(
       gaff.select(col("vec_id"), col("nbr_id"), col("rnk").cast("long").as("rnk"),
@@ -2129,8 +2155,11 @@ object Ann {
     * in any persisted frame. */
   def sq8Write(emb: DataFrame, dir: String): Unit = {
     val (codes, stats) = sq8Compress(emb)
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-    stats.write.mode("overwrite").parquet(s"$dir/stats")
+    // independent artifact writes overlapped (r18, guide §2.6)
+    graft.Par.all(Seq[() => Unit](
+      () => codes.write.mode("overwrite").parquet(s"$dir/codes"),
+      () => stats.write.mode("overwrite").parquet(s"$dir/stats")))
+    ()
   }
 
   /** FAISS-style `add()` for the persisted SQ8 artifact: new vectors
@@ -2358,10 +2387,16 @@ object Ann {
   case class IvfpqIndex(packed: DataFrame, cent: DataFrame, cb: DataFrame,
                         meta: DataFrame) {
     def write(dir: String): Unit = {
-      packed.write.mode("overwrite").parquet(s"$dir/packed")
-      cent.write.mode("overwrite").parquet(s"$dir/cent")
-      cb.write.mode("overwrite").parquet(s"$dir/cb")
-      meta.write.mode("overwrite").parquet(s"$dir/meta")
+      // four independent artifact writes overlapped (r18, guide §2.6);
+      // the trained inputs they share are cache-pinned, and concurrent
+      // materialization of a pinned frame is block-locked (one thread
+      // computes, the others wait) — outputs unchanged
+      graft.Par.all(Seq[() => Unit](
+        () => packed.write.mode("overwrite").parquet(s"$dir/packed"),
+        () => cent.write.mode("overwrite").parquet(s"$dir/cent"),
+        () => cb.write.mode("overwrite").parquet(s"$dir/cb"),
+        () => meta.write.mode("overwrite").parquet(s"$dir/meta")))
+      ()
     }
     /** Train-time hyperparameters `(k, m, residual)` from the persisted
       * 1-row meta frame — the serving side MUST probe with the trainer's
@@ -2996,8 +3031,11 @@ object Ann {
     /** Bucket-write the index (cluster-scale persisted form); re-read
       * with [[EmbedIndex.read]] — file-backed = re-listed per batch. */
     def write(dir: String): Unit = {
-      keys.write.mode("overwrite").parquet(s"$dir/keys")
-      vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+      // independent artifact writes overlapped (r18, guide §2.6)
+      graft.Par.all(Seq[() => Unit](
+        () => keys.write.mode("overwrite").parquet(s"$dir/keys"),
+        () => vecs.write.mode("overwrite").parquet(s"$dir/vecs")))
+      ()
     }
   }
 

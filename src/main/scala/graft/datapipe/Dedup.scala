@@ -40,8 +40,11 @@ object Dedup {
       * — a file-backed index is re-listed per micro-batch, so corpus
       * refreshes need no cache invalidation. */
     def write(dir: String): Unit = {
-      keys.write.mode("overwrite").parquet(s"$dir/keys")
-      sets.write.mode("overwrite").parquet(s"$dir/sets")
+      // independent artifact writes overlapped (r18, guide §2.6)
+      graft.Par.all(Seq[() => Unit](
+        () => keys.write.mode("overwrite").parquet(s"$dir/keys"),
+        () => sets.write.mode("overwrite").parquet(s"$dir/sets")))
+      ()
     }
   }
 
@@ -1033,7 +1036,7 @@ object Dedup {
     // storage is released by the ContextCleaner when the previous frame's
     // reference drops.
     var lbl = edges.select(col("v")).distinct().withColumn("lbl", col("v"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate(_))
     var changed = 1L
     var rounds = 0
     val budget = math.min(maxRounds, propagateRoundBudget)
@@ -1043,7 +1046,7 @@ object Dedup {
       val step = lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("old"),
           least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(_))
       changed = step.where(col("lbl") < col("old")).count()
       lbl = step.select(col("v"), col("lbl"))
       rounds += 1
@@ -1114,7 +1117,7 @@ object Dedup {
       .select(greatest(col("d1"), col("d2")).as("u"),
               least(col("d1"), col("d2")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate(_))
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var rounds = 0
@@ -1134,7 +1137,7 @@ object Dedup {
       val step = ss.select(col("v").as("u"), col("m").as("v"))
         .union(ss.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(_))
       val nStep = step.count()
       converged = nStep == nEdges && step.except(edges).head(1).isEmpty
       edges = step

@@ -283,10 +283,15 @@ object TextOps {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
+        // REJECTED r18 experiment, recorded per guide §1.1: attaching
+        // the winner as a broadcast 1-row frame (structurally identical
+        // plan per round, codegen cache hit) measured 9.05 s vs 8.30 s
+        // for this literal form isolated — the per-round broadcast build
+        // costs more than the codegen recompile it saves. Literal kept.
         cur = cur.select(
           replace(col("repr"), lit(s"$bpeSep$a$bpeSep$bpeSep$b$bpeSep"),
             lit(s"$bpeSep$a$b$bpeSep")).as("repr"),
-          col("freq")).localCheckpoint(false)
+          col("freq")).transform(graft.Checkpoints.truncate(_, eager = false))
       }
     }
     merges.toSeq
@@ -1066,9 +1071,12 @@ object TextOps {
    */
   case class LmModel(tri: DataFrame, bi: DataFrame, vocab: DataFrame) {
     def write(dir: String): Unit = {
-      tri.write.mode("overwrite").parquet(s"$dir/tri")
-      bi.write.mode("overwrite").parquet(s"$dir/bi")
-      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+      // independent artifact writes overlapped (r18, guide §2.6)
+      graft.Par.all(Seq[() => Unit](
+        () => tri.write.mode("overwrite").parquet(s"$dir/tri"),
+        () => bi.write.mode("overwrite").parquet(s"$dir/bi"),
+        () => vocab.write.mode("overwrite").parquet(s"$dir/vocab")))
+      ()
     }
   }
 
@@ -1221,8 +1229,11 @@ object TextOps {
    */
   case class NbModel(vocab: DataFrame, counts: DataFrame) {
     def write(dir: String): Unit = {
-      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
-      counts.write.mode("overwrite").parquet(s"$dir/counts")
+      // independent artifact writes overlapped (r18, guide §2.6)
+      graft.Par.all(Seq[() => Unit](
+        () => vocab.write.mode("overwrite").parquet(s"$dir/vocab"),
+        () => counts.write.mode("overwrite").parquet(s"$dir/counts")))
+      ()
     }
   }
   object NbModel {

@@ -17,6 +17,17 @@ object Tables {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // coalescePartitions.parallelismFirst stays at its default (true):
+    // the r18 optimization round A/B'd =false (bytes-sized AQE
+    // coalescing, guide §2.2/§9) on a 30-entry subset spanning the
+    // anti-scaling class, dual mode: 59.7/62.2 -> 79.5/79.8 s. Byte-
+    // based coalescing cannot see CPU density — it collapsed small-byte
+    // but CPU-heavy post-shuffle stages to one task (wcoj_square's
+    // hypercube probe 2.4 -> 16.4 s, text_langid_nb 0.59 -> 1.32,
+    // text_tfidf 0.81 -> 1.31) for wins only on dedup_minhash and
+    // wcoj_triangle. The anti-scaling class's overhead is per-stage
+    // fixed cost, not coalescible partition count; see
+    // OPTIMIZATION_r18.md.
     // preferSortMergeJoin stays at its default: the r17 optimization
     // round A/B'd =false on the join-heavy subset (18 entries, dual
     // mode) and measured no win (32.5/31.3 -> 35.1/34.9 s) — the hot

@@ -180,4 +180,28 @@ class GraphIndexSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(inline == want)
   }
+
+  test("r18 ADVICE pin: graph edges referencing vec_ids ABSENT from the collection " +
+    "drop at the scoring join — results and n_scored count SCORED pairs only") {
+    // a file-loaded graph can reference vectors the collection no longer
+    // holds; the serve contract is that such candidates are never scored
+    // (cosine needs the embedding) and never occupy a rank slot, and the
+    // n_scored cost unit counts scored pairs — pin it with a phantom
+    // vertex wired to every query
+    val ep = emb.select(col("vec_id"), col("embedding"))
+    val planes = Ann.lshPlanesFor(ep.count())
+    val g0 = Ann.knnGraph(ep, planes = planes).select(col("vec_id"), col("nbr_id"))
+    val phantom = ep.agg(max(col("vec_id"))).head().getLong(0) + 1000L
+    val gPhantom = g0.unionByName(
+      ep.where(col("vec_id") % Ann.queryMod === 0)
+        .select(col("vec_id"), lit(phantom).as("nbr_id")))
+    val (resBase, visBase) = Ann.graphSearchOverWithVisited(g0, ep, planes)
+    val (resPh, visPh) = Ann.graphSearchOverWithVisited(gPhantom, ep, planes)
+    assert(resPh.collect().map(_.toString).toSet ==
+      resBase.collect().map(_.toString).toSet,
+      "phantom edges must not change the served rankings")
+    assert(visPh.collect().map(_.toString).toSet ==
+      visBase.collect().map(_.toString).toSet,
+      "n_scored must count scored pairs only — phantom candidates never scored")
+  }
 }
