@@ -1035,8 +1035,13 @@ object Dedup {
     // though per-round DATA stays one row per vertex. Superseded round
     // storage is released by the ContextCleaner when the previous frame's
     // reference drops.
+    // LAZY truncation (r18): the logical plan is cut to the checkpoint
+    // RDD at construction either way; laziness fuses the materialization
+    // into the job that first needs it instead of paying a separate job
+    // per round — one action per round instead of two (the r17 BPE fix,
+    // applied to the CC iteration)
     var lbl = edges.select(col("v")).distinct().withColumn("lbl", col("v"))
-      .transform(graft.Checkpoints.truncate(_))
+      .transform(graft.Checkpoints.truncate(_, eager = false))
     var changed = 1L
     var rounds = 0
     val budget = math.min(maxRounds, propagateRoundBudget)
@@ -1046,7 +1051,9 @@ object Dedup {
       val step = lbl.toDF("v", "old").join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"), col("old"),
           least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"))
-        .transform(graft.Checkpoints.truncate(_))
+        .transform(graft.Checkpoints.truncate(_, eager = false))
+      // the count both decides convergence and materializes the round's
+      // lazy checkpoint — ONE job per round
       changed = step.where(col("lbl") < col("old")).count()
       lbl = step.select(col("v"), col("lbl"))
       rounds += 1
@@ -1117,8 +1124,8 @@ object Dedup {
       .select(greatest(col("d1"), col("d2")).as("u"),
               least(col("d1"), col("d2")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .transform(graft.Checkpoints.truncate(_))
-    var nEdges = edges.count()
+      .transform(graft.Checkpoints.truncate(_, eager = false))
+    var nEdges = edges.count() // materializes the lazy checkpoint too
     var converged = nEdges == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -1137,8 +1144,8 @@ object Dedup {
       val step = ss.select(col("v").as("u"), col("m").as("v"))
         .union(ss.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
-        .transform(graft.Checkpoints.truncate(_))
-      val nStep = step.count()
+        .transform(graft.Checkpoints.truncate(_, eager = false))
+      val nStep = step.count() // one fused job per round (see above)
       converged = nStep == nEdges && step.except(edges).head(1).isEmpty
       edges = step
       nEdges = nStep
